@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Capability-layer relational operators (SURVEY.md §2.4).
+  *
+  * The reference (axiom-data-science/dbsink) delegates all relational work to
+  * Postgres over the tables it sinks (`/root/reference/README.md:13-15`); this
+  * module provides that query surface Spark-first. Every query here has a
+  * DuckDB-equivalent oracle in [[oracle]], with two parity rules:
+  *
+  *  - '''Money math in DECIMAL, surfaced as DOUBLE.''' Double summation is
+  *    fold-order-dependent, so Spark (parallel partial aggs) and DuckDB would
+  *    drift in the last ulp. Summing exact DECIMAL(18,2)/(38,4) then casting
+  *    the final value to double is bit-reproducible on both engines.
+  *  - '''Deterministic ORDER BY with a unique key suffix''' so row order can
+  *    never differ between engines.
+  *
+  * Scale notes (100 TB design): aggregations are plain `groupBy.agg` →
+  * HashAggregateExec with map-side partial aggregation; dimension joins
+  * (region/nation/customer/supplier/part) are explicitly `broadcast()` so the
+  * fact scan never shuffles for them; fact-fact joins (orders⋈lineitem) shuffle
+  * on the join key only, and AQE (enabled in session conf) handles skew.
+  */
+object Relational {
+
+  /** Exact decimal view of a 2-dp double column (money/quantity). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Aggregations -------------------------------------------------
+    "q1_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    "q2_distinct_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    "q3_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    "q4_cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // ---- Joins --------------------------------------------------------
+    "q10_join_agg" -> { (s, d) =>
+      val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+    "q11_join_dims" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .orderBy(col("r_name"))
+    },
+    "q12_semi_join" -> { (s, d) =>
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    "q13_anti_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    "q14_left_join" -> { (s, d) =>
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- Windows ------------------------------------------------------
+    "q20_topk_per_group" -> { (s, d) =>
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      Tables.supplier(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("rk"))
+        .orderBy(col("s_nationkey"), col("rk"), col("s_suppkey"))
+    },
+    "q21_running_sum" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_price", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- Sort / limit -------------------------------------------------
+    "q30_topk" -> { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)
+    },
+
+    // ---- Set operations ----------------------------------------------
+    "q40_union" -> { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nk"))
+      c.union(su).groupBy(col("nk")).agg(count(lit(1)).as("n")).orderBy(col("nk"))
+    },
+    "q41_intersect" -> { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nk"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nk"))
+      c.intersect(su).orderBy(col("nk"))
+    },
+    "q42_except" -> { (s, d) =>
+      val all = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val active = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("k"))
+      all.except(active).orderBy(col("k"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q4_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q10_join_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_join_dims" ->
+      """SELECT r_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_topk_per_group" ->
+      """SELECT s_nationkey, s_suppkey, s_name, rk FROM (
+        |  SELECT s_nationkey, s_suppkey, s_name,
+        |    row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rk
+        |  FROM supplier) t
+        |WHERE rk <= 2 ORDER BY s_nationkey, rk, s_suppkey""".stripMargin,
+    "q21_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q30_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q40_union" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INT) AS nk FROM supplier) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_intersect" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INT) AS nk FROM supplier
+        |ORDER BY 1""".stripMargin,
+    "q42_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+        |ORDER BY 1""".stripMargin
+  )
+}
