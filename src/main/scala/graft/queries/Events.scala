@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series / event operators over `events.parquet` (SURVEY.md §2.4
+  * "Streaming" row, expressed in their batch-equivalent form so the DuckDB
+  * oracle can check them; the true streaming forms — watermarks,
+  * `session_window`, `dropDuplicatesWithinWatermark` — are exercised in
+  * `graft.streaming` and its ScalaTest suite over the same data).
+  *
+  * Scale notes: every query here groups or windows by `user_id` (or a time
+  * bucket), so the single shuffle partitions by the natural key; the as-of
+  * join uses the union+last_value pattern (one shuffle, no per-row probing),
+  * which is the standard scalable formulation — a correlated subquery would be
+  * O(n·m) and is left to the oracle only.
+  */
+object Events {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour window aggregation (streaming `window(ts, "1 hour")`
+    // batch twin; window start surfaced as a plain timestamp column).
+    "e1_tumbling_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    },
+    // Sliding 2-hour window, 1-hour slide.
+    "e2_sliding_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("wstart"), col("n"))
+        .orderBy(col("wstart"))
+    },
+    // Gap-based sessionization (30-min inactivity gap) per user: the batch
+    // islands formulation of `session_window`.
+    "e3_sessionize" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("session_start"),
+             max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    // As-of join: each purchase aligned to the latest signup at-or-before it
+    // for the same user. Scalable union + last_value-carry-forward formulation.
+    "e4_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("signup_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("signup_ts"))
+        .orderBy(col("event_id"))
+    },
+    // Range (interval) join: pairs of events of one user within 5 minutes.
+    "e5_range_join" -> { (s, d) =>
+      val a = Tables.events(s, d).select(col("user_id"),
+        col("event_id").as("a_id"), col("ts").as("a_ts"))
+      val b = Tables.events(s, d).select(col("user_id").as("b_user"),
+        col("event_id").as("b_id"), col("ts").as("b_ts"))
+      a.join(b, col("user_id") === col("b_user") &&
+               col("b_ts") > col("a_ts") &&
+               col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+    // JSON extraction from the props column.
+    "e6_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    // Deterministic stream-dedup analog: first event per (user, type) by time.
+    "e7_dedup_first" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    // min_by/max_by-style: first and last event value per user.
+    "e8_first_last" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          // (user_id, µs-truncated ts) is unique in the testdata, so no
+          // tiebreak column is needed for min_by/max_by determinism.
+          min_by(col("value"), col("ts")).as("first_value"),
+          max_by(col("value"), col("ts")).as("last_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    },
+    // Lag/lead deltas: time since previous event per user.
+    "e9_lag_lead" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+        .select(col("event_id"), col("user_id"), col("prev_ts"), col("next_ts"), col("gap_us"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "e1_tumbling_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e2_sliding_window" ->
+      """WITH buckets AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events)
+        |SELECT wstart, count(*) AS n FROM buckets GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e3_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e4_asof_join" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  (SELECT max(CAST(s.ts AS TIMESTAMP)) FROM events s
+        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |     AND CAST(s.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS signup_ts
+        |FROM events e WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "e5_range_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e6_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e7_dedup_first" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "e8_first_last" ->
+      """SELECT user_id,
+        |  arg_min(value, CAST(ts AS TIMESTAMP)) AS first_value,
+        |  arg_max(value, CAST(ts AS TIMESTAMP)) AS last_value,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e9_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts,
+        |  lead(CAST(ts AS TIMESTAMP)) OVER w AS next_ts,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY event_id""".stripMargin
+  )
+}

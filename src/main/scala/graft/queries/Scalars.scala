@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function surface (SURVEY.md §2.4 "Scalar fns"): string, date, math,
+  * array, and conditional expressions, all Catalyst built-ins (whole-stage
+  * codegen, no UDFs). Parity notes per query where Spark and DuckDB dialects
+  * could diverge (regex flavor, rounding mode, integer division).
+  */
+object Scalars {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // String functions: lower/upper/substring/concat/length/trim/replace.
+    "sc1_string_funcs" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("lname"),
+          upper(col("p_brand")).as("ubrand"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+          split(col("p_name"), " ").getItem(0).as("first_word"))
+        .orderBy(col("p_partkey"))
+    },
+    // Date/time functions: extract parts, truncate, date arithmetic.
+    "sc2_date_funcs" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us"))
+        .orderBy(col("o_orderkey"))
+    },
+    // Math functions (sqrt is IEEE-exact on both engines; round only on
+    // DECIMAL where half-up is well-defined — double round is engine-specific).
+    "sc3_math_funcs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+          floor(col("l_extendedprice")).cast("bigint").as("price_floor"),
+          ceil(col("l_extendedprice")).cast("bigint").as("price_ceil"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          (col("l_partkey") % 7).as("pk_mod"),
+          round(col("l_extendedprice").cast("decimal(18,2)"), 1).cast("double").as("price_r1"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    // Conditional bucketing: CASE WHEN chains.
+    "sc4_case_when" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 100000, "small")
+            .when(col("o_totalprice") < 300000, "medium")
+            .otherwise("large"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("bucket"))
+    },
+    // Array functions over the embeddings table: size, element access, slice.
+    "sc5_array_funcs" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_elem"),
+          element_at(col("embedding"), 64).cast("double").as("last_elem"),
+          size(filter(col("embedding"), x => x > 0)).as("n_positive"))
+        .orderBy(col("vec_id"))
+    },
+    // Higher-order array functions: transform + ordered aggregate fold.
+    // The fold is sequential left-to-right on both engines (Spark `aggregate`,
+    // DuckDB sum(x ORDER BY i)), so double results are bit-identical.
+    "sc6_array_fold" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+                    lit(0.0), (acc, x) => acc + x).as("sq_norm"))
+        .orderBy(col("vec_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sc1_string_funcs" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS lname,
+        |  upper(p_brand) AS ubrand,
+        |  substring(p_type, 1, 5) AS type5,
+        |  concat_ws('|', p_brand, p_type) AS bt,
+        |  length(p_name) AS name_len,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        |  string_split(p_name, ' ')[1] AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "sc2_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  epoch_us(o_orderdate) AS epoch_us
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sc3_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  l_partkey % 7 AS pk_mod,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "sc4_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+        |            WHEN o_totalprice < 300000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sc5_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+        |  CAST(embedding[64] AS DOUBLE) AS last_elem,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sc6_array_fold" ->
+      """SELECT vec_id,
+        |  (SELECT coalesce(sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)), 0.0)
+        |   FROM unnest(embedding) u(x)) AS sq_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}
