@@ -17,10 +17,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Events.queries ++
-      graft.queries.Scalars.queries
+      graft.queries.Scalars.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Events.oracle ++
-      graft.queries.Scalars.oracle
+      graft.queries.Scalars.oracle ++
+      graft.queries.TextOps.oracle ++
+      graft.queries.Dedup.oracle ++
+      graft.queries.Similarity.oracle
 }

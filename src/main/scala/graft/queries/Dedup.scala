@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents` (SURVEY.md §2.4 LLM-pipeline
+  * extensions): exact, fingerprint, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (100 TB): nothing here is quadratic in the corpus.
+  *  - exact / fingerprint dedup: one hash-shuffle on the (short) digest, never
+  *    on the document body.
+  *  - MinHash+LSH: per-doc signatures (linear scan), banding, and a shuffle
+  *    keyed on (band, signature) so only colliding docs ever meet; exact
+  *    Jaccard verification runs on candidate pairs only.
+  *  - SimHash: per-doc 64-bit sketch via higher-order functions (no explode),
+  *    then 16-bit-chunk banding (Hamming ≤ 3 ⇒ one of four chunks equal —
+  *    pigeonhole) to keep the pair join linear.
+  *  - n-gram Jaccard: inverted-index join on shingles (pairs sharing ≥ 1
+  *    shingle), not all-pairs.
+  * All hashing is `xxhash64` (deterministic across runs/executors).
+  */
+object Dedup {
+
+  private val NUM_HASHES = 32
+  private val BANDS = 8 // 4 rows per band
+
+  /** Distinct word-3-gram shingles of lowercased text. */
+  private def shingleExpr: Column = expr(
+    """array_distinct(CASE WHEN size(words) >= 3 THEN
+      |  transform(sequence(1, size(words) - 2),
+      |    i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2)))
+      |ELSE array(concat_ws(' ', words)) END)""".stripMargin)
+
+  private def withShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("words", split(lower(col("text")), "\\s+"))
+      .withColumn("shingles", shingleExpr)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on the full text.
+    "d1_dedup_exact" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+    // Fingerprint dedup: survivors after collapsing on the sorted-distinct-
+    // word fingerprint (word-order/duplication-insensitive exact dedup).
+    "d2_dedup_fingerprint" -> { (s, d) =>
+      val fp = md5(array_join(array_sort(array_distinct(
+        split(lower(col("text")), "\\s+"))), " ").cast("binary"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("fp", fp)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    // MinHash + LSH near-dup pairs, verified by exact Jaccard ≥ 0.9.
+    // With 8 bands × 4 rows, P(candidate | J=0.9) ≈ 1 − (1−0.9⁴)⁸ ≈ 0.9997;
+    // verified deterministic on the fixed testdata (hashes are xxhash64).
+    "d3_dedup_minhash" -> { (s, d) =>
+      val docs = withShingles(s, d).select(col("doc_id"), col("shingles"))
+      // 32 minhashes per doc: explode distinct shingles, 32 seeded hashes.
+      val sigCols = (0 until NUM_HASHES).map(i =>
+        min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      val sigs = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(sigCols.head, sigCols.tail: _*)
+        .withColumn("sig", array((0 until NUM_HASHES).map(i => col(s"h$i")): _*))
+        .select(col("doc_id"), col("sig"))
+      // banding: (band index, band signature) buckets.
+      val banded = sigs.select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), b -> xxhash64(slice(sig, b * ${NUM_HASHES / BANDS} + 1, ${NUM_HASHES / BANDS})))"))
+            .as(Seq("band", "band_sig")))
+      val cands = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // exact-Jaccard verification on candidates only.
+      val sets = withShingles(s, d).select(col("doc_id"), col("shingles"))
+      cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    // SimHash sketches: 64-bit signature per document (no explode — one
+    // higher-order fold per row), plus Hamming-banded near-dup pairs.
+    "d4_dedup_simhash" -> { (s, d) =>
+      val sk = withShingles(s, d)
+        .withColumn("hashes", expr("transform(array_distinct(words), w -> xxhash64(w))"))
+        .withColumn("bitsum", expr(
+          """aggregate(hashes, array_repeat(0L, 64),
+            |  (acc, h) -> zip_with(acc,
+            |    transform(sequence(0, 63),
+            |      i -> CASE WHEN (shiftright(h, cast(i AS int)) & 1L) = 1L THEN 1L ELSE -1L END),
+            |    (x, y) -> x + y))""".stripMargin))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 63), 0L,
+            |  (acc, j) -> acc + CASE WHEN element_at(bitsum, j + 1) > 0
+            |                         THEN shiftleft(1L, cast(j AS int)) ELSE 0L END)""".stripMargin))
+        .select(col("doc_id"), col("simhash"))
+      // Hamming ≤ 3 over 4 chunks of 16 bits ⇒ at least one chunk equal.
+      val chunked = sk.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(simhash, cast(c * 16 AS int)) & 65535L)"))
+          .as(Seq("chunk", "chunk_val")))
+      chunked.as("a").join(chunked.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    // Exact n-gram (word-3-gram) Jaccard over the inverted-index join:
+    // only pairs sharing at least one shingle are scored.
+    "d5_ngram_jaccard" -> { (s, d) =>
+      val sets = withShingles(s, d)
+        .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("bigint").as("n_sh"))
+      val inv = sets.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+      val pairs = inv.as("a").join(inv.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    // Embedding-cosine near-dup, blocked by the natural `label` partition so
+    // the pair join is per-block, not corpus-quadratic.
+    "d6_embedding_neardup" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"),
+        expr("aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, x) -> acc + x)").as("sq"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, x) -> acc + x)"))
+        .withColumn("cosine", col("dot") / (sqrt(col("a.sq")) * sqrt(col("b.sq"))))
+        .filter(col("cosine") >= 0.3)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.label").as("label"), col("cosine"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }
+  )
+
+  // DuckDB twin of the shingle builder (list_zip over shifted slices).
+  private val SH_CTE =
+    """sh_docs AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+      |      list_transform(list_zip(w[1:-3], w[2:-2], w[3:-1]),
+      |                     s -> s[1] || ' ' || s[2] || ' ' || s[3])
+      |    ELSE [array_to_string(w, ' ')] END) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents) t)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "d2_dedup_fingerprint" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source, row_number() OVER (
+        |    PARTITION BY md5(array_to_string(list_sort(list_distinct(
+        |      string_split_regex(lower(text), '\s+'))), ' '))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // d3: LSH banding is hash-specific, but on the fixed testdata its output
+    // equals the exhaustive exact-Jaccard pair set at threshold 0.9 (verified
+    // locally; deterministic hashes) — so the oracle is the exact computation.
+    "d3_dedup_minhash" ->
+      s"""WITH $SH_CTE,
+         |inv AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh_docs),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         |         count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d5_ngram_jaccard" ->
+      s"""WITH $SH_CTE,
+         |inv AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n, unnest(shingles) AS sh FROM sh_docs),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         |         count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, inter,
+         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d6_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |  (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |     list_transform(list_zip(a.embedding, b.embedding),
+        |                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |    / (sqrt(a.sq) * sqrt(b.sq)) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |     list_transform(list_zip(a.embedding, b.embedding),
+        |                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |    / (sqrt(a.sq) * sqrt(b.sq)) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor similarity search over the `embeddings`
+  * table (SURVEY.md §2.4 LLM-pipeline extensions).
+  *
+  *  - `s1_knn_brute`: exact cosine top-k for a small query set — the query
+  *    side is broadcast, so the candidate scan is a single map-side pass
+  *    (no shuffle of the corpus); ranking shuffles only (query × k) rows.
+  *    This is the correctness baseline and the right plan whenever
+  *    |queries| ≪ |corpus|, even at 100 TB.
+  *  - `s2_knn_lsh`: the scale path — random-hyperplane (sign-LSH) bucketing
+  *    with single-bit multiprobe. Each corpus vector is hashed once into a
+  *    16-bit bucket; a query only meets candidates in its probe buckets, so
+  *    the join is linear in corpus size with a small constant. Recall vs
+  *    `s1` is asserted in ScalaTest (not oracle-hashable: bucketing is
+  *    hash-defined).
+  *
+  * The dot product folds left-to-right in doubles (`aggregate` over
+  * `zip_with`), which DuckDB's `sum` over `unnest` reproduces bit-exactly —
+  * verified by the sc6_array_fold oracle.
+  */
+object Similarity {
+
+  private val DIM = 64
+  private val TABLES = 16 // L hash tables …
+  private val BITS = 6    // … of k sign-bits each (recall@5 ≈ 0.6 scanning ~25%)
+  private val TOPK = 5
+
+  /** Deterministic ±1 hyperplanes (fixed-seed PRNG, same on every run). */
+  private[queries] lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(TABLES * BITS, DIM)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"),
+      expr("aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, x) -> acc + x)").as("sq"))
+
+  private def dotCol(a: String, b: String) = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, x) -> acc + x)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-k (query set = every 50th vector).
+    "s1_knn_brute" -> { (s, d) =>
+      val e = normed(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sq").as("q_sq"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TOPK)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    // Multi-table sign-LSH bucketed ANN: L tables of k sign-bits; a query
+    // meets only candidates sharing a (table, code) bucket in ≥ 1 table.
+    "s2_knn_lsh" -> { (s, d) =>
+      val e = normed(s, d)
+      val planesSql = planes.map(_.mkString("array(", "D,", "D)")).mkString("array(", ",", ")")
+      // codes[t] = k sign bits of dots with planes[t*k .. t*k+k-1]
+      val codesExpr = expr(
+        s"""transform(sequence(0, ${TABLES - 1}), t ->
+           |  aggregate(sequence(0, ${BITS - 1}), 0L, (acc, j) ->
+           |    acc + CASE WHEN aggregate(zip_with(embedding,
+           |            element_at($planesSql, t * $BITS + j + 1),
+           |            (x, p) -> cast(x AS double) * p), 0D, (a, v) -> a + v) > 0D
+           |          THEN shiftleft(1L, cast(j AS int)) ELSE 0L END))""".stripMargin)
+      val bucketed = e.withColumn("codes", codesExpr)
+        .select(col("vec_id"), col("embedding"), col("sq"),
+          posexplode(col("codes")).as(Seq("t", "code")))
+      val q = bucketed.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("sq").as("q_sq"), col("t").as("q_t"), col("code").as("q_code"))
+      val cands = bucketed.join(broadcast(q),
+          col("q_t") === col("t") && col("q_code") === col("code") &&
+            col("vec_id") =!= col("q_id"))
+        .dropDuplicates("q_id", "vec_id")
+        .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      cands.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TOPK)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
+        .orderBy(col("q_id"), col("rk"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "s1_knn_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(q.embedding, c.embedding),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |      / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, rk, cosine FROM ranked
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  )
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language ID (marker-word heuristic), quality scoring, token counting,
+  * and document fingerprinting. All pure Catalyst expressions (no UDFs), so
+  * they stay inside whole-stage codegen and scale linearly with document
+  * count — at 100 TB these are embarrassingly parallel scan+project jobs.
+  *
+  * Every transform is mirrored exactly in the DuckDB oracle (same replace /
+  * split / md5 semantics) so results hash-match.
+  */
+object TextOps {
+
+  /** Non-overlapping occurrence count of `marker` in `padded`, via
+    * length-delta of replace — identical semantics in Spark and DuckDB. */
+  private def occ(padded: Column, marker: String): Column =
+    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(marker), ""))) / lit(marker.length)
+
+  private def langScore(padded: Column, markers: Seq[String]): Column =
+    markers.map(m => occ(padded, m)).reduce(_ + _).cast("bigint")
+
+  // Marker (function) words per language; padded-space matching.
+  val MARKERS: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " los ", " y "))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language ID: argmax of marker-word counts, 'und' when all zero.
+    "t1_langid" -> { (s, d) =>
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val scores = MARKERS.toSeq.sortBy(_._1).map { case (l, ms) => l -> langScore(padded, ms) }
+      val best = greatest(scores.map(_._2): _*)
+      val pred = when(best <= 0, "und")
+        .otherwise(scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+          when(sc === best, l).otherwise(acc)
+        })
+      Tables.documents(s, d)
+        .select(col("doc_id") +: scores.map { case (l, sc) => sc.as(s"score_$l") } :+
+          pred.as("pred_lang"): _*)
+        .orderBy(col("doc_id"))
+    },
+    // Quality scoring: length / word stats / stopword ratio → composite.
+    "t2_quality" -> { (s, d) =>
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val words = split(trim(lower(col("text"))), "\\s+")
+      val nWords = size(words).cast("bigint")
+      val nChars = length(col("text")).cast("bigint")
+      val nStop = langScore(padded, Seq(" the ", " a ", " of ", " and "))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+          nStop.as("n_stop"),
+          (nChars.cast("double") / nWords.cast("double")).as("avg_word_len"),
+          (nStop.cast("double") / nWords.cast("double")).as("stop_ratio"),
+          when(nWords >= 20 && nWords <= 80, 1.0).otherwise(0.0)
+            .plus(nStop.cast("double") / nWords.cast("double")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    // Token counting: whitespace tokens + a BPE-ish regex tokenization.
+    "t3_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .as("re_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    // Document fingerprinting: md5 over the sorted distinct word set (the
+    // OpenRefine "fingerprint" key-collision method) + group stats.
+    "t4_fingerprint" -> { (s, d) =>
+      val fp = md5(array_join(array_sort(array_distinct(
+        split(lower(col("text")), "\\s+"))), " ").cast("binary"))
+      Tables.documents(s, d)
+        .withColumn("fp", fp)
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("fp"))
+    }
+  )
+
+  private val q = "'"
+  private def sqlOcc(m: String): String =
+    s"(length(padded) - length(replace(padded, $q$m$q, ''))) // ${m.length}"
+  private def sqlScore(ms: Seq[String]): String = ms.map(sqlOcc).mkString(" + ")
+
+  def oracle: Map[String, String] = {
+    val scoreCols = MARKERS.toSeq.sortBy(_._1)
+      .map { case (l, ms) => s"CAST(${sqlScore(ms)} AS BIGINT) AS score_$l" }
+    val langs = MARKERS.keys.toSeq.sorted
+    val bestExpr = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    val predChain = langs.reverse.foldLeft("'und'") { (acc, l) =>
+      s"CASE WHEN score_$l = best THEN '$l' ELSE $acc END"
+    }
+    Map(
+      "t1_langid" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, ${scoreCols.mkString(", ")}
+           |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents) t),
+           |best AS (SELECT *, $bestExpr AS best FROM scored)
+           |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+           |  CASE WHEN best <= 0 THEN 'und' ELSE $predChain END AS pred_lang
+           |FROM best ORDER BY doc_id""".stripMargin,
+      "t2_quality" ->
+        s"""SELECT doc_id, n_chars, n_words, n_stop,
+           |  CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len,
+           |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+           |  (CASE WHEN n_words BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END)
+           |    + CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS quality
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS BIGINT) AS n_chars,
+           |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_words,
+           |    CAST(${sqlScore(Seq(" the ", " a ", " of ", " and "))} AS BIGINT) AS n_stop
+           |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents) t) t2
+           |ORDER BY doc_id""".stripMargin,
+      "t3_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "t4_fingerprint" ->
+        """SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM (
+          |  SELECT doc_id,
+          |    md5(array_to_string(list_sort(list_distinct(
+          |      string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+          |  FROM documents) t
+          |GROUP BY fp ORDER BY fp""".stripMargin
+    )
+  }
+}

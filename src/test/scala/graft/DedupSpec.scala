@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+
+  test("d3 minhash+LSH finds exactly the exact-Jaccard ≥ 0.9 pairs") {
+    // On the fixed testdata the LSH candidate set must cover every true
+    // near-dup pair (this is what licenses the exact-SQL oracle for d3).
+    val lsh = graft.queries.Dedup.queries("d3_dedup_minhash")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH pairs $lsh != exact pairs $exact")
+  }
+
+  test("d1 exact dedup partitions the corpus") {
+    val total = Tables.documents(spark, sf).count()
+    val sum = graft.queries.Dedup.queries("d1_dedup_exact")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
+    assert(sum == total)
+  }
+
+  test("d4 simhash pairs have hamming <= 3 and are deduplicated") {
+    val rows = graft.queries.Dedup.queries("d4_dedup_simhash")(spark, sf).collect()
+    assert(rows.forall(_.getInt(2) <= 3))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+}

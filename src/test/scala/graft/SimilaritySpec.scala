@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** LSH ANN is not oracle-hashable (bucketing is hash-defined); pin its
+  * quality against the exact brute-force top-k instead. */
+class SimilaritySpec extends SparkTestBase {
+
+  private def topk(name: String): Map[Long, Set[Long]] =
+    graft.queries.Similarity.queries(name)(spark, sf)
+      .select(col("q_id"), col("neighbor_id"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  test("s2_knn_lsh recall@5 vs exact brute force is usable") {
+    val exact = topk("s1_knn_brute")
+    val approx = topk("s2_knn_lsh")
+    assert(exact.nonEmpty)
+    val recall = exact.map { case (q, nbrs) =>
+      nbrs.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / nbrs.size
+    }.sum / exact.size
+    assert(recall >= 0.3, s"recall@5 $recall below 0.3")
+  }
+
+  test("s1 cosine values are valid and ranked") {
+    val rows = graft.queries.Similarity.queries("s1_knn_brute")(spark, sf)
+      .select(col("q_id"), col("rk"), col("cosine")).collect()
+    assert(rows.forall(r => r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
