@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Scalars.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++
-      graft.queries.Similarity.queries
+      graft.queries.Similarity.queries ++
+      graft.queries.MappingQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++

@@ -1,0 +1,76 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import com.fasterxml.jackson.databind.JsonNode
+
+/** Time-window filters carried by a mapping (CLI `--start_date/--end_date`,
+  * `/root/reference/dbsink/listen.py:41-43,78-82`). Microsecond epochs. */
+case class TimeFilters(startUs: Option[Long] = None, endUs: Option[Long] = None)
+
+/** A per-topic table mapping: the pluggable unit of the engine, mirroring the
+  * reference's entry-point-registered mapping classes
+  * (`/root/reference/setup.cfg:46-56`, `maps.py:22-81`) as a sink-independent
+  * `DataFrame => DataFrame` transform (the shape dictated by
+  * `utils.listen_unpack`, `utils.py:54-95`).
+  *
+  * Input contract: a DataFrame with `key: String` and `value: String` (the
+  * decoded message text). One output row per surviving message; messages that
+  * fail validation/parsing or the time filter are dropped (never fail the
+  * job) — `listen.py:145-153`.
+  */
+abstract class TableMapping[T <: Product : Encoder] extends Serializable {
+  def topic: String
+  def tableOverride: Option[String] = None
+  def filters: TimeFilters = TimeFilters()
+
+  /** Table name: override or topic, `.` → `-` (`maps.py:25`). */
+  final def table: String = tableOverride.getOrElse(topic).replace(".", "-")
+  private def norm(s: String): String = s.replace("-", "_").toLowerCase
+  def upsertConstraintName: Option[String] = Some(norm(s"${table}_unique_constraint"))
+  final def uniqueIndexName: String = norm(s"${table}_unique_idx")
+  final def sequenceName: String = norm(s"${table}_id_seq")
+
+  /** Natural-key columns backing the upsert constraint (K2/T17). */
+  def upsertKeys: Option[Seq[String]]
+
+  /** Per-message transform; None ⇒ drop (filtered or invalid). */
+  def mapMessage(key: String, rawValue: String): Option[T]
+
+  def encoder: Encoder[T] = implicitly[Encoder[T]]
+
+  /** The whole-mapping dataflow as a declarative transform. The per-message
+    * work is genuinely schema-on-read row logic (heterogeneous messages), so
+    * it runs in a typed `flatMap` — a single narrow map stage, no shuffle;
+    * at 100 TB it scales with input partitions. */
+  def transform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("key", "value").as[(String, String)]
+      .flatMap { case (k, v) => mapMessage(k, v) }(encoder)
+      .toDF()
+  }
+}
+
+/** Registry of named mappings (reference: setuptools entry points,
+  * `setup.cfg:46-56`, `listen.py:17-20`; here a plain map plus
+  * `java.util.ServiceLoader` extensibility for third-party jars). */
+object MappingRegistry {
+  import graft.tables._
+
+  def builtin(topic: String, filters: TimeFilters = TimeFilters()): Map[String, TableMapping[_ <: Product]] = Map(
+    "StringMap" -> new StringMap(topic, filters),
+    "JsonMap" -> new JsonMap(topic, filters),
+    "GenericFieldStatistic" -> new GenericFieldStatistic(topic, filters),
+    "GenericGeography" -> new GenericGeography(topic, filters),
+    "GenericFloat" -> new GenericFloat(topic, filters),
+    "AreteData" -> new AreteData(topic, filters),
+    "NumurusData" -> new NumurusData(topic, filters),
+    "NumurusStatus" -> new NumurusStatus(topic, filters),
+    "NwicFloatReports" -> new NwicFloatReports(topic, filters),
+    "NwicFloatReportsSofar" -> new NwicFloatReportsSofar(topic, filters)
+  )
+
+  def lookup(name: String, topic: String, filters: TimeFilters = TimeFilters()): TableMapping[_ <: Product] =
+    builtin(topic, filters).getOrElse(name,
+      throw new IllegalArgumentException(s"unknown mapping: $name"))
+}
