@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions.col
 import com.fasterxml.jackson.databind.JsonNode
 
 /** Time-window filters carried by a mapping (CLI `--start_date/--end_date`,
@@ -48,6 +49,19 @@ abstract class TableMapping[T <: Product : Encoder] extends Serializable {
     df.select("key", "value").as[(String, String)]
       .flatMap { case (k, v) => mapMessage(k, v) }(encoder)
       .toDF()
+  }
+
+  /** Transform carrying the stream position (`__offset`) through, so the
+    * sink can re-establish the reference's sequential last-wins semantics
+    * inside an unordered micro-batch (SURVEY.md §7 hard part 4). */
+  def transformWithOffset(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[(T, Long)] = Encoders.tuple(encoder, Encoders.scalaLong)
+    df.select("key", "value", "__offset").as[(String, String, Long)]
+      .flatMap { case (k, v, o) => mapMessage(k, v).map(t => (t, o)) }
+      .toDF("row", "__offset")
+      .select(col("row.*"), col("__offset"))
   }
 }
 

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.TableMapping
+import graft.sinks.{RowSink, UpsertSink}
+import graft.sources.MessageDecoder
+
+/** The end-to-end streaming dataflow (SURVEY.md §3.1): source → decode →
+  * mapping transform → upsert sink, as Structured Streaming.
+  *
+  * The reference's consume loop commits offsets every 100 messages after the
+  * side effects (`/root/reference/dbsink/listen.py:178-186`) — at-least-once
+  * with idempotent upsert. Here checkpointing plays the offset-commit role
+  * and `foreachBatch` + key-dedup upsert keeps the same effectively-once
+  * result.
+  */
+object Pipeline {
+
+  /** Kafka source config (S1). Jar-gated: the spark-sql-kafka connector is
+    * not in this offline image, so this only assembles the standard options
+    * (`subscribe`, `startingOffsets`, consumer group) for deploy time. */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
+      offset: String = "latest", consumerGroup: Option[String] = None): DataFrame = {
+    val group = consumerGroup.getOrElse(
+      s"dbsink-$topic-${java.util.UUID.randomUUID.toString.take(20)}")
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", if (offset == "largest") "latest" else offset)
+      .option("kafka.group.id", group)
+      .load()
+  }
+
+  /** Decode a raw (key binary, value binary, offset) stream into the engine
+    * message contract (key string, value json-string, __offset). Messages
+    * the decoder rejects are dropped, mirroring `listen.py:138-143`. */
+  def decoded(raw: DataFrame, decoder: MessageDecoder): DataFrame = {
+    val dec = udf((b: Array[Byte]) => if (b == null) None else decoder.decode(b))
+    val withOffset =
+      if (raw.columns.contains("offset")) raw.withColumn("__offset", col("offset"))
+      else raw.withColumn("__offset", monotonically_increasing_id())
+    val withKey =
+      if (withOffset.columns.contains("key")) withOffset
+      else withOffset.withColumn("key", lit("fake"))
+    withKey
+      .withColumn("key", coalesce(col("key").cast("string"), lit("")))
+      .withColumn("value", dec(col("value").cast("binary")))
+      .filter(col("value").isNotNull)
+      .select("key", "value", "__offset")
+  }
+
+  /** readStream → foreachBatch(decode → transform → upsert), checkpointed.
+    * Decode/transform run inside the batch context so the fallback offset
+    * (`monotonically_increasing_id`, disallowed in streaming plans) is legal;
+    * with a Kafka source the real `offset` column is used instead. */
+  def run(stream: DataFrame, mapping: TableMapping[_ <: Product], sink: RowSink,
+      checkpoint: String, decoder: MessageDecoder = graft.sources.JsonDecoder): StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val messages = decoded(batch, decoder)
+        UpsertSink.writeBatch(mapping.transformWithOffset(messages), mapping, sink)
+      }
+      .start()
+  }
+}

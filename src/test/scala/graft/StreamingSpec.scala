@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.sinks.InMemorySink
+import graft.sources.FileReplay
+import graft.streaming.Pipeline
+import graft.tables.{GenericFloat, JsonMap}
+
+/** Structured Streaming behaviors (SURVEY.md §2.4 Streaming row): the full
+  * source→decode→transform→upsert pipeline, watermarked windows, stream
+  * dedup, session windows, and custom state via flatMapGroupsWithState. */
+class StreamingSpec extends SparkTestBase {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+  test("end-to-end: memory stream → JsonMap → upsert sink") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    stream.addData(FileReplay.messages("/root/reference/tests/mission_sensors.json"): _*)
+    val mapping = new JsonMap("stream.topic")
+    val sink = new InMemorySink
+    val q = Pipeline.run(stream.toDF(), mapping, sink, tmpDir())
+    q.awaitTermination(60000)
+    assert(sink.size == 10)
+  }
+
+  test("end-to-end: upsert across two micro-batches updates in place") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val msg = (speed: String) =>
+      s"""{"uid":"A","time":"2020-01-01T00:00:00Z","lat":10.0,"lon":20.0,"values":{"speed":"$speed"}}"""
+    val mapping = new GenericFloat("stream.floats")
+    val sink = new InMemorySink
+    val ckpt = tmpDir()
+
+    val s1 = MemoryStream[String]
+    s1.addData(msg("1"))
+    Pipeline.run(s1.toDF(), mapping, sink, ckpt).awaitTermination(60000)
+    assert(sink.size == 1)
+
+    val s2 = MemoryStream[String]
+    s2.addData(msg("2"))
+    Pipeline.run(s2.toDF(), mapping, sink, tmpDir()).awaitTermination(60000)
+    assert(sink.size == 1, "second batch must upsert, not append")
+    val valuesIdx = mapping.encoder.schema.fieldNames.indexOf("values")
+    assert(sink.table.values.head(valuesIdx).asInstanceOf[Map[String, String]]("speed") == "2")
+  }
+
+  test("watermarked tumbling window matches batch equivalent") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf)
+      .select($"ts", $"event_type").as[(Timestamp, String)].collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, String)]
+    stream.addData(events: _*)
+    val agg = stream.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql("SELECT window.start AS ws, event_type, n FROM win_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated keys") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = new Timestamp(1700000000000L)
+    val stream = MemoryStream[(Timestamp, String)]
+    stream.addData((base, "a"), (base, "a"), (new Timestamp(base.getTime + 1000), "b"),
+      (base, "a"), (new Timestamp(base.getTime + 2000), "b"))
+    val dedup = stream.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("k")
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT k FROM dedup_out").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("session_window groups by inactivity gap") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val stream = MemoryStream[(Timestamp, String)]
+    // u: two sessions separated by > 30min; v: one session
+    stream.addData(
+      (new Timestamp(t0), "u"), (new Timestamp(t0 + 60000), "u"),
+      (new Timestamp(t0 + 3 * 3600 * 1000), "u"),
+      (new Timestamp(t0), "v"))
+    val sessions = stream.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user")
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT user, n FROM sess_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.count(_._1 == "u") == 2)
+    assert(rows.filter(_._1 == "u").map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(rows.count(_._1 == "v") == 1)
+  }
+
+  test("flatMapGroupsWithState: running max per key") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Int)]
+    stream.addData(("a", 1), ("a", 5), ("a", 3), ("b", 2))
+    val out = stream.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (String, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Int]) =>
+          val prev = state.getOption.getOrElse(Int.MinValue)
+          val mx = (rows.map(_._2) ++ Iterator(prev)).max
+          state.update(mx)
+          Iterator((key, mx))
+      }
+    val q = out.toDF("k", "mx").writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("state_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT k, mx FROM state_out").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(rows == Map("a" -> 5, "b" -> 2))
+  }
+}
