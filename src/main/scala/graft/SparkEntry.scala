@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
+      graft.queries.Multimodal.queries ++
       graft.queries.MappingQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.Scalars.oracle ++
       graft.queries.TextOps.oracle ++
       graft.queries.Dedup.oracle ++
-      graft.queries.Similarity.oracle
+      graft.queries.Similarity.oracle ++
+      graft.queries.Multimodal.oracle
 }

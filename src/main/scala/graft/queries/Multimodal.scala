@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column operators: image/audio/video ride through the engine as
+  * opaque `binary` columns with typed metadata (exactly how the reference
+  * carries base64 JPEG data-URIs through HSTORE —
+  * `/root/reference/tests/test_dbsink.py:1034-1048`).
+  *
+  * The decode step is a clearly-marked deterministic STUB (no image/audio
+  * libraries ship in this container); the Spark-side plumbing is real and
+  * what the tests/oracle verify: binary column construction, struct
+  * metadata, per-partition batched decode via `mapPartitions` (the Scala
+  * analogue of a Pandas-UDF batch), and frame sampling with binary slicing.
+  * At scale each operator is a narrow map over the corpus — no shuffle.
+  */
+object Multimodal {
+
+  /** STUB decode: deterministic pseudo-features from raw bytes. A real
+    * deployment swaps this body for an image decoder; the signature
+    * (bytes → fixed-width features) and the batch shape are the contract. */
+  def stubDecode(bytes: Array[Byte]): (Int, Long, Double) = {
+    val n = bytes.length
+    var checksum = 0L
+    var i = 0
+    while (i < n) { checksum = (checksum * 31 + (bytes(i) & 0xff)) & 0x7fffffffL; i += 1 }
+    val meanByte = if (n == 0) 0.0 else {
+      var s = 0L; var j = 0
+      while (j < n) { s += (bytes(j) & 0xff); j += 1 }
+      s.toDouble / n
+    }
+    (n, checksum, meanByte)
+  }
+
+  /** The multimodal table: binary payload + typed metadata struct. */
+  private def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      struct(
+        lit("jpeg").as("format"),
+        (lit(64) + col("doc_id") % 512).cast("int").as("width"),
+        (lit(64) + col("doc_id") % 256).cast("int").as("height")).as("meta"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary column + metadata struct construction.
+    "mm1_media_table" -> { (s, d) =>
+      mediaTable(s, d)
+        .select(col("doc_id"), col("media"), col("meta"),
+          length(col("media")).cast("int").as("n_bytes"),
+          md5(col("media")).as("digest"))
+        .orderBy(col("doc_id"))
+    },
+    // Batched decode via mapPartitions (Pandas-UDF-shaped: one iterator of
+    // rows per partition, features out).
+    "mm2_decode_features" -> { (s, d) =>
+      val df = mediaTable(s, d)
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_bytes", IntegerType),
+        StructField("checksum", LongType), StructField("mean_byte", DoubleType)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+      df.select("doc_id", "media").mapPartitions { rows =>
+        rows.map { r =>
+          val (n, ck, mb) = stubDecode(r.getAs[Array[Byte]]("media"))
+          Row(r.getLong(0), n, ck, mb)
+        }
+      }(enc).orderBy(col("doc_id"))
+    },
+    // Frame sampling: fixed-size binary windows every `stride` bytes
+    // (video-frame analogue), via binary slicing — no UDF.
+    "mm3_frame_sample" -> { (s, d) =>
+      mediaTable(s, d)
+        .select(col("doc_id"), col("media"), length(col("media")).as("len"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, int((len - 1) / 64)), i -> substring(media, i * 64 + 1, 32))"))
+            .as(Seq("frame_idx", "frame")))
+        .withColumn("frame_digest", md5(col("frame")))
+        .select(col("doc_id"), col("frame_idx"), col("frame_digest"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "mm1_media_table" ->
+      """SELECT doc_id, encode(text) AS media,
+        |  {'format': 'jpeg',
+        |   'width': CAST(64 + doc_id % 512 AS INT),
+        |   'height': CAST(64 + doc_id % 256 AS INT)} AS meta,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // ASCII corpus ⇒ byte and character offsets agree, so the blob slicing
+    // is mirrored with VARCHAR substring (DuckDB 1.0 has no md5(BLOB)).
+    // range() takes constants only: 16 frames covers max len 577 ≪ 16·64.
+    "mm3_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text,
+        |                  octet_length(encode(text)) AS len FROM documents),
+        |f AS (SELECT doc_id, i AS frame_idx,
+        |             md5(substring(text, CAST(i * 64 + 1 AS INT), 32)) AS frame_digest
+        |      FROM m CROSS JOIN range(0, 16) t(i)
+        |      WHERE i <= (len - 1) // 64)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, frame_digest
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}
