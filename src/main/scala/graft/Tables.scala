@@ -40,4 +40,14 @@ object Tables {
     table(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** Spread a scan across all cores when the file layout under-partitions
+    * it (a single small parquet file scans as one partition, serializing any
+    * heavy per-row compute downstream). On a real multi-file 100 TB layout
+    * the scan already has enough partitions and this is a no-op — the check
+    * avoids forcing a pointless full shuffle there. */
+  def parallelized(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
 }

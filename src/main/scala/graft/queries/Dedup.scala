@@ -25,17 +25,37 @@ object Dedup {
   private val NUM_HASHES = 32
   private val BANDS = 8 // 4 rows per band
 
-  /** Distinct word-3-gram shingles of lowercased text. */
-  private def shingleExpr: Column = expr(
-    """array_distinct(CASE WHEN size(words) >= 3 THEN
-      |  transform(sequence(1, size(words) - 2),
-      |    i -> concat(element_at(words, i), ' ', element_at(words, i + 1), ' ', element_at(words, i + 2)))
-      |ELSE array(concat_ws(' ', words)) END)""".stripMargin)
+  /** Distinct word-3-gram shingles of lowercased text. Computed in typed
+    * Scala rather than SQL higher-order functions: HOFs are interpreted (no
+    * codegen), and worse, projection collapse inlines the `split` into every
+    * `element_at` lambda, re-running the regex O(words) times per row
+    * (measured: two orders of magnitude slower at sf0.1). The typed map is
+    * also an optimizer barrier, so downstream references reuse the
+    * materialized array. */
+  private[queries] def shinglesOf(text: String): Seq[String] = {
+    val words = text.toLowerCase.split("\\s+")
+    if (words.length >= 3)
+      (0 to words.length - 3).map(i => s"${words(i)} ${words(i + 1)} ${words(i + 2)}").distinct
+    else Seq(words.mkString(" "))
+  }
 
-  private def withShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("words", split(lower(col("text")), "\\s+"))
-      .withColumn("shingles", shingleExpr)
+  private def withShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.parallelized(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .mapPartitions(_.map { case (id, lang, source, text) =>
+        (id, lang, source, shinglesOf(text))
+      })
+      .toDF("doc_id", "lang", "source", "shingles")
+  }
+
+  /** xxhash64-compatible string hash (same bits as the SQL `xxhash64`). */
+  private[queries] def xxh64(s: String, seed: Long = 42L): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on the full text.
@@ -94,22 +114,30 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    // SimHash sketches: 64-bit signature per document (no explode — one
-    // higher-order fold per row), plus Hamming-banded near-dup pairs.
+    // SimHash sketches: 64-bit signature per document, computed per-row in
+    // typed Scala (the fold is a tight bit loop; the interpreted-HOF version
+    // was two orders of magnitude slower). Hashes are over shingles, not
+    // words: with a small vocabulary nearly every document contains every
+    // word, so word-set sketches collapse to a handful of values and the
+    // band join goes quadratic; 3-gram shingles keep the sketch
+    // discriminative.
     "d4_dedup_simhash" -> { (s, d) =>
+      import s.implicits._
       val sk = withShingles(s, d)
-        .withColumn("hashes", expr("transform(array_distinct(words), w -> xxhash64(w))"))
-        .withColumn("bitsum", expr(
-          """aggregate(hashes, array_repeat(0L, 64),
-            |  (acc, h) -> zip_with(acc,
-            |    transform(sequence(0, 63),
-            |      i -> CASE WHEN (shiftright(h, cast(i AS int)) & 1L) = 1L THEN 1L ELSE -1L END),
-            |    (x, y) -> x + y))""".stripMargin))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 63), 0L,
-            |  (acc, j) -> acc + CASE WHEN element_at(bitsum, j + 1) > 0
-            |                         THEN shiftleft(1L, cast(j AS int)) ELSE 0L END)""".stripMargin))
-        .select(col("doc_id"), col("simhash"))
+        .select(col("doc_id"), col("shingles")).as[(Long, Seq[String])]
+        .mapPartitions(_.map { case (id, shingles) =>
+          val counts = new Array[Int](64)
+          shingles.foreach { sh =>
+            val h = xxh64(sh)
+            var i = 0
+            while (i < 64) { if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1; i += 1 }
+          }
+          var sim = 0L
+          var j = 0
+          while (j < 64) { if (counts(j) > 0) sim |= 1L << j; j += 1 }
+          (id, sim)
+        })
+        .toDF("doc_id", "simhash")
       // Hamming ≤ 3 over 4 chunks of 16 bits ⇒ at least one chunk equal.
       val chunked = sk.select(col("doc_id"), col("simhash"),
         posexplode(expr(
@@ -120,8 +148,8 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .filter(col("hamming") <= 3) // before distinct: shrink the shuffle
         .distinct()
-        .filter(col("hamming") <= 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
     // Exact n-gram (word-3-gram) Jaccard over the inverted-index join:
@@ -145,7 +173,7 @@ object Dedup {
     // Embedding-cosine near-dup, blocked by the natural `label` partition so
     // the pair join is per-block, not corpus-quadratic.
     "d6_embedding_neardup" -> { (s, d) =>
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      val e = Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"),
         col("embedding"),
         expr("aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, x) -> acc + x)").as("sq"))
       e.as("a").join(e.as("b"),

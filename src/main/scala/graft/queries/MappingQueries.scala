@@ -30,6 +30,19 @@ object MappingQueries {
     "m7_numurus_data" -> replay(new NumurusData("topic"), "numurus.data.json") _,
     "m8_numurus_status" -> replay(new NumurusStatus("topic"), "numurus.status.json") _,
     "m9_nwic_reports" -> replay(new NwicFloatReports("foo"), "health_and_status.json") _,
-    "m10_sofar" -> replay(new NwicFloatReportsSofar("sofar.data"), "sofar.json") _
+    "m10_sofar" -> replay(new NwicFloatReportsSofar("sofar.data"), "sofar.json") _,
+    // Map-typed column functions over an HSTORE values column (rows-only:
+    // the oracle runs on the source tables, not on mapping output).
+    "m11_map_funcs" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      new NwicFloatReports("foo").transform(
+          graft.sources.FileReplay.read(s, s"$fx/health_and_status.json"))
+        .select(col("uid"),
+          size(col("values")).as("n_values"),
+          array_sort(map_keys(col("values"))).as("keys"),
+          element_at(col("values"), "mfr").as("mfr"),
+          map_concat(col("values"), map(lit("engine"), lit("graft"))).getItem("engine").as("engine"))
+        .orderBy(col("uid"), col("n_values"))
+    }
   )
 }

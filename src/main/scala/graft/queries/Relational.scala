@@ -109,7 +109,49 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
+    "q15_full_outer" -> { (s, d) =>
+      // big vs small customers per nation: full outer keeps nations present
+      // on only one side.
+      val big = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_big"))
+      val neg = Tables.customer(s, d).filter(col("c_acctbal") < -900)
+        .groupBy(col("c_nationkey").as("nk2")).agg(count(lit(1)).as("n_neg"))
+      big.join(neg, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).cast("int").as("nationkey"),
+          col("n_big"), col("n_neg"))
+        .orderBy(col("nationkey"))
+    },
+    "q5_grouping_sets" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("q5_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n
+          |FROM q5_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+    // HLL++ approximate distinct: engine-specific estimates (no cross-engine
+    // oracle) — rows-only check; the ScalaTest suite bounds the error.
+    "q6_approx_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- Windows ------------------------------------------------------
+    "q22_rank_funcs" -> { (s, d) =>
+      val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      Tables.supplier(s, d)
+        .select(col("s_nationkey"), col("s_suppkey"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          ntile(2).over(w).as("half"),
+          round(percent_rank().over(w).cast("decimal(18,6)"), 6).cast("double").as("prk"))
+        .orderBy(col("s_nationkey"), col("s_suppkey"))
+    },
     "q20_topk_per_group" -> { (s, d) =>
       val w = Window.partitionBy(col("s_nationkey"))
         .orderBy(col("s_acctbal").desc, col("s_suppkey"))
@@ -209,6 +251,30 @@ object Relational {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_full_outer" ->
+      """SELECT CAST(coalesce(b.nk, n.nk2) AS INT) AS nationkey, b.n_big, n.n_neg
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_big FROM customer
+        |      WHERE c_acctbal > 9000 GROUP BY 1) b
+        |FULL OUTER JOIN
+        |     (SELECT c_nationkey AS nk2, count(*) AS n_neg FROM customer
+        |      WHERE c_acctbal < -900 GROUP BY 1) n
+        |ON b.nk = n.nk2 ORDER BY nationkey""".stripMargin,
+    "q5_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q22_rank_funcs" ->
+      """SELECT s_nationkey, s_suppkey,
+        |  rank() OVER w AS rk,
+        |  dense_rank() OVER w AS drk,
+        |  ntile(2) OVER w AS half,
+        |  CAST(round(CAST(percent_rank() OVER w AS DECIMAL(18,6)), 6) AS DOUBLE) AS prk
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
     "q20_topk_per_group" ->
       """SELECT s_nationkey, s_suppkey, s_name, rk FROM (
         |  SELECT s_nationkey, s_suppkey, s_name,

@@ -38,7 +38,7 @@ object Similarity {
   }
 
   private def normed(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"),
+    Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"), col("embedding"),
       expr("aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, x) -> acc + x)").as("sq"))
 
   private def dotCol(a: String, b: String) = expr(
