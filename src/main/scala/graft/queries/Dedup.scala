@@ -173,13 +173,13 @@ object Dedup {
     // Embedding-cosine near-dup, blocked by the natural `label` partition so
     // the pair join is per-block, not corpus-quadratic.
     "d6_embedding_neardup" -> { (s, d) =>
+      import graft.functions.VecFunctions.vec_dot
       val e = Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"),
         col("embedding"),
-        expr("aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, x) -> acc + x)").as("sq"))
+        vec_dot(col("embedding"), col("embedding")).as("sq"))
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, x) -> acc + x)"))
+        .withColumn("dot", vec_dot(col("a.embedding"), col("b.embedding")))
         .withColumn("cosine", col("dot") / (sqrt(col("a.sq")) * sqrt(col("b.sq"))))
         .filter(col("cosine") >= 0.3)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

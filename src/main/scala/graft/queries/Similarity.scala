@@ -37,12 +37,15 @@ object Similarity {
     Array.fill(TABLES * BITS, DIM)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  import graft.functions.VecFunctions.vec_dot
+
   private def normed(s: SparkSession, d: String): DataFrame =
     Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"), col("embedding"),
-      expr("aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, x) -> acc + x)").as("sq"))
+      vec_dot(col("embedding"), col("embedding")).as("sq"))
 
-  private def dotCol(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, x) -> acc + x)")
+  // Native codegen'd dot product (FloatVecDot) — same sequential fold order
+  // as the SQL higher-order formulation, so oracle parity is preserved.
+  private def dotCol(a: String, b: String) = vec_dot(col(a), col(b))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k (query set = every 50th vector).

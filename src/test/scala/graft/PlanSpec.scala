@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan hygiene (the 100 TB questions): broadcast joins for dims,
+  * filter pushdown and column pruning into the parquet scan, whole-stage
+  * codegen around the native vec_dot expression. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q11 dimension joins broadcast (no shuffle of nation/region)") {
+    val plan = planOf("q11_join_dims")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "dim join must not sort-merge")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = Tables.orders(spark, sf).filter(col("o_totalprice") > 300000)
+      .select("o_orderkey")
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,300000.0)]"),
+      plan)
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("s1_knn_brute broadcasts the query side") {
+    val plan = planOf("s1_knn_brute")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("vec_dot stays inside whole-stage codegen") {
+    import graft.functions.VecFunctions.vec_dot
+    val df = Tables.embeddings(spark, sf)
+      .select(vec_dot(col("embedding"), col("embedding")).as("sq"))
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // codegen'd operators carry the `*(stageId)` prefix in simple mode
+    assert(plan.contains("*(1) Project [vec_dot"), plan)
+    // and the codegen result matches the interpreted HOF fold bit-for-bit
+    val hof = Tables.embeddings(spark, sf).select(
+      expr("aggregate(transform(embedding, x -> cast(x AS double) * cast(x AS double)), 0D, (acc, x) -> acc + x)").as("sq"))
+    val a = df.collect().map(_.getDouble(0))
+    val b = hof.collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
+
+  test("q1_agg aggregation is partial+final hash aggregate") {
+    val plan = planOf("q1_agg")
+    assert(plan.contains("HashAggregate"))
+  }
+}
