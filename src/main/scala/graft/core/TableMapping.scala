@@ -65,13 +65,26 @@ abstract class TableMapping[T <: Product : Encoder] extends Serializable {
   }
 }
 
+/** Third-party mapping plugin: implement and list the class in
+  * `META-INF/services/graft.core.MappingProvider` — the JVM analogue of the
+  * reference's setuptools entry-point registration (`setup.cfg:46-56`). */
+trait MappingProvider {
+  def name: String
+  def create(topic: String, filters: TimeFilters): TableMapping[_ <: Product]
+}
+
 /** Registry of named mappings (reference: setuptools entry points,
-  * `setup.cfg:46-56`, `listen.py:17-20`; here a plain map plus
-  * `java.util.ServiceLoader` extensibility for third-party jars). */
+  * `setup.cfg:46-56`, `listen.py:17-20`; built-ins plus
+  * `java.util.ServiceLoader`-discovered [[MappingProvider]]s). */
 object MappingRegistry {
   import graft.tables._
+  import scala.jdk.CollectionConverters._
 
-  def builtin(topic: String, filters: TimeFilters = TimeFilters()): Map[String, TableMapping[_ <: Product]] = Map(
+  private def loaded(topic: String, filters: TimeFilters): Map[String, TableMapping[_ <: Product]] =
+    java.util.ServiceLoader.load(classOf[MappingProvider]).asScala
+      .map(p => p.name -> p.create(topic, filters)).toMap
+
+  def builtin(topic: String, filters: TimeFilters = TimeFilters()): Map[String, TableMapping[_ <: Product]] = loaded(topic, filters) ++ Map(
     "StringMap" -> new StringMap(topic, filters),
     "JsonMap" -> new JsonMap(topic, filters),
     "GenericFieldStatistic" -> new GenericFieldStatistic(topic, filters),

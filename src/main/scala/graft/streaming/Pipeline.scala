@@ -34,11 +34,28 @@ object Pipeline {
       .load()
   }
 
+  /** Name of the dead-letter accumulator registered by [[decoded]]. */
+  val DeadLetterAccumulator = "graft.dead_letters"
+
+  /** Most recently registered dead-letter accumulator (driver-side handle
+    * for monitoring/tests; each decoded() call registers a fresh one). */
+  @volatile var deadLetterCounter: org.apache.spark.util.LongAccumulator = _
+
   /** Decode a raw (key binary, value binary, offset) stream into the engine
     * message contract (key string, value json-string, __offset). Messages
-    * the decoder rejects are dropped, mirroring `listen.py:138-143`. */
+    * the decoder rejects are dropped and counted in the `graft.dead_letters`
+    * accumulator, mirroring the reference's log-and-skip contract
+    * (`listen.py:138-143`). */
   def decoded(raw: DataFrame, decoder: MessageDecoder): DataFrame = {
-    val dec = udf((b: Array[Byte]) => if (b == null) None else decoder.decode(b))
+    val deadLetters = raw.sparkSession.sparkContext
+      .longAccumulator(DeadLetterAccumulator)
+    deadLetterCounter = deadLetters
+    val dec = udf((b: Array[Byte]) =>
+      if (b == null) { deadLetters.add(1); None }
+      else decoder.decode(b) match {
+        case None => deadLetters.add(1); None
+        case some => some
+      })
     val withOffset =
       if (raw.columns.contains("offset")) raw.withColumn("__offset", col("offset"))
       else raw.withColumn("__offset", monotonically_increasing_id())

@@ -68,4 +68,38 @@ class DecoderSpec extends SparkTestBase {
     val decoder = new AvroDecoder(new InMemoryRegistry(Map.empty))
     assert(decoder.decode(Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("reference wire schema (schema.avsc) round-trips through AvroDecoder") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.io.EncoderFactory
+    // The reference's published canonical float-stream schema, read in place.
+    val schemaJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/schema.avsc")), "UTF-8")
+    val schema = new Schema.Parser().parse(schemaJson)
+    val rec = new GenericData.Record(schema)
+    rec.put("uid", "float-1"); rec.put("gid", "g1")
+    rec.put("time", "2019-05-07T19:57:56Z")
+    rec.put("lat", 32.7); rec.put("lon", -117.2); rec.put("z", null)
+    val vals = new java.util.HashMap[String, Any]()
+    vals.put("speed", 2.72); vals.put("count", 7); vals.put("note", "T240")
+    rec.put("values", vals)
+    rec.put("meta", "")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0); bos.write(java.nio.ByteBuffer.allocate(4).putInt(1).array())
+    val enc = EncoderFactory.get().binaryEncoder(bos, null)
+    new GenericDatumWriter[Any](schema).write(rec, enc)
+    enc.flush()
+    val decoder = new AvroDecoder(new InMemoryRegistry(Map(1 -> schemaJson)))
+    val out = graft.functions.PyJson.parse(decoder.decode(bos.toByteArray).get)
+    assert(out.get("uid").asText == "float-1")
+    assert(out.get("lat").asDouble == 32.7)
+    assert(out.get("z").isNull)
+    assert(out.get("values").get("speed").asDouble == 2.72)
+    // and the decoded JSON feeds GenericFloat end-to-end
+    val mapping = new graft.tables.GenericFloat("avro.topic")
+    val row = mapping.mapMessage("k", out.toString)
+    assert(row.nonEmpty)
+    assert(row.get.values("speed") == "2.72")
+  }
 }
