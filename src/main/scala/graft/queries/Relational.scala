@@ -68,6 +68,55 @@ object Relational {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    // Exact interpolated percentiles over integral keys (fp interpolation
+    // of small ints is exact on both engines).
+    "q7_percentiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_partkey, 0.5)").as("p50"),
+          expr("percentile(l_partkey, 0.9)").as("p90"),
+          expr("percentile(l_linenumber, 0.25)").as("q1_line"))
+        .orderBy(col("l_returnflag"))
+    },
+    // Moment statistics computed from exact decimal sums (rather than the
+    // engines' internal Welford paths, which differ in fp rounding):
+    // mean, sample variance, stddev — bit-reproducible on both engines.
+    "q8_moments" -> { (s, d) =>
+      val x = col("o_totalprice").cast("decimal(18,2)")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sum_x"),
+          sum(x * x).cast("double").as("sum_xx"))
+        .select(
+          col("o_orderstatus"), col("n"),
+          (col("sum_x") / col("n")).as("mean"),
+          ((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1)).as("variance"),
+          sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1)).as("stddev"))
+        .orderBy(col("o_orderstatus"))
+    },
+    // Pivot: wide aggregation by category value.
+    "q9_pivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .orderBy(col("l_linestatus"))
+    },
+    // Correlated scalar subquery (Catalyst decorrelates to a join).
+    "q16_scalar_subquery" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q16_orders")
+      Tables.customer(s, d).createOrReplaceTempView("q16_customer")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM q16_orders o
+          |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) AS n_big
+          |FROM q16_customer c
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // ---- Joins --------------------------------------------------------
     "q10_join_agg" -> { (s, d) =>
       val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
@@ -225,6 +274,35 @@ object Relational {
         |  count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q7_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_partkey, 0.5) AS p50,
+        |  quantile_cont(l_partkey, 0.9) AS p90,
+        |  quantile_cont(l_linenumber, 0.25) AS q1_line
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_moments" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_xx
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, n,
+        |  sum_x / n AS mean,
+        |  (sum_xx - sum_x * sum_x / n) / (n - 1) AS variance,
+        |  sqrt((sum_xx - sum_x * sum_x / n) / (n - 1)) AS stddev
+        |FROM s ORDER BY 1""".stripMargin,
+    "q9_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) AS n_big
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
     "q10_join_agg" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
