@@ -47,7 +47,10 @@ object Bench {
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try force(name) catch { case _: Throwable => }
+      try force(name) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -58,14 +58,16 @@ object PyJson {
     if (abs == 0.0) return sign + "0.0"
     // Shortest round-trip decimal: JDK 17's Double.toString over-lengthens
     // (fixed only in JDK 19+), so probe increasing precision like CPython.
+    // Locale.ROOT: a comma-decimal default locale would otherwise emit
+    // "2,9e+01" and break the round-trip probe.
     var jstr: String = null
     var p = 0
     while (jstr == null && p < 17) {
-      val cand = String.format("%." + p + "e", java.lang.Double.valueOf(abs))
+      val cand = String.format(java.util.Locale.ROOT, "%." + p + "e", java.lang.Double.valueOf(abs))
       if (cand.toDouble == abs) jstr = cand
       p += 1
     }
-    if (jstr == null) jstr = String.format("%.17e", java.lang.Double.valueOf(abs))
+    if (jstr == null) jstr = String.format(java.util.Locale.ROOT, "%.17e", java.lang.Double.valueOf(abs))
     // form: d[.ddd]e±XX
     val Array(m, e) = jstr.split("e")
     var digits: String = m.replace(".", "")
@@ -113,10 +115,14 @@ object PyJson {
     case other => other.toString
   }
 
-  /** Python `repr()` — like pyStr but strings get quotes. */
+  /** Python `repr()` — like pyStr but strings get quotes, with CPython's
+    * quote choice: double quotes when the string contains `'` but no `"`. */
   def pyRepr(n: JsonNode): String = n match {
-    case s: TextNode => "'" + s.textValue.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    case other       => pyStr(other)
+    case s: TextNode =>
+      val t = s.textValue.replace("\\", "\\\\")
+      if (t.contains("'") && !t.contains("\"")) "\"" + t + "\""
+      else "'" + t.replace("'", "\\'") + "'"
+    case other => pyStr(other)
   }
 
   /** Lenient embedded-JSON expansion (reference `expand_json_objects`):

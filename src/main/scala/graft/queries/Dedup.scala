@@ -33,7 +33,9 @@ object Dedup {
     * also an optimizer barrier, so downstream references reuse the
     * materialized array. */
   private[queries] def shinglesOf(text: String): Seq[String] = {
-    val words = text.toLowerCase.split("\\s+")
+    // limit -1 keeps trailing empty tokens — parity with both Spark SQL
+    // split and DuckDB string_split_regex for trailing-whitespace text.
+    val words = text.toLowerCase.split("\\s+", -1)
     if (words.length >= 3)
       (0 to words.length - 3).map(i => s"${words(i)} ${words(i + 1)} ${words(i + 2)}").distinct
     else Seq(words.mkString(" "))
@@ -69,12 +71,10 @@ object Dedup {
     // Fingerprint dedup: survivors after collapsing on the sorted-distinct-
     // word fingerprint (word-order/duplication-insensitive exact dedup).
     "d2_dedup_fingerprint" -> { (s, d) =>
-      val fp = md5(array_join(array_sort(array_distinct(
-        split(lower(col("text")), "\\s+"))), " ").cast("binary"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("fp")).orderBy(col("doc_id"))
       Tables.documents(s, d)
-        .withColumn("fp", fp)
+        .withColumn("fp", TextOps.fingerprintCol)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("source"))

@@ -57,10 +57,16 @@ object Events {
         .orderBy(col("user_id"), col("session_id"))
     },
     // As-of join: each purchase aligned to the latest signup at-or-before it
-    // for the same user. Scalable union + last_value-carry-forward formulation.
+    // for the same user. Scalable union + last_value-carry-forward
+    // formulation. Within a timestamp tie, signups sort BEFORE other events
+    // so the carry-forward includes them — matching the oracle's `s.ts <=
+    // e.ts` semantics even when (user_id, ts) is not unique.
     "e4_asof_join" -> { (s, d) =>
       val ev = Tables.events(s, d)
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(
+        col("ts"),
+        when(col("event_type") === "signup", 0).otherwise(1),
+        col("event_id"))
       ev.withColumn("signup_ts",
           last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
             .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

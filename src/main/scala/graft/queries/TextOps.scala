@@ -30,6 +30,12 @@ object TextOps {
     "fr" -> Seq(" le ", " la ", " et "),
     "es" -> Seq(" el ", " los ", " y "))
 
+  /** Sorted-distinct-word md5 fingerprint (shared with d2_dedup_fingerprint
+    * so the two operators can never drift apart). */
+  private[queries] def fingerprintCol: Column =
+    md5(array_join(array_sort(array_distinct(
+      split(lower(col("text")), "\\s+"))), " ").cast("binary"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language ID: argmax of marker-word counts, 'und' when all zero.
     "t1_langid" -> { (s, d) =>
@@ -75,10 +81,8 @@ object TextOps {
     // Document fingerprinting: md5 over the sorted distinct word set (the
     // OpenRefine "fingerprint" key-collision method) + group stats.
     "t4_fingerprint" -> { (s, d) =>
-      val fp = md5(array_join(array_sort(array_distinct(
-        split(lower(col("text")), "\\s+"))), " ").cast("binary"))
       Tables.documents(s, d)
-        .withColumn("fp", fp)
+        .withColumn("fp", fingerprintCol)
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
         .orderBy(col("fp"))

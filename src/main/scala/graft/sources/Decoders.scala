@@ -164,7 +164,9 @@ class AvroDecoder(registry: SchemaRegistry) extends MessageDecoder {
 
   def decode(bytes: Array[Byte]): Option[String] =
     try {
-      require(bytes.length > 5 && bytes(0) == 0, "not Confluent-framed avro")
+      // >= 5: a record whose fields all encode to zero bytes is a valid
+      // 5-byte frame (magic byte + 4-byte schema id, empty body).
+      require(bytes.length >= 5 && bytes(0) == 0, "not Confluent-framed avro")
       val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
       val schema = parsedSchemas.computeIfAbsent(id,
         { id => new Schema.Parser().parse(registry.schemaById(id)) })

@@ -46,16 +46,20 @@ object Pipeline {
     * the decoder rejects are dropped and counted in the `graft.dead_letters`
     * accumulator, mirroring the reference's log-and-skip contract
     * (`listen.py:138-143`). */
-  def decoded(raw: DataFrame, decoder: MessageDecoder): DataFrame = {
-    val deadLetters = raw.sparkSession.sparkContext
-      .longAccumulator(DeadLetterAccumulator)
+  def decoded(raw: DataFrame, decoder: MessageDecoder,
+      counter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val deadLetters = counter.getOrElse(
+      raw.sparkSession.sparkContext.longAccumulator(DeadLetterAccumulator))
     deadLetterCounter = deadLetters
+    // asNondeterministic: (a) stops the optimizer pushing the isNotNull
+    // filter into a second evaluation of the decode (each message would be
+    // decoded twice on the hot path), (b) keeps the accumulator single-count.
     val dec = udf((b: Array[Byte]) =>
       if (b == null) { deadLetters.add(1); None }
       else decoder.decode(b) match {
         case None => deadLetters.add(1); None
         case some => some
-      })
+      }).asNondeterministic()
     val withOffset =
       if (raw.columns.contains("offset")) raw.withColumn("__offset", col("offset"))
       else raw.withColumn("__offset", monotonically_increasing_id())
@@ -75,12 +79,16 @@ object Pipeline {
     * with a Kafka source the real `offset` column is used instead. */
   def run(stream: DataFrame, mapping: TableMapping[_ <: Product], sink: RowSink,
       checkpoint: String, decoder: MessageDecoder = graft.sources.JsonDecoder): StreamingQuery = {
+    // One dead-letter accumulator per pipeline run (not per micro-batch), so
+    // the count is cumulative across the stream like the reference's log.
+    val deadLetters = stream.sparkSession.sparkContext
+      .longAccumulator(DeadLetterAccumulator)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val messages = decoded(batch, decoder)
+        val messages = decoded(batch, decoder, Some(deadLetters))
         UpsertSink.writeBatch(mapping.transformWithOffset(messages), mapping, sink)
       }
       .start()

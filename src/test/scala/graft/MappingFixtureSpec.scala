@@ -246,6 +246,16 @@ class MappingFixtureSpec extends SparkTestBase {
     }
   }
 
+  test("python repr quote switching (CPython parity)") {
+    import com.fasterxml.jackson.databind.node.TextNode
+    // repr("it's") -> "it's" (double quotes, no escape);
+    // repr(both quotes) -> single quotes, escaped apostrophe.
+    assert(PyJson.pyRepr(new TextNode("it's")) == "\"it's\"")
+    assert(PyJson.pyRepr(new TextNode("both ' and \"")) == "'both \\' and \"'")
+    val arr = PyJson.parse("""["it's"]""")
+    assert(PyJson.pyStr(arr) == "[\"it's\"]")
+  }
+
   test("python literal parsing (expand_json_objects parity)") {
     assert(PyJson.expandEmbedded("{'a': False}").get.get("a").asBoolean == false)
     assert(PyJson.expandEmbedded("{'a': None, 'b': (1, 2)}").get.get("b").get(1).asInt == 2)
