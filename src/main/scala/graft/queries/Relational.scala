@@ -190,6 +190,28 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Pure theta join (no equi component ⇒ broadcast nested loop): price
+    // neighbors among a small part subset.
+    "q17_theta_join" -> { (s, d) =>
+      val a = Tables.part(s, d).filter(col("p_partkey") <= 40)
+        .select(col("p_partkey").as("pa"), col("p_retailprice").as("price_a"))
+      val b = Tables.part(s, d).filter(col("p_partkey") <= 40)
+        .select(col("p_partkey").as("pb"), col("p_retailprice").as("price_b"))
+      a.join(b, col("pa") < col("pb") &&
+          abs(col("price_a") - col("price_b")) < 50.0)
+        .select(col("pa"), col("pb"))
+        .orderBy(col("pa"), col("pb"))
+    },
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM).
+    "q18_null_safe_eq" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .withColumn("bucket", when(col("o_totalprice") > 400000, col("o_orderstatus")))
+      o.groupBy(col("bucket") <=> lit(null), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .toDF("is_null_bucket", "bucket", "n")
+        .orderBy(col("is_null_bucket"), col("bucket"))
+    },
+
     // ---- Windows ------------------------------------------------------
     "q22_rank_funcs" -> { (s, d) =>
       val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc, col("s_suppkey"))
@@ -353,6 +375,18 @@ object Relational {
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+    "q17_theta_join" ->
+      """SELECT a.p_partkey AS pa, b.p_partkey AS pb
+        |FROM (SELECT * FROM part WHERE p_partkey <= 40) a
+        |JOIN (SELECT * FROM part WHERE p_partkey <= 40) b
+        |  ON a.p_partkey < b.p_partkey
+        | AND abs(a.p_retailprice - b.p_retailprice) < 50.0
+        |ORDER BY pa, pb""".stripMargin,
+    "q18_null_safe_eq" ->
+      """SELECT (bucket IS NOT DISTINCT FROM NULL) AS is_null_bucket, bucket, count(*) AS n
+        |FROM (SELECT CASE WHEN o_totalprice > 400000 THEN o_orderstatus END AS bucket
+        |      FROM orders) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q20_topk_per_group" ->
       """SELECT s_nationkey, s_suppkey, s_name, rk FROM (
         |  SELECT s_nationkey, s_suppkey, s_name,

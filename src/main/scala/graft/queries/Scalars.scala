@@ -76,6 +76,16 @@ object Scalars {
           size(filter(col("embedding"), x => x > 0)).as("n_positive"))
         .orderBy(col("vec_id"))
     },
+    // Edit distance (exact integer metric — same definition both engines).
+    "sc7_edit_distance" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 50)
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).as("brand_type_dist"),
+          levenshtein(split(col("p_name"), " ").getItem(0),
+                      split(col("p_name"), " ").getItem(1)).as("word_dist"))
+        .orderBy(col("p_partkey"))
+    },
     // Higher-order array functions: transform + ordered aggregate fold.
     // The fold is sequential left-to-right on both engines (Spark `aggregate`,
     // DuckDB sum(x ORDER BY i)), so double results are bit-identical.
@@ -132,6 +142,11 @@ object Scalars {
         |  CAST(embedding[64] AS DOUBLE) AS last_elem,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sc7_edit_distance" ->
+      """SELECT p_partkey,
+        |  levenshtein(p_brand, p_type) AS brand_type_dist,
+        |  levenshtein(string_split(p_name, ' ')[1], string_split(p_name, ' ')[2]) AS word_dist
+        |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin,
     "sc6_array_fold" ->
       """SELECT vec_id,
         |  (SELECT coalesce(sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)), 0.0)
