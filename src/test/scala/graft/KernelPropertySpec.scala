@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node._
+
+import graft.functions.{Kernel, PyJson, PyLiteral}
+
+/** Property tests for the kernel (SURVEY.md §5 port plan): flatten
+  * structure, Python-literal round-trips, stringify/sanitize invariants. */
+class KernelPropertySpec extends AnyFunSuite {
+
+  /** Deterministic generator sampling (no scalatest-plus bridge offline). */
+  private def forAll[T](g: Gen[T], n: Int = 200)(body: T => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var produced = 0
+    var i = 0L
+    while (produced < n && i < n * 10L) {
+      g.apply(params, Seed(i)).foreach { v => body(v); produced += 1 }
+      i += 1
+    }
+    assert(produced > n / 2, s"generator too sparse: $produced of $n")
+  }
+
+  private val scalarGen: Gen[JsonNode] = Gen.oneOf(
+    Gen.choose(-1000000L, 1000000L).map(new LongNode(_)),
+    Gen.choose(-1e6, 1e6).map(new DoubleNode(_)),
+    Gen.alphaNumStr.map(s => new TextNode("x" + s)), // non-decodable strings
+    Gen.oneOf(BooleanNode.TRUE, BooleanNode.FALSE),
+    Gen.const(NullNode.getInstance))
+
+  private def objGen(depth: Int): Gen[ObjectNode] =
+    Gen.mapOf(Gen.zip(Gen.identifier.map("k" + _), nodeGen(depth)))
+      .map { m =>
+        val o = PyJson.mapper.createObjectNode()
+        m.foreach { case (k, v) => o.set[JsonNode](k, v) }
+        o
+      }
+
+  private def nodeGen(depth: Int): Gen[JsonNode] =
+    if (depth <= 0) scalarGen
+    else Gen.frequency(
+      4 -> scalarGen,
+      2 -> Gen.listOfN(2, nodeGen(depth - 1)).map { xs =>
+        val a = PyJson.mapper.createArrayNode(); xs.foreach(a.add); a
+      },
+      2 -> objGen(depth - 1))
+
+  test("flatten of a flat scalar object is the identity on keys/values") {
+    forAll(Gen.mapOf(Gen.zip(Gen.identifier.map("k" + _), scalarGen))) { m =>
+      val o = PyJson.mapper.createObjectNode()
+      m.foreach { case (k, v) => o.set[JsonNode](k, v) }
+      val flat = Kernel.flatten(o)
+      assert(flat.keySet == m.keySet)
+      m.foreach { case (k, v) => assert(flat(k) == v) }
+    }
+  }
+
+  test("flatten is idempotent on already-flat maps") {
+    forAll(Gen.mapOf(Gen.zip(Gen.identifier.map("k" + _), scalarGen))) { m =>
+      val o = PyJson.mapper.createObjectNode()
+      m.foreach { case (k, v) => o.set[JsonNode](k, v) }
+      val once = Kernel.flatten(o)
+      val o2 = PyJson.mapper.createObjectNode()
+      once.foreach { case (k, v) => o2.set[JsonNode](k, v) }
+      assert(Kernel.flatten(o2) == once)
+    }
+  }
+
+  test("flatten emits every list whole AND indexed") {
+    forAll(nodeGen(3)) { n =>
+      val flat = Kernel.flatten(n, parentKey = "root")
+      flat.foreach { case (k, v) =>
+        if (v.isArray) {
+          val a = v.asInstanceOf[ArrayNode]
+          (0 until a.size).foreach { i =>
+            // each SCALAR element is present at exactly k_i; container
+            // elements flatten further and empty objects emit nothing
+            // (reference semantics: flatten({}) == {}).
+            val el = a.get(i)
+            if (!el.isContainerNode && !(el.isTextual && PyJson.expandEmbedded(el.asText).nonEmpty))
+              assert(flat.contains(s"${k}_$i"), s"missing indexed entry for $k[$i]")
+          }
+        }
+      }
+    }
+  }
+
+  test("pyRepr(parse) round-trips through PyLiteral for literal trees") {
+    forAll(nodeGen(2)) { n =>
+      val repr = PyJson.pyRepr(n)
+      // A Python repr of a dict/list/scalar must be parseable back by the
+      // literal parser, and re-repr to the same text (fixed point).
+      val parsed = PyLiteral.parse(repr)
+      assert(PyJson.pyRepr(parsed) == repr)
+    }
+  }
+
+  test("makeValidString strips all control characters and is idempotent on its own output for control-free strings") {
+    forAll(Gen.asciiPrintableStr.suchThat(!_.exists(c => c == '\\' || c == '"' || c == '\'' || c == '[' || c == ']'))) { s =>
+      val out = Kernel.makeValidString(new TextNode(s))
+      assert(!out.exists(c => c < ' '))
+      assert(Kernel.makeValidString(new TextNode(out)) == out)
+    }
+  }
+
+  test("locationQuality only returns QARTOD codes 1, 3, 4") {
+    forAll(Gen.zip(Gen.choose(-400.0, 400.0), Gen.choose(-200.0, 200.0), Gen.oneOf(true, false))) {
+      case (lon, lat, impr) =>
+        assert(Set(1, 3, 4).contains(Kernel.locationQuality(lon, lat, impr)))
+    }
+  }
+}
