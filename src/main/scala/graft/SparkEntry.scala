@@ -31,5 +31,6 @@ object SparkEntry {
       graft.queries.TextOps.oracle ++
       graft.queries.Dedup.oracle ++
       graft.queries.Similarity.oracle ++
-      graft.queries.Multimodal.oracle
+      graft.queries.Multimodal.oracle ++
+      graft.queries.MappingQueries.oracle
 }

@@ -73,26 +73,24 @@ object Kernel {
     if (inprecise) 3 else 1
   }
 
-  /** T10: dateutil-compatible-enough ISO-8601 parse, naive → UTC
-    * (`tables.py:184-185` et al.). Returns epoch microseconds. */
+  /** T10: dateutil-compatible-enough ISO-8601 parse (`tables.py:184-185` et
+    * al.). The reference does `dtparse(x).replace(tzinfo=pytz.utc)`, which
+    * DISCARDS any parsed offset and reinterprets the wall-clock time as UTC
+    * — so `2019-01-01T12:00:00+05:00` means 12:00 UTC, not 07:00. Returns
+    * epoch microseconds. */
   def parseTimeUtc(s: String): Long = {
     import java.time._
     import java.time.format.DateTimeFormatter
     val t = s.trim
-    val fmts = Seq(
-      DateTimeFormatter.ISO_OFFSET_DATE_TIME,
-      DateTimeFormatter.ISO_INSTANT)
-    val withOffset = fmts.view.flatMap { f =>
-      try Some(OffsetDateTime.from(f.parse(t)).toInstant)
-      catch { case _: Exception => None }
-    }.headOption
-    val instant = withOffset.getOrElse {
-      try LocalDateTime.parse(t, DateTimeFormatter.ISO_LOCAL_DATE_TIME).toInstant(ZoneOffset.UTC)
-      catch {
-        case _: Exception =>
-          LocalDate.parse(t, DateTimeFormatter.ISO_LOCAL_DATE).atStartOfDay.toInstant(ZoneOffset.UTC)
+    val ldt: LocalDateTime =
+      try OffsetDateTime.parse(t, DateTimeFormatter.ISO_OFFSET_DATE_TIME).toLocalDateTime
+      catch { case _: Exception =>
+        try LocalDateTime.parse(t, DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+        catch { case _: Exception =>
+          LocalDate.parse(t, DateTimeFormatter.ISO_LOCAL_DATE).atStartOfDay
+        }
       }
-    }
+    val instant = ldt.toInstant(ZoneOffset.UTC)
     instant.getEpochSecond * 1000000L + instant.getNano / 1000L
   }
 

@@ -1,6 +1,6 @@
 package graft.functions
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node._
 import com.fasterxml.jackson.core.JsonParser
 import scala.jdk.CollectionConverters._
@@ -22,6 +22,10 @@ object PyJson {
   val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.configure(JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS, true)
+    // Python's json.loads raises on trailing text ("123 Main St" is NOT a
+    // number); without this, speculative embedded decode (T5) silently
+    // truncates free-text values to their numeric/JSON prefix.
+    m.configure(DeserializationFeature.FAIL_ON_TRAILING_TOKENS, true)
     m
   }
 

@@ -152,8 +152,8 @@ object Events {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
         |sess AS (
         |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
@@ -173,7 +173,7 @@ object Events {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e6_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -47,9 +47,13 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary column + metadata struct construction.
+    // The binary payload and metadata struct ride through the plan typed;
+    // they are rendered to hex/JSON text only at the driver boundary
+    // (binary and struct values aren't hashable there).
     "mm1_media_table" -> { (s, d) =>
       mediaTable(s, d)
-        .select(col("doc_id"), col("media"), col("meta"),
+        .select(col("doc_id"), hex(col("media")).as("media_hex"),
+          to_json(col("meta")).as("meta"),
           length(col("media")).cast("int").as("n_bytes"),
           md5(col("media")).as("digest"))
         .orderBy(col("doc_id"))
@@ -86,10 +90,10 @@ object Multimodal {
 
   def oracle: Map[String, String] = Map(
     "mm1_media_table" ->
-      """SELECT doc_id, encode(text) AS media,
-        |  {'format': 'jpeg',
-        |   'width': CAST(64 + doc_id % 512 AS INT),
-        |   'height': CAST(64 + doc_id % 256 AS INT)} AS meta,
+      """SELECT doc_id, hex(encode(text)) AS media_hex,
+        |  to_json({'format': 'jpeg',
+        |           'width': CAST(64 + doc_id % 512 AS INT),
+        |           'height': CAST(64 + doc_id % 256 AS INT)}) AS meta,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -112,4 +112,25 @@ class KernelPropertySpec extends AnyFunSuite {
         assert(Set(1, 3, 4).contains(Kernel.locationQuality(lon, lat, impr)))
     }
   }
+
+  test("expandEmbedded rejects trailing tokens like json.loads does") {
+    // Python json.loads raises on all of these; the string must survive
+    // unexpanded (a free-text value must not collapse to its prefix).
+    Seq("123 Main St", "1 2", "true false", "{}x", "[1] tail", "null null")
+      .foreach { s => assert(PyJson.expandEmbedded(s).isEmpty, s"'$s' must not decode") }
+    // …while genuine single values (whitespace-padded) still decode.
+    assert(PyJson.expandEmbedded(" 123 ").exists(_.asLong == 123L))
+    assert(PyJson.expandEmbedded("{\"a\": 1}").exists(_.isObject))
+    assert(PyJson.expandEmbedded("{'a': False}").exists(_.isObject))
+  }
+
+  test("parseTimeUtc discards a non-UTC offset (reference replace(tzinfo=utc))") {
+    // dtparse(x).replace(tzinfo=pytz.utc): wall-clock reinterpreted as UTC.
+    val us = Kernel.parseTimeUtc("2019-01-01T12:00:00+05:00")
+    assert(us == Kernel.parseTimeUtc("2019-01-01T12:00:00Z"))
+    assert(us == Kernel.parseTimeUtc("2019-01-01T12:00:00"))
+    // Z and explicit +00:00 agree, fractional seconds survive.
+    assert(Kernel.parseTimeUtc("2019-01-01T12:00:00.250-08:00") ==
+      Kernel.parseTimeUtc("2019-01-01T12:00:00.250Z"))
+  }
 }
