@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{MappingRegistry, SinkConfig, TableMapping}
+import graft.sinks.{DryRunSink, JdbcSink, RowSink, UpsertSink}
+import graft.sources.{AvroDecoder, FileReplay, HttpSchemaRegistry, JsonDecoder,
+  MessageDecoder, MsgpackDecoder}
+import graft.streaming.Pipeline
+
+/** The `dbsink` CLI (`/root/reference/dbsink/listen.py:23-190`,
+  * `setup.cfg:43-44`): config resolution → mapping lookup → DDL phase →
+  * consume (or `--datafile` replay). Every piece is the library surface —
+  * this main only assembles them, exactly like the reference's `setup()`.
+  */
+object Listen {
+
+  /** Decoder per `--packing` (`utils.py:17-51`); avro REQUIRES a registry
+    * (`utils.py:36-41`) and reads the `{topic}-value` subject as the reader
+    * schema (`listen.py:25,33`). */
+  def decoderFor(cfg: SinkConfig): MessageDecoder = cfg.packing match {
+    case "json"    => JsonDecoder
+    case "msgpack" => MsgpackDecoder
+    case "avro" =>
+      require(cfg.registry.nonEmpty, "avro packing requires --registry")
+      new AvroDecoder(new HttpSchemaRegistry(cfg.registry), Some(s"${cfg.topic}-value"))
+  }
+
+  /** DDL phase statements in the reference's order (`listen.py:103-135`):
+    * schema + hstore extension, optional drop (or truncate when not
+    * dropping), then create-or-migrate + indexes. */
+  def ddlFor(mapping: TableMapping[_ <: Product], cfg: SinkConfig): Seq[String] = {
+    val boot = UpsertSink.createTableDdl(mapping, cfg.schemaName)
+    val (pre, createRest) = boot.splitAt(2) // schema, extension
+    val dropOrTruncate =
+      if (cfg.drop) Seq(UpsertSink.dropDdl(mapping, cfg.schemaName))
+      else if (cfg.truncate) Seq(UpsertSink.truncateDdl(mapping, cfg.schemaName))
+      else Nil
+    pre ++ dropOrTruncate ++ createRest
+  }
+
+  def mappingFor(cfg: SinkConfig): TableMapping[_ <: Product] = {
+    val m = MappingRegistry.lookup(cfg.lookup, cfg.topic, cfg.filters)
+    if (cfg.table.nonEmpty)
+      TableMapping.withTable(m.asInstanceOf[TableMapping[Product]], cfg.table)
+    else m
+  }
+
+  /** The assembled dataflow; returns the sink for inspection (tests mirror
+    * the reference's `--datafile --no-listen --no-do-inserts` suite). */
+  def run(cfg: SinkConfig, spark: SparkSession): RowSink = {
+    val mapping = mappingFor(cfg)
+    val sink: RowSink =
+      if (cfg.doInserts) new JdbcSink(cfg.db, new java.util.Properties)
+      else new DryRunSink
+
+    if (cfg.doInserts) sink.executeDdl(ddlFor(mapping, cfg))
+
+    if (cfg.datafile.nonEmpty) {
+      // Replay mode (`listen.py:173-177`): same transform + sink path as
+      // the stream, batch source.
+      UpsertSink.writeBatch(
+        mapping.transform(FileReplay.read(spark, cfg.datafile)), mapping, sink)
+    } else if (cfg.listen) {
+      val stream = Pipeline.kafkaSource(spark, cfg.brokers, cfg.topic,
+        cfg.offset, Option(cfg.consumer).filter(_.nonEmpty))
+      val query = Pipeline.run(stream, mapping, sink,
+        checkpoint = s"${sys.props("java.io.tmpdir")}/graft-ckpt-${mapping.table}",
+        decoder = decoderFor(cfg))
+      query.awaitTermination()
+    }
+    sink
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.contains("--help")) { println(SinkConfig.usage); return }
+    val cfg = SinkConfig.fromArgs(args.toSeq)
+    val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", "local[*]"))
+      .appName("graft-listen")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    if (cfg.verbose == 0) spark.sparkContext.setLogLevel("WARN")
+    val sink = run(cfg, spark)
+    sink match {
+      case d: DryRunSink => println(s"[graft.listen] dry-run rows: ${d.rowsSeen}")
+      case _ => ()
+    }
+  }
+}

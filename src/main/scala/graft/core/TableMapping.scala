@@ -65,6 +65,25 @@ abstract class TableMapping[T <: Product : Encoder] extends Serializable {
   }
 }
 
+object TableMapping {
+  /** The CLI `--table` override (`listen.py:59-61`): same dataflow, renamed
+    * table (and hence renamed constraint/index, which derive from it). */
+  def withTable[T <: Product](m: TableMapping[T], tbl: String): TableMapping[T] = {
+    implicit val enc: Encoder[T] = m.encoder
+    new TableMapping[T] {
+      def topic: String = m.topic
+      override def tableOverride: Option[String] = Some(tbl)
+      override def filters: TimeFilters = m.filters
+      // Keyed mappings get the name re-derived from the overridden table;
+      // append-only mappings (None) stay constraint-less.
+      override def upsertConstraintName: Option[String] =
+        m.upsertConstraintName.map(_ => super.upsertConstraintName.get)
+      def upsertKeys: Option[Seq[String]] = m.upsertKeys
+      def mapMessage(key: String, raw: String): Option[T] = m.mapMessage(key, raw)
+    }
+  }
+}
+
 /** Third-party mapping plugin: implement and list the class in
   * `META-INF/services/graft.core.MappingProvider` — the JVM analogue of the
   * reference's setuptools entry-point registration (`setup.cfg:46-56`). */

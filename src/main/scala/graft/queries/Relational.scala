@@ -158,6 +158,16 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
+    "q19_right_join" -> { (s, d) =>
+      // Right outer: every customer is kept even when the (filtered) order
+      // side has no match — the mirror image of q14's left join.
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+      val c = Tables.customer(s, d)
+      big.join(c, big("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"))
+        .orderBy(col("c_custkey"))
+    },
     "q15_full_outer" -> { (s, d) =>
       // big vs small customers per nation: full outer keeps nations present
       // on only one side.
@@ -350,6 +360,11 @@ object Relational {
     "q14_left_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_right_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 200000) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_full_outer" ->
       """SELECT CAST(coalesce(b.nk, n.nk2) AS INT) AS nationkey, b.n_big, n.n_neg

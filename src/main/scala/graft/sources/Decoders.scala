@@ -136,31 +136,50 @@ object MsgpackDecoder extends MessageDecoder {
   * byte 0 + 4-byte schema id + payload) and an in-memory one for tests. */
 trait SchemaRegistry extends Serializable {
   def schemaById(id: Int): String
+
+  /** Latest schema registered under a subject — the lookup the reference's
+    * consumer actually configures: it subscribes the `{topic}-value` subject
+    * (`listen.py:25,33`, `utils.py:36-41`). */
+  def latestBySubject(subject: String): String
 }
 
-class InMemoryRegistry(schemas: Map[Int, String]) extends SchemaRegistry {
+class InMemoryRegistry(schemas: Map[Int, String],
+    subjects: Map[String, String] = Map.empty) extends SchemaRegistry {
   def schemaById(id: Int): String = schemas(id)
+  def latestBySubject(subject: String): String = subjects(subject)
 }
 
-/** Fetches `/schemas/ids/{id}` from a Confluent-compatible registry. */
+/** Confluent-compatible HTTP registry client: `/schemas/ids/{id}` and
+  * `/subjects/{subject}/versions/latest`. */
 class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry {
   @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
-  def schemaById(id: Int): String =
-    cache.computeIfAbsent(id, { id =>
-      val url = new java.net.URI(s"$baseUrl/schemas/ids/$id").toURL
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fetch(path: String): String =
+    cache.computeIfAbsent(path, { p =>
+      val url = new java.net.URI(s"$baseUrl$p").toURL
       val body = scala.io.Source.fromInputStream(url.openStream(), "UTF-8").mkString
       PyJson.parse(body).get("schema").asText
     })
+  def schemaById(id: Int): String = fetch(s"/schemas/ids/$id")
+  def latestBySubject(subject: String): String =
+    fetch(s"/subjects/$subject/versions/latest")
 }
 
-class AvroDecoder(registry: SchemaRegistry) extends MessageDecoder {
+/** @param readerSubject when set (the consumer path: `{topic}-value`), the
+  *   subject's latest schema is the Avro READER schema and each message's
+  *   id-schema the WRITER — standard Avro schema-evolution resolution, so
+  *   old messages decode into the current shape (defaulted fields filled,
+  *   removed fields dropped). */
+class AvroDecoder(registry: SchemaRegistry,
+    readerSubject: Option[String] = None) extends MessageDecoder {
   import org.apache.avro.Schema
   import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
   import org.apache.avro.io.DecoderFactory
 
   @transient private lazy val parsedSchemas =
     new java.util.concurrent.ConcurrentHashMap[Int, Schema]()
+  @transient private lazy val readerSchema: Option[Schema] =
+    readerSubject.map(s => new Schema.Parser().parse(registry.latestBySubject(s)))
 
   def decode(bytes: Array[Byte]): Option[String] =
     try {
@@ -168,9 +187,12 @@ class AvroDecoder(registry: SchemaRegistry) extends MessageDecoder {
       // 5-byte frame (magic byte + 4-byte schema id, empty body).
       require(bytes.length >= 5 && bytes(0) == 0, "not Confluent-framed avro")
       val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
-      val schema = parsedSchemas.computeIfAbsent(id,
+      val writer = parsedSchemas.computeIfAbsent(id,
         { id => new Schema.Parser().parse(registry.schemaById(id)) })
-      val reader = new GenericDatumReader[Any](schema)
+      val reader = readerSchema match {
+        case Some(r) => new GenericDatumReader[Any](writer, r)
+        case None    => new GenericDatumReader[Any](writer)
+      }
       val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
       val record = reader.read(null, dec)
       Some(avroToJson(record).toString)

@@ -1,0 +1,73 @@
+package graft
+
+import graft.core.{SinkConfig, TableMapping}
+import graft.sinks.DryRunSink
+
+/** CLI tier (reference `tests/test_dbsink.py:15-34` smoke + replay): config
+  * resolution, env/flag precedence, DDL phase ordering, and the
+  * `--datafile --no-listen --no-do-inserts` end-to-end replay. */
+class CliSpec extends SparkTestBase {
+
+  test("--help prints usage without starting anything") {
+    Listen.main(Array("--help")) // must not throw (nor require a session)
+    assert(SinkConfig.usage.contains("--datafile"))
+  }
+
+  test("config precedence: defaults < env < flags; filters parse as UTC") {
+    val env = Map("DBSINK_LOOKUP" -> "GenericFloat", "DBSINK_DROP" -> "true",
+      "DBSINK_TOPIC" -> "env.topic")
+    val c0 = SinkConfig.fromArgs(Nil, env)
+    assert(c0.lookup == "GenericFloat" && c0.drop && c0.topic == "env.topic")
+    val c1 = SinkConfig.fromArgs(
+      Seq("--lookup", "JsonMap", "--no-drop", "-vv",
+        "--start_date", "2020-01-01T00:00:00"), env)
+    assert(c1.lookup == "JsonMap" && !c1.drop && c1.verbose == 2)
+    assert(c1.topic == "env.topic") // env survives where no flag given
+    assert(c1.filters.startUs.contains(
+      graft.functions.Kernel.parseTimeUtc("2020-01-01T00:00:00Z")))
+    intercept[IllegalArgumentException](SinkConfig.fromArgs(Seq("--bogus")))
+    intercept[IllegalArgumentException](SinkConfig.fromArgs(Seq("--packing", "xml")))
+  }
+
+  test("table defaults to topic; --table override renames table and constraint") {
+    val m0 = Listen.mappingFor(SinkConfig(topic = "oot.floats", lookup = "GenericFloat"))
+    assert(m0.table == "oot-floats")
+    val m1 = Listen.mappingFor(
+      SinkConfig(topic = "oot.floats", lookup = "GenericFloat", table = "my.floats"))
+    assert(m1.table == "my-floats")
+    assert(m1.upsertConstraintName.contains("my_floats_unique_constraint"))
+    assert(m1.upsertKeys == m0.upsertKeys)
+    // append-only mappings stay constraint-less under the override
+    val m2 = Listen.mappingFor(SinkConfig(topic = "t", lookup = "JsonMap", table = "x"))
+    assert(m2.upsertConstraintName.isEmpty)
+  }
+
+  test("DDL phase order: schema, extension, drop-or-truncate, create, index") {
+    val cfg = SinkConfig(topic = "t", lookup = "GenericFloat", drop = true)
+    val ddl = Listen.ddlFor(Listen.mappingFor(cfg), cfg)
+    val kinds = ddl.map(_.split(" ").take(2).mkString(" "))
+    assert(kinds.take(3) == Seq("CREATE SCHEMA", "CREATE EXTENSION", "DROP TABLE"))
+    assert(ddl.exists(_.startsWith("CREATE TABLE")) && ddl.exists(_.startsWith("CREATE UNIQUE")))
+    // truncate only when not dropping (`listen.py:108-119`)
+    val cfg2 = cfg.copy(drop = false, truncate = true)
+    assert(Listen.ddlFor(Listen.mappingFor(cfg2), cfg2).exists(_.startsWith("TRUNCATE")))
+    val cfg3 = cfg.copy(truncate = true)
+    assert(!Listen.ddlFor(Listen.mappingFor(cfg3), cfg3).exists(_.startsWith("TRUNCATE")))
+  }
+
+  test("replay mode end-to-end: --datafile --no-listen --no-do-inserts") {
+    val sink = Listen.run(SinkConfig(
+      topic = "axds-netcdf-replayer-data", lookup = "GenericFloat",
+      datafile = "/root/reference/tests/replayer.json",
+      listen = false, doInserts = false), spark)
+    assert(sink.asInstanceOf[DryRunSink].rowsSeen == 4)
+    // dry-run executes no DDL (reference: DDL phase only under --do-inserts)
+    assert(sink.asInstanceOf[DryRunSink].ddlSeen.isEmpty)
+  }
+
+  test("avro packing refuses to start without a registry") {
+    intercept[IllegalArgumentException] {
+      Listen.decoderFor(SinkConfig(packing = "avro", registry = ""))
+    }
+  }
+}

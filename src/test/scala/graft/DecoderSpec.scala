@@ -69,6 +69,31 @@ class DecoderSpec extends SparkTestBase {
     assert(decoder.decode(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("avro latest-by-subject reader schema resolves evolution ({topic}-value)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.io.EncoderFactory
+    // Writer schema v1: one field. Reader (subject latest) v2: adds a
+    // defaulted field — old messages must decode into the NEW shape.
+    val v1 = """{"type":"record","name":"M","fields":[{"name":"uid","type":"string"}]}"""
+    val v2 = """{"type":"record","name":"M","fields":[
+                  {"name":"uid","type":"string"},
+                  {"name":"source","type":"string","default":"unknown"}]}"""
+    val writerSchema = new Schema.Parser().parse(v1)
+    val rec = new GenericData.Record(writerSchema)
+    rec.put("uid", "u-42")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0); bos.write(java.nio.ByteBuffer.allocate(4).putInt(9).array())
+    val enc = EncoderFactory.get().binaryEncoder(bos, null)
+    new GenericDatumWriter[Any](writerSchema).write(rec, enc)
+    enc.flush()
+    val registry = new InMemoryRegistry(Map(9 -> v1), Map("oot.floats-value" -> v2))
+    val decoder = new AvroDecoder(registry, readerSubject = Some("oot.floats-value"))
+    val out = PyJson.parse(decoder.decode(bos.toByteArray).get)
+    assert(out.get("uid").asText == "u-42")
+    assert(out.get("source").asText == "unknown", "defaulted reader field must be filled")
+  }
+
   test("reference wire schema (schema.avsc) round-trips through AvroDecoder") {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericDatumWriter}
