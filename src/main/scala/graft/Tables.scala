@@ -42,12 +42,22 @@ object Tables {
   }
 
   /** Spread a scan across all cores when the file layout under-partitions
-    * it (a single small parquet file scans as one partition, serializing any
-    * heavy per-row compute downstream). On a real multi-file 100 TB layout
-    * the scan already has enough partitions and this is a no-op — the check
-    * avoids forcing a pointless full shuffle there. */
+    * it (a single small parquet file usually holds one row group, so
+    * byte-range splitting concentrates every row in one task, serializing
+    * any heavy per-row compute downstream). The probe uses the file listing
+    * only — no `df.rdd` (which would physically plan the scan per call).
+    * On a real 100 TB layout (many files, or few large ones where byte
+    * splitting works) this is a no-op — never a forced full shuffle. */
   def parallelized(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    val spark = df.sparkSession
+    val want = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= want) return df
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    if (totalBytes < (1L << 30)) df.repartition(want) else df
   }
 }

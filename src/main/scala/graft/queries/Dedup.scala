@@ -93,25 +93,50 @@ object Dedup {
     // With 8 bands × 4 rows, P(candidate | J=0.9) ≈ 1 − (1−0.9⁴)⁸ ≈ 0.9997;
     // verified deterministic on the fixed testdata (hashes are xxhash64).
     "d3_dedup_minhash" -> { (s, d) =>
-      // One shingle DataFrame feeds both the signature build and the exact-
-      // Jaccard verify join. Deliberately NOT cached: a query-scoped cache
-      // would outlive the query (no unpersist point in a declarative plan)
-      // and starve the rest of the session of execution memory; in a real
-      // pipeline the shingle table would be materialized once upstream and
-      // shared across d3/d4/d5.
-      val sets = withShingles(s, d).select(col("doc_id"), col("shingles"))
-      // 32 minhashes per doc: explode distinct shingles, 32 seeded hashes.
-      val sigCols = (0 until NUM_HASHES).map(i =>
-        min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-      val sigs = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .groupBy(col("doc_id"))
-        .agg(sigCols.head, sigCols.tail: _*)
-        .withColumn("sig", array((0 until NUM_HASHES).map(i => col(s"h$i")): _*))
-        .select(col("doc_id"), col("sig"))
+      import s.implicits._
+      // Shingles AND the banded MinHash signature in ONE narrow pass: the
+      // signature is a per-document reduction, so the naive explode →
+      // groupBy(doc_id) formulation shuffles the whole shingle corpus for
+      // nothing. Computing it inline leaves the band-bucket join as the
+      // query's only shuffle. Hash bits are identical to the SQL
+      // `xxhash64(lit(i), shingle)` / `xxhash64(slice(sig, …))` forms
+      // (seed 42, same int→bytes accumulation), so buckets are unchanged.
+      // The same DataFrame feeds the exact-Jaccard verify join; it is
+      // deliberately NOT cached (a query-scoped cache has no unpersist
+      // point and starves the rest of the session) — in a real pipeline
+      // the shingle table would be materialized once upstream.
+      val bandsPerDoc = NUM_HASHES / BANDS
+      val sets = Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          import org.apache.spark.sql.catalyst.expressions.XXH64
+          import org.apache.spark.unsafe.types.UTF8String
+          val seeds = Array.tabulate(NUM_HASHES)(i => XXH64.hashInt(i, 42L))
+          it.map { case (id, text) =>
+            val shingles = shinglesOf(text)
+            val sig = Array.fill(NUM_HASHES)(Long.MaxValue)
+            shingles.foreach { sh =>
+              val u = UTF8String.fromString(sh)
+              var i = 0
+              while (i < NUM_HASHES) {
+                val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seeds(i))
+                if (h < sig(i)) sig(i) = h
+                i += 1
+              }
+            }
+            val bands = Array.tabulate(BANDS) { b =>
+              var acc = 42L
+              var j = 0
+              while (j < bandsPerDoc) { acc = XXH64.hashLong(sig(b * bandsPerDoc + j), acc); j += 1 }
+              acc
+            }
+            (id, shingles, bands)
+          }
+        }
+        .toDF("doc_id", "shingles", "bands")
       // banding: (band index, band signature) buckets.
-      val banded = sigs.select(col("doc_id"),
-          posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), b -> xxhash64(slice(sig, b * ${NUM_HASHES / BANDS} + 1, ${NUM_HASHES / BANDS})))"))
-            .as(Seq("band", "band_sig")))
+      val banded = sets.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band", "band_sig")))
       val cands = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
             col("a.doc_id") < col("b.doc_id"))
