@@ -114,6 +114,23 @@ object Similarity {
         .filter(col("rk") <= TOPK)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
         .orderBy(col("q_id"), col("rk"))
+    },
+    // Typed custom aggregation (Aggregator[IN,BUF,OUT]) over the embedding
+    // norms: exact per-label median — partial/final hash aggregate like any
+    // built-in, shuffling only buffers; order-insensitive, so exact-
+    // hashable against the oracle at any SF (unlike float sums).
+    "s3_label_median_norm" -> { (s, d) =>
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          vec_dot(col("embedding"), col("embedding")).as("norm_sq"))
+        .as[(Int, Double)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.ExactMedian.toColumn.name("median_norm_sq"),
+          count(lit(1)).as[Long])
+        .toDF("label", "median_norm_sq", "n")
+        .orderBy(col("label"))
     }
   )
 
@@ -134,6 +151,13 @@ object Similarity {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
         |  FROM scored)
         |SELECT q_id, neighbor_id, rk, cosine FROM ranked
-        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "s3_label_median_norm" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS norm_sq
+        |  FROM embeddings)
+        |SELECT label, median(norm_sq) AS median_norm_sq, count(*) AS n
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

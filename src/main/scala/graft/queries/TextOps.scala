@@ -86,6 +86,19 @@ object TextOps {
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
         .orderBy(col("fp"))
+    },
+    // Rolling-hash fingerprinting (Rabin–Karp / winnowing primitive) via
+    // the custom codegen'd expressions poly_hash / rolling_min_hash —
+    // O(text) per document, embarrassingly parallel; the oracle recomputes
+    // every window directly (modular arithmetic, so exact equality).
+    "t5_rolling_hash" -> { (s, d) =>
+      import graft.functions.RollingHashFunctions.{poly_hash, rolling_min_hash}
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("bigint").as("n_bytes"),
+          poly_hash(col("text")).as("whole_hash"),
+          rolling_min_hash(col("text"), 32).as("fp"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -135,7 +148,26 @@ object TextOps {
           |    md5(array_to_string(list_sort(list_distinct(
           |      string_split_regex(lower(text), '\s+'))), ' ')) AS fp
           |  FROM documents) t
-          |GROUP BY fp ORDER BY fp""".stripMargin
+          |GROUP BY fp ORDER BY fp""".stripMargin,
+      // ASCII corpus ⇒ ascii(char) == byte value, so the char-wise direct
+      // recomputation equals the byte-wise rolling kernel.
+      "t5_rolling_hash" ->
+        """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(range(n), i -> CAST(ascii(text[i+1]) AS BIGINT))),
+          |    (a,b) -> (a*31+b) % 1000000007) AS whole_hash,
+          |  CASE WHEN n <= 32 THEN
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |        list_transform(range(n), i -> CAST(ascii(text[i+1]) AS BIGINT))),
+          |      (a,b) -> (a*31+b) % 1000000007)
+          |  ELSE
+          |    list_min(list_transform(range(n - 31), i ->
+          |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |          list_transform(range(32), j -> CAST(ascii(text[i+j+1]) AS BIGINT))),
+          |        (a,b) -> (a*31+b) % 1000000007)))
+          |  END AS fp
+          |FROM t ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -124,6 +124,22 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(PyJson.expandEmbedded("{'a': False}").exists(_.isObject))
   }
 
+  test("rolling window hash equals direct recomputation of every window") {
+    import graft.functions.RollingHashKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    def brute(bytes: Array[Byte], k: Int): Long =
+      if (bytes.length <= k) RollingHashKernel.directHash(bytes, 0, bytes.length)
+      else (0 to bytes.length - k)
+        .map(i => RollingHashKernel.directHash(bytes, i, i + k)).min
+    forAll(Gen.asciiPrintableStr, n = 300) { s =>
+      val bytes = s.getBytes("UTF-8")
+      Seq(1, 4, 32).foreach { k =>
+        assert(RollingHashKernel.minWindowHash(UTF8String.fromString(s), k) == brute(bytes, k),
+          s"k=$k text=${s.take(40)}")
+      }
+    }
+  }
+
   test("parseTimeUtc discards a non-UTC offset (reference replace(tzinfo=utc))") {
     // dtparse(x).replace(tzinfo=pytz.utc): wall-clock reinterpreted as UTC.
     val us = Kernel.parseTimeUtc("2019-01-01T12:00:00+05:00")

@@ -58,4 +58,19 @@ class PlanSpec extends SparkTestBase {
     val plan = planOf("q1_agg")
     assert(plan.contains("HashAggregate"))
   }
+
+  test("rolling_min_hash stays inside whole-stage codegen") {
+    import graft.functions.RollingHashFunctions.rolling_min_hash
+    val df = Tables.documents(spark, sf)
+      .select(rolling_min_hash(col("text"), 32).as("fp"))
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("*(1) Project [rolling_min_hash"), plan)
+  }
+
+  test("s3 typed Aggregator compiles to partial+final aggregation") {
+    val plan = planOf("s3_label_median_norm")
+    // Two aggregate operators (partial on the map side, final after the
+    // shuffle) — the Aggregator shuffles buffers, not raw rows.
+    assert("(?s)Aggregate.*Exchange.*Aggregate".r.findFirstIn(plan).nonEmpty, plan.take(3000))
+  }
 }
