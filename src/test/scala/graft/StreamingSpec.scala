@@ -126,6 +126,38 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.count(_._1 == "v") == 1)
   }
 
+  test("transformWithState (Spark 4 API): last-wins state across micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, Int)]
+      stream.addData(("a", 1), ("a", 5), ("b", 2))
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.LastWinsProcessor[String, Int](implicitly[org.apache.spark.sql.Encoder[Int]]),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val q = out.toDF("k", "v").writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("tws_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val rows = spark.sql("SELECT k, v FROM tws_out").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(rows == Map("a" -> 5, "b" -> 2), s"got $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState: running max per key") {
     val spark0 = spark
     import spark0.implicits._
