@@ -26,6 +26,58 @@ class FormatsSpec extends SparkTestBase {
     assert(back.count() == events.count())
   }
 
+  test("partitioned parquet layout: partition pruning reaches the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.documents(spark, sf).write.mode("overwrite")
+      .partitionBy("lang").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the lang predicate must be a PartitionFilter (directory pruning),
+    // not a data filter evaluated per row
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan.take(3000))
+    val en = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    assert(pruned.count() == en)
+  }
+
+  test("bucketed tables: co-located join plans without a shuffle") {
+    // The in-memory catalog forgets tables between sessions but leaves the
+    // managed locations on disk — clear both before creating.
+    def cleanup(): Unit = Seq("b_docs", "b_embs").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    cleanup()
+    Tables.documents(spark, sf).select("doc_id", "lang")
+      .write.bucketBy(4, "doc_id").sortBy("doc_id").saveAsTable("b_docs")
+    Tables.embeddings(spark, sf).select(col("vec_id").as("doc_id"), col("label"))
+      .write.bucketBy(4, "doc_id").sortBy("doc_id").saveAsTable("b_embs")
+    // disable autobroadcast so the join exercises the bucketed layout
+    // (broadcast would bypass bucketing on these tiny tables)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_docs").join(spark.table("b_embs"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the join key ⇒ sort-merge with NO
+      // shuffle exchange — the co-located-join layout for repeated joins
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert(!plan.contains("Exchange"), plan.take(3000))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      cleanup()
+    }
+  }
+
   test("approx_count_distinct stays within HLL++ error bound") {
     val r = graft.queries.Relational.queries("q6_approx_distinct")(spark, sf).collect()
     r.foreach { row =>
