@@ -191,36 +191,30 @@ object Dedup {
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    // Exact n-gram (word-3-gram) Jaccard. Candidate pairs come from a
-    // document-frequency-CAPPED inverted index: a shingle shared by k docs
-    // emits k² candidate pairs, so boilerplate shingles (DF > 50) are
-    // barred from candidate generation — at 100 TB this bounds the index
-    // join instead of letting one ubiquitous trigram go quadratic. The cap
-    // cannot lose a qualifying pair here: a J ≥ 0.3 pair shares ≥ 30% of
-    // its shingles, and on this corpus every such pair shares a shingle of
-    // DF ≤ 10 (measured at sf0.1; cap = 50 gives 5× headroom — the exact
-    // DuckDB oracle over the UNcapped index agrees at sf0.01 and sf0.1).
-    // Jaccard itself is then computed exactly on the full shingle sets.
+    // Exact n-gram (word-3-gram) Jaccard, postings-list form: ONE shingle
+    // pass, groupBy(shingle) → bounded doc list, pairs expanded from each
+    // list. The document-frequency cap is structural — a posting list
+    // longer than the cap (a boilerplate trigram shared by a million
+    // documents) is dropped before any pair is generated, bounding
+    // candidate work at cap² per shingle instead of quadratic in the
+    // corpus. The measure is Jaccard over the DF≤cap shingle vocabulary
+    // (n_sh stays the FULL set size): exact whenever no qualifying pair
+    // depends on a blocked shingle — on this corpus every J ≥ 0.3 pair
+    // shares a shingle of DF ≤ 10 and max DF is 25 (measured at sf0.1),
+    // so output is bit-identical to the uncapped oracle at sf0.01/sf0.1.
     "d5_ngram_jaccard" -> { (s, d) =>
       val DF_CAP = 50
-      val inv = withShingles(s, d)
-        .select(col("doc_id"), size(col("shingles")).cast("bigint").as("n_sh"),
+      val postings = withShingles(s, d)
+        .select(struct(col("doc_id"),
+            size(col("shingles")).cast("bigint").as("n_sh")).as("doc"),
           explode(col("shingles")).as("sh"))
-      // The blocklist (DF > cap) is tiny — ubiquitous shingles are few by
-      // definition — so the cap costs one partial-aggregated groupBy plus a
-      // broadcast anti-join. Barring them from the index bounds the self-
-      // join at k² per capped shingle; a boilerplate trigram shared by a
-      // million documents can no longer go quadratic. The resulting measure
-      // is Jaccard over the DF≤cap shingle vocabulary (n_sh stays the FULL
-      // set size): exact whenever no qualifying pair depends on a blocked
-      // shingle — on this corpus every J ≥ 0.3 pair shares a shingle of
-      // DF ≤ 10 and max DF is 25 (measured at sf0.1), so the output is
-      // bit-identical to the uncapped oracle at sf0.01 and sf0.1.
-      val blocked = inv.groupBy(col("sh"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > DF_CAP)
-      val capped = inv.join(broadcast(blocked.select(col("sh"))), Seq("sh"), "left_anti")
-      val pairs = capped.as("a").join(capped.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("sh"))
+        .agg(collect_list(col("doc")).as("ds"))
+        .filter(size(col("ds")).between(2, DF_CAP))
+      val pairs = postings
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a"), explode(col("ds")).as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
         .agg(count(lit(1)).as("inter"))
