@@ -21,7 +21,11 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     def force(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-    args.foreach(n => force(n, "/root/testdata/sf0.001")) // warm-up
+    // Warm-up on the small sibling SF when present, else on the bench dir.
+    val warmDir = Option(new java.io.File(sfDir).getParentFile)
+      .map(p => new java.io.File(p, "sf0.001"))
+      .filter(_.isDirectory).map(_.getPath).getOrElse(sfDir)
+    args.foreach(n => force(n, warmDir))
     args.foreach { n =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime(); force(n, sfDir); (System.nanoTime() - t0) / 1e9

@@ -64,9 +64,17 @@ object Listen {
     } else if (cfg.listen) {
       val stream = Pipeline.kafkaSource(spark, cfg.brokers, cfg.topic,
         cfg.offset, Option(cfg.consumer).filter(_.nonEmpty))
+      // Durable checkpoint keyed by table AND topic (a stale checkpoint
+      // reused for a different source would replay wrong offsets); a
+      // continuous trigger so listen mode consumes forever like the
+      // reference's loop — AvailableNow would drain once and exit.
+      val ckpt =
+        if (cfg.checkpoint.nonEmpty) cfg.checkpoint
+        else s"graft-checkpoints/${mapping.table}-${cfg.topic.replaceAll("[^A-Za-z0-9._-]", "_")}"
       val query = Pipeline.run(stream, mapping, sink,
-        checkpoint = s"${sys.props("java.io.tmpdir")}/graft-ckpt-${mapping.table}",
-        decoder = decoderFor(cfg))
+        checkpoint = ckpt,
+        decoder = decoderFor(cfg),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       query.awaitTermination()
     }
     sink

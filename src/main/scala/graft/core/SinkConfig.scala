@@ -24,6 +24,7 @@ case class SinkConfig(
     listen: Boolean = true,
     doInserts: Boolean = true,
     datafile: String = "",
+    checkpoint: String = "", // empty ⇒ graft-checkpoints/<table>-<topic> (durable cwd)
     verbose: Int = 0,
     startDate: Option[String] = None,
     endDate: Option[String] = None) {
@@ -65,6 +66,7 @@ object SinkConfig {
       |  --listen / --no-listen         Listen for messages
       |  --do-inserts / --no-do-inserts Insert into the database
       |  --datafile TEXT    JSON-array file to replay instead of listening
+      |  --checkpoint TEXT  Streaming checkpoint dir (default: graft-checkpoints/<table>-<topic>)
       |  --start_date TEXT  Start date filter (UTC, ISO-8601)
       |  --end_date TEXT    End date filter (UTC, ISO-8601)
       |  -v, -vv, -vvv      Verbosity
@@ -74,7 +76,16 @@ object SinkConfig {
   def fromArgs(args: Seq[String], env: Map[String, String] = sys.env): SinkConfig = {
     var c = SinkConfig()
     def e(k: String): Option[String] = env.get(EnvPrefix + k)
-    def eb(k: String): Option[Boolean] = e(k).map(v => Set("1", "true", "yes", "on").contains(v.toLowerCase))
+    // Reject unparseable boolean env values instead of silently mapping
+    // them to false (DBSINK_LISTEN=tru must not disable listening).
+    def eb(k: String): Option[Boolean] = e(k).map { v =>
+      v.toLowerCase match {
+        case "1" | "true" | "yes" | "on"   => true
+        case "0" | "false" | "no" | "off"  => false
+        case other => throw new IllegalArgumentException(
+          s"$EnvPrefix$k: not a boolean: $other")
+      }
+    }
     e("BROKERS").foreach(v => c = c.copy(brokers = v))
     e("TOPIC").foreach(v => c = c.copy(topic = v))
     e("TABLE").foreach(v => c = c.copy(table = v))
@@ -91,6 +102,7 @@ object SinkConfig {
     eb("LISTEN").foreach(v => c = c.copy(listen = v))
     eb("DO_INSERTS").foreach(v => c = c.copy(doInserts = v))
     e("DATAFILE").foreach(v => c = c.copy(datafile = v))
+    e("CHECKPOINT").foreach(v => c = c.copy(checkpoint = v))
     e("START_DATE").foreach(v => c = c.copy(startDate = Some(v)))
     e("END_DATE").foreach(v => c = c.copy(endDate = Some(v)))
 
@@ -122,6 +134,7 @@ object SinkConfig {
         case "--do-inserts"    => c = c.copy(doInserts = true)
         case "--no-do-inserts" => c = c.copy(doInserts = false)
         case f @ "--datafile"  => c = c.copy(datafile = next(f))
+        case f @ "--checkpoint" => c = c.copy(checkpoint = next(f))
         case f @ "--start_date" => c = c.copy(startDate = Some(next(f)))
         case f @ "--end_date"   => c = c.copy(endDate = Some(next(f)))
         case v if v.matches("-v+") => c = c.copy(verbose = c.verbose + v.length - 1)

@@ -78,6 +78,36 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Shared per-row kernels for the sign-LSH operators (s2 ANN, d7 near-dup):
+  * one implementation so the two can never drift in fold order or
+  * dimension handling. */
+object VecKernel {
+  /** codes(t) = `bits` sign bits of dots with planes[t*bits .. t*bits+bits-1];
+    * dot folds left-to-right, Float promoted to Double per element (the
+    * same order as [[FloatVecDot]]). */
+  def signCodes(emb: Array[Float], planes: Array[Array[Double]],
+      tables: Int, bits: Int): Array[Long] = {
+    val codes = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0L
+      var j = 0
+      while (j < bits) {
+        val p = planes(t * bits + j)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(emb.length, p.length)
+        while (i < n) { dot += emb(i).toDouble * p(i); i += 1 }
+        if (dot > 0d) code |= 1L << j
+        j += 1
+      }
+      codes(t) = code
+      t += 1
+    }
+    codes
+  }
+}
+
 object VecFunctions {
   import org.apache.spark.sql.graftshim.ColumnShim
 

@@ -191,9 +191,9 @@ object Dedup {
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    // Exact n-gram (word-3-gram) Jaccard, postings-list form: ONE shingle
-    // pass, groupBy(shingle) → bounded doc list, pairs expanded from each
-    // list. The document-frequency cap is structural — a posting list
+    // n-gram (word-3-gram) Jaccard over the DF-capped shingle vocabulary,
+    // postings-list form: ONE shingle pass, groupBy(shingle) → bounded doc
+    // list, pairs expanded from each list. The document-frequency cap is structural — a posting list
     // longer than the cap (a boilerplate trigram shared by a million
     // documents) is dropped before any pair is generated, bounding
     // candidate work at cap² per shingle instead of quadratic in the
@@ -264,24 +264,7 @@ object Dedup {
         .mapPartitions { it =>
           val pl = Dedup.d7Planes
           it.map { case (id, label, emb) =>
-            val codes = new Array[Long](D7_TABLES)
-            var t = 0
-            while (t < D7_TABLES) {
-              var code = 0L
-              var j = 0
-              while (j < D7_BITS) {
-                val p = pl(t * D7_BITS + j)
-                var dot = 0.0
-                var i = 0
-                val n = math.min(emb.length, p.length)
-                while (i < n) { dot += emb(i).toDouble * p(i); i += 1 }
-                if (dot > 0d) code |= 1L << j
-                j += 1
-              }
-              codes(t) = code
-              t += 1
-            }
-            (id, label, codes)
+            (id, label, graft.functions.VecKernel.signCodes(emb, pl, D7_TABLES, D7_BITS))
           }
         }
         .toDF("vec_id", "label", "codes")

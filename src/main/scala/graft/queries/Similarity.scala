@@ -77,24 +77,7 @@ object Similarity {
         .mapPartitions { it =>
           val pl = Similarity.planes
           it.map { case (id, emb, sq) =>
-            val codes = new Array[Long](TABLES)
-            var t = 0
-            while (t < TABLES) {
-              var code = 0L
-              var j = 0
-              while (j < BITS) {
-                val p = pl(t * BITS + j)
-                var dot = 0.0
-                var i = 0
-                val n = math.min(emb.length, p.length)
-                while (i < n) { dot += emb(i).toDouble * p(i); i += 1 }
-                if (dot > 0d) code |= 1L << j
-                j += 1
-              }
-              codes(t) = code
-              t += 1
-            }
-            (id, emb, sq, codes)
+            (id, emb, sq, graft.functions.VecKernel.signCodes(emb, pl, TABLES, BITS))
           }
         }
         .toDF("vec_id", "embedding", "sq", "codes")

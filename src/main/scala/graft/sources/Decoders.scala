@@ -181,7 +181,12 @@ class AvroDecoder(registry: SchemaRegistry,
   @transient private lazy val readerSchema: Option[Schema] =
     readerSubject.map(s => new Schema.Parser().parse(registry.latestBySubject(s)))
 
-  def decode(bytes: Array[Byte]): Option[String] =
+  def decode(bytes: Array[Byte]): Option[String] = {
+    // Reader-schema resolution is ENVIRONMENTAL, not per-message: forced
+    // outside the catch-all so a missing `{topic}-value` subject or a
+    // registry outage fails the task (retryable) instead of silently
+    // dead-lettering — and losing — every message in the batch.
+    val rs = readerSchema
     try {
       // >= 5: a record whose fields all encode to zero bytes is a valid
       // 5-byte frame (magic byte + 4-byte schema id, empty body).
@@ -189,7 +194,7 @@ class AvroDecoder(registry: SchemaRegistry,
       val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
       val writer = parsedSchemas.computeIfAbsent(id,
         { id => new Schema.Parser().parse(registry.schemaById(id)) })
-      val reader = readerSchema match {
+      val reader = rs match {
         case Some(r) => new GenericDatumReader[Any](writer, r)
         case None    => new GenericDatumReader[Any](writer)
       }
@@ -197,6 +202,7 @@ class AvroDecoder(registry: SchemaRegistry,
       val record = reader.read(null, dec)
       Some(avroToJson(record).toString)
     } catch { case _: Exception => None }
+  }
 
   private def avroToJson(v: Any): JsonNode = v match {
     case null => NullNode.getInstance

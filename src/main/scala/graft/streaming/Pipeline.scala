@@ -76,9 +76,15 @@ object Pipeline {
   /** readStream → foreachBatch(decode → transform → upsert), checkpointed.
     * Decode/transform run inside the batch context so the fallback offset
     * (`monotonically_increasing_id`, disallowed in streaming plans) is legal;
-    * with a Kafka source the real `offset` column is used instead. */
+    * with a Kafka source the real `offset` column is used instead.
+    *
+    * The default trigger drains available offsets and stops (replay/test
+    * shape); a live listener must pass a continuous trigger — the CLI uses
+    * `Trigger.ProcessingTime(0)` to mirror the reference's endless consume
+    * loop (`listen.py:178-186`). */
   def run(stream: DataFrame, mapping: TableMapping[_ <: Product], sink: RowSink,
-      checkpoint: String, decoder: MessageDecoder = graft.sources.JsonDecoder): StreamingQuery = {
+      checkpoint: String, decoder: MessageDecoder = graft.sources.JsonDecoder,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // One dead-letter accumulator per pipeline run (not per micro-batch), so
     // the count is cumulative across the stream like the reference's log.
     val deadLetters = stream.sparkSession.sparkContext
@@ -86,7 +92,7 @@ object Pipeline {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val messages = decoded(batch, decoder, Some(deadLetters))
         UpsertSink.writeBatch(mapping.transformWithOffset(messages), mapping, sink)

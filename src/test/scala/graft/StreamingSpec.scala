@@ -135,12 +135,15 @@ class StreamingSpec extends SparkTestBase {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val stream = MemoryStream[(String, Int)]
-      stream.addData(("a", 1), ("a", 5), ("b", 2))
+      val stream = MemoryStream[(String, Int, Long)]
+      // "last" = highest stream offset, NOT iterator order: a's latest
+      // offset (10) carries v=7 and arrives before the older (3, v=5).
+      stream.addData(("a", 1, 1L), ("a", 7, 10L), ("a", 5, 3L), ("b", 2, 4L))
       val out = stream.toDS()
         .groupByKey(_._1)
         .transformWithState(
-          new graft.streaming.LastWinsProcessor[String, Int](implicitly[org.apache.spark.sql.Encoder[Int]]),
+          new graft.streaming.LastWinsProcessor[String, Int](
+            graft.streaming.StateOps.lastWinsState[Int]),
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update())
       val q = out.toDF("k", "v").writeStream.outputMode(OutputMode.Update())
@@ -149,7 +152,7 @@ class StreamingSpec extends SparkTestBase {
       q.awaitTermination(60000)
       val rows = spark.sql("SELECT k, v FROM tws_out").collect()
         .map(r => (r.getString(0), r.getInt(1))).toMap
-      assert(rows == Map("a" -> 5, "b" -> 2), s"got $rows")
+      assert(rows == Map("a" -> 7, "b" -> 2), s"got $rows")
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
