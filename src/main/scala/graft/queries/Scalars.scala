@@ -86,6 +86,19 @@ object Scalars {
                       split(col("p_name"), " ").getItem(1)).as("word_dist"))
         .orderBy(col("p_partkey"))
     },
+    // Structured JSON parsing: from_json into a typed struct (the schema-
+    // ful twin of e6's get_json_object path); absent keys surface as
+    // typed nulls, malformed documents as a fully-null struct.
+    "sc8_from_json" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, missing STRING")))
+        .select(col("event_id"),
+          col("j.k").as("k"),
+          col("j.missing").as("missing"),
+          (col("j.k") * 2).as("k2"))
+        .orderBy(col("event_id"))
+    },
     // Higher-order array functions: transform + ordered aggregate fold.
     // The fold is sequential left-to-right on both engines (Spark `aggregate`,
     // DuckDB sum(x ORDER BY i)), so double results are bit-identical.
@@ -133,7 +146,7 @@ object Scalars {
         |            WHEN o_totalprice < 300000 THEN 'medium'
         |            ELSE 'large' END AS bucket,
         |  count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "sc5_array_funcs" ->
       """SELECT vec_id,
@@ -151,6 +164,12 @@ object Scalars {
       """SELECT vec_id,
         |  (SELECT coalesce(sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)), 0.0)
         |   FROM unnest(embedding) u(x)) AS sq_norm
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sc8_from_json" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS BIGINT) AS k,
+        |  CAST(props->>'$.missing' AS VARCHAR) AS missing,
+        |  CAST(props->>'$.k' AS BIGINT) * 2 AS k2
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -31,10 +31,62 @@ object Similarity {
   private val BITS = 6    // … of k sign-bits each (recall@5 ≈ 0.6 scanning ~25%)
   private val TOPK = 5
 
+  // IVF geometry: NLIST cells, queries probe the NPROBE nearest; centroids
+  // trained on a deterministic SAMPLE (first vec_ids).
+  private val NLIST = 16
+  private val NPROBE = 4
+  private val SAMPLE = 2000
+
   /** Deterministic ±1 hyperplanes (fixed-seed PRNG, same on every run). */
   private[queries] lazy val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
     Array.fill(TABLES * BITS, DIM)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Lloyd's k-means on a (small, deterministic) sample — the coarse
+    * quantizer for IVF. Fixed seed init, fixed iteration count, sequential
+    * fold order ⇒ identical centroids on every run. */
+  private[queries] def trainCentroids(sample: Array[Array[Float]],
+      k: Int = NLIST, iters: Int = 10): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    val n = sample.length
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    var cents = Array.tabulate(math.min(k, n))(i =>
+      sample(rnd.nextInt(n)).map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < n) {
+        val c = nearestCells(sample(i), cents, 1)(0)
+        var j = 0
+        while (j < dim) { sums(c)(j) += sample(i)(j); j += 1 }
+        counts(c) += 1
+        i += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  /** Indices of the `probe` nearest centroids by squared L2 distance
+    * (ties broken by lower index — deterministic). */
+  private[queries] def nearestCells(emb: Array[Float],
+      cents: Array[Array[Double]], probe: Int): Array[Int] = {
+    val d2 = cents.map { c =>
+      var acc = 0.0
+      var i = 0
+      val n = math.min(emb.length, c.length)
+      while (i < n) { val diff = emb(i) - c(i); acc += diff * diff; i += 1 }
+      acc
+    }
+    d2.zipWithIndex.sortBy { case (dist, idx) => (dist, idx) }
+      .take(probe).map(_._2)
   }
 
   import graft.functions.VecFunctions.vec_dot
@@ -90,6 +142,50 @@ object Similarity {
       val cands = bucketed.join(broadcast(q),
           col("q_t") === col("t") && col("q_code") === col("code") &&
             col("vec_id") =!= col("q_id"))
+        .dropDuplicates("q_id", "vec_id")
+        .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      cands.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TOPK)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    // IVF (inverted-file) ANN — the second scale path beside sign-LSH:
+    // a coarse quantizer (k-means centroids trained on a deterministic
+    // sample) partitions the corpus into NLIST cells; each vector is
+    // assigned to its nearest centroid once (narrow map, no shuffle), and
+    // a query probes only its NPROBE nearest cells — the candidate scan is
+    // corpus/NLIST·NPROBE instead of the full corpus. At 100 TB the
+    // centroids are trained on a driver-side sample (here: the first
+    // SAMPLE vectors by vec_id — deterministic) and broadcast; recall vs
+    // exact s1 is pinned in SimilaritySpec (cell assignment is
+    // training-defined ⇒ rows-only under the driver contract, like s2).
+    "s4_knn_ivf" -> { (s, d) =>
+      import s.implicits._
+      val e = normed(s, d)
+      val cents = Similarity.trainCentroids(
+        e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+          .orderBy(col("vec_id")).limit(SAMPLE).collect().map(_._2))
+      val bc = s.sparkContext.broadcast(cents)
+      val assigned = e.select(col("vec_id"), col("embedding"), col("sq"))
+        .as[(Long, Array[Float], Double)]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, emb, sq) => (id, emb, sq, Similarity.nearestCells(emb, cs, 1)(0)) }
+        }
+        .toDF("vec_id", "embedding", "sq", "cell")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"), col("sq"))
+        .as[(Long, Array[Float], Double)]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (id, emb, sq) =>
+            Similarity.nearestCells(emb, cs, NPROBE).map(c => (id, emb, sq, c))
+          }
+        }
+        .toDF("q_id", "q_emb", "q_sq", "cell")
+      val cands = assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
         .dropDuplicates("q_id", "vec_id")
         .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))

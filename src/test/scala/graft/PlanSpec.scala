@@ -67,6 +67,23 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project [rolling_min_hash"), plan)
   }
 
+  test("GraftExtensions exposes the native functions to SQL") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       poly_hash('abc') AS ph,
+        |       rolling_min_hash('abcdef', 3) AS rmh""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) ==
+      graft.functions.RollingHashKernel.fullHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    assert(r.getLong(2) ==
+      graft.functions.RollingHashKernel.minWindowHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abcdef"), 3))
+    // the extension class itself installs without error (deploy-time path)
+    new graft.plans.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("s3 typed Aggregator compiles to partial+final aggregation") {
     val plan = planOf("s3_label_median_norm")
     // Two aggregate operators (partial on the map side, final after the

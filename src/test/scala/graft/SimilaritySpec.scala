@@ -23,6 +23,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall@5 $recall below 0.3")
   }
 
+  test("s4_knn_ivf recall@5 vs exact brute force is usable") {
+    val exact = topk("s1_knn_brute")
+    val approx = topk("s4_knn_ivf")
+    assert(exact.nonEmpty)
+    val recall = exact.map { case (q, nbrs) =>
+      nbrs.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / nbrs.size
+    }.sum / exact.size
+    // NPROBE/NLIST = 4/16 scans ~25% of the corpus per query
+    assert(recall >= 0.3, s"IVF recall@5 $recall below 0.3")
+  }
+
   test("s1 cosine values are valid and ranked") {
     val rows = graft.queries.Similarity.queries("s1_knn_brute")(spark, sf)
       .select(col("q_id"), col("rk"), col("cosine")).collect()
