@@ -31,6 +31,26 @@ class StreamingSpec extends SparkTestBase {
     assert(sink.size == 10)
   }
 
+  test("end-to-end: msgpack-framed stream → GenericFloat → upsert sink") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.PyJson
+    import graft.sources.MsgpackDecoder
+    val msgs = Seq(
+      """{"uid":"m1","time":"2020-01-01T00:00:00Z","lat":10.0,"lon":20.0,"values":{"speed":1}}""",
+      """{"uid":"m2","time":"2020-01-01T00:01:00Z","lat":11.0,"lon":21.0,"values":{"speed":2}}""")
+    val stream = MemoryStream[Array[Byte]]
+    stream.addData(msgs.map(m => MsgpackDecoder.encode(PyJson.parse(m))): _*)
+    val mapping = new GenericFloat("stream.msgpack")
+    val sink = new InMemorySink
+    Pipeline.run(stream.toDF(), mapping, sink, tmpDir(), decoder = MsgpackDecoder)
+      .awaitTermination(60000)
+    assert(sink.size == 2)
+    val uids = sink.table.values.map(_.head).toSet // uid is the first column
+    assert(uids == Set("m1", "m2"))
+  }
+
   test("end-to-end: upsert across two micro-batches updates in place") {
     val spark0 = spark
     import spark0.implicits._
