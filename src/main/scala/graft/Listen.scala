@@ -65,12 +65,14 @@ object Listen {
       val stream = Pipeline.kafkaSource(spark, cfg.brokers, cfg.topic,
         cfg.offset, Option(cfg.consumer).filter(_.nonEmpty))
       // Durable checkpoint keyed by table AND topic (a stale checkpoint
-      // reused for a different source would replay wrong offsets); a
-      // continuous trigger so listen mode consumes forever like the
-      // reference's loop — AvailableNow would drain once and exit.
+      // reused for a different source would replay wrong offsets), rooted
+      // under the user home so durability does not depend on the launch
+      // directory; a continuous trigger so listen mode consumes forever
+      // like the reference's loop — AvailableNow would drain once and exit.
       val ckpt =
         if (cfg.checkpoint.nonEmpty) cfg.checkpoint
-        else s"graft-checkpoints/${mapping.table}-${cfg.topic.replaceAll("[^A-Za-z0-9._-]", "_")}"
+        else s"${sys.props("user.home")}/.graft/checkpoints/" +
+          s"${mapping.table}-${cfg.topic.replaceAll("[^A-Za-z0-9._-]", "_")}"
       val query = Pipeline.run(stream, mapping, sink,
         checkpoint = ckpt,
         decoder = decoderFor(cfg),

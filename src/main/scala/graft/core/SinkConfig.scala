@@ -66,7 +66,7 @@ object SinkConfig {
       |  --listen / --no-listen         Listen for messages
       |  --do-inserts / --no-do-inserts Insert into the database
       |  --datafile TEXT    JSON-array file to replay instead of listening
-      |  --checkpoint TEXT  Streaming checkpoint dir (default: graft-checkpoints/<table>-<topic>)
+      |  --checkpoint TEXT  Streaming checkpoint dir (default: ~/.graft/checkpoints/<table>-<topic>)
       |  --start_date TEXT  Start date filter (UTC, ISO-8601)
       |  --end_date TEXT    End date filter (UTC, ISO-8601)
       |  -v, -vv, -vvv      Verbosity
@@ -77,8 +77,10 @@ object SinkConfig {
     var c = SinkConfig()
     def e(k: String): Option[String] = env.get(EnvPrefix + k)
     // Reject unparseable boolean env values instead of silently mapping
-    // them to false (DBSINK_LISTEN=tru must not disable listening).
-    def eb(k: String): Option[Boolean] = e(k).map { v =>
+    // them to false (DBSINK_LISTEN=tru must not disable listening); an
+    // EMPTY value means unset (`DBSINK_X=` in compose files), like the
+    // empty-string defaults of the text options.
+    def eb(k: String): Option[Boolean] = e(k).filter(_.nonEmpty).map { v =>
       v.toLowerCase match {
         case "1" | "true" | "yes" | "on"   => true
         case "0" | "false" | "no" | "off"  => false

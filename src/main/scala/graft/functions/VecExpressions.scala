@@ -111,13 +111,10 @@ object VecKernel {
 object VecFunctions {
   import org.apache.spark.sql.graftshim.ColumnShim
 
-  /** dot(a, b) as a Column, sequential-fold semantics. */
+  /** dot(a, b) as a Column, sequential-fold semantics. SQL registration
+    * lives in `graft.plans.GraftExtensions` (one builder list for every
+    * native function — no second path to drift). */
   def vec_dot(a: Column, b: Column): Column =
     ColumnShim.column(
       FloatVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
-
-  /** Register `vec_dot` for SQL use. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
 }

@@ -27,23 +27,38 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
       partials: Seq[Column], merges: Seq[Column]): DataFrame = {
     require(salts > 0)
-    val saltCol = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)).as("__salt")
-    df.withColumn("__salt", saltCol)
+    df.withColumn("__salt", saltExpr(df, salts))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
       .groupBy(keys.map(col): _*)
       .agg(merges.head, merges.tail: _*)
   }
 
-  /** Salted shuffle join: the skewed (big) side gets a content-derived
-    * salt in [0, salts); the other side is replicated `salts` times so
-    * every (key, salt) bucket finds its match. Row multiplication is
-    * `salts`× the small side only — bounded and chosen by the caller. */
+  /** Salt in [0, salts): content hash mixed with the row's position id so
+    * byte-identical rows of a hot key (the common duplicate-heavy skew
+    * case) still spread across buckets. The position component makes the
+    * value layout-dependent but the OPERATORS using it are assignment-
+    * independent: decomposable partials merge to the same final per key,
+    * and a big-side join row matches its replicated partner under any
+    * salt value. */
+  private def saltExpr(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(struct(df.columns.map(col): _*), monotonically_increasing_id()),
+      lit(salts))
+
+  /** Salted shuffle join: the skewed (big) side gets a salted key; the
+    * other side is replicated `salts` times so every (key, salt) bucket
+    * finds its match. Row multiplication is `salts`× the small side only
+    * — bounded and chosen by the caller. Join types that null-extend the
+    * REPLICATED side (right/full) are rejected: an unmatched replica
+    * would surface once per salt. */
   def saltedJoin(big: DataFrame, other: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0)
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))
+    require(Set("inner", "cross", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti")
+        .contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin cannot preserve right/full outer semantics (got $joinType)")
+    val saltedBig = big.withColumn("__salt", saltExpr(big, salts))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedBig.join(replicated,

@@ -23,7 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   /** One builder triple per native function (shared between the extension
     * injection and the in-place registration). */

@@ -51,8 +51,10 @@ object Similarity {
     val rnd = new scala.util.Random(7)
     val n = sample.length
     val dim = sample.headOption.map(_.length).getOrElse(0)
-    var cents = Array.tabulate(math.min(k, n))(i =>
-      sample(rnd.nextInt(n)).map(_.toDouble))
+    // init from k DISTINCT sample points (duplicates would freeze a dead
+    // cell: ties break low, so the twin centroid never receives a point).
+    var cents = rnd.shuffle(sample.indices.toVector).take(math.min(k, n))
+      .map(i => sample(i).map(_.toDouble)).toArray
     var it = 0
     while (it < iters) {
       val sums = Array.fill(cents.length, dim)(0.0)
@@ -61,7 +63,8 @@ object Similarity {
       while (i < n) {
         val c = nearestCells(sample(i), cents, 1)(0)
         var j = 0
-        while (j < dim) { sums(c)(j) += sample(i)(j); j += 1 }
+        val lim = math.min(dim, sample(i).length) // ragged-input tolerant
+        while (j < lim) { sums(c)(j) += sample(i)(j); j += 1 }
         counts(c) += 1
         i += 1
       }
@@ -184,9 +187,11 @@ object Similarity {
           }
         }
         .toDF("q_id", "q_emb", "q_sq", "cell")
+      // No dedup needed (unlike s2): each corpus vector lives in exactly
+      // one cell and a query's probe cells are distinct, so a (q, vec)
+      // pair can join at most once.
       val cands = assigned.join(broadcast(q), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
-        .dropDuplicates("q_id", "vec_id")
         .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
       cands.withColumn("rk", row_number().over(w))

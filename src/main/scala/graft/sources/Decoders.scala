@@ -182,18 +182,26 @@ class AvroDecoder(registry: SchemaRegistry,
     readerSubject.map(s => new Schema.Parser().parse(registry.latestBySubject(s)))
 
   def decode(bytes: Array[Byte]): Option[String] = {
-    // Reader-schema resolution is ENVIRONMENTAL, not per-message: forced
-    // outside the catch-all so a missing `{topic}-value` subject or a
-    // registry outage fails the task (retryable) instead of silently
-    // dead-lettering — and losing — every message in the batch.
-    val rs = readerSchema
-    try {
-      // >= 5: a record whose fields all encode to zero bytes is a valid
-      // 5-byte frame (magic byte + 4-byte schema id, empty body).
-      require(bytes.length >= 5 && bytes(0) == 0, "not Confluent-framed avro")
-      val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
-      val writer = parsedSchemas.computeIfAbsent(id,
+    // Failure classification: MALFORMED data (bad frame, unknown schema id
+    // = registry 404, undecodable body) dead-letters the message like the
+    // reference's skip-on-unpack-error; ENVIRONMENTAL failures (registry
+    // unreachable, subject lookup down) propagate and fail the task — a
+    // retry can succeed, and dead-lettering them would silently lose whole
+    // batches of valid messages.
+    val rs = readerSchema // environmental: outside any catch-all
+    // frame parse: malformed ⇒ None. >= 5: a record whose fields all
+    // encode to zero bytes is a valid 5-byte frame.
+    if (bytes == null || bytes.length < 5 || bytes(0) != 0) return None
+    val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+    val writer =
+      try parsedSchemas.computeIfAbsent(id,
         { id => new Schema.Parser().parse(registry.schemaById(id)) })
+      catch {
+        // 404 = schema id not registered ⇒ the message is bogus, not the
+        // environment (FileNotFoundException is url.openStream's 404).
+        case _: java.io.FileNotFoundException | _: NoSuchElementException => return None
+      }
+    try {
       val reader = rs match {
         case Some(r) => new GenericDatumReader[Any](writer, r)
         case None    => new GenericDatumReader[Any](writer)

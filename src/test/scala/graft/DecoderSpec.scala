@@ -69,6 +69,22 @@ class DecoderSpec extends SparkTestBase {
     assert(decoder.decode(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("avro failure classification: 404 dead-letters, outage fails the task") {
+    // unknown schema id (InMemoryRegistry throws NoSuchElementException,
+    // the 404 analogue) ⇒ malformed message ⇒ None
+    val framed = Array[Byte](0, 0, 0, 0, 9, 1, 2)
+    assert(new AvroDecoder(new InMemoryRegistry(Map.empty)).decode(framed).isEmpty)
+    // registry OUTAGE (IOException) must propagate — a silent None here
+    // would permanently drop valid messages on a transient failure
+    class DownRegistry extends SchemaRegistry {
+      def schemaById(id: Int): String = throw new java.io.IOException("connection refused")
+      def latestBySubject(s: String): String = throw new java.io.IOException("connection refused")
+    }
+    intercept[java.io.IOException](new AvroDecoder(new DownRegistry).decode(framed))
+    intercept[java.io.IOException](
+      new AvroDecoder(new DownRegistry, readerSubject = Some("t-value")).decode(framed))
+  }
+
   test("avro latest-by-subject reader schema resolves evolution ({topic}-value)") {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericDatumWriter}

@@ -43,6 +43,32 @@ class SkewSpec extends SparkTestBase {
     }
   }
 
+  test("saltedJoin rejects join types that null-extend the replicated side") {
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sf).select(col("c_custkey").as("o_custkey"))
+    Seq("right", "full_outer").foreach { jt =>
+      intercept[IllegalArgumentException](Skew.saltedJoin(o, c, "o_custkey", 4, jt))
+    }
+  }
+
+  test("identical rows of a hot key still spread across salt buckets") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 1000 byte-identical rows: a pure content hash would collapse them
+    // into one bucket — the position component must spread them.
+    val dup = Seq.fill(1000)(("hot", 1)).toDF("k", "v")
+    val buckets = dup
+      .withColumn("__salt",
+        pmod(xxhash64(struct(dup.columns.map(col): _*), monotonically_increasing_id()), lit(8)))
+      .select("__salt").distinct().count()
+    assert(buckets > 1, "identical rows collapsed into one salt bucket")
+    // and the salted aggregate over them is still exact
+    val out = Skew.saltedAggregate(dup, Seq("k"), 8,
+        partials = Seq(count(lit(1)).as("pn")), merges = Seq(sum(col("pn")).as("n")))
+      .collect()
+    assert(out.length == 1 && out(0).getLong(1) == 1000)
+  }
+
   test("salting is deterministic across runs (content-derived, not rand)") {
     val li = Tables.lineitem(spark, sf)
     def run() = Skew.saltedAggregate(li, Seq("l_linestatus"), salts = 4,
