@@ -67,6 +67,15 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project [rolling_min_hash"), plan)
   }
 
+  test("ANN scale paths: s4 broadcasts probes, d7 bucket join is equi (no cartesian)") {
+    val s4 = planOf("s4_knn_ivf")
+    assert(s4.contains("BroadcastHashJoin") || s4.contains("BroadcastExchange"), s4.take(3000))
+    assert(!s4.contains("CartesianProduct"), "IVF candidate join must not be a cartesian")
+    val d7 = planOf("d7_embedding_neardup_lsh")
+    assert(!d7.contains("CartesianProduct") && !d7.contains("BroadcastNestedLoopJoin"),
+      "LSH bucket join must be a hash-keyed equi-join")
+  }
+
   test("GraftExtensions exposes the native functions to SQL") {
     graft.plans.GraftExtensions.registerAll(spark)
     val r = spark.sql(
