@@ -65,6 +65,24 @@ class CliSpec extends SparkTestBase {
     assert(sink.asInstanceOf[DryRunSink].ddlSeen.isEmpty)
   }
 
+  test("uppercase --table parity (reference test_numurus_data_geography_uppercase)") {
+    // Table case is preserved; derived constraint/index names are
+    // lowercased with '-' → '_' (`maps.py:25,28-38`).
+    val cfg = SinkConfig(topic = "numurus-data-test", lookup = "NumurusData",
+      table = "Numurus-Data-Uppercase", truncate = true,
+      datafile = "/root/reference/tests/numurus.data.json",
+      listen = false, doInserts = false)
+    val m = Listen.mappingFor(cfg)
+    assert(m.table == "Numurus-Data-Uppercase")
+    assert(m.upsertConstraintName.contains("numurus_data_uppercase_unique_constraint"))
+    assert(m.uniqueIndexName == "numurus_data_uppercase_unique_idx")
+    val sink = Listen.run(cfg, spark)
+    // 8 messages survive the mapping (pinned in MappingFixtureSpec) but the
+    // fixture repeats natural keys: after last-wins upsert dedup the table
+    // would hold 2 rows — which is what the sink sees.
+    assert(sink.asInstanceOf[DryRunSink].rowsSeen == 2)
+  }
+
   test("avro packing refuses to start without a registry") {
     intercept[IllegalArgumentException] {
       Listen.decoderFor(SinkConfig(packing = "avro", registry = ""))
