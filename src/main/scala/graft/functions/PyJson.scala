@@ -61,17 +61,37 @@ object PyJson {
     val sign = if (d < 0 || (d == 0.0 && 1.0 / d < 0)) "-" else ""
     if (abs == 0.0) return sign + "0.0"
     // Shortest round-trip decimal: JDK 17's Double.toString over-lengthens
-    // (fixed only in JDK 19+), so probe increasing precision like CPython.
-    // Locale.ROOT: a comma-decimal default locale would otherwise emit
-    // "2,9e+01" and break the round-trip probe.
-    var jstr: String = null
-    var p = 0
-    while (jstr == null && p < 17) {
-      val cand = String.format(java.util.Locale.ROOT, "%." + p + "e", java.lang.Double.valueOf(abs))
-      if (cand.toDouble == abs) jstr = cand
-      p += 1
+    // (fixed only in JDK 19+), so probe precision like CPython — seeded
+    // from the JDK repr's digit count and walking DOWN (round-trip success
+    // is monotone in precision), which needs ~2 format calls per value
+    // instead of ~16 ascending (this is the faithful layer's hot loop:
+    // every HSTORE float goes through here). Locale.ROOT: a comma-decimal
+    // default locale would otherwise emit "2,9e+01" and break the probe.
+    def fmt(p: Int): String =
+      String.format(java.util.Locale.ROOT, "%." + p + "e", java.lang.Double.valueOf(abs))
+    val jdk = java.lang.Double.toString(abs)
+    var p = {
+      var digits = 0
+      var i = 0
+      while (i < jdk.length && jdk.charAt(i) != 'E') {
+        if (jdk.charAt(i) >= '0' && jdk.charAt(i) <= '9') digits += 1
+        i += 1
+      }
+      math.max(0, math.min(digits - 1, 17))
     }
-    if (jstr == null) jstr = String.format(java.util.Locale.ROOT, "%.17e", java.lang.Double.valueOf(abs))
+    var jstr = fmt(p)
+    if (jstr.toDouble != abs) {
+      // JDK repr digit count insufficient (shouldn't happen) — walk up.
+      while (jstr.toDouble != abs && p < 17) { p += 1; jstr = fmt(p) }
+    } else {
+      var tryP = p - 1
+      var continue = tryP >= 0
+      while (continue) {
+        val cand = fmt(tryP)
+        if (cand.toDouble == abs) { jstr = cand; tryP -= 1; continue = tryP >= 0 }
+        else continue = false
+      }
+    }
     // form: d[.ddd]e±XX
     val Array(m, e) = jstr.split("e")
     var digits: String = m.replace(".", "")

@@ -124,6 +124,34 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(PyJson.expandEmbedded("{'a': False}").exists(_.isObject))
   }
 
+  test("pyFloatRepr is the SHORTEST round-trip decimal (CPython repr contract)") {
+    val rnd = new scala.util.Random(123)
+    def sigDigits(s: String): Int =
+      s.takeWhile(c => c != 'e' && c != 'E').filter(_.isDigit)
+        .dropWhile(_ == '0').reverse.dropWhile(_ == '0').length
+    (0 until 20000).foreach { i =>
+      val d = rnd.nextInt(4) match {
+        case 0 => rnd.nextDouble() * 1e3
+        case 1 => java.lang.Double.longBitsToDouble(rnd.nextLong()) match {
+          case x if x.isNaN || x.isInfinite => 1.5
+          case x => x
+        }
+        case 2 => rnd.nextFloat().toDouble // float-precision values
+        case 3 => math.pow(10, rnd.nextInt(40) - 20) * rnd.nextDouble()
+      }
+      val repr = graft.functions.PyJson.pyFloatRepr(d)
+      assert(repr.toDouble == d, s"round-trip failed: $d -> $repr")
+      // minimality: one fewer significant digit must NOT round-trip
+      val p = sigDigits(repr) - 1
+      if (p >= 1) {
+        val shorter = String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e",
+          java.lang.Double.valueOf(math.abs(d)))
+        assert(shorter.toDouble != math.abs(d),
+          s"$d: repr $repr not minimal ($shorter also round-trips)")
+      }
+    }
+  }
+
   test("rolling window hash equals direct recomputation of every window") {
     import graft.functions.RollingHashKernel
     import org.apache.spark.unsafe.types.UTF8String
