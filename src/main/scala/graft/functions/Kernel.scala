@@ -47,12 +47,29 @@ object Kernel {
   private val xx = """[\x00-\x1f\\"]""".r
   private val ux = """[\\u\[0-9A-Fa-f]\]""".r
 
+  private def hasXx(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < ' ' || c == '\\' || c == '"') return true
+      i += 1
+    }
+    false
+  }
+
   /** T6: make_valid_string (`tables.py:128-147`): sanitize strings, Python-
-    * `str()` everything else. */
+    * `str()` everything else. Each regex/replace pass only runs when a
+    * candidate character is present — a plain scan skips them for the
+    * overwhelmingly common clean string (per-HSTORE-value hot path). */
   def makeValidString(n: JsonNode): String = n match {
     case s: TextNode =>
-      ux.replaceAllIn(xx.replaceAllIn(s.textValue, ""), "")
-        .replace("\u0080", "").replace("\u0000", "")
+      val t = s.textValue
+      val afterXx = if (hasXx(t)) xx.replaceAllIn(t, "") else t
+      val afterUx =
+        if (afterXx.indexOf(']') >= 0) ux.replaceAllIn(afterXx, "") else afterXx
+      if (afterUx.indexOf('\u0080') >= 0 || afterUx.indexOf('\u0000') >= 0)
+        afterUx.replace("\u0080", "").replace("\u0000", "")
+      else afterUx
     case other => PyJson.pyStr(other)
   }
 

@@ -31,8 +31,31 @@ object PyJson {
 
   def parse(s: String): JsonNode = mapper.readTree(s)
 
-  /** NaN/Infinity → null, recursively (reference `payload_parse`). */
-  def scrubNonFinite(n: JsonNode): JsonNode = n match {
+  /** True when the tree holds any non-finite double (alloc-free check). */
+  private def hasNonFinite(n: JsonNode): Boolean = n match {
+    case d: DoubleNode => d.doubleValue.isNaN || d.doubleValue.isInfinite
+    case f: FloatNode  => f.floatValue.isNaN || f.floatValue.isInfinite
+    case o: ObjectNode =>
+      val it = o.elements()
+      while (it.hasNext) if (hasNonFinite(it.next())) return true
+      false
+    case a: ArrayNode =>
+      val it = a.elements()
+      while (it.hasNext) if (hasNonFinite(it.next())) return true
+      false
+    case _ => false
+  }
+
+  /** NaN/Infinity → null, recursively (reference `payload_parse`). The
+    * common all-finite tree is returned AS-IS (and scrubbed copies share
+    * untouched subtrees) — the deep copy only happens where there is
+    * actually something to scrub, since payload canonicalization runs per
+    * message. Callers must therefore treat both the result and the input
+    * as immutable after the call (capture any derived views first). */
+  def scrubNonFinite(n: JsonNode): JsonNode =
+    if (!hasNonFinite(n)) n else scrubCopy(n)
+
+  private def scrubCopy(n: JsonNode): JsonNode = n match {
     case d: DoubleNode if d.doubleValue.isNaN || d.doubleValue.isInfinite =>
       NullNode.getInstance
     case f: FloatNode if f.floatValue.isNaN || f.floatValue.isInfinite =>

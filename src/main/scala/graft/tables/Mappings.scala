@@ -364,10 +364,13 @@ class NwicFloatReportsSofar(topic: String, filters: TimeFilters = TimeFilters())
 
   override def mapMessage(key: String, raw: String): Option[FloatRow] = try {
     val v = Msg.parse(raw)
+    // flatten BEFORE the payload-only `message` pop: scrubNonFinite may
+    // return the original tree (copy-on-need), so the values must be
+    // captured first — they keep referencing the detached node either way.
+    val values = Kernel.flatten(v)
     val payloadNode = PyJson.scrubNonFinite(v).asInstanceOf[ObjectNode]
     payloadNode.remove("message")
     val payload = PyJson.mapper.writeValueAsString(payloadNode)
-    val values = Kernel.flatten(v)
 
     val timeUs = Kernel.parseTimeUtc(values("timestamp").asText)
     val (latdd, londd) =
