@@ -35,11 +35,17 @@ object ThroughputBench {
     cases.foreach { case (name, fixture, mapping) =>
       val msgs = graft.sources.FileReplay.messages(s"/root/reference/tests/$fixture")
       val copies = math.max(1, target / msgs.size)
+      // Real per-copy key diversity: rewrite the uid-bearing VALUE
+      // ("uid" for GenericFloat fixtures, "imei" for the flatten
+      // mappings) to carry the copy id, so dedup/upsert works over
+      // ~n distinct natural keys instead of collapsing to a handful.
+      val uidKey = if (fixture == "replayer.json") "uid" else "imei"
       val df = spark.range(copies).select(col("id"))
         .crossJoin(msgs.zipWithIndex.toDF("value", "i"))
         .select(concat(lit("k"), col("id")).as("key"),
-          // distinct uid per copy so dedup/upsert sees real key diversity
-          regexp_replace(col("value"), "\"imei\"\\s*:\\s*", "\"imei_orig\": 0, \"imei\": ")
+          regexp_replace(col("value"),
+            lit("\"" + uidKey + "\"\\s*:\\s*"),
+            concat(lit("\"" + uidKey + "\": \""), col("id").cast("string"), lit("x\", \"" + uidKey + "_orig\": ")))
             .as("value"),
           (col("id") * msgs.size + col("i")).as("__offset"))
       val n = copies * msgs.size

@@ -31,48 +31,108 @@ object PyJson {
 
   def parse(s: String): JsonNode = mapper.readTree(s)
 
-  /** True when the tree holds any non-finite double (alloc-free check). */
-  private def hasNonFinite(n: JsonNode): Boolean = n match {
-    case d: DoubleNode => d.doubleValue.isNaN || d.doubleValue.isInfinite
-    case f: FloatNode  => f.floatValue.isNaN || f.floatValue.isInfinite
-    case o: ObjectNode =>
-      val it = o.elements()
-      while (it.hasNext) if (hasNonFinite(it.next())) return true
-      false
-    case a: ArrayNode =>
-      val it = a.elements()
-      while (it.hasNext) if (hasNonFinite(it.next())) return true
-      false
-    case _ => false
-  }
-
-  /** NaN/Infinity → null, recursively (reference `payload_parse`). The
-    * common all-finite tree is returned AS-IS (and scrubbed copies share
-    * untouched subtrees) — the deep copy only happens where there is
-    * actually something to scrub, since payload canonicalization runs per
-    * message. Callers must therefore treat both the result and the input
-    * as immutable after the call (capture any derived views first). */
-  def scrubNonFinite(n: JsonNode): JsonNode =
-    if (!hasNonFinite(n)) n else scrubCopy(n)
-
-  private def scrubCopy(n: JsonNode): JsonNode = n match {
+  /** NaN/Infinity → null, recursively (reference `payload_parse`), in ONE
+    * pass with structural sharing: a clean subtree is returned AS-IS — the
+    * copy allocates only along paths that actually hold a non-finite value
+    * (payload canonicalization runs per message, and almost all trees are
+    * clean). Callers must therefore treat both the result and the input as
+    * immutable after the call (capture any derived views first). */
+  def scrubNonFinite(n: JsonNode): JsonNode = n match {
     case d: DoubleNode if d.doubleValue.isNaN || d.doubleValue.isInfinite =>
       NullNode.getInstance
     case f: FloatNode if f.floatValue.isNaN || f.floatValue.isInfinite =>
       NullNode.getInstance
     case o: ObjectNode =>
-      val out = mapper.createObjectNode()
-      o.fields.asScala.foreach(e => out.set[JsonNode](e.getKey, scrubNonFinite(e.getValue)))
-      out
+      var changed = false
+      val kvs = new scala.collection.mutable.ArrayBuffer[(String, JsonNode)](o.size)
+      val it = o.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val s = scrubNonFinite(e.getValue)
+        if (!(s eq e.getValue)) changed = true
+        kvs += e.getKey -> s
+      }
+      if (!changed) o
+      else {
+        val out = mapper.createObjectNode()
+        kvs.foreach { case (k, v) => out.set[JsonNode](k, v) }
+        out
+      }
     case a: ArrayNode =>
-      val out = mapper.createArrayNode()
-      a.elements.asScala.foreach(e => out.add(scrubNonFinite(e)))
-      out
+      var changed = false
+      val els = new scala.collection.mutable.ArrayBuffer[JsonNode](a.size)
+      val it = a.elements()
+      while (it.hasNext) {
+        val e = it.next()
+        val s = scrubNonFinite(e)
+        if (!(s eq e)) changed = true
+        els += s
+      }
+      if (!changed) a
+      else {
+        val out = mapper.createArrayNode()
+        els.foreach(out.add)
+        out
+      }
     case other => other
   }
 
   /** Canonical JSON text of a scrubbed tree (payload column). */
   def canonical(n: JsonNode): String = mapper.writeValueAsString(scrubNonFinite(n))
+
+  /** The mantissa digits and decimal exponent of `Double.toString(abs)`
+    * (shortest-unique digits), normalized so value = d.dddd × 10^exp10. */
+  private[graft] def jdkDigits(abs: Double): (String, Int) = {
+    val s = java.lang.Double.toString(abs)
+    val eIdx = s.indexOf('E')
+    val (mant, e) =
+      if (eIdx >= 0) (s.substring(0, eIdx), s.substring(eIdx + 1).toInt)
+      else (s, 0)
+    val dot = mant.indexOf('.')
+    val raw = mant.substring(0, dot) + mant.substring(dot + 1)
+    // strip leading zeros ("0.0012" → digits 12, exp -3)
+    var lead = 0
+    while (lead < raw.length - 1 && raw.charAt(lead) == '0') lead += 1
+    val digits0 = raw.substring(lead)
+    // strip trailing zeros (value unchanged; they are re-padded on demand)
+    var end = digits0.length
+    while (end > 1 && digits0.charAt(end - 1) == '0') end -= 1
+    (digits0.substring(0, end), dot - 1 - lead + e)
+  }
+
+  /** `%.(p)e` of a positive double, computed by rounding the
+    * `Double.toString` digit string — the DOCUMENTED java.util.Formatter
+    * semantics ("rounded using the round half up algorithm" on the
+    * toString digits, zero-padded when precision exceeds them) — without
+    * the Formatter machinery (~10× cheaper; this runs up to 17 times per
+    * HSTORE float). Equivalence with String.format is property-tested. */
+  private[graft] def sciFormat(digits: String, exp10: Int, p: Int): String = {
+    val need = p + 1
+    var rd: String = null
+    var re = exp10
+    if (digits.length <= need) rd = digits + ("0" * (need - digits.length))
+    else if (digits.charAt(need) < '5') rd = digits.substring(0, need)
+    else {
+      val arr = digits.substring(0, need).toCharArray
+      var i = need - 1
+      var carry = true
+      while (carry && i >= 0) {
+        if (arr(i) == '9') { arr(i) = '0'; i -= 1 }
+        else { arr(i) = (arr(i) + 1).toChar; carry = false }
+      }
+      if (carry) { rd = "1" + new String(arr, 0, need - 1); re += 1 }
+      else rd = new String(arr)
+    }
+    val sb = new java.lang.StringBuilder(need + 7)
+    sb.append(rd.charAt(0))
+    if (need > 1) { sb.append('.'); sb.append(rd, 1, need) }
+    sb.append('e')
+    if (re < 0) sb.append('-') else sb.append('+')
+    val ae = math.abs(re)
+    if (ae < 10) sb.append('0')
+    sb.append(ae)
+    sb.toString
+  }
 
   /** Python `repr(float)` — shortest round-trip decimal, positional for
     * exponents in [-4, 16), else `1e+17`-style scientific. */
@@ -84,37 +144,22 @@ object PyJson {
     val sign = if (d < 0 || (d == 0.0 && 1.0 / d < 0)) "-" else ""
     if (abs == 0.0) return sign + "0.0"
     // Shortest round-trip decimal: JDK 17's Double.toString over-lengthens
-    // (fixed only in JDK 19+), so probe precision like CPython — seeded
-    // from the JDK repr's digit count and walking DOWN (round-trip success
-    // is monotone in precision), which needs ~2 format calls per value
-    // instead of ~16 ascending (this is the faithful layer's hot loop:
-    // every HSTORE float goes through here). Locale.ROOT: a comma-decimal
-    // default locale would otherwise emit "2,9e+01" and break the probe.
-    def fmt(p: Int): String =
-      String.format(java.util.Locale.ROOT, "%." + p + "e", java.lang.Double.valueOf(abs))
-    val jdk = java.lang.Double.toString(abs)
-    var p = {
-      var digits = 0
-      var i = 0
-      while (i < jdk.length && jdk.charAt(i) != 'E') {
-        if (jdk.charAt(i) >= '0' && jdk.charAt(i) <= '9') digits += 1
-        i += 1
-      }
-      math.max(0, math.min(digits - 1, 17))
+    // (fixed only in JDK 19+), so probe increasing precision like CPython.
+    // The probe MUST ascend from 0: round-trip success is NOT monotone in
+    // precision (at power-of-two boundaries the rounding interval is
+    // asymmetric — e.g. 2^149 round-trips at 14 and 17 digits but not 16),
+    // so any walk-down/seeded shortcut returns a non-shortest repr there.
+    // Candidates come from sciFormat (String.format-equivalent by the
+    // documented Formatter digit-rounding semantics, property-tested).
+    val (jd, je) = jdkDigits(abs)
+    var jstr: String = null
+    var p = 0
+    while (jstr == null && p < 17) {
+      val cand = sciFormat(jd, je, p)
+      if (java.lang.Double.parseDouble(cand) == abs) jstr = cand
+      p += 1
     }
-    var jstr = fmt(p)
-    if (jstr.toDouble != abs) {
-      // JDK repr digit count insufficient (shouldn't happen) — walk up.
-      while (jstr.toDouble != abs && p < 17) { p += 1; jstr = fmt(p) }
-    } else {
-      var tryP = p - 1
-      var continue = tryP >= 0
-      while (continue) {
-        val cand = fmt(tryP)
-        if (cand.toDouble == abs) { jstr = cand; tryP -= 1; continue = tryP >= 0 }
-        else continue = false
-      }
-    }
+    if (jstr == null) jstr = sciFormat(jd, je, 17)
     // form: d[.ddd]e±XX
     val Array(m, e) = jstr.split("e")
     var digits: String = m.replace(".", "")

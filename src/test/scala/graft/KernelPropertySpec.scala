@@ -152,6 +152,49 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sciFormat is String.format('%.pe')-equivalent across double classes") {
+    val rnd = new scala.util.Random(77)
+    val cases = Iterator.fill(1500) {
+      rnd.nextInt(5) match {
+        case 0 => rnd.nextDouble() * 1e3
+        case 1 => java.lang.Double.longBitsToDouble(rnd.nextLong()) match {
+          case x if x.isNaN || x.isInfinite => 1.5
+          case x => math.abs(x)
+        }
+        case 2 => rnd.nextFloat().toDouble.abs
+        case 3 => math.scalb(1.0, rnd.nextInt(2098) - 1074) // powers of two incl. subnormal
+        case 4 => math.pow(10, rnd.nextInt(40) - 20) * rnd.nextDouble()
+      }
+    }.filter(d => d > 0 && !d.isInfinite).toSeq :+ java.lang.Double.MIN_VALUE :+ 9.999999999999999e22
+    cases.foreach { d =>
+      val (digits, e) = graft.functions.PyJson.jdkDigits(d)
+      (0 to 17).foreach { p =>
+        val want = String.format(java.util.Locale.ROOT, "%." + p + "e", java.lang.Double.valueOf(d))
+        val got = graft.functions.PyJson.sciFormat(digits, e, p)
+        assert(got == want, s"d=$d p=$p: got $got want $want")
+      }
+    }
+  }
+
+  test("pyFloatRepr matches CPython repr at power-of-two boundaries") {
+    // Round-trip success is non-monotone in precision exactly here
+    // (asymmetric rounding intervals) — these pin the ascending probe.
+    // Ground truth: CPython 3.11 repr().
+    val goldens = Seq(
+      math.pow(2, 149)  -> "7.1362384635298e+44",
+      math.pow(2, -499) -> "6.10987272699921e-151",
+      math.pow(2, 739)  -> "2.891790293717215e+222",
+      math.pow(2, 956)  -> "6.090821257125e+287",
+      java.lang.Double.MIN_VALUE -> "5e-324",
+      math.pow(2, 1023) -> "8.98846567431158e+307",
+      math.pow(2, -20)  -> "9.5367431640625e-07",
+      math.pow(2, 52)   -> "4503599627370496.0")
+    goldens.foreach { case (d, want) =>
+      assert(graft.functions.PyJson.pyFloatRepr(d) == want,
+        s"$d: got ${graft.functions.PyJson.pyFloatRepr(d)}, want $want")
+    }
+  }
+
   test("rolling window hash equals direct recomputation of every window") {
     import graft.functions.RollingHashKernel
     import org.apache.spark.unsafe.types.UTF8String
