@@ -43,95 +43,55 @@ object PyJson {
     case f: FloatNode if f.floatValue.isNaN || f.floatValue.isInfinite =>
       NullNode.getInstance
     case o: ObjectNode =>
-      var changed = false
-      val kvs = new scala.collection.mutable.ArrayBuffer[(String, JsonNode)](o.size)
+      // alloc-free until the first changed child: only then build the
+      // copy, re-walking the already-visited (unchanged) prefix
+      var out: ObjectNode = null
+      var idx = 0
       val it = o.fields()
       while (it.hasNext) {
         val e = it.next()
         val s = scrubNonFinite(e.getValue)
-        if (!(s eq e.getValue)) changed = true
-        kvs += e.getKey -> s
+        if ((out eq null) && !(s eq e.getValue)) {
+          out = mapper.createObjectNode()
+          val pre = o.fields()
+          var j = 0
+          while (j < idx) { val pe = pre.next(); out.set[JsonNode](pe.getKey, pe.getValue); j += 1 }
+        }
+        if (out ne null) out.set[JsonNode](e.getKey, s)
+        idx += 1
       }
-      if (!changed) o
-      else {
-        val out = mapper.createObjectNode()
-        kvs.foreach { case (k, v) => out.set[JsonNode](k, v) }
-        out
-      }
+      if (out eq null) o else out
     case a: ArrayNode =>
-      var changed = false
-      val els = new scala.collection.mutable.ArrayBuffer[JsonNode](a.size)
+      var out: ArrayNode = null
+      var idx = 0
       val it = a.elements()
       while (it.hasNext) {
         val e = it.next()
         val s = scrubNonFinite(e)
-        if (!(s eq e)) changed = true
-        els += s
+        if ((out eq null) && !(s eq e)) {
+          out = mapper.createArrayNode()
+          val pre = a.elements()
+          var j = 0
+          while (j < idx) { out.add(pre.next()); j += 1 }
+        }
+        if (out ne null) out.add(s)
+        idx += 1
       }
-      if (!changed) a
-      else {
-        val out = mapper.createArrayNode()
-        els.foreach(out.add)
-        out
-      }
+      if (out eq null) a else out
     case other => other
   }
 
   /** Canonical JSON text of a scrubbed tree (payload column). */
   def canonical(n: JsonNode): String = mapper.writeValueAsString(scrubNonFinite(n))
 
-  /** The mantissa digits and decimal exponent of `Double.toString(abs)`
-    * (shortest-unique digits), normalized so value = d.dddd × 10^exp10. */
-  private[graft] def jdkDigits(abs: Double): (String, Int) = {
-    val s = java.lang.Double.toString(abs)
-    val eIdx = s.indexOf('E')
-    val (mant, e) =
-      if (eIdx >= 0) (s.substring(0, eIdx), s.substring(eIdx + 1).toInt)
-      else (s, 0)
-    val dot = mant.indexOf('.')
-    val raw = mant.substring(0, dot) + mant.substring(dot + 1)
-    // strip leading zeros ("0.0012" → digits 12, exp -3)
-    var lead = 0
-    while (lead < raw.length - 1 && raw.charAt(lead) == '0') lead += 1
-    val digits0 = raw.substring(lead)
-    // strip trailing zeros (value unchanged; they are re-padded on demand)
-    var end = digits0.length
-    while (end > 1 && digits0.charAt(end - 1) == '0') end -= 1
-    (digits0.substring(0, end), dot - 1 - lead + e)
-  }
+  private val mcs: Array[java.math.MathContext] =
+    Array.tabulate(19)(n => new java.math.MathContext(math.max(1, n), java.math.RoundingMode.HALF_EVEN))
 
-  /** `%.(p)e` of a positive double, computed by rounding the
-    * `Double.toString` digit string — the DOCUMENTED java.util.Formatter
-    * semantics ("rounded using the round half up algorithm" on the
-    * toString digits, zero-padded when precision exceeds them) — without
-    * the Formatter machinery (~10× cheaper; this runs up to 17 times per
-    * HSTORE float). Equivalence with String.format is property-tested. */
-  private[graft] def sciFormat(digits: String, exp10: Int, p: Int): String = {
-    val need = p + 1
-    var rd: String = null
-    var re = exp10
-    if (digits.length <= need) rd = digits + ("0" * (need - digits.length))
-    else if (digits.charAt(need) < '5') rd = digits.substring(0, need)
-    else {
-      val arr = digits.substring(0, need).toCharArray
-      var i = need - 1
-      var carry = true
-      while (carry && i >= 0) {
-        if (arr(i) == '9') { arr(i) = '0'; i -= 1 }
-        else { arr(i) = (arr(i) + 1).toChar; carry = false }
-      }
-      if (carry) { rd = "1" + new String(arr, 0, need - 1); re += 1 }
-      else rd = new String(arr)
-    }
-    val sb = new java.lang.StringBuilder(need + 7)
-    sb.append(rd.charAt(0))
-    if (need > 1) { sb.append('.'); sb.append(rd, 1, need) }
-    sb.append('e')
-    if (re < 0) sb.append('-') else sb.append('+')
-    val ae = math.abs(re)
-    if (ae < 10) sb.append('0')
-    sb.append(ae)
-    sb.toString
+  /** Mantissa digits (no sign) and decimal exponent of a positive
+    * BigDecimal, normalized so value = d1.d2d3… × 10^exp10. */
+  private def bdDigits(bd: java.math.BigDecimal): (String, Int) = {
+    val ds = bd.unscaledValue.abs.toString
+    (ds, ds.length - 1 - bd.scale)
   }
 
   /** Python `repr(float)` — shortest round-trip decimal, positional for
@@ -143,29 +103,46 @@ object PyJson {
     val abs = math.abs(d)
     val sign = if (d < 0 || (d == 0.0 && 1.0 / d < 0)) "-" else ""
     if (abs == 0.0) return sign + "0.0"
-    // Shortest round-trip decimal: JDK 17's Double.toString over-lengthens
-    // (fixed only in JDK 19+), so probe increasing precision like CPython.
-    // The probe MUST ascend from 0: round-trip success is NOT monotone in
-    // precision (at power-of-two boundaries the rounding interval is
-    // asymmetric — e.g. 2^149 round-trips at 14 and 17 digits but not 16),
-    // so any walk-down/seeded shortcut returns a non-shortest repr there.
-    // Candidates come from sciFormat (String.format-equivalent by the
-    // documented Formatter digit-rounding semantics, property-tested).
-    val (jd, je) = jdkDigits(abs)
-    var jstr: String = null
+    // Shortest round-trip decimal, CPython-style: at each precision the
+    // candidate is the CORRECTLY-ROUNDED (p+1)-digit decimal of the EXACT
+    // binary value (BigDecimal, half-even — NOT a re-rounding of the
+    // JDK-17 Double.toString digits, whose double rounding misses the
+    // true shortest for ~0.2% of full-precision doubles). The probe MUST
+    // ascend from 0 (round-trip success is not monotone in precision),
+    // and when the nearest candidate fails, its decimal neighbors are
+    // tried — at power-of-two boundaries the rounding interval is
+    // asymmetric, so a round-tripping decimal can sit one ulp off
+    // nearest. Pinned against 20k CPython ground-truth reprs.
+    val exact = new java.math.BigDecimal(abs)
+    var digits: String = null
+    var exp10 = 0
     var p = 0
-    while (jstr == null && p < 17) {
-      val cand = sciFormat(jd, je, p)
-      if (java.lang.Double.parseDouble(cand) == abs) jstr = cand
+    while (digits == null && p < 17) {
+      val c0 = exact.round(mcs(p + 1))
+      var chosen: java.math.BigDecimal = null
+      if (c0.doubleValue == abs) chosen = c0
+      else {
+        val ulp = c0.ulp
+        val cUp = c0.add(ulp)
+        if (cUp.doubleValue == abs) chosen = cUp
+        else {
+          val cDn = c0.subtract(ulp)
+          if (cDn.signum > 0 && cDn.doubleValue == abs) chosen = cDn
+        }
+      }
+      if (chosen != null) {
+        val de = bdDigits(chosen)
+        digits = de._1
+        exp10 = de._2
+      }
       p += 1
     }
-    if (jstr == null) jstr = sciFormat(jd, je, 17)
-    // form: d[.ddd]e±XX
-    val Array(m, e) = jstr.split("e")
-    var digits: String = m.replace(".", "")
-    var exp10: Int = e.toInt
-    while (digits.length > 1 && digits.charAt(0) == '0') {
-      digits = digits.substring(1); exp10 -= 1
+    if (digits == null) {
+      // unreachable: the correctly-rounded 17-digit decimal always
+      // round-trips; kept as a safety net.
+      val de = bdDigits(exact.round(mcs(17)))
+      digits = de._1
+      exp10 = de._2
     }
     if (digits == "0") return sign + "0.0"
     val trimmed0 = digits.reverse.dropWhile(_ == '0').reverse

@@ -141,39 +141,41 @@ class KernelPropertySpec extends AnyFunSuite {
       }
       val repr = graft.functions.PyJson.pyFloatRepr(d)
       assert(repr.toDouble == d, s"round-trip failed: $d -> $repr")
-      // minimality: one fewer significant digit must NOT round-trip
+      // minimality: NO decimal with one fewer significant digit may
+      // round-trip — checked via the correctly-rounded candidate and its
+      // decimal neighbors (the only possible round-trippers at a length)
       val p = sigDigits(repr) - 1
       if (p >= 1) {
-        val shorter = String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e",
-          java.lang.Double.valueOf(math.abs(d)))
-        assert(shorter.toDouble != math.abs(d),
-          s"$d: repr $repr not minimal ($shorter also round-trips)")
+        val abs = math.abs(d)
+        val c0 = new java.math.BigDecimal(abs).round(
+          new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+        val cands = Seq(c0, c0.add(c0.ulp), c0.subtract(c0.ulp))
+        assert(!cands.exists(c => c.signum > 0 && c.doubleValue == abs),
+          s"$d: repr $repr not minimal (a $p-digit decimal also round-trips)")
       }
     }
   }
 
-  test("sciFormat is String.format('%.pe')-equivalent across double classes") {
-    val rnd = new scala.util.Random(77)
-    val cases = Iterator.fill(1500) {
-      rnd.nextInt(5) match {
-        case 0 => rnd.nextDouble() * 1e3
-        case 1 => java.lang.Double.longBitsToDouble(rnd.nextLong()) match {
-          case x if x.isNaN || x.isInfinite => 1.5
-          case x => math.abs(x)
-        }
-        case 2 => rnd.nextFloat().toDouble.abs
-        case 3 => math.scalb(1.0, rnd.nextInt(2098) - 1074) // powers of two incl. subnormal
-        case 4 => math.pow(10, rnd.nextInt(40) - 20) * rnd.nextDouble()
+  test("pyFloatRepr matches CPython repr on a 20k ground-truth corpus") {
+    // src/test/resources/pyfloat_repr_golden.txt: "<ieee-bits-hex> <repr>"
+    // generated with CPython 3.11 over uniform bit patterns, powers of two
+    // (incl. subnormals), float32 values, and positional-range doubles.
+    val in = getClass.getResourceAsStream("/pyfloat_repr_golden.txt")
+    assert(in != null, "golden resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      var n = 0
+      src.getLines().foreach { line =>
+        val sp = line.indexOf(' ')
+        val d = java.lang.Double.longBitsToDouble(
+          java.lang.Long.parseUnsignedLong(line.substring(0, sp), 16))
+        val want = line.substring(sp + 1)
+        val got = graft.functions.PyJson.pyFloatRepr(d)
+        assert(got == want, s"bits=${line.substring(0, sp)} d=$d: got $got want $want")
+        n += 1
       }
-    }.filter(d => d > 0 && !d.isInfinite).toSeq :+ java.lang.Double.MIN_VALUE :+ 9.999999999999999e22
-    cases.foreach { d =>
-      val (digits, e) = graft.functions.PyJson.jdkDigits(d)
-      (0 to 17).foreach { p =>
-        val want = String.format(java.util.Locale.ROOT, "%." + p + "e", java.lang.Double.valueOf(d))
-        val got = graft.functions.PyJson.sciFormat(digits, e, p)
-        assert(got == want, s"d=$d p=$p: got $got want $want")
-      }
-    }
+      assert(n > 20000)
+    } finally src.close()
   }
 
   test("pyFloatRepr matches CPython repr at power-of-two boundaries") {
