@@ -39,6 +39,21 @@ object MappingQueries {
       mapJson(col("values")).as("values_json"), col("payload"))
       .orderBy(col("uid"), col("time"), col("values_json"))
 
+  /** Scalar core of a FlattenedFloat output — uid, the timestamp fallback
+    * chain, the resolved position (Full_ll / values / deg+min), geom WKT and
+    * the QARTOD flag. Exactly the subset whose semantics (`tables.py:379-654`)
+    * DuckDB can reproduce over `read_json` of the same fixture; the
+    * values-map repr stays golden-tested in the m6–m10 full entries.
+    * reftime is an order key too: duplicate messages can tie on
+    * (uid, time, lat, lon) yet differ in iridium_ts. Rows tying on all order
+    * keys are identical in every projected column (geom/quality derive from
+    * lat/lon), so the sort is deterministic for hashing. */
+  private def coreProj(df: DataFrame): DataFrame =
+    df.select(col("uid"), col("time"), col("reftime"), col("lat"), col("lon"),
+      col("z"), col("geom"),
+      element_at(col("values"), "location_quality").as("location_quality"))
+      .orderBy(col("uid"), col("time"), col("reftime"), col("lat"), col("lon"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // m1/m2: the `sinked` wall-clock column is faithful to the reference's
     // datetime.utcnow() but nondeterministic by construction — projected out
@@ -91,6 +106,27 @@ object MappingQueries {
           mapJson(col("values")).as("values_json"), col("payload"))
         .orderBy(col("uid"), col("time"))
     },
+    // Scalar cores of the flatten-driven mappings (hash-oracled; the full
+    // entries above stay rows-only for their Python-repr values_json).
+    "m6_core" -> { (s, d) =>
+      coreProj(replay(new AreteData("topic"), "arete_data.json")(s, d))
+    },
+    "m7_core" -> { (s, d) =>
+      coreProj(replay(new NumurusData("topic"), "numurus.data.json")(s, d))
+    },
+    "m8_core" -> { (s, d) =>
+      coreProj(replay(new NumurusStatus("topic"), "numurus.status.json")(s, d))
+    },
+    "m9_core" -> { (s, d) =>
+      coreProj(replay(new NwicFloatReports("foo"), "health_and_status.json")(s, d))
+    },
+    // m10 core: no quality flag in the mapping, and reftime is wall-clock
+    // (`tables.py:687`) — both excluded.
+    "m10_core" -> { (s, d) =>
+      replay(new NwicFloatReportsSofar("sofar.data"), "sofar.json")(s, d)
+        .select(col("uid"), col("time"), col("lat"), col("lon"), col("z"), col("geom"))
+        .orderBy(col("uid"), col("time"), col("lat"), col("lon"))
+    },
     // Map-typed column functions over an HSTORE values column (rows-only:
     // the oracle runs on the source tables, not on mapping output).
     "m11_map_funcs" -> { (s, d) =>
@@ -105,7 +141,110 @@ object MappingQueries {
     }
   )
 
+  /** QARTOD flag (`tables.py:82-118`) as DuckDB SQL over resolved lon/lat and
+    * an `inprecise` boolean; `disallow` injects the mapping's sentinel checks
+    * (all branches return 4, so clause order beyond the first is free). */
+  private def qualSql(disallow: String): String =
+    s"""CAST(CASE
+       |  WHEN (lon > -1 AND lon < 1 AND lat > -1 AND lat < 1) OR lon = 0 OR lat = 0 THEN 4
+       |  $disallow
+       |  WHEN NOT ((lon > -180 AND lon < 180 AND lat > -90 AND lat < 90)
+       |         OR (lon > 0 AND lon < 360 AND lat > -90 AND lat < 90)) THEN 4
+       |  WHEN inprecise THEN 3 ELSE 1 END AS VARCHAR) AS location_quality""".stripMargin
+
+  private val coreTail =
+    """SELECT uid, time, reftime, lat, lon, CAST(NULL AS DOUBLE) AS z,
+      |  'POINT (' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS geom,""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // AreteData scalar core: iridium_ts epoch for both times (status_ts never
+    // present in the fixture), position from Full_ll → json.position →
+    // deg+min fallback. `position` is sometimes a Python-repr STRING (the
+    // reference decodes it via its ast.literal_eval fallback,
+    // `tables.py:65-79`); single→double quote rewrite is exact here — no
+    // value in the fixture contains an apostrophe.
+    "m6_core" ->
+      s"""WITH src AS (
+         |  SELECT headers, json,
+         |    CASE WHEN json_type(json.position) = 'VARCHAR'
+         |         THEN CAST(replace(json_extract_string(json.position, '$$'), chr(39), '"') AS JSON)
+         |         ELSE json.position END AS posj
+         |  FROM read_json('/root/reference/tests/arete_data.json')
+         |), pos AS (
+         |  SELECT
+         |    CAST(headers.imei AS VARCHAR) AS uid,
+         |    make_timestamp(CAST(headers.iridium_ts AS BIGINT) * 1000000) AS time,
+         |    make_timestamp(CAST(headers.iridium_ts AS BIGINT) * 1000000) AS reftime,
+         |    CASE WHEN json.Full_ll IS NOT NULL THEN json.Full_ll[1]
+         |         WHEN json_extract(posj, '$$.latitude') IS NOT NULL
+         |          AND json_extract(posj, '$$.longitude') IS NOT NULL
+         |           THEN CAST(json_extract(posj, '$$.latitude') AS DOUBLE)
+         |         ELSE headers.location.latitude.degrees + headers.location.latitude.minutes / 60.0 END AS lat,
+         |    CASE WHEN json.Full_ll IS NOT NULL THEN json.Full_ll[2]
+         |         WHEN json_extract(posj, '$$.latitude') IS NOT NULL
+         |          AND json_extract(posj, '$$.longitude') IS NOT NULL
+         |           THEN CAST(json_extract(posj, '$$.longitude') AS DOUBLE)
+         |         ELSE headers.location.longitude.degrees + headers.location.longitude.minutes / 60.0 END AS lon,
+         |    (json.Full_ll IS NULL AND (json_extract(posj, '$$.latitude') IS NULL
+         |                            OR json_extract(posj, '$$.longitude') IS NULL)) AS inprecise
+         |  FROM src)
+         |$coreTail
+         |  ${qualSql("")}
+         |FROM pos ORDER BY uid, time, reftime, lat, lon""".stripMargin,
+    "m7_core" ->
+      s"""WITH pos AS (
+         |  SELECT CAST(imei AS VARCHAR) AS uid,
+         |    CAST(timestamp AS TIMESTAMP) AS time,
+         |    CAST(navsat_fix_time AS TIMESTAMP) AS reftime,
+         |    latitude AS lat, longitude AS lon, false AS inprecise
+         |  FROM read_json('/root/reference/tests/numurus.data.json'))
+         |$coreTail
+         |  ${qualSql("WHEN lon = 181 OR lat = 91 THEN 4")}
+         |FROM pos ORDER BY uid, time, reftime, lat, lon""".stripMargin,
+    // NumurusStatus: rows without imei raise KeyError in the reference and
+    // are dropped (87 of 184 in the fixture survive).
+    "m8_core" ->
+      s"""WITH pos AS (
+         |  SELECT CAST(imei AS VARCHAR) AS uid,
+         |    CAST(timestamp AS TIMESTAMP) AS time,
+         |    CAST(navsat_fix_time AS TIMESTAMP) AS reftime,
+         |    latitude AS lat, longitude AS lon, false AS inprecise
+         |  FROM read_json('/root/reference/tests/numurus.status.json') WHERE imei IS NOT NULL)
+         |$coreTail
+         |  ${qualSql("WHEN lon = 181 OR lat = 91 THEN 4")}
+         |FROM pos ORDER BY uid, time, reftime, lat, lon""".stripMargin,
+    // NwicFloatReports: status_ts→environmental_ts→mission_ts fallback chain
+    // with Python truthiness (0/null fall through; the latter two keys never
+    // occur in the fixture), position from truthy values.lat/lon pair else
+    // deg+min (inprecise → flag 3).
+    "m9_core" ->
+      s"""WITH pos AS (
+         |  SELECT CAST(headers.imei AS VARCHAR) AS uid,
+         |    make_timestamp(CASE WHEN "values".status_ts IS NOT NULL AND "values".status_ts != 0
+         |      THEN CAST("values".status_ts AS BIGINT) ELSE CAST(headers.iridium_ts AS BIGINT) END * 1000000) AS time,
+         |    make_timestamp(CAST(headers.iridium_ts AS BIGINT) * 1000000) AS reftime,
+         |    CASE WHEN "values".latitude IS NOT NULL AND "values".latitude != 0
+         |          AND "values".longitude IS NOT NULL AND "values".longitude != 0
+         |         THEN "values".latitude
+         |         ELSE headers.location.latitude.degrees + headers.location.latitude.minutes / 60.0 END AS lat,
+         |    CASE WHEN "values".latitude IS NOT NULL AND "values".latitude != 0
+         |          AND "values".longitude IS NOT NULL AND "values".longitude != 0
+         |         THEN "values".longitude
+         |         ELSE headers.location.longitude.degrees + headers.location.longitude.minutes / 60.0 END AS lon,
+         |    NOT ("values".latitude IS NOT NULL AND "values".latitude != 0
+         |     AND "values".longitude IS NOT NULL AND "values".longitude != 0) AS inprecise
+         |  FROM read_json('/root/reference/tests/health_and_status.json'))
+         |$coreTail
+         |  ${qualSql("")}
+         |FROM pos ORDER BY uid, time, reftime, lat, lon""".stripMargin,
+    // Sofar: uid = spotterId[5:], no quality flag, reftime wall-clock (excluded).
+    "m10_core" ->
+      """SELECT substr(spotterId, 6) AS uid,
+        |  CAST(timestamp AS TIMESTAMP) AS time,
+        |  latitude AS lat, longitude AS lon, CAST(NULL AS DOUBLE) AS z,
+        |  'POINT (' || CAST(longitude AS VARCHAR) || ' ' || CAST(latitude AS VARCHAR) || ')' AS geom
+        |FROM read_json('/root/reference/tests/sofar.json')
+        |ORDER BY uid, time, lat, lon""".stripMargin,
     // GenericFieldStatistic over the fixture: DuckDB reproduces the interval
     // rows exactly; `values` canonical JSON matches Jackson's compact form
     // (same key order: the fixture's records share one schema).
