@@ -97,6 +97,21 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The stub's features are exact integer arithmetic over the bytes, so a
+    // full oracle exists (ASCII corpus ⇒ ascii(char) == byte value): the
+    // checksum folds (acc*31 + b) & 0x7fffffff and stays < 2^36 — no
+    // overflow; the empty-input reduce over the prepended seed yields 0,
+    // matching stubDecode's n=0 contract.
+    "mm2_decode_features" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(n), i -> CAST(ascii(text[i+1]) AS BIGINT))),
+        |    (a,b) -> (a*31+b) & 2147483647) AS checksum,
+        |  CASE WHEN n = 0 THEN CAST(0 AS DOUBLE) ELSE
+        |    CAST(list_sum(list_transform(range(n),
+        |      i -> CAST(ascii(text[i+1]) AS BIGINT))) AS DOUBLE) / n END AS mean_byte
+        |FROM t ORDER BY doc_id""".stripMargin,
     // ASCII corpus ⇒ byte and character offsets agree, so the blob slicing
     // is mirrored with VARCHAR substring (DuckDB 1.0 has no md5(BLOB)).
     // range() takes constants only: 16 frames covers max len 577 ≪ 16·64.
