@@ -28,9 +28,12 @@ object Listen {
 
   /** DDL phase statements in the reference's order (`listen.py:103-135`):
     * schema + hstore extension, optional drop (or truncate when not
-    * dropping), then create-or-migrate + indexes. */
-  def ddlFor(mapping: TableMapping[_ <: Product], cfg: SinkConfig): Seq[String] = {
-    val boot = UpsertSink.createTableDdl(mapping, cfg.schemaName)
+    * dropping), then create-or-migrate + indexes. `existing` is what
+    * reflection found (None ⇒ CREATE path; Some ⇒ ALTER-extend, the
+    * reference's `extend_existing=True`). */
+  def ddlFor(mapping: TableMapping[_ <: Product], cfg: SinkConfig,
+      existing: Option[graft.sinks.TableState] = None): Seq[String] = {
+    val boot = UpsertSink.bootstrapDdl(mapping, existing, cfg.schemaName)
     val (pre, createRest) = boot.splitAt(2) // schema, extension
     val dropOrTruncate =
       if (cfg.drop) Seq(UpsertSink.dropDdl(mapping, cfg.schemaName))
@@ -49,18 +52,32 @@ object Listen {
   /** The assembled dataflow; returns the sink for inspection (tests mirror
     * the reference's `--datafile --no-listen --no-do-inserts` suite). */
   def run(cfg: SinkConfig, spark: SparkSession): RowSink = {
+    graft.core.Log.init(cfg.logfile)
     val mapping = mappingFor(cfg)
+    graft.core.Log.info(
+      s"mapping ${cfg.lookup} (topic ${cfg.topic}) -> table ${cfg.schemaName}.${mapping.table}")
     val sink: RowSink =
       if (cfg.doInserts) new JdbcSink(cfg.db, new java.util.Properties)
       else new DryRunSink
 
-    if (cfg.doInserts) sink.executeDdl(ddlFor(mapping, cfg))
+    // Reflect-before-DDL: after --drop the table is gone, so the CREATE
+    // path applies regardless of what reflection would have found.
+    if (cfg.doInserts) {
+      val existing =
+        if (cfg.drop) None else sink.describeTable(cfg.schemaName, mapping.table)
+      val ddl = ddlFor(mapping, cfg, existing)
+      graft.core.Log.info(
+        s"DDL phase (${if (existing.isDefined) "migrate" else "create"}): ${ddl.size} statements")
+      sink.executeDdl(ddl)
+    }
 
     if (cfg.datafile.nonEmpty) {
       // Replay mode (`listen.py:173-177`): same transform + sink path as
       // the stream, batch source.
+      graft.core.Log.info(s"replaying ${cfg.datafile}")
       UpsertSink.writeBatch(
         mapping.transform(FileReplay.read(spark, cfg.datafile)), mapping, sink)
+      graft.core.Log.info(s"replay of ${cfg.datafile} complete")
     } else if (cfg.listen) {
       val stream = Pipeline.kafkaSource(spark, cfg.brokers, cfg.topic,
         cfg.offset, Option(cfg.consumer).filter(_.nonEmpty))
@@ -73,6 +90,7 @@ object Listen {
         if (cfg.checkpoint.nonEmpty) cfg.checkpoint
         else s"${sys.props("user.home")}/.graft/checkpoints/" +
           s"${mapping.table}-${cfg.topic.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      graft.core.Log.info(s"listening on ${cfg.topic} (checkpoint $ckpt)")
       val query = Pipeline.run(stream, mapping, sink,
         checkpoint = ckpt,
         decoder = decoderFor(cfg),

@@ -24,7 +24,7 @@ case class SinkConfig(
     listen: Boolean = true,
     doInserts: Boolean = true,
     datafile: String = "",
-    checkpoint: String = "", // empty ⇒ graft-checkpoints/<table>-<topic> (durable cwd)
+    checkpoint: String = "", // empty ⇒ ~/.graft/checkpoints/<table>-<topic>
     verbose: Int = 0,
     startDate: Option[String] = None,
     endDate: Option[String] = None) {

@@ -83,6 +83,21 @@ class CliSpec extends SparkTestBase {
     assert(sink.asInstanceOf[DryRunSink].rowsSeen == 2)
   }
 
+  test("--logfile routes the tool's log lines to the file") {
+    val f = java.nio.file.Files.createTempFile("graft-log", ".log")
+    try {
+      Listen.run(SinkConfig(
+        topic = "axds-netcdf-replayer-data", lookup = "GenericFloat",
+        datafile = "/root/reference/tests/replayer.json",
+        logfile = f.toString, listen = false, doInserts = false), spark)
+      graft.core.Log.close() // flush + release before reading
+      val lines = scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(f)).asScala
+      assert(lines.exists(_.contains("mapping GenericFloat")), s"got: $lines")
+      assert(lines.exists(_.contains("replay of /root/reference/tests/replayer.json complete")))
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("avro packing refuses to start without a registry") {
     intercept[IllegalArgumentException] {
       Listen.decoderFor(SinkConfig(packing = "avro", registry = ""))
