@@ -197,13 +197,20 @@ object Dedup {
     // longer than the cap (a boilerplate trigram shared by a million
     // documents) is dropped before any pair is generated, bounding
     // candidate work at cap² per shingle instead of quadratic in the
-    // corpus. The measure is Jaccard over the DF≤cap shingle vocabulary
-    // (n_sh stays the FULL set size): exact whenever no qualifying pair
-    // depends on a blocked shingle — on this corpus every J ≥ 0.3 pair
-    // shares a shingle of DF ≤ 10 and max DF is 25 (measured at sf0.1),
-    // so output is bit-identical to the uncapped oracle at sf0.01/sf0.1.
+    // corpus.
+    //
+    // RESULT CONTRACT (the cap is part of the operator's definition): the
+    // measure is Jaccard over the DF ≤ cap shingle vocabulary (n_sh stays
+    // the FULL set size), cap configurable via `graft.dedup.d5DfCap`
+    // (default 50). It equals the uncapped Jaccard exactly when no
+    // qualifying pair depends solely on blocked shingles — true on this
+    // corpus (every J ≥ 0.3 pair shares a shingle of DF ≤ 10; max DF 25,
+    // measured at sf0.1 ⇒ bit-identical to the uncapped oracle), but a
+    // property to RE-MEASURE per corpus/scale before relying on exactness
+    // — at other DF distributions the capped result is a recall-bounded
+    // approximation, not the exact pair set.
     "d5_ngram_jaccard" -> { (s, d) =>
-      val DF_CAP = 50
+      val DF_CAP = s.conf.getOption("graft.dedup.d5DfCap").map(_.toInt).getOrElse(50)
       val postings = withShingles(s, d)
         .select(struct(col("doc_id"),
             size(col("shingles")).cast("bigint").as("n_sh")).as("doc"),
@@ -231,12 +238,27 @@ object Dedup {
     // (measured min cosine 0.30001 at sf0.1), where sign-LSH per-bit
     // agreement is only ~0.6 — no practical (k, L) keeps recall at 1.0, so
     // bucketing here would silently change the answer. The bounded-
-    // candidate scale path is d7 below (same pattern as s1/s2).
+    // candidate scale path is d7 below (same pattern as s1/s2) — the
+    // PRODUCTION default at scale; see README. A block-size guard makes the
+    // quadratic trap un-fallable: any label block larger than
+    // `graft.dedup.maxExactBlock` (default 20000 ⇒ ≤ 2·10^8 pairs/block)
+    // fails the job at runtime with a pointer to d7 instead of silently
+    // running (N_label)² at corpus scale. The guard is lazy and distributed:
+    // a broadcast per-label count joined in, raise_error behind a
+    // never-true-on-healthy-data filter.
     "d6_embedding_neardup" -> { (s, d) =>
       import graft.functions.VecFunctions.vec_dot
-      val e = Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"),
+      val maxBlock = s.conf.getOption("graft.dedup.maxExactBlock").map(_.toInt).getOrElse(20000)
+      val e0 = Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"),
         col("embedding"),
         vec_dot(col("embedding"), col("embedding")).as("sq"))
+      val sizes = e0.groupBy(col("label")).agg(count(lit(1)).as("__block_n"))
+      val e = e0.join(broadcast(sizes), "label")
+        .filter(when(col("__block_n") > maxBlock, raise_error(format_string(
+          "d6_embedding_neardup: label %s has %s vectors > graft.dedup.maxExactBlock=%s; " +
+            "use d7_embedding_neardup_lsh (bounded candidates) at this scale",
+          col("label"), col("__block_n"), lit(maxBlock)))).isNull)
+        .drop("__block_n")
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("dot", vec_dot(col("a.embedding"), col("b.embedding")))

@@ -32,6 +32,22 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.7, s"d7 recall $recall below 0.7 (|exact|=${exact.size})")
   }
 
+  test("d6 block-size guard fails fast when a label block exceeds the bound") {
+    // At sf0.001 every label block is far larger than 3, so the guard must
+    // fire; with the default bound the query runs to completion.
+    spark.conf.set("graft.dedup.maxExactBlock", "3")
+    try {
+      val ex = intercept[Exception] {
+        graft.queries.Dedup.queries("d6_embedding_neardup")(spark, sf).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("d7_embedding_neardup_lsh")),
+        s"guard error must route to d7, got: ${messages(ex)}")
+    } finally spark.conf.unset("graft.dedup.maxExactBlock")
+    assert(graft.queries.Dedup.queries("d6_embedding_neardup")(spark, sf).count() > 0)
+  }
+
   test("d4 simhash pairs have hamming <= 3 and are deduplicated") {
     val rows = graft.queries.Dedup.queries("d4_dedup_simhash")(spark, sf).collect()
     assert(rows.forall(_.getInt(2) <= 3))
