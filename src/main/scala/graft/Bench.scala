@@ -57,9 +57,12 @@ object Bench {
     }.toMap
     val p1 = timedPass(); val p2 = timedPass()
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the line compact enough that all ~75
+    // per-query timings survive the driver's tail capture (r2 lost the
+    // d-entries off the front with full-precision doubles).
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = f"${results.map(_._2).sum}%.3f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -42,6 +42,27 @@ object Listen {
     pre ++ dropOrTruncate ++ createRest
   }
 
+  /** Replay packs each file element with the configured packing and hands
+    * it back through the decoder — the reference's `on_recieve(None,
+    * pack(m))` round-trip (`listen.py:173-177`), which exercises the real
+    * decode path from the CLI. json is the identity (FileReplay already
+    * re-serializes each element); avro is rejected up front — packing a
+    * bare JSON tree needs a writer schema the replay file does not carry. */
+  def repackReplay(cfg: SinkConfig, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cfg.packing match {
+      case "json" => df
+      case "msgpack" =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        df.select("key", "value", "__offset").as[(String, String, Long)]
+          .flatMap { case (k, v, o) =>
+            MsgpackDecoder.decode(MsgpackDecoder.encode(graft.functions.PyJson.parse(v)))
+              .map(j => (k, j, o))
+          }.toDF("key", "value", "__offset")
+      case "avro" => throw new IllegalArgumentException(
+        "avro --datafile replay needs a writer schema; use json or msgpack")
+    }
+
   def mappingFor(cfg: SinkConfig): TableMapping[_ <: Product] = {
     val m = MappingRegistry.lookup(cfg.lookup, cfg.topic, cfg.filters)
     if (cfg.table.nonEmpty)
@@ -73,10 +94,13 @@ object Listen {
 
     if (cfg.datafile.nonEmpty) {
       // Replay mode (`listen.py:173-177`): same transform + sink path as
-      // the stream, batch source.
-      graft.core.Log.info(s"replaying ${cfg.datafile}")
+      // the stream, batch source — including the explicit __offset so
+      // last-wins dedup picks the file-order winner like the reference's
+      // sequential apply (not a planner-placement accident).
+      graft.core.Log.info(s"replaying ${cfg.datafile} (packing ${cfg.packing})")
       UpsertSink.writeBatch(
-        mapping.transform(FileReplay.read(spark, cfg.datafile)), mapping, sink)
+        mapping.transformWithOffset(
+          repackReplay(cfg, FileReplay.read(spark, cfg.datafile))), mapping, sink)
       graft.core.Log.info(s"replay of ${cfg.datafile} complete")
     } else if (cfg.listen) {
       val stream = Pipeline.kafkaSource(spark, cfg.brokers, cfg.topic,

@@ -31,10 +31,16 @@ object FileReplay {
     tree.elements.asScala.map(rawMapper.writeValueAsString).toSeq
   }
 
-  /** As a (key, value) DataFrame with a constant key (the reference feeds
-    * `--datafile` messages with no Kafka key). */
+  /** As a (key, value, __offset) DataFrame with a constant key (the
+    * reference feeds `--datafile` messages with no Kafka key). `__offset`
+    * is the element's position in the file — an explicit stream-position
+    * column so replay shares the streaming path's last-wins contract
+    * (dedup orders by it) instead of relying on planner placement of
+    * `monotonically_increasing_id()`. Consumers that only need (key,
+    * value) — `TableMapping.transform` — simply don't select it. */
   def read(spark: SparkSession, path: String, key: String = "fake"): DataFrame = {
     import spark.implicits._
-    messages(path).map(v => (key, v)).toDF("key", "value")
+    messages(path).zipWithIndex.map { case (v, i) => (key, v, i.toLong) }
+      .toDF("key", "value", "__offset")
   }
 }

@@ -98,6 +98,27 @@ class CliSpec extends SparkTestBase {
     } finally java.nio.file.Files.deleteIfExists(f)
   }
 
+  test("CLI main end-to-end: --packing msgpack --datafile replay (pack→decode round-trip)") {
+    // Through the actual main(), like the reference's CLI integration tier:
+    // each file element is msgpack-packed then decoded before mapping.
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Listen.main(Array(
+        "--datafile", "/root/reference/tests/replayer.json",
+        "--packing", "msgpack",
+        "--lookup", "GenericFloat",
+        "--topic", "axds-netcdf-replayer-data",
+        "--no-listen", "--no-do-inserts"))
+    }
+    assert(out.toString.contains("dry-run rows: 4"), s"stdout: ${out.toString}")
+    // avro replay is rejected up front (no writer schema in a JSON file)
+    intercept[IllegalArgumentException] {
+      Listen.run(SinkConfig(packing = "avro", registry = "http://x",
+        datafile = "/root/reference/tests/replayer.json",
+        listen = false, doInserts = false), spark)
+    }
+  }
+
   test("avro packing refuses to start without a registry") {
     intercept[IllegalArgumentException] {
       Listen.decoderFor(SinkConfig(packing = "avro", registry = ""))

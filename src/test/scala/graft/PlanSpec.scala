@@ -76,6 +76,36 @@ class PlanSpec extends SparkTestBase {
       "LSH bucket join must be a hash-keyed equi-join")
   }
 
+  test("q17 theta join: BNLJ with a broadcast (bounded) build side") {
+    // A pure theta join has no equi-key — BNLJ is inherent. What must hold
+    // at scale: both sides are pre-filtered (pushdown) to ≤ 40 keys and the
+    // build side arrives broadcast, so the loop is bounded × bounded, never
+    // corpus × corpus.
+    val plan = planOf("q17_theta_join")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), "build side must be broadcast")
+    assert(!plan.contains("CartesianProduct"), "theta join must not fall back to cartesian")
+    // the ≤ 40 filter reaches both parquet scans
+    assert("PushedFilters: \\[.*LessThanOrEqual\\(p_partkey,40\\)".r
+      .findAllIn(plan).size == 2, plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("saltedJoin shape: replicated side broadcast-or-shuffled equi-join, no explosion") {
+    import graft.operators.Skew
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    def cust = Tables.customer(spark, sf).withColumnRenamed("c_custkey", "o_custkey")
+    val joined = Skew.saltedJoin(o, cust, "o_custkey", salts = 4)
+    val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // equi-join on (key, salt) — hash-keyed, never nested-loop/cartesian
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // replication is bounded: salts × small side, and the join result equals
+    // the unsalted join — no post-join row explosion
+    val direct = o.join(cust, "o_custkey").count()
+    assert(joined.count() == direct)
+  }
+
   test("GraftExtensions exposes the native functions to SQL") {
     graft.plans.GraftExtensions.registerAll(spark)
     val r = spark.sql(

@@ -54,19 +54,23 @@ class SkewSpec extends SparkTestBase {
   test("identical rows of a hot key still spread across salt buckets") {
     val spark0 = spark
     import spark0.implicits._
-    // 1000 byte-identical rows: a pure content hash would collapse them
-    // into one bucket — the position component must spread them.
+    // 1000 byte-identical rows: the default content salt collapses them
+    // into one bucket (the documented trade-off); the explicitly
+    // layout-dependent positional salt must spread them.
     val dup = Seq.fill(1000)(("hot", 1)).toDF("k", "v")
     val buckets = dup
       .withColumn("__salt",
         pmod(xxhash64(struct(dup.columns.map(col): _*), monotonically_increasing_id()), lit(8)))
       .select("__salt").distinct().count()
     assert(buckets > 1, "identical rows collapsed into one salt bucket")
-    // and the salted aggregate over them is still exact
-    val out = Skew.saltedAggregate(dup, Seq("k"), 8,
-        partials = Seq(count(lit(1)).as("pn")), merges = Seq(sum(col("pn")).as("n")))
-      .collect()
-    assert(out.length == 1 && out(0).getLong(1) == 1000)
+    // and the salted aggregate is exact under BOTH salt modes
+    for (positional <- Seq(false, true)) {
+      val out = Skew.saltedAggregate(dup, Seq("k"), 8,
+          partials = Seq(count(lit(1)).as("pn")), merges = Seq(sum(col("pn")).as("n")),
+          positional = positional)
+        .collect()
+      assert(out.length == 1 && out(0).getLong(1) == 1000)
+    }
   }
 
   test("salting is deterministic across runs (content-derived, not rand)") {
