@@ -313,7 +313,8 @@ object Dedup {
   )
 
   // DuckDB twin of the shingle builder (list_zip over shifted slices).
-  private val SH_CTE =
+  // Shared with TextOps' t8 oracle (same shingle definition by construction).
+  private[queries] val SH_CTE =
     """sh_docs AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
       |      list_transform(list_zip(w[1:-3], w[2:-2], w[3:-1]),

@@ -128,6 +128,30 @@ object Events {
           unix_micros(col("ts")) - unix_micros(col("prev_ts")))
         .select(col("event_id"), col("user_id"), col("prev_ts"), col("next_ts"), col("gap_us"))
         .orderBy(col("event_id"))
+    },
+    // Gap-filled resample + forward fill: hourly grid per event_type over
+    // January 2024, empty slots get n=0 and carry the last observed hourly
+    // sum forward (sensor-style time-series regularization). One agg
+    // shuffle; the grid is types × 720 slots (tiny, broadcast); the fill is
+    // a per-type ordered window. Sums go through DECIMAL so Spark and the
+    // oracle agree bit-exactly regardless of accumulation order.
+    "e10_resample_ffill" -> { (s, d) =>
+      val agg = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("w.start").as("slot"), col("event_type"), col("n"), col("sum_value"))
+      val grid = Tables.events(s, d).select(col("event_type")).distinct()
+        .crossJoin(s.sql(
+          """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+            |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS slot""".stripMargin))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("slot"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("event_type", "slot"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("filled", last(col("sum_value"), ignoreNulls = true).over(w))
+        .select(col("event_type"), col("slot"), col("n"), col("sum_value"), col("filled"))
+        .orderBy(col("event_type"), col("slot"))
     }
   )
 
@@ -197,6 +221,22 @@ object Events {
         |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "e10_resample_ffill" ->
+      """WITH agg AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS slot, event_type,
+        |    count(*) AS n,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, r.range AS slot
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 HOUR) r)
+        |SELECT g.event_type, g.slot, coalesce(a.n, 0) AS n, a.sum_value,
+        |  last_value(a.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.slot = g.slot
+        |ORDER BY g.event_type, g.slot""".stripMargin
   )
 }

@@ -99,6 +99,70 @@ object TextOps {
           poly_hash(col("text")).as("whole_hash"),
           rolling_min_hash(col("text"), 32).as("fp"))
         .orderBy(col("doc_id"))
+    },
+    // Token-window chunking for training sequences: 32-token windows at
+    // stride 24 (8-token overlap), one output row per chunk. Pure Catalyst
+    // (sequence/slice/array_join) — a narrow flatMap-shaped projection, no
+    // shuffle, linear in corpus size.
+    "t6_chunks" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, int((size(w)-1)/24)), i -> array_join(slice(w, i*24+1, 32), ' '))"))
+          .as(Seq("chunk_idx", "chunk")))
+        .withColumn("n_tokens", size(split(col("chunk"), " ")))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    // Sequence packing: assign documents (in doc_id order, per source) to
+    // fixed token-budget bins — the contiguous-prefix packing used to build
+    // training batches. bin = exclusive-prefix-token-count div budget, a
+    // single per-group window cumsum: scalable because the sequential scan
+    // is per source group, never global.
+    "t7_pack" -> { (s, d) =>
+      val budget = 256L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          floor((col("cum_tokens") - col("n_tokens")) / lit(budget)).cast("bigint"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"), col("bin"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    // Corpus-level top-k n-grams by document frequency (boilerplate /
+    // contamination detection): one shingle pass, one groupBy(shingle)
+    // shuffle of (shingle, 1) partial counts, top-k via TakeOrdered.
+    "t8_topk_ngrams" -> { (s, d) =>
+      import s.implicits._
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (_, t) => Dedup.shinglesOf(t) })
+        .toDF("shingles")
+        .select(explode(col("shingles")).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("sh")).limit(20)
+    },
+    // Vocabulary table with document frequency and the idf ratio — the
+    // corpus stats a quality/filtering pipeline keys on. Distinct words per
+    // doc, one groupBy(word) shuffle; n_docs joins in as a broadcast scalar.
+    // The ratio N/df is emitted instead of ln(N/df): IEEE division is
+    // bit-identical across engines, ln is libm-dependent (JVM fdlibm vs
+    // DuckDB's system libm differ by an ulp on some inputs — measured) and
+    // would break the hash gate; callers take the log themselves, which is
+    // monotone in the ratio anyway.
+    "t9_vocab_idf" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("word"))
+      val dfc = words.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      dfc.crossJoin(broadcast(n))
+        .withColumn("inv_df", col("n_docs").cast("double") / col("df").cast("double"))
+        .select(col("word"), col("df"), col("n_docs"), col("inv_df"))
+        .orderBy(col("word"))
     }
   )
 
@@ -167,7 +231,40 @@ object TextOps {
           |          list_transform(range(32), j -> CAST(ascii(text[i+j+1]) AS BIGINT))),
           |        (a,b) -> (a*31+b) % 1000000007)))
           |  END AS fp
-          |FROM t ORDER BY doc_id""".stripMargin
+          |FROM t ORDER BY doc_id""".stripMargin,
+      "t6_chunks" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+          |c AS (SELECT doc_id, unnest(list_transform(range((len(w)-1)//24 + 1),
+          |        i -> {'chunk_idx': i,
+          |              'chunk': array_to_string(list_slice(w, CAST(i*24+1 AS BIGINT), CAST(i*24+32 AS BIGINT)), ' ')})) AS u
+          |      FROM t)
+          |SELECT doc_id, CAST(u.chunk_idx AS INT) AS chunk_idx, u.chunk AS chunk,
+          |  CAST(len(string_split(u.chunk, ' ')) AS INT) AS n_tokens
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      "t7_pack" ->
+        """WITH t AS (SELECT doc_id, source,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          |  FROM documents)
+          |SELECT doc_id, source, n_tokens,
+          |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+          |  (CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens) // 256 AS bin
+          |FROM t ORDER BY source, doc_id""".stripMargin,
+      "t8_topk_ngrams" ->
+        s"""WITH ${graft.queries.Dedup.SH_CTE}
+           |SELECT sh, count(*) AS df FROM (
+           |  SELECT doc_id, unnest(shingles) AS sh FROM sh_docs) t
+           |GROUP BY sh ORDER BY df DESC, sh LIMIT 20""".stripMargin,
+      "t9_vocab_idf" ->
+        """WITH w AS (
+          |  SELECT unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS word
+          |  FROM documents),
+          |dfc AS (SELECT word, count(*) AS df FROM w GROUP BY word),
+          |n AS (SELECT count(*) AS n_docs FROM documents)
+          |SELECT word, df, n_docs,
+          |  CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS inv_df
+          |FROM dfc CROSS JOIN n ORDER BY word""".stripMargin
     )
   }
 }
