@@ -50,15 +50,17 @@ object Dedup {
     else Seq(words.mkString(" "))
   }
 
-  private def withShingles(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, shingles) only — the typed map is an optimizer barrier, so
+    * pruning must happen HERE, not downstream: any extra column selected
+    * before the mapPartitions is materialized for every row whether or not
+    * a consumer uses it (d4/d5/t8 use none beyond the id). */
+  private[queries] def withShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.parallelized(Tables.documents(s, d))
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
-      .as[(Long, String, String, String)]
-      .mapPartitions(_.map { case (id, lang, source, text) =>
-        (id, lang, source, shinglesOf(text))
-      })
-      .toDF("doc_id", "lang", "source", "shingles")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, shinglesOf(text)) })
+      .toDF("doc_id", "shingles")
   }
 
   /** xxhash64-compatible string hash (same bits as the SQL `xxhash64`). */

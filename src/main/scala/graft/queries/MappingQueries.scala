@@ -106,6 +106,15 @@ object MappingQueries {
           mapJson(col("values")).as("values_json"), col("payload"))
         .orderBy(col("uid"), col("time"))
     },
+    // Geography scalar core: uid/gid str-coercion, T10 time parse, reftime
+    // fallback, and the merged-values key count — everything except the JTS
+    // union WKT (no DuckDB spatial offline) and the values repr.
+    "m4_core" -> { (s, d) =>
+      replay(new GenericGeography("topic"), "scuttle-watch-regions.json")(s, d)
+        .select(col("uid"), col("gid"), col("time"), col("reftime"),
+          size(col("values")).as("n_values"))
+        .orderBy(col("uid"), col("time"))
+    },
     // Scalar cores of the flatten-driven mappings (hash-oracled; the full
     // entries above stay rows-only for their Python-repr values_json).
     "m6_core" -> { (s, d) =>
@@ -157,6 +166,19 @@ object MappingQueries {
       |  'POINT (' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS geom,""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // GenericGeography scalar core: the fixture's feature properties are all
+    // empty and every top-level key is a reserved column, so the merged
+    // values map is empty — but the oracle derives that from the geojson
+    // itself (distinct property keys across features), not a constant.
+    "m4_core" ->
+      """SELECT CAST(uid AS VARCHAR) AS uid,
+        |  json_extract_string(gid, '$') AS gid,
+        |  CAST(time AS TIMESTAMP) AS time, CAST(time AS TIMESTAMP) AS reftime,
+        |  CAST(len(list_distinct(flatten(list_transform(
+        |    CAST(json_extract_string(geojson, '$') AS JSON) -> '$.features[*]',
+        |    f -> json_keys(f, '$.properties'))))) AS INT) AS n_values
+        |FROM read_json('/root/reference/tests/scuttle-watch-regions.json')
+        |ORDER BY uid, time""".stripMargin,
     // AreteData scalar core: iridium_ts epoch for both times (status_ts never
     // present in the fixture), position from Full_ll → json.position →
     // deg+min fallback. `position` is sometimes a Python-repr STRING (the

@@ -137,11 +137,7 @@ object TextOps {
     // contamination detection): one shingle pass, one groupBy(shingle)
     // shuffle of (shingle, 1) partial counts, top-k via TakeOrdered.
     "t8_topk_ngrams" -> { (s, d) =>
-      import s.implicits._
-      Tables.parallelized(Tables.documents(s, d))
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.map { case (_, t) => Dedup.shinglesOf(t) })
-        .toDF("shingles")
+      Dedup.withShingles(s, d)
         .select(explode(col("shingles")).as("sh"))
         .groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("sh")).limit(20)
