@@ -60,9 +60,12 @@ object Bench {
     // Millisecond precision keeps the line compact enough that all ~75
     // per-query timings survive the driver's tail capture (r2 lost the
     // d-entries off the front with full-precision doubles).
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma decimal separator would corrupt the JSON line.
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = sec(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -30,16 +30,19 @@ object Listen {
     * schema + hstore extension, optional drop (or truncate when not
     * dropping), then create-or-migrate + indexes. `existing` is what
     * reflection found (None ⇒ CREATE path; Some ⇒ ALTER-extend, the
-    * reference's `extend_existing=True`). */
+    * reference's `extend_existing=True`). Truncating an ABSENT table is
+    * skipped outright — the reference survives that case only via its
+    * try/except around the truncate (`listen.py:112-119`), and executeDdl
+    * has no per-statement tolerance. */
   def ddlFor(mapping: TableMapping[_ <: Product], cfg: SinkConfig,
       existing: Option[graft.sinks.TableState] = None): Seq[String] = {
-    val boot = UpsertSink.bootstrapDdl(mapping, existing, cfg.schemaName)
-    val (pre, createRest) = boot.splitAt(2) // schema, extension
     val dropOrTruncate =
       if (cfg.drop) Seq(UpsertSink.dropDdl(mapping, cfg.schemaName))
-      else if (cfg.truncate) Seq(UpsertSink.truncateDdl(mapping, cfg.schemaName))
+      else if (cfg.truncate && existing.isDefined)
+        Seq(UpsertSink.truncateDdl(mapping, cfg.schemaName))
       else Nil
-    pre ++ dropOrTruncate ++ createRest
+    UpsertSink.preambleDdl(cfg.schemaName) ++ dropOrTruncate ++
+      UpsertSink.createOrMigrateDdl(mapping, existing, cfg.schemaName)
   }
 
   /** Replay packs each file element with the configured packing and hands

@@ -130,8 +130,8 @@ object Events {
         .orderBy(col("event_id"))
     },
     // Gap-filled resample + forward fill: hourly grid per event_type over
-    // January 2024, empty slots get n=0 and carry the last observed hourly
-    // sum forward (sensor-style time-series regularization). One agg
+    // all 744 hours of January 2024, empty slots get n=0 and carry the last
+    // observed hourly sum forward (sensor-style regularization). One agg
     // shuffle; the grid is types × 720 slots (tiny, broadcast); the fill is
     // a per-type ordered window. Sums go through DECIMAL so Spark and the
     // oracle agree bit-exactly regardless of accumulation order.
@@ -144,7 +144,7 @@ object Events {
       val grid = Tables.events(s, d).select(col("event_type")).distinct()
         .crossJoin(s.sql(
           """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
-            |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS slot""".stripMargin))
+            |  timestamp'2024-01-31 23:00:00', interval 1 hour)) AS slot""".stripMargin))
       val w = Window.partitionBy(col("event_type")).orderBy(col("slot"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(agg, Seq("event_type", "slot"), "left")
@@ -231,7 +231,7 @@ object Events {
         |grid AS (
         |  SELECT t.event_type, r.range AS slot
         |  FROM (SELECT DISTINCT event_type FROM events) t
-        |  CROSS JOIN range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 HOUR) r)
+        |  CROSS JOIN range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', INTERVAL 1 HOUR) r)
         |SELECT g.event_type, g.slot, coalesce(a.n, 0) AS n, a.sum_value,
         |  last_value(a.sum_value IGNORE NULLS) OVER (
         |    PARTITION BY g.event_type ORDER BY g.slot

@@ -48,11 +48,15 @@ class CliSpec extends SparkTestBase {
     val kinds = ddl.map(_.split(" ").take(2).mkString(" "))
     assert(kinds.take(3) == Seq("CREATE SCHEMA", "CREATE EXTENSION", "DROP TABLE"))
     assert(ddl.exists(_.startsWith("CREATE TABLE")) && ddl.exists(_.startsWith("CREATE UNIQUE")))
-    // truncate only when not dropping (`listen.py:108-119`)
+    // truncate only when not dropping (`listen.py:108-119`) AND the table
+    // exists — truncating an absent table would abort the DDL phase (the
+    // reference survives it only via try/except).
     val cfg2 = cfg.copy(drop = false, truncate = true)
-    assert(Listen.ddlFor(Listen.mappingFor(cfg2), cfg2).exists(_.startsWith("TRUNCATE")))
+    val exists = Some(graft.sinks.TableState(Set("id"), Set.empty, Set.empty))
+    assert(Listen.ddlFor(Listen.mappingFor(cfg2), cfg2, exists).exists(_.startsWith("TRUNCATE")))
+    assert(!Listen.ddlFor(Listen.mappingFor(cfg2), cfg2, None).exists(_.startsWith("TRUNCATE")))
     val cfg3 = cfg.copy(truncate = true)
-    assert(!Listen.ddlFor(Listen.mappingFor(cfg3), cfg3).exists(_.startsWith("TRUNCATE")))
+    assert(!Listen.ddlFor(Listen.mappingFor(cfg3), cfg3, exists).exists(_.startsWith("TRUNCATE")))
   }
 
   test("replay mode end-to-end: --datafile --no-listen --no-do-inserts") {
