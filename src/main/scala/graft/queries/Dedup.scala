@@ -270,6 +270,26 @@ object Dedup {
           col("a.label").as("label"), col("cosine"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
+    // Cross-split contamination check (train/test decontamination): test
+    // docs (source 'src0') that share any word-3-gram with the train split.
+    // Scale shape: the train side is reduced to a DISTINCT shingle SET
+    // before the join — one row per shingle regardless of train-corpus
+    // size — so the join is test-shingles × {0,1} membership, never a
+    // doc-pair explosion; the groupBy then counts per test doc.
+    "d8_decontaminate" -> { (s, d) =>
+      import s.implicits._
+      val exploded = Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("text")).as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, t) => (id, src, shinglesOf(t)) })
+        .toDF("doc_id", "source", "shingles")
+        .select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
+      val train = exploded.filter(col("source") =!= "src0").select(col("sh")).distinct()
+      exploded.filter(col("source") === "src0")
+        .join(train, "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
     // The 100 TB path for d6: sign-LSH bucketing WITHIN label bounds the
     // candidate set (a block of size n yields ~L·n²/2^k candidates instead
     // of n²), exact cosine verification keeps precision at 1.0; recall vs
@@ -363,6 +383,14 @@ object Dedup {
          |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
          |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "d8_decontaminate" ->
+      s"""WITH $SH_CTE,
+         |e AS (SELECT s.doc_id, d.source, unnest(s.shingles) AS sh
+         |      FROM sh_docs s JOIN documents d USING (doc_id)),
+         |train AS (SELECT DISTINCT sh FROM e WHERE source != 'src0')
+         |SELECT doc_id, count(DISTINCT e.sh) AS n_shared
+         |FROM e JOIN train USING (sh) WHERE e.source = 'src0'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d6_embedding_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,

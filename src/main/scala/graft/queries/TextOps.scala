@@ -159,6 +159,17 @@ object TextOps {
         .withColumn("inv_df", col("n_docs").cast("double") / col("df").cast("double"))
         .select(col("word"), col("df"), col("n_docs"), col("inv_df"))
         .orderBy(col("word"))
+    },
+    // Deterministic content-hash sampling (~1/16): the reproducible,
+    // cluster-size-independent alternative to rand()-based sample() — the
+    // same doc is in or out on every run, every executor count, every
+    // engine (md5 parity with the oracle is pinned by t4). A narrow
+    // filter+project: no shuffle, trivially linear at any scale.
+    "t10_hash_sample" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) === "0")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -260,7 +271,11 @@ object TextOps {
           |n AS (SELECT count(*) AS n_docs FROM documents)
           |SELECT word, df, n_docs,
           |  CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS inv_df
-          |FROM dfc CROSS JOIN n ORDER BY word""".stripMargin
+          |FROM dfc CROSS JOIN n ORDER BY word""".stripMargin,
+      "t10_hash_sample" ->
+        """SELECT doc_id, lang, source FROM documents
+          |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+          |ORDER BY doc_id""".stripMargin
     )
   }
 }
