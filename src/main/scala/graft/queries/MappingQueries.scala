@@ -14,9 +14,11 @@ import graft.tables._
   * deterministic — `values` HSTORE maps are rendered as sorted-key JSON
   * text, wall-clock columns (`sinked` in m1/m2, `reftime` in m10) are
   * projected out, and m11's array column is joined to text. Where DuckDB can
-  * reproduce the mapping semantics over `read_json` of the fixture (m3's
-  * interval statistics, m5's scalar row core) a full hash oracle is
-  * declared; the rest are rows-only here and value-pinned by
+  * reproduce the mapping semantics over the fixture — `read_json` for the
+  * statistic/float cores, the struct-inference-free JSON type for the
+  * append maps (m1/m2), and the m4–m10 scalar-core projections — a full
+  * hash oracle is declared; the remaining full entries are rows-only
+  * (Python-repr values maps, JTS union WKT) and value-pinned by
   * MappingFixtureSpec's goldens.
   */
 object MappingQueries {
@@ -166,6 +168,23 @@ object MappingQueries {
       |  'POINT (' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS geom,""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // m1/m2: the fixture has case-distinct keys (`L`/`l`) that break DuckDB
+    // read_json STRUCT inference (case-insensitive field collision), but
+    // the JSON-type route never infers a struct: CAST(content AS JSON) ->
+    // '$[*]' keeps every key verbatim, and yyjson's minified re-serialization
+    // matches Jackson's canonical form byte-for-byte on this fixture
+    // (verified; no NaN/Infinity tokens, so m1's scrub is a no-op here and
+    // one oracle body serves both).
+    "m1_jsonmap" ->
+      """SELECT 'fake' AS key,
+        |  CAST(unnest(CAST(content AS JSON) -> '$[*]') AS VARCHAR) AS payload
+        |FROM read_text('/root/reference/tests/mission_sensors.json')
+        |ORDER BY payload""".stripMargin,
+    "m2_stringmap" ->
+      """SELECT 'fake' AS key,
+        |  CAST(unnest(CAST(content AS JSON) -> '$[*]') AS VARCHAR) AS payload
+        |FROM read_text('/root/reference/tests/mission_sensors.json')
+        |ORDER BY payload""".stripMargin,
     // GenericGeography scalar core: the fixture's feature properties are all
     // empty and every top-level key is a reserved column, so the merged
     // values map is empty — but the oracle derives that from the geojson
