@@ -50,11 +50,22 @@ object MappingQueries {
     * (uid, time, lat, lon) yet differ in iridium_ts. Rows tying on all order
     * keys are identical in every projected column (geom/quality derive from
     * lat/lon), so the sort is deterministic for hashing. */
-  private def coreProj(df: DataFrame): DataFrame =
-    df.select(col("uid"), col("time"), col("reftime"), col("lat"), col("lon"),
+  private def coreProj(df: DataFrame, withPayload: Boolean = false): DataFrame = {
+    // payload (T2 canonical JSON) joins the core where DuckDB's JSON-type
+    // serialization is byte-identical (verified per fixture). It is then
+    // also the FINAL sort key: rows can tie on every scalar (duplicate
+    // messages) while payloads differ, and a total order keeps the
+    // positional hash compare deterministic. m6 is excluded: its payload
+    // has sub-1e-3 doubles (Jackson E-notation vs yyjson decimal) and the
+    // reference's key-removal resists order-preserving reproduction.
+    val base = Seq(col("uid"), col("time"), col("reftime"), col("lat"), col("lon"),
       col("z"), col("geom"),
       element_at(col("values"), "location_quality").as("location_quality"))
-      .orderBy(col("uid"), col("time"), col("reftime"), col("lat"), col("lon"))
+    val cols = if (withPayload) base :+ col("payload") else base
+    val order = Seq(col("uid"), col("time"), col("reftime"), col("lat"), col("lon")) ++
+      (if (withPayload) Seq(col("payload")) else Nil)
+    df.select(cols: _*).orderBy(order: _*)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // m1/m2: the `sinked` wall-clock column is faithful to the reference's
@@ -114,8 +125,8 @@ object MappingQueries {
     "m4_core" -> { (s, d) =>
       replay(new GenericGeography("topic"), "scuttle-watch-regions.json")(s, d)
         .select(col("uid"), col("gid"), col("time"), col("reftime"),
-          size(col("values")).as("n_values"))
-        .orderBy(col("uid"), col("time"))
+          size(col("values")).as("n_values"), col("payload"))
+        .orderBy(col("uid"), col("time"), col("payload"))
     },
     // Scalar cores of the flatten-driven mappings (hash-oracled; the full
     // entries above stay rows-only for their Python-repr values_json).
@@ -123,20 +134,25 @@ object MappingQueries {
       coreProj(replay(new AreteData("topic"), "arete_data.json")(s, d))
     },
     "m7_core" -> { (s, d) =>
-      coreProj(replay(new NumurusData("topic"), "numurus.data.json")(s, d))
+      coreProj(replay(new NumurusData("topic"), "numurus.data.json")(s, d),
+        withPayload = true)
     },
     "m8_core" -> { (s, d) =>
-      coreProj(replay(new NumurusStatus("topic"), "numurus.status.json")(s, d))
+      coreProj(replay(new NumurusStatus("topic"), "numurus.status.json")(s, d),
+        withPayload = true)
     },
     "m9_core" -> { (s, d) =>
-      coreProj(replay(new NwicFloatReports("foo"), "health_and_status.json")(s, d))
+      coreProj(replay(new NwicFloatReports("foo"), "health_and_status.json")(s, d),
+        withPayload = true)
     },
     // m10 core: no quality flag in the mapping, and reftime is wall-clock
-    // (`tables.py:687`) — both excluded.
+    // (`tables.py:687`) — both excluded; payload (message key popped) IS
+    // reproducible via JSON merge-patch removal.
     "m10_core" -> { (s, d) =>
       replay(new NwicFloatReportsSofar("sofar.data"), "sofar.json")(s, d)
-        .select(col("uid"), col("time"), col("lat"), col("lon"), col("z"), col("geom"))
-        .orderBy(col("uid"), col("time"), col("lat"), col("lon"))
+        .select(col("uid"), col("time"), col("lat"), col("lon"), col("z"),
+          col("geom"), col("payload"))
+        .orderBy(col("uid"), col("time"), col("lat"), col("lon"), col("payload"))
     },
     // Map-typed column functions over an HSTORE values column (rows-only:
     // the oracle runs on the source tables, not on mapping output).
@@ -185,19 +201,23 @@ object MappingQueries {
         |  CAST(unnest(CAST(content AS JSON) -> '$[*]') AS VARCHAR) AS payload
         |FROM read_text('/root/reference/tests/mission_sensors.json')
         |ORDER BY payload""".stripMargin,
-    // GenericGeography scalar core: the fixture's feature properties are all
-    // empty and every top-level key is a reserved column, so the merged
-    // values map is empty — but the oracle derives that from the geojson
-    // itself (distinct property keys across features), not a constant.
+    // GenericGeography scalar core (JSON route — no struct inference): the
+    // fixture's feature properties are all empty and every top-level key is
+    // a reserved column, so the merged values map is empty — but the oracle
+    // derives that from the geojson itself (distinct property keys across
+    // features), not a constant. payload = the element's minified JSON,
+    // byte-identical to the canonical Jackson form (verified).
     "m4_core" ->
-      """SELECT CAST(uid AS VARCHAR) AS uid,
-        |  json_extract_string(gid, '$') AS gid,
-        |  CAST(time AS TIMESTAMP) AS time, CAST(time AS TIMESTAMP) AS reftime,
+      """WITH els AS (SELECT unnest(CAST(content AS JSON) -> '$[*]') AS el
+        |             FROM read_text('/root/reference/tests/scuttle-watch-regions.json'))
+        |SELECT el ->> '$.uid' AS uid, el ->> '$.gid' AS gid,
+        |  CAST(el ->> '$.time' AS TIMESTAMP) AS time,
+        |  CAST(el ->> '$.time' AS TIMESTAMP) AS reftime,
         |  CAST(len(list_distinct(flatten(list_transform(
-        |    CAST(json_extract_string(geojson, '$') AS JSON) -> '$.features[*]',
-        |    f -> json_keys(f, '$.properties'))))) AS INT) AS n_values
-        |FROM read_json('/root/reference/tests/scuttle-watch-regions.json')
-        |ORDER BY uid, time""".stripMargin,
+        |    CAST(el ->> '$.geojson' AS JSON) -> '$.features[*]',
+        |    f -> json_keys(f, '$.properties'))))) AS INT) AS n_values,
+        |  CAST(el AS VARCHAR) AS payload
+        |FROM els ORDER BY uid, time, payload""".stripMargin,
     // AreteData scalar core: iridium_ts epoch for both times (status_ts never
     // present in the fixture), position from Full_ll → json.position →
     // deg+min fallback. `position` is sometimes a Python-repr STRING (the
@@ -233,59 +253,90 @@ object MappingQueries {
          |  ${qualSql("")}
          |FROM pos ORDER BY uid, time, reftime, lat, lon""".stripMargin,
     "m7_core" ->
-      s"""WITH pos AS (
-         |  SELECT CAST(imei AS VARCHAR) AS uid,
-         |    CAST(timestamp AS TIMESTAMP) AS time,
-         |    CAST(navsat_fix_time AS TIMESTAMP) AS reftime,
-         |    latitude AS lat, longitude AS lon, false AS inprecise
-         |  FROM read_json('/root/reference/tests/numurus.data.json'))
+      s"""WITH els AS (SELECT unnest(CAST(content AS JSON) -> '$$[*]') AS el
+         |             FROM read_text('/root/reference/tests/numurus.data.json')),
+         |pos AS (
+         |  SELECT el ->> '$$.imei' AS uid,
+         |    CAST(el ->> '$$.timestamp' AS TIMESTAMP) AS time,
+         |    CAST(el ->> '$$.navsat_fix_time' AS TIMESTAMP) AS reftime,
+         |    CAST(el ->> '$$.latitude' AS DOUBLE) AS lat,
+         |    CAST(el ->> '$$.longitude' AS DOUBLE) AS lon,
+         |    false AS inprecise,
+         |    CAST(el AS VARCHAR) AS payload
+         |  FROM els)
          |$coreTail
-         |  ${qualSql("WHEN lon = 181 OR lat = 91 THEN 4")}
-         |FROM pos ORDER BY uid, time, reftime, lat, lon""".stripMargin,
+         |  ${qualSql("WHEN lon = 181 OR lat = 91 THEN 4")},
+         |  payload
+         |FROM pos ORDER BY uid, time, reftime, lat, lon, payload""".stripMargin,
     // NumurusStatus: rows without imei raise KeyError in the reference and
     // are dropped (87 of 184 in the fixture survive).
     "m8_core" ->
-      s"""WITH pos AS (
-         |  SELECT CAST(imei AS VARCHAR) AS uid,
-         |    CAST(timestamp AS TIMESTAMP) AS time,
-         |    CAST(navsat_fix_time AS TIMESTAMP) AS reftime,
-         |    latitude AS lat, longitude AS lon, false AS inprecise
-         |  FROM read_json('/root/reference/tests/numurus.status.json') WHERE imei IS NOT NULL)
+      s"""WITH els AS (SELECT unnest(CAST(content AS JSON) -> '$$[*]') AS el
+         |             FROM read_text('/root/reference/tests/numurus.status.json')),
+         |pos AS (
+         |  SELECT el ->> '$$.imei' AS uid,
+         |    CAST(el ->> '$$.timestamp' AS TIMESTAMP) AS time,
+         |    CAST(el ->> '$$.navsat_fix_time' AS TIMESTAMP) AS reftime,
+         |    CAST(el ->> '$$.latitude' AS DOUBLE) AS lat,
+         |    CAST(el ->> '$$.longitude' AS DOUBLE) AS lon,
+         |    false AS inprecise,
+         |    CAST(el AS VARCHAR) AS payload
+         |  FROM els WHERE el ->> '$$.imei' IS NOT NULL)
          |$coreTail
-         |  ${qualSql("WHEN lon = 181 OR lat = 91 THEN 4")}
-         |FROM pos ORDER BY uid, time, reftime, lat, lon""".stripMargin,
+         |  ${qualSql("WHEN lon = 181 OR lat = 91 THEN 4")},
+         |  payload
+         |FROM pos ORDER BY uid, time, reftime, lat, lon, payload""".stripMargin,
     // NwicFloatReports: status_ts→environmental_ts→mission_ts fallback chain
     // with Python truthiness (0/null fall through; the latter two keys never
     // occur in the fixture), position from truthy values.lat/lon pair else
     // deg+min (inprecise → flag 3).
     "m9_core" ->
-      s"""WITH pos AS (
-         |  SELECT CAST(headers.imei AS VARCHAR) AS uid,
-         |    make_timestamp(CASE WHEN "values".status_ts IS NOT NULL AND "values".status_ts != 0
-         |      THEN CAST("values".status_ts AS BIGINT) ELSE CAST(headers.iridium_ts AS BIGINT) END * 1000000) AS time,
-         |    make_timestamp(CAST(headers.iridium_ts AS BIGINT) * 1000000) AS reftime,
-         |    CASE WHEN "values".latitude IS NOT NULL AND "values".latitude != 0
-         |          AND "values".longitude IS NOT NULL AND "values".longitude != 0
-         |         THEN "values".latitude
-         |         ELSE headers.location.latitude.degrees + headers.location.latitude.minutes / 60.0 END AS lat,
-         |    CASE WHEN "values".latitude IS NOT NULL AND "values".latitude != 0
-         |          AND "values".longitude IS NOT NULL AND "values".longitude != 0
-         |         THEN "values".longitude
-         |         ELSE headers.location.longitude.degrees + headers.location.longitude.minutes / 60.0 END AS lon,
-         |    NOT ("values".latitude IS NOT NULL AND "values".latitude != 0
-         |     AND "values".longitude IS NOT NULL AND "values".longitude != 0) AS inprecise
-         |  FROM read_json('/root/reference/tests/health_and_status.json'))
+      s"""WITH els AS (SELECT unnest(CAST(content AS JSON) -> '$$[*]') AS el
+         |             FROM read_text('/root/reference/tests/health_and_status.json')),
+         |f AS (
+         |  SELECT el,
+         |    CAST(el ->> '$$.values.status_ts' AS BIGINT) AS status_ts,
+         |    CAST(el ->> '$$.headers.iridium_ts' AS BIGINT) AS iridium_ts,
+         |    CAST(el ->> '$$.values.latitude' AS DOUBLE) AS vlat,
+         |    CAST(el ->> '$$.values.longitude' AS DOUBLE) AS vlon
+         |  FROM els),
+         |pos AS (
+         |  SELECT CAST(el -> '$$.headers.imei' AS VARCHAR) AS uid,
+         |    make_timestamp(CASE WHEN status_ts IS NOT NULL AND status_ts != 0
+         |      THEN status_ts ELSE iridium_ts END * 1000000) AS time,
+         |    make_timestamp(iridium_ts * 1000000) AS reftime,
+         |    CASE WHEN vlat IS NOT NULL AND vlat != 0 AND vlon IS NOT NULL AND vlon != 0
+         |         THEN vlat
+         |         ELSE CAST(el ->> '$$.headers.location.latitude.degrees' AS DOUBLE)
+         |            + CAST(el ->> '$$.headers.location.latitude.minutes' AS DOUBLE) / 60.0 END AS lat,
+         |    CASE WHEN vlat IS NOT NULL AND vlat != 0 AND vlon IS NOT NULL AND vlon != 0
+         |         THEN vlon
+         |         ELSE CAST(el ->> '$$.headers.location.longitude.degrees' AS DOUBLE)
+         |            + CAST(el ->> '$$.headers.location.longitude.minutes' AS DOUBLE) / 60.0 END AS lon,
+         |    NOT (vlat IS NOT NULL AND vlat != 0 AND vlon IS NOT NULL AND vlon != 0) AS inprecise,
+         |    CAST(el AS VARCHAR) AS payload
+         |  FROM f)
          |$coreTail
-         |  ${qualSql("")}
-         |FROM pos ORDER BY uid, time, reftime, lat, lon""".stripMargin,
-    // Sofar: uid = spotterId[5:], no quality flag, reftime wall-clock (excluded).
+         |  ${qualSql("")},
+         |  payload
+         |FROM pos ORDER BY uid, time, reftime, lat, lon, payload""".stripMargin,
+    // Sofar: uid = spotterId[5:], no quality flag, reftime wall-clock
+    // (excluded); payload = element with `message` removed, reproduced via
+    // RFC 7386 merge-patch (removal keeps the remaining key order).
     "m10_core" ->
-      """SELECT substr(spotterId, 6) AS uid,
-        |  CAST(timestamp AS TIMESTAMP) AS time,
-        |  latitude AS lat, longitude AS lon, CAST(NULL AS DOUBLE) AS z,
-        |  'POINT (' || CAST(longitude AS VARCHAR) || ' ' || CAST(latitude AS VARCHAR) || ')' AS geom
-        |FROM read_json('/root/reference/tests/sofar.json')
-        |ORDER BY uid, time, lat, lon""".stripMargin,
+      """WITH els AS (SELECT unnest(CAST(content AS JSON) -> '$[*]') AS el
+        |             FROM read_text('/root/reference/tests/sofar.json')),
+        |pos AS (
+        |  SELECT substr(el ->> '$.spotterId', 6) AS uid,
+        |    CAST(el ->> '$.timestamp' AS TIMESTAMP) AS time,
+        |    CAST(el ->> '$.latitude' AS DOUBLE) AS lat,
+        |    CAST(el ->> '$.longitude' AS DOUBLE) AS lon,
+        |    CAST(json_merge_patch(el, '{"message":null}') AS VARCHAR) AS payload
+        |  FROM els)
+        |SELECT uid, time, lat, lon, CAST(NULL AS DOUBLE) AS z,
+        |  'POINT (' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS geom,
+        |  payload
+        |FROM pos ORDER BY uid, time, lat, lon, payload""".stripMargin,
     // GenericFieldStatistic over the fixture: DuckDB reproduces the interval
     // rows exactly; `values` canonical JSON matches Jackson's compact form
     // (same key order: the fixture's records share one schema).
