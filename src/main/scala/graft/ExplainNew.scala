@@ -1,18 +1,33 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-audit diagnostic: prints the Exchange/Join/Scan/Window/Aggregate
+  * skeleton of named driver queries — the `.explain` iteration loop as a
+  * one-liner. Usage: `runMain graft.ExplainNew <sfDir> <query> [query...]`
+  * (sfDir convention shared with Verify/BenchOne). */
 object ExplainNew {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ExplainNew <sfDir> <query> [query...]")
+    val sfDir = args(0)
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- args) {
-      val p = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
-        .queryExecution.explainString(ExplainMode.fromString("simple"))
-      println(s"=== $n ===")
-      println(p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Scan") || l.contains("Window") || l.contains("Aggregate")).map(_.trim.take(120)).mkString("\n"))
+    for (n <- args.drop(1)) {
+      SparkEntry.queries.get(n) match {
+        case None => println(s"=== $n === (unknown query)")
+        case Some(q) =>
+          val p = q(spark, sfDir).queryExecution
+            .explainString(ExplainMode.fromString("simple"))
+          println(s"=== $n ===")
+          println(p.linesIterator
+            .filter(l => l.contains("Exchange") || l.contains("Join") ||
+              l.contains("Scan") || l.contains("Window") || l.contains("Aggregate"))
+            .map(_.trim.take(120)).mkString("\n"))
+      }
     }
     spark.stop()
   }

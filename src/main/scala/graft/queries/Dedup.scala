@@ -278,13 +278,18 @@ object Dedup {
     // doc-pair explosion; the groupBy then counts per test doc.
     "d8_decontaminate" -> { (s, d) =>
       import s.implicits._
-      val exploded = Tables.parallelized(Tables.documents(s, d))
-        .select(col("doc_id"), col("source"), col("text")).as[(Long, String, String)]
-        .mapPartitions(_.map { case (id, src, t) => (id, src, shinglesOf(t)) })
-        .toDF("doc_id", "source", "shingles")
-        .select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
-      val train = exploded.filter(col("source") =!= "src0").select(col("sh")).distinct()
-      exploded.filter(col("source") === "src0")
+      // The source filter goes BELOW the typed shingle map: the map is an
+      // optimizer barrier, so filtering above it would shingle the whole
+      // corpus in BOTH branches. Filtered first, each split is shingled
+      // exactly once and the predicate pushes into the parquet scan.
+      def shingled(pred: Column) = Tables.parallelized(Tables.documents(s, d))
+        .filter(pred)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, shinglesOf(t)) })
+        .toDF("doc_id", "shingles")
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val train = shingled(col("source") =!= "src0").select(col("sh")).distinct()
+      shingled(col("source") === "src0")
         .join(train, "sh")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("sh")).as("n_shared"))

@@ -183,24 +183,22 @@ object MappingQueries {
     """SELECT uid, time, reftime, lat, lon, CAST(NULL AS DOUBLE) AS z,
       |  'POINT (' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS geom,""".stripMargin
 
+  // m1/m2: the fixture has case-distinct keys (`L`/`l`) that break DuckDB
+  // read_json STRUCT inference (case-insensitive field collision), but the
+  // JSON-type route never infers a struct: CAST(content AS JSON) -> '$[*]'
+  // keeps every key verbatim, and yyjson's minified re-serialization
+  // matches Jackson's canonical form byte-for-byte on this fixture
+  // (verified; no NaN/Infinity tokens, so m1's scrub is a no-op here and
+  // ONE oracle body serves both — bound once so they cannot drift).
+  private val kvOracle =
+    """SELECT 'fake' AS key,
+      |  CAST(unnest(CAST(content AS JSON) -> '$[*]') AS VARCHAR) AS payload
+      |FROM read_text('/root/reference/tests/mission_sensors.json')
+      |ORDER BY payload""".stripMargin
+
   def oracle: Map[String, String] = Map(
-    // m1/m2: the fixture has case-distinct keys (`L`/`l`) that break DuckDB
-    // read_json STRUCT inference (case-insensitive field collision), but
-    // the JSON-type route never infers a struct: CAST(content AS JSON) ->
-    // '$[*]' keeps every key verbatim, and yyjson's minified re-serialization
-    // matches Jackson's canonical form byte-for-byte on this fixture
-    // (verified; no NaN/Infinity tokens, so m1's scrub is a no-op here and
-    // one oracle body serves both).
-    "m1_jsonmap" ->
-      """SELECT 'fake' AS key,
-        |  CAST(unnest(CAST(content AS JSON) -> '$[*]') AS VARCHAR) AS payload
-        |FROM read_text('/root/reference/tests/mission_sensors.json')
-        |ORDER BY payload""".stripMargin,
-    "m2_stringmap" ->
-      """SELECT 'fake' AS key,
-        |  CAST(unnest(CAST(content AS JSON) -> '$[*]') AS VARCHAR) AS payload
-        |FROM read_text('/root/reference/tests/mission_sensors.json')
-        |ORDER BY payload""".stripMargin,
+    "m1_jsonmap" -> kvOracle,
+    "m2_stringmap" -> kvOracle,
     // GenericGeography scalar core (JSON route — no struct inference): the
     // fixture's feature properties are all empty and every top-level key is
     // a reserved column, so the merged values map is empty — but the oracle
@@ -301,7 +299,7 @@ object MappingQueries {
          |    CAST(el ->> '$$.values.longitude' AS DOUBLE) AS vlon
          |  FROM els),
          |pos AS (
-         |  SELECT CAST(el -> '$$.headers.imei' AS VARCHAR) AS uid,
+         |  SELECT el ->> '$$.headers.imei' AS uid,
          |    make_timestamp(CASE WHEN status_ts IS NOT NULL AND status_ts != 0
          |      THEN status_ts ELSE iridium_ts END * 1000000) AS time,
          |    make_timestamp(iridium_ts * 1000000) AS reftime,
