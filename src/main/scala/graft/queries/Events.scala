@@ -129,6 +129,21 @@ object Events {
         .select(col("event_id"), col("user_id"), col("prev_ts"), col("next_ts"), col("gap_us"))
         .orderBy(col("event_id"))
     },
+    // Event-time RANGE frame: per user, rolling count/sum over the
+    // trailing 1 hour of EVENT TIME (not row count) — `rangeBetween` on
+    // epoch micros, the frame spec the row-based e-queries don't cover.
+    // One shuffle on user_id; the frame scan is per-partition ordered.
+    "e11_range_frame" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("sum_1h"))
+        .orderBy(col("event_id"))
+    },
     // Gap-filled resample + forward fill: hourly grid per event_type over
     // all 744 hours of January 2024, empty slots get n=0 and carry the last
     // observed hourly sum forward (sensor-style regularization). One agg
@@ -221,6 +236,14 @@ object Events {
         |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY event_id""".stripMargin,
+    "e11_range_frame" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "e10_resample_ffill" ->
       """WITH agg AS (
