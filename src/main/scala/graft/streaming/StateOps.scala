@@ -41,6 +41,55 @@ class LastWinsProcessor[K, V](valueEnc: org.apache.spark.sql.Encoder[(Long, V)])
   }
 }
 
+/** Per-key staleness monitor (sensor-offline detection, the natural alarm
+  * for the reference's float/buoy streams): every input row refreshes the
+  * key's last-seen value and re-arms an EVENT-TIME timer `timeoutMs` past
+  * the row's timestamp; if the watermark passes that deadline with no newer
+  * row, the key emits one `(key, lastValue, stale = true)` tombstone. This
+  * exercises the TIMER half of the `transformWithState` API
+  * ([[LastWinsProcessor]] covers the value-state half): `registerTimer` +
+  * `handleExpiredTimer` under `TimeMode.EventTime`. Event-time (not
+  * wall-clock) deadlines make the operator deterministic and replayable —
+  * staleness is decided by the data's own clock via the watermark. State is
+  * O(keys); timers live in the same RocksDB-backed store and scale with key
+  * count, not row count. */
+class StalenessProcessor[K, V](stateEnc: org.apache.spark.sql.Encoder[(Long, V)],
+    timeoutMs: Long)
+    extends StatefulProcessor[K, (K, V, java.sql.Timestamp), (K, V, Boolean)] {
+
+  // (armed deadline, last value): a refresh arms a NEW timer and records its
+  // deadline; an older timer firing later is recognized as superseded by
+  // comparing against the recorded deadline — no timer enumeration needed.
+  @transient private var last: ValueState[(Long, V)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[(Long, V)]("seen", stateEnc, TTLConfig.NONE)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, V, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[(K, V, Boolean)] = {
+    var latest: Option[(Long, V)] = None
+    rows.foreach { case (_, v, ts) =>
+      if (latest.forall(_._1 <= ts.getTime)) latest = Some((ts.getTime, v))
+    }
+    latest match {
+      case Some((ts, v)) if last.exists() && last.get()._1 >= ts + timeoutMs =>
+        Iterator((key, v, false)) // late arrival older than the armed deadline
+      case Some((ts, v)) =>
+        val deadline = ts + timeoutMs
+        last.update((deadline, v))
+        getHandle.registerTimer(deadline)
+        Iterator((key, v, false))
+      case None => Iterator.empty
+    }
+  }
+
+  override def handleExpiredTimer(key: K, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(K, V, Boolean)] =
+    if (last.exists() && last.get()._1 == expiredTimerInfo.getExpiryTimeInMs())
+      Iterator((key, last.get()._2, true))
+    else Iterator.empty // superseded by a later refresh
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

@@ -181,6 +181,58 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState timers: silent key emits a staleness tombstone") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // Event-time timers: staleness is decided by the DATA's clock via the
+      // watermark, so the test is deterministic — no wall-clock sleeps.
+      // Each addData block is one micro-batch; the watermark advances after
+      // each batch, so a's 5-minute deadline (armed in batch 1) fires during
+      // batch 3, when the watermark (t0+10min, set after batch 2) has passed
+      // it. b keeps refreshing and must never go stale.
+      val t0 = 1700000000000L
+      def ts(offsetMs: Long) = new Timestamp(t0 + offsetMs)
+      val stream = MemoryStream[(String, Int, Timestamp)]
+      stream.addData(("a", 1, ts(0)), ("b", 2, ts(0)))
+      stream.addData(("b", 3, ts(600000)))
+      stream.addData(("b", 4, ts(1200000)))
+      val out = stream.toDS()
+        .withWatermark("_3", "0 seconds")
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.StalenessProcessor[String, Int](
+            graft.streaming.StateOps.lastWinsState[Int], timeoutMs = 300000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Update())
+      val q = out.toDF("k", "v", "stale").writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("stale_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val rows = spark.sql("SELECT k, v, stale FROM stale_out").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2)))
+      assert(rows.contains(("a", 1, true)), s"expected stale tombstone for a: ${rows.toSeq}")
+      assert(!rows.exists(r => r._1 == "b" && r._3), s"b refreshed, must never be stale: ${rows.toSeq}")
+      assert(rows.count(_ == ("a", 1, true)) == 1, s"exactly one tombstone for a: ${rows.toSeq}")
+      // The processor emits the LATEST row per key per batch (it's a
+      // monitor, not a passthrough) and AvailableNow may coalesce addData
+      // blocks arbitrarily — the batching-independent invariants are: b's
+      // final value emitted live, and (asserted above) b never stale while
+      // a tombstones exactly once.
+      assert(rows.contains(("b", 4, false)), rows.toSeq)
+      assert(rows.contains(("a", 1, false)), rows.toSeq)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState: running max per key") {
     val spark0 = spark
     import spark0.implicits._
