@@ -47,12 +47,15 @@ class LastWinsProcessor[K, V](valueEnc: org.apache.spark.sql.Encoder[(Long, V)])
   * the row's timestamp; if the watermark passes that deadline with no newer
   * row, the key emits one `(key, lastValue, stale = true)` tombstone. This
   * exercises the TIMER half of the `transformWithState` API
-  * ([[LastWinsProcessor]] covers the value-state half): `registerTimer` +
-  * `handleExpiredTimer` under `TimeMode.EventTime`. Event-time (not
-  * wall-clock) deadlines make the operator deterministic and replayable —
-  * staleness is decided by the data's own clock via the watermark. State is
-  * O(keys); timers live in the same RocksDB-backed store and scale with key
-  * count, not row count. */
+  * ([[LastWinsProcessor]] covers the value-state half): `registerTimer`/
+  * `deleteTimer` + `handleExpiredTimer` under `TimeMode.EventTime`.
+  * Event-time (not wall-clock) deadlines tie staleness to the data's own
+  * clock via the watermark; note the watermark only advances at micro-batch
+  * boundaries, so whether a deadline fires before a refresh supersedes it
+  * depends on how rows batch — deterministic for a FIXED batching, not
+  * across re-batchings (inherent to watermark semantics, not this
+  * operator). State is O(keys); superseded timers are deleted on refresh,
+  * so live timers scale with key count, not row count. */
 class StalenessProcessor[K, V](stateEnc: org.apache.spark.sql.Encoder[(Long, V)],
     timeoutMs: Long)
     extends StatefulProcessor[K, (K, V, java.sql.Timestamp), (K, V, Boolean)] {
@@ -72,10 +75,15 @@ class StalenessProcessor[K, V](stateEnc: org.apache.spark.sql.Encoder[(Long, V)]
       if (latest.forall(_._1 <= ts.getTime)) latest = Some((ts.getTime, v))
     }
     latest match {
-      case Some((ts, v)) if last.exists() && last.get()._1 >= ts + timeoutMs =>
-        Iterator((key, v, false)) // late arrival older than the armed deadline
+      case Some((ts, _)) if last.exists() && last.get()._1 >= ts + timeoutMs =>
+        // Out-of-order arrival older than the row already in state: no
+        // state change, NO emission — emitting would regress a downstream
+        // last-wins consumer to a stale value, and after a tombstone it
+        // would mark the key alive with no timer armed.
+        Iterator.empty
       case Some((ts, v)) =>
         val deadline = ts + timeoutMs
+        if (last.exists()) getHandle.deleteTimer(last.get()._1) // supersede
         last.update((deadline, v))
         getHandle.registerTimer(deadline)
         Iterator((key, v, false))
@@ -85,9 +93,11 @@ class StalenessProcessor[K, V](stateEnc: org.apache.spark.sql.Encoder[(Long, V)]
 
   override def handleExpiredTimer(key: K, timerValues: TimerValues,
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(K, V, Boolean)] =
-    if (last.exists() && last.get()._1 == expiredTimerInfo.getExpiryTimeInMs())
-      Iterator((key, last.get()._2, true))
-    else Iterator.empty // superseded by a later refresh
+    if (last.exists()) {
+      val cur = last.get()
+      if (cur._1 == expiredTimerInfo.getExpiryTimeInMs()) Iterator((key, cur._2, true))
+      else Iterator.empty // superseded by a later refresh (defensive; deleted on refresh)
+    } else Iterator.empty
 }
 
 object StateOps {

@@ -212,7 +212,8 @@ class StreamingSpec extends SparkTestBase {
       val q = out.toDF("k", "v", "stale").writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName("stale_out")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      try assert(q.awaitTermination(120000), "query did not drain within 120s")
+      finally q.stop()
       val rows = spark.sql("SELECT k, v, stale FROM stale_out").collect()
         .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2)))
       assert(rows.contains(("a", 1, true)), s"expected stale tombstone for a: ${rows.toSeq}")
