@@ -104,10 +104,26 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k (query set = every 50th vector).
+    // The plan broadcasts the QUERY side, which is only sound while that
+    // side is bounded — the declared every-50th set is corpus-PROPORTIONAL,
+    // so at 100 TB it would overflow any broadcast threshold. Same guard
+    // pattern as d6's block-size bound: a lazy distributed count joined in,
+    // raise_error behind a never-true-on-healthy-data filter, failing the
+    // job with a pointer to the scale paths (s2/s4) instead of silently
+    // OOMing the driver. Cap configurable via `graft.ann.maxQuerySet`.
     "s1_knn_brute" -> { (s, d) =>
+      val maxQ = s.conf.getOption("graft.ann.maxQuerySet").map(_.toInt).getOrElse(10000)
       val e = normed(s, d)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q0 = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sq").as("q_sq"))
+      val qn = q0.agg(count(lit(1)).as("__q_n"))
+      val q = q0.crossJoin(broadcast(qn))
+        .filter(when(col("__q_n") > maxQ, raise_error(format_string(
+          "s1_knn_brute: query set has %s vectors > graft.ann.maxQuerySet=%s; " +
+            "the broadcast exact baseline needs a bounded query set — use " +
+            "s2_knn_lsh or s4_knn_ivf at this scale",
+          col("__q_n"), lit(maxQ)))).isNull)
+        .drop("__q_n")
       val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))

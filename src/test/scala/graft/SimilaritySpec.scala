@@ -34,6 +34,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"IVF recall@5 $recall below 0.3")
   }
 
+  test("s1 query-set guard fails fast when the query set exceeds the bound") {
+    // At sf0.001 the every-50th query set is far larger than 1, so the
+    // guard must fire; with the default bound the query runs to completion.
+    spark.conf.set("graft.ann.maxQuerySet", "1")
+    try {
+      val ex = intercept[Exception] {
+        graft.queries.Similarity.queries("s1_knn_brute")(spark, sf).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(m => m.contains("s2_knn_lsh") && m.contains("s4_knn_ivf")),
+        s"guard error must route to s2/s4, got: ${messages(ex)}")
+    } finally spark.conf.unset("graft.ann.maxQuerySet")
+    assert(graft.queries.Similarity.queries("s1_knn_brute")(spark, sf).count() > 0)
+  }
+
   test("s1 cosine values are valid and ranked") {
     val rows = graft.queries.Similarity.queries("s1_knn_brute")(spark, sf)
       .select(col("q_id"), col("rk"), col("cosine")).collect()
