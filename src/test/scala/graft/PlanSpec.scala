@@ -123,6 +123,53 @@ class PlanSpec extends SparkTestBase {
     new graft.plans.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("e10 resample: grid side broadcast, fact agg is the single hash shuffle") {
+    // The minute grid (distinct event_types × slots) must arrive at the
+    // left-outer join broadcast — shuffling the FACT side onto the grid
+    // would move the 100 TB side for the benefit of the small one.
+    val plan = planOf("e10_resample_ffill")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), "grid join must not sort-merge the fact side")
+    // Exactly two hash shuffles: the grid's distinct(event_type) and the
+    // per-(window, event_type) aggregation. The ffill window's distribution
+    // is satisfied without an extra hash exchange.
+    assert("hashpartitioning\\(".r.findAllIn(plan).size == 2,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+  }
+
+  test("t9 vocab: corpus size N is a broadcast scalar, one word shuffle") {
+    val plan = planOf("t9_vocab_idf")
+    // N joins on as a 1-row broadcast (BNLJ over IdentityBroadcastMode) —
+    // never a shuffle of the vocabulary against a scalar.
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert("hashpartitioning\\(word".r.findAllIn(plan).size == 1,
+      "exactly one groupBy(word) shuffle expected")
+    // The N count scan reads ZERO columns (count(1) over pruned schema).
+    assert(plan.linesIterator.exists(l => l.contains("ReadSchema: struct<>")),
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("e11 event-time RANGE frame: single user_id shuffle feeds both windows") {
+    val plan = planOf("e11_range_frame")
+    assert(plan.contains("RangeFrame"), plan.take(3000))
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      "both window passes must reuse one hashpartitioning(user_id) exchange")
+  }
+
+  test("d8 decontamination: train side reduced to a set before a hash join") {
+    val plan = planOf("d8_decontaminate")
+    // Membership join against the DISTINCT train shingle set — an equi
+    // hash join, never a doc-pair product.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "membership join must stay hash-keyed")
+    // The split predicates sit BELOW the typed shingle maps and reach the
+    // parquet scans: one pushed EqualTo(source,src0), one pushed Not().
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("EqualTo(source,src0)") && pushed.contains("Not(EqualTo(source,src0))"), pushed)
+  }
+
   test("s3 typed Aggregator compiles to partial+final aggregation") {
     val plan = planOf("s3_label_median_norm")
     // Two aggregate operators (partial on the map side, final after the
