@@ -19,20 +19,38 @@ import graft.sources.MessageDecoder
   */
 object Pipeline {
 
-  /** Kafka source config (S1). Jar-gated: the spark-sql-kafka connector is
-    * not in this offline image, so this only assembles the standard options
-    * (`subscribe`, `startingOffsets`, consumer group) for deploy time. */
-  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
-      offset: String = "latest", consumerGroup: Option[String] = None): DataFrame = {
+  /** Standard Kafka reader options (S1), assembled as data so they are
+    * testable without the connector jar. Mirrors the reference's consumer
+    * construction (`/root/reference/dbsink/utils.py:17-31`): a random
+    * `dbsink-{topic}-{20 hex}` consumer group when none is given, and the
+    * librdkafka offset aliases (`largest`/`smallest`) translated to the
+    * `latest`/`earliest` the Spark connector expects. */
+  def kafkaOptions(brokers: String, topic: String,
+      offset: String = "latest", consumerGroup: Option[String] = None): Map[String, String] = {
     val group = consumerGroup.getOrElse(
-      s"dbsink-$topic-${java.util.UUID.randomUUID.toString.take(20)}")
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", if (offset == "largest") "latest" else offset)
-      .option("kafka.group.id", group)
-      .load()
+      s"dbsink-$topic-${java.util.UUID.randomUUID.toString.replace("-", "").take(20)}")
+    val starting = offset match {
+      case "largest" => "latest"
+      case "smallest" => "earliest"
+      case other => other
+    }
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> starting,
+      "kafka.group.id" -> group)
   }
+
+  /** Kafka source (S1). Jar-gated: the spark-sql-kafka connector is not in
+    * this offline image, so `load()` only resolves at deploy time — see
+    * README "Deploying against Kafka" for the classpath. Option assembly is
+    * [[kafkaOptions]] (spec'd offline); activation is covered by the
+    * jar-gated end-to-end test in KafkaSpec. */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
+      offset: String = "latest", consumerGroup: Option[String] = None): DataFrame =
+    spark.readStream.format("kafka")
+      .options(kafkaOptions(brokers, topic, offset, consumerGroup))
+      .load()
 
   /** Name of the dead-letter accumulator registered by [[decoded]]. */
   val DeadLetterAccumulator = "graft.dead_letters"
