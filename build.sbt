@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Wall-clock-dependent streaming tests (ProcessingTime timers) are tagged
+// and excluded from the default run; include with
+//   sbt "testOnly graft.StreamingSpec -- -n graft.tags.WallClock"
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.tags.WallClock")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

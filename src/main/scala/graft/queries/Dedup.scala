@@ -231,7 +231,12 @@ object Dedup {
         .withColumn("jaccard", col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"))
         .filter(col("jaccard") >= 0.3)
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+        // The cap is PART OF THE RESULT, not a hidden tuning knob: every
+        // output row names the vocabulary bound it was computed under, so
+        // a production caller (or a downstream join of results computed
+        // under different caps) can see the contract without reading docs.
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"),
+          lit(DF_CAP).cast("int").as("df_cap"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
     // Embedding-cosine near-dup, blocked by the natural `label` partition so
@@ -385,7 +390,8 @@ object Dedup {
          |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2, 3, 4)
          |SELECT doc_a, doc_b, inter,
-         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard,
+         |  CAST(50 AS INTEGER) AS df_cap
          |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d8_decontaminate" ->

@@ -100,8 +100,58 @@ class StalenessProcessor[K, V](stateEnc: org.apache.spark.sql.Encoder[(Long, V)]
     } else Iterator.empty
 }
 
+/** Idle-flush buffer (`TimeMode.ProcessingTime` — the WALL-CLOCK timer
+  * quadrant; [[StalenessProcessor]] covers event-time): per key, inputs
+  * accumulate (last value, row count) in state and re-arm a processing-time
+  * timer `idleMs` past "now"; when a key stays quiet past the deadline, the
+  * buffered aggregate is emitted once and the state cleared. The natural
+  * shape for "ship a device's batch after it goes quiet" over the
+  * reference's sensor streams.
+  *
+  * Wall-clock deadlines are inherently non-deterministic under test
+  * (micro-batch overhead can exceed any short timeout), so the spec for
+  * this processor is tagged `graft.tags.WallClock` and excluded from the
+  * default test run — see StreamingSpec. State is O(keys); a flush clears
+  * the key's state, so quiet keys cost nothing after their flush. */
+class IdleFlushProcessor[K, V](stateEnc: org.apache.spark.sql.Encoder[(Long, V, Long)],
+    idleMs: Long)
+    extends StatefulProcessor[K, (K, V), (K, V, Long)] {
+
+  // (armed deadline, last value, rows buffered since last flush)
+  @transient private var buf: ValueState[(Long, V, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getValueState[(Long, V, Long)]("buf", stateEnc, TTLConfig.NONE)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, V)],
+      timerValues: TimerValues): Iterator[(K, V, Long)] = {
+    var n = 0L
+    var lastV: Option[V] = None
+    rows.foreach { case (_, v) => lastV = Some(v); n += 1 }
+    lastV.foreach { v =>
+      val prevN = if (buf.exists()) { getHandle.deleteTimer(buf.get()._1); buf.get()._3 } else 0L
+      val deadline = timerValues.getCurrentProcessingTimeInMs() + idleMs
+      buf.update((deadline, v, prevN + n))
+      getHandle.registerTimer(deadline)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: K, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(K, V, Long)] =
+    if (buf.exists() && buf.get()._1 == expiredTimerInfo.getExpiryTimeInMs()) {
+      val (_, v, n) = buf.get()
+      buf.clear()
+      Iterator((key, v, n))
+    } else Iterator.empty // superseded (defensive; deleted on refresh)
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =
     Encoders.tuple(Encoders.scalaLong, v)
+
+  /** Tuple encoder helper for [[IdleFlushProcessor]] state. */
+  def idleFlushState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V, Long)] =
+    Encoders.tuple(Encoders.scalaLong, v, Encoders.scalaLong)
 }
