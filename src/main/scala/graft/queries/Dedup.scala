@@ -300,6 +300,58 @@ object Dedup {
         .agg(countDistinct(col("sh")).as("n_shared"))
         .orderBy(col("doc_id"))
     },
+    // Duplicate-CLUSTER resolution: near-dup pairs (d5, J ≥ 0.3) are edges
+    // of an undirected graph; the training-data decision is per connected
+    // COMPONENT (keep one representative per cluster), not per pair — A~B,
+    // B~C must discard two of {A,B,C} even when A~C was never emitted.
+    //
+    // Algorithm: min-label propagation ("hash-to-min") — every vertex
+    // starts labeled with itself; each round takes the min of its own and
+    // its neighbors' labels; fixpoint = min doc_id of the component, a
+    // UNIQUE answer independent of execution order, so the result is
+    // oracle-exact (DuckDB twin: recursive-CTE transitive closure).
+    //
+    // Scale shape (100 TB): rounds = O(component diameter) — near-dup
+    // clusters are short-diameter by construction (most are cliques of
+    // re-posts), so this converges in a handful of rounds; each round is
+    // one equi-join shuffle + one groupBy(src) partial-agg shuffle over
+    // the EDGE set (≪ corpus: only docs with a duplicate), never the
+    // corpus. The driver sees one Boolean-sized count per round; lineage
+    // is cut with an eager localCheckpoint per round so the plan stays
+    // O(1) deep (adversarial long-chain graphs would want the
+    // large-star/small-star variant — documented trade-off, not needed
+    // for dedup clusters). Round intermediates are localCheckpoint blocks;
+    // they are reclaimed by the ContextCleaner once the previous round's
+    // RDD is unreachable (Dataset.unpersist does not apply to RDD-level
+    // checkpoints), so steady-state memory is one edge set + two label
+    // snapshots.
+    "d9_dup_clusters" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = queries("d5_ngram_jaccard")(s, d).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").localCheckpoint(true)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 32) {
+        val nbrMin = edges.join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"), col("label").as("prev_label"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        changed = next.filter(col("label") =!= col("prev_label")).count()
+        labels = next.select(col("id"), col("label"))
+        rounds += 1
+      }
+      labels
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .withColumn("is_rep", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
     // The 100 TB path for d6: sign-LSH bucketing WITHIN label bounds the
     // candidate set (a block of size n yields ~L·n²/2^k candidates instead
     // of n²), exact cosine verification keeps precision at 1.0; recall vs
@@ -394,6 +446,30 @@ object Dedup {
          |  CAST(50 AS INTEGER) AS df_cap
          |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // d9: the recursive CTE computes the transitive closure of the d5 pair
+    // graph (small: only duplicated docs), then min(reachable) per doc —
+    // the same unique fixpoint the Spark label propagation converges to.
+    "d9_dup_clusters" ->
+      s"""WITH RECURSIVE $SH_CTE,
+         |inv AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n, unnest(shingles) AS sh FROM sh_docs),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         |         count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |p AS (SELECT doc_a, doc_b FROM pairs
+         |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(u, l) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
+         |cc AS (SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+         |  cc.doc_id = cc.cluster_id AS is_rep
+         |FROM cc JOIN sz USING (cluster_id)
+         |ORDER BY cc.doc_id""".stripMargin,
     "d8_decontaminate" ->
       s"""WITH $SH_CTE,
          |e AS (SELECT s.doc_id, d.source, unnest(s.shingles) AS sh

@@ -170,6 +170,25 @@ object TextOps {
         .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) === "0")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
+    },
+    // Stratified (per-source quota) sampling: exactly K docs per source,
+    // chosen by md5 order — deterministic across runs/cluster sizes/engines
+    // (t10's rate-sampling sibling; quotas are what a training mix actually
+    // specifies: "N docs from each source", not "p% of whatever arrives").
+    // Scale shape: one hash shuffle on source; the rk ≤ K filter on
+    // row_number is rewritten by Spark into WindowGroupLimit, so each map
+    // task keeps a K-row heap and the sort never materializes a full
+    // source partition (pinned in PlanSpec).
+    "t11_stratified_sample" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val K = 10
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= K)
+        .orderBy(col("source"), col("rk"))
     }
   )
 
@@ -275,7 +294,14 @@ object TextOps {
       "t10_hash_sample" ->
         """SELECT doc_id, lang, source FROM documents
           |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
-          |ORDER BY doc_id""".stripMargin
+          |ORDER BY doc_id""".stripMargin,
+      "t11_stratified_sample" ->
+        """SELECT doc_id, source, rk FROM (
+          |  SELECT doc_id, source, row_number() OVER (
+          |    PARTITION BY source
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents) t
+          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
     )
   }
 }

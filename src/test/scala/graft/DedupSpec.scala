@@ -48,6 +48,31 @@ class DedupSpec extends SparkTestBase {
     assert(graft.queries.Dedup.queries("d6_embedding_neardup")(spark, sf).count() > 0)
   }
 
+  test("d9 clusters are consistent components of the d5 pair graph") {
+    val pairs = graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = graft.queries.Dedup.queries("d9_dup_clusters")(spark, sf)
+      .select("doc_id", "cluster_id", "cluster_size", "is_rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // exactly the docs that appear in some pair, each labeled once
+    assert(label.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // both endpoints of every edge share a component
+    pairs.foreach { case (a, b) => assert(label(a) == label(b), s"$a~$b split") }
+    // the label is the component minimum, and exactly its owner is rep
+    label.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid not labeled by its min")
+    }
+    assert(clusters.count(_._4) == label.values.toSet.size)
+    // sizes agree with membership
+    val sizes = clusters.groupBy(_._2).view.mapValues(_.length).toMap
+    clusters.foreach { c => assert(c._3 == sizes(c._2), s"size mismatch for ${c._1}") }
+    // transitivity did real work on this corpus: some component is larger
+    // than a single pair (A~B~C with no direct A~C edge) — guards against
+    // a regression to pairwise-only labeling
+    assert(sizes.values.max >= 3, s"expected a transitive cluster, got $sizes")
+  }
+
   test("d4 simhash pairs have hamming <= 3 and are deduplicated") {
     val rows = graft.queries.Dedup.queries("d4_dedup_simhash")(spark, sf).collect()
     assert(rows.forall(_.getInt(2) <= 3))

@@ -170,6 +170,14 @@ class PlanSpec extends SparkTestBase {
     assert(pushed.contains("EqualTo(source,src0)") && pushed.contains("Not(EqualTo(source,src0))"), pushed)
   }
 
+  test("t11 quota sampling: rk filter becomes a WindowGroupLimit (top-K heap)") {
+    // Without this rewrite each source partition is fully sorted to rank
+    // ALL rows before the rk <= K filter discards them — at 100 TB that is
+    // the difference between a K-row heap per task and a corpus sort.
+    val plan = planOf("t11_stratified_sample")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("s3 typed Aggregator compiles to partial+final aggregation") {
     val plan = planOf("s3_label_median_norm")
     // Two aggregate operators (partial on the map side, final after the
