@@ -63,6 +63,49 @@ object Dedup {
       .toDF("doc_id", "shingles")
   }
 
+  /** (doc_id, shingles, banded MinHash signature) in ONE narrow pass: the
+    * signature is a per-document reduction, so the naive explode →
+    * groupBy(doc_id) formulation would shuffle the whole shingle corpus for
+    * nothing. Hash bits are identical to the SQL `xxhash64(lit(i), shingle)`
+    * / `xxhash64(slice(sig, …))` forms (seed 42, same int→bytes
+    * accumulation), so buckets are deterministic across engines/runs.
+    * `pred` is applied BELOW the typed map (which is an optimizer barrier):
+    * callers splitting the corpus (d10) push their split predicate into the
+    * parquet scan and pay the shingle pass only for their slice. */
+  private def bandedSets(s: SparkSession, d: String, pred: Column): DataFrame = {
+    import s.implicits._
+    val bandsPerDoc = NUM_HASHES / BANDS
+    Tables.parallelized(Tables.documents(s, d))
+      .filter(pred)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        import org.apache.spark.unsafe.types.UTF8String
+        val seeds = Array.tabulate(NUM_HASHES)(i => XXH64.hashInt(i, 42L))
+        it.map { case (id, text) =>
+          val shingles = shinglesOf(text)
+          val sig = Array.fill(NUM_HASHES)(Long.MaxValue)
+          shingles.foreach { sh =>
+            val u = UTF8String.fromString(sh)
+            var i = 0
+            while (i < NUM_HASHES) {
+              val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seeds(i))
+              if (h < sig(i)) sig(i) = h
+              i += 1
+            }
+          }
+          val bands = Array.tabulate(BANDS) { b =>
+            var acc = 42L
+            var j = 0
+            while (j < bandsPerDoc) { acc = XXH64.hashLong(sig(b * bandsPerDoc + j), acc); j += 1 }
+            acc
+          }
+          (id, shingles, bands)
+        }
+      }
+      .toDF("doc_id", "shingles", "bands")
+  }
+
   /** xxhash64-compatible string hash (same bits as the SQL `xxhash64`). */
   private[queries] def xxh64(s: String, seed: Long = 42L): Long = {
     val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -95,47 +138,13 @@ object Dedup {
     // With 8 bands × 4 rows, P(candidate | J=0.9) ≈ 1 − (1−0.9⁴)⁸ ≈ 0.9997;
     // verified deterministic on the fixed testdata (hashes are xxhash64).
     "d3_dedup_minhash" -> { (s, d) =>
-      import s.implicits._
-      // Shingles AND the banded MinHash signature in ONE narrow pass: the
-      // signature is a per-document reduction, so the naive explode →
-      // groupBy(doc_id) formulation shuffles the whole shingle corpus for
-      // nothing. Computing it inline leaves the band-bucket join as the
-      // query's only shuffle. Hash bits are identical to the SQL
-      // `xxhash64(lit(i), shingle)` / `xxhash64(slice(sig, …))` forms
-      // (seed 42, same int→bytes accumulation), so buckets are unchanged.
+      // Shingles AND the banded MinHash signature in ONE narrow pass (see
+      // [[bandedSets]]); the band-bucket join is the query's only shuffle.
       // The same DataFrame feeds the exact-Jaccard verify join; it is
       // deliberately NOT cached (a query-scoped cache has no unpersist
       // point and starves the rest of the session) — in a real pipeline
       // the shingle table would be materialized once upstream.
-      val bandsPerDoc = NUM_HASHES / BANDS
-      val sets = Tables.parallelized(Tables.documents(s, d))
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          import org.apache.spark.sql.catalyst.expressions.XXH64
-          import org.apache.spark.unsafe.types.UTF8String
-          val seeds = Array.tabulate(NUM_HASHES)(i => XXH64.hashInt(i, 42L))
-          it.map { case (id, text) =>
-            val shingles = shinglesOf(text)
-            val sig = Array.fill(NUM_HASHES)(Long.MaxValue)
-            shingles.foreach { sh =>
-              val u = UTF8String.fromString(sh)
-              var i = 0
-              while (i < NUM_HASHES) {
-                val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seeds(i))
-                if (h < sig(i)) sig(i) = h
-                i += 1
-              }
-            }
-            val bands = Array.tabulate(BANDS) { b =>
-              var acc = 42L
-              var j = 0
-              while (j < bandsPerDoc) { acc = XXH64.hashLong(sig(b * bandsPerDoc + j), acc); j += 1 }
-              acc
-            }
-            (id, shingles, bands)
-          }
-        }
-        .toDF("doc_id", "shingles", "bands")
+      val sets = bandedSets(s, d, lit(true))
       // banding: (band index, band signature) buckets.
       val banded = sets.select(col("doc_id"),
           posexplode(col("bands")).as(Seq("band", "band_sig")))
@@ -352,6 +361,42 @@ object Dedup {
         .withColumn("is_rep", col("doc_id") === col("cluster_id"))
         .orderBy(col("doc_id"))
     },
+    // INCREMENTAL dedup: an incoming batch (here: every 5th doc_id, the
+    // same bounded-query-set convention as s1) checked against the
+    // existing corpus — the shape of continuous ingestion, where re-running
+    // the full d3 over corpus+batch would redo 100 TB of signature work for
+    // a GB of new data. Each side's split predicate sits BELOW the typed
+    // shingle map (d8's lesson: the map is an optimizer barrier), so the
+    // corpus is shingled exactly once across the two branches and the
+    // predicates push into the parquet scans. In production the corpus
+    // side's (doc_id, shingles, bands) table is materialized once and
+    // reused per batch — the join below is exactly that access pattern:
+    // band-bucket equi-join (batch × corpus collisions only), candidates
+    // deduped, then exact-Jaccard verify on candidates alone. Oracle-exact
+    // for the same reason as d3: banding recall is 1.0 at J ≥ 0.9 on this
+    // corpus, so the capped LSH path equals the exhaustive cross-split
+    // Jaccard the DuckDB twin computes.
+    "d10_incremental_dedup" -> { (s, d) =>
+      val isNew = col("doc_id") % 5 === 0
+      val newSets = bandedSets(s, d, isNew)
+      val corpusSets = bandedSets(s, d, !isNew)
+      def explodeBands(df: DataFrame) = df.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "band_sig")))
+      val cands = explodeBands(newSets).as("a")
+        .join(explodeBands(corpusSets).as("b"),
+          col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig"))
+        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"))
+        .distinct()
+      cands
+        .join(newSets.select(col("doc_id").as("new_id"), col("shingles").as("sh_a")), "new_id")
+        .join(corpusSets.select(col("doc_id").as("dup_of"), col("shingles").as("sh_b")), "dup_of")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("new_id"), col("dup_of"), col("jaccard"))
+        .orderBy(col("new_id"), col("dup_of"))
+    },
     // The 100 TB path for d6: sign-LSH bucketing WITHIN label bounds the
     // candidate set (a block of size n yields ~L·n²/2^k candidates instead
     // of n²), exact cosine verification keeps precision at 1.0; recall vs
@@ -446,6 +491,21 @@ object Dedup {
          |  CAST(50 AS INTEGER) AS df_cap
          |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // d10: exhaustive cross-split Jaccard at 0.9 (see d3's recall note —
+    // the banded path's answer equals this exhaustive form on this corpus).
+    "d10_incremental_dedup" ->
+      s"""WITH $SH_CTE,
+         |inv AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n, unnest(shingles) AS sh FROM sh_docs),
+         |pairs AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS dup_of, a.n AS na, b.n AS nb,
+         |         count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.sh = b.sh
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT new_id, dup_of,
+         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
+         |ORDER BY new_id, dup_of""".stripMargin,
     // d9: the recursive CTE computes the transitive closure of the d5 pair
     // graph (small: only duplicated docs), then min(reachable) per doc —
     // the same unique fixpoint the Spark label propagation converges to.

@@ -276,6 +276,24 @@ object Relational {
       val active = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
         .select(col("o_custkey").as("k"))
       all.except(active).orderBy(col("k"))
+    },
+    // Correlated LATERAL subquery (SQL-surface twin of q20's window top-k):
+    // per outer row, an ordered+limited dependent subquery. Catalyst
+    // decorrelates this — DomainJoin + window rewrite — into the same
+    // single-shuffle ranked plan as q20, NOT a per-row re-execution; the
+    // LATERAL form is what a SQL-first caller writes, and this entry pins
+    // that the decorrelation holds (a per-outer-row nested loop at 100 TB
+    // would be quadratic).
+    "q43_lateral" -> { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("graft_q43_nation")
+      Tables.supplier(s, d).createOrReplaceTempView("graft_q43_supplier")
+      s.sql("""
+        SELECT n.n_name AS nation, t.s_suppkey, t.s_name, t.s_acctbal
+        FROM graft_q43_nation n,
+        LATERAL (SELECT s_suppkey, s_name, s_acctbal FROM graft_q43_supplier s
+                 WHERE s.s_nationkey = n.n_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+        ORDER BY nation, s_acctbal DESC, s_suppkey""")
     }
   )
 
@@ -432,6 +450,13 @@ object Relational {
       """SELECT c_custkey AS k FROM customer
         |EXCEPT
         |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    "q43_lateral" ->
+      """SELECT n.n_name AS nation, t.s_suppkey, t.s_name, t.s_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT s_suppkey, s_name, s_acctbal FROM supplier s
+        |         WHERE s.s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+        |ORDER BY nation, s_acctbal DESC, s_suppkey""".stripMargin
   )
 }

@@ -189,6 +189,29 @@ object TextOps {
         .withColumn("rk", row_number().over(w).cast("bigint"))
         .filter(col("rk") <= K)
         .orderBy(col("source"), col("rk"))
+    },
+    // Training-mixture construction under a TOKEN budget: each source
+    // contributes docs (in deterministic md5 order) until its cumulative
+    // whitespace-token count would exceed the per-source budget — quotas
+    // in real mixtures are specified in tokens, not docs (t11's sibling).
+    // One shuffle on source; the running sum is a frame cumsum over the
+    // per-source sort, linear per group. Deterministic for a FIXED corpus
+    // (md5 order); unlike t10's per-doc rate sampling, the admitted set
+    // shifts when the corpus grows — new docs can land earlier in hash
+    // order and displace the budget prefix — so pin the corpus snapshot
+    // when reproducibility across runs matters.
+    "t12_token_budget_mix" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val BUDGET = 800L
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= BUDGET)
+        .orderBy(col("source"), col("cum_tokens"))
     }
   )
 
@@ -301,7 +324,17 @@ object TextOps {
           |    PARTITION BY source
           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           |  FROM documents) t
-          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+      "t12_token_budget_mix" ->
+        """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+          |  SELECT doc_id, source, n_tokens,
+          |    CAST(sum(n_tokens) OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          |  FROM (SELECT doc_id, source,
+          |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          |        FROM documents) a) b
+          |WHERE cum_tokens <= 800 ORDER BY source, cum_tokens""".stripMargin
     )
   }
 }

@@ -178,6 +178,30 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("q43 LATERAL decorrelates to a ranked join (no per-row re-execution)") {
+    // The correlated ORDER BY ... LIMIT subquery must compile to the same
+    // single-shuffle WindowGroupLimit shape as the window form (q20) — a
+    // nested-loop per outer row would be quadratic at scale.
+    val plan = planOf("q43_lateral")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "lateral must not plan as a nested loop")
+  }
+
+  test("d10 incremental dedup: split predicates reach the scans, equi joins only") {
+    val plan = planOf("d10_incremental_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "band-bucket and rejoin must stay hash-keyed")
+    // Both split predicates sit BELOW the typed shingle map, at the scan
+    // (modulo isn't a parquet-pushable filter, so it appears as a scan-level
+    // DataFilter, not in PushedFilters — the point is each branch shingles
+    // only its own slice, not the whole corpus twice).
+    val belowMap = plan.split("MapPartitions|DeserializeToObject").drop(1).mkString("\n")
+    assert(belowMap.contains("% 5"), plan.take(3000))
+    assert(belowMap.contains("NOT "), plan.take(3000))
+  }
+
   test("s3 typed Aggregator compiles to partial+final aggregation") {
     val plan = planOf("s3_label_median_norm")
     // Two aggregate operators (partial on the map side, final after the
