@@ -12,8 +12,12 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // Wall-clock-dependent streaming tests (ProcessingTime timers) are tagged
-// and excluded from the default run; include with
-//   sbt "testOnly graft.StreamingSpec -- -n graft.tags.WallClock"
+// and excluded from the default run. NOTE: a plain `testOnly ... -- -n <tag>`
+// canNOT re-include them — sbt merges the `--` args with this setting and
+// ScalaTest's exclusion wins over inclusion for the same tag. Run them by
+// REPLACING the setting for the session:
+//   sbt 'set Test/testOptions := Seq(Tests.Argument(TestFrameworks.ScalaTest,
+//        "-n", "graft.tags.WallClock")); testOnly graft.StreamingSpec'
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.tags.WallClock")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -336,14 +336,19 @@ object Dedup {
     // snapshots.
     "d9_dup_clusters" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // Checkpoint the PAIR set before mirroring it: union duplicates its
+      // input subtree, so unioning the lazy d5 plan would run the whole
+      // shingle/postings pipeline twice in the one eager checkpoint job.
       val pairs = queries("d5_ngram_jaccard")(s, d).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
       val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst").localCheckpoint(true)
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")).localCheckpoint(true)
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 32) {
+      val maxRounds = 32
+      while (changed > 0 && rounds < maxRounds) {
         val nbrMin = edges.join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
         val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
@@ -354,6 +359,16 @@ object Dedup {
         labels = next.select(col("id"), col("label"))
         rounds += 1
       }
+      // Fail-fast convention (d6/s1): emitting non-converged labels would
+      // split a component across cluster_ids and leave subclusters with NO
+      // is_rep row — silently wrong for a keep-one-per-cluster consumer.
+      // Diameter > 32 means the pair graph is not dedup-shaped (long
+      // chains); that wants the large-star/small-star variant, not more
+      // rounds here.
+      if (changed > 0) throw new IllegalStateException(
+        s"d9_dup_clusters: label propagation not converged after $maxRounds rounds " +
+          s"($changed labels still moving) — component diameter exceeds the dedup-cluster " +
+          "assumption; raise the round cap or use a star-contraction variant")
       labels
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .withColumn("cluster_size",
@@ -451,6 +466,23 @@ object Dedup {
       |    ELSE [array_to_string(w, ' ')] END) AS shingles
       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents) t)""".stripMargin
 
+  // Shared scaffolding for the Jaccard-family twins (d5/d9/d10): ONE
+  // definition of the inverted index and the ordered-pair CTE, so the d5
+  // contract (shingle set, Jaccard arithmetic, threshold) cannot silently
+  // drift apart from the operators built on top of it. NOTE: like every
+  // oracle here, these pin the DEFAULT config (d5DfCap=50, J ≥ 0.3) — a
+  // caller overriding the conf changes the Spark result by design, and no
+  // static SQL twin can follow it.
+  private[queries] val INV_CTE =
+    "inv AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n, unnest(shingles) AS sh FROM sh_docs)"
+  private[queries] val PAIRS_CTE =
+    """pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+      |         count(*) AS inter
+      |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+  private[queries] val JACCARD_SQL = "CAST(inter AS DOUBLE) / (na + nb - inter)"
+
   def oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -480,22 +512,20 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d5_ngram_jaccard" ->
       s"""WITH $SH_CTE,
-         |inv AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n, unnest(shingles) AS sh FROM sh_docs),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-         |         count(*) AS inter
-         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4)
+         |$INV_CTE,
+         |$PAIRS_CTE
          |SELECT doc_a, doc_b, inter,
-         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard,
+         |  $JACCARD_SQL AS jaccard,
          |  CAST(50 AS INTEGER) AS df_cap
-         |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
+         |FROM pairs WHERE $JACCARD_SQL >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
     // d10: exhaustive cross-split Jaccard at 0.9 (see d3's recall note —
     // the banded path's answer equals this exhaustive form on this corpus).
+    // The pair CTE differs from PAIRS_CTE structurally (split predicates
+    // instead of the < ordering), so only the scaffold is shared.
     "d10_incremental_dedup" ->
       s"""WITH $SH_CTE,
-         |inv AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n, unnest(shingles) AS sh FROM sh_docs),
+         |$INV_CTE,
          |pairs AS (
          |  SELECT a.doc_id AS new_id, b.doc_id AS dup_of, a.n AS na, b.n AS nb,
          |         count(*) AS inter
@@ -503,22 +533,18 @@ object Dedup {
          |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
          |  GROUP BY 1, 2, 3, 4)
          |SELECT new_id, dup_of,
-         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-         |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
+         |  $JACCARD_SQL AS jaccard
+         |FROM pairs WHERE $JACCARD_SQL >= 0.9
          |ORDER BY new_id, dup_of""".stripMargin,
     // d9: the recursive CTE computes the transitive closure of the d5 pair
     // graph (small: only duplicated docs), then min(reachable) per doc —
     // the same unique fixpoint the Spark label propagation converges to.
     "d9_dup_clusters" ->
       s"""WITH RECURSIVE $SH_CTE,
-         |inv AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n, unnest(shingles) AS sh FROM sh_docs),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-         |         count(*) AS inter
-         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4),
+         |$INV_CTE,
+         |$PAIRS_CTE,
          |p AS (SELECT doc_a, doc_b FROM pairs
-         |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3),
+         |      WHERE $JACCARD_SQL >= 0.3),
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
          |reach(u, l) AS (
          |  SELECT DISTINCT u, u FROM edges

@@ -129,9 +129,11 @@ class IdleFlushProcessor[K, V](stateEnc: org.apache.spark.sql.Encoder[(Long, V, 
     var lastV: Option[V] = None
     rows.foreach { case (_, v) => lastV = Some(v); n += 1 }
     lastV.foreach { v =>
-      val prevN = if (buf.exists()) { getHandle.deleteTimer(buf.get()._1); buf.get()._3 } else 0L
+      // single state-store read per batch (each get() is a RocksDB lookup)
+      val prev = if (buf.exists()) Some(buf.get()) else None
+      prev.foreach(p => getHandle.deleteTimer(p._1))
       val deadline = timerValues.getCurrentProcessingTimeInMs() + idleMs
-      buf.update((deadline, v, prevN + n))
+      buf.update((deadline, v, prev.map(_._3).getOrElse(0L) + n))
       getHandle.registerTimer(deadline)
     }
     Iterator.empty
@@ -139,11 +141,13 @@ class IdleFlushProcessor[K, V](stateEnc: org.apache.spark.sql.Encoder[(Long, V, 
 
   override def handleExpiredTimer(key: K, timerValues: TimerValues,
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(K, V, Long)] =
-    if (buf.exists() && buf.get()._1 == expiredTimerInfo.getExpiryTimeInMs()) {
-      val (_, v, n) = buf.get()
-      buf.clear()
-      Iterator((key, v, n))
-    } else Iterator.empty // superseded (defensive; deleted on refresh)
+    if (buf.exists()) {
+      val cur = buf.get()
+      if (cur._1 == expiredTimerInfo.getExpiryTimeInMs()) {
+        buf.clear()
+        Iterator((key, cur._2, cur._3))
+      } else Iterator.empty // superseded (defensive; deleted on refresh)
+    } else Iterator.empty
 }
 
 object StateOps {

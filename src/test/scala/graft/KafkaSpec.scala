@@ -17,8 +17,15 @@ import graft.streaming.Pipeline
 class KafkaSpec extends SparkTestBase {
 
   private val kafkaJarPresent: Boolean =
+    // LinkageError too: a PARTIALLY present connector (jar without its
+    // transitive kafka-clients) throws NoClassDefFoundError, which would
+    // abort the whole suite — including the jar-free option tests — if
+    // only ClassNotFoundException were handled.
     try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
-    catch { case _: ClassNotFoundException => false }
+    catch {
+      case _: ClassNotFoundException => false
+      case _: LinkageError => false
+    }
 
   test("kafka options: defaults mirror the reference consumer construction") {
     val opts = Pipeline.kafkaOptions("b1:9092,b2:9092", "topicA")

@@ -12,8 +12,13 @@ import graft.tables.{GenericFloat, JsonMap}
 
 /** Wall-clock-dependent tests: excluded from the default run (build.sbt
   * passes `-l graft.tags.WallClock`) because micro-batch overhead under
-  * load can exceed any short real-time timeout. Run explicitly with
-  * `sbt "testOnly graft.StreamingSpec -- -n graft.tags.WallClock"`. */
+  * load can exceed any short real-time timeout. A plain `testOnly -- -n`
+  * cannot override the exclusion (sbt merges both, exclusion wins) — run
+  * them by replacing the setting:
+  * {{{
+  * sbt 'set Test/testOptions := Seq(Tests.Argument(TestFrameworks.ScalaTest,
+  *      "-n", "graft.tags.WallClock")); testOnly graft.StreamingSpec'
+  * }}} */
 object WallClockTest extends org.scalatest.Tag("graft.tags.WallClock")
 
 /** Structured Streaming behaviors (SURVEY.md §2.4 Streaming row): the full
