@@ -81,8 +81,40 @@ object PyJson {
     case other => other
   }
 
-  /** Canonical JSON text of a scrubbed tree (payload column). */
-  def canonical(n: JsonNode): String = mapper.writeValueAsString(scrubNonFinite(n))
+  /** Canonical JSON text of a scrubbed tree (payload column): minified,
+    * insertion-ordered keys, doubles in CPython `repr` form — the reference
+    * builds payloads with `json.dumps` (`tables.py:65-79`), whose float
+    * rendering is CPython's shortest-round-trip repr, not Java's
+    * `Double.toString` E-notation (`1e-07`, not `1.0E-7`). */
+  def canonical(n: JsonNode): String = writeWith(scrubNonFinite(n), pyFloatRepr)
+
+  /** Canonical form of an already-scrubbed tree (same float policy). */
+  def writePy(n: JsonNode): String = writeWith(n, pyFloatRepr)
+
+  /** Canonical JSON with ECMAScript/yyjson-style float rendering — the form
+    * DuckDB's `json_extract` re-serialization produces. Exists solely as a
+    * cross-engine verification twin (m6_payload): both engines render the
+    * same shortest-round-trip digits, they differ only in notation cutoffs
+    * (ES positional for 1e-6 ≤ |x| < 1e21, exponent unpadded and unsigned;
+    * CPython positional for 1e-4 ≤ |x| < 1e16, exponent `e±DD`). */
+  def canonicalEs(n: JsonNode): String = writeWith(scrubNonFinite(n), esFloatRepr)
+
+  /** Serialize a tree through Jackson with doubles intercepted and written
+    * raw via `fmt` (Jackson's own escaper still handles strings). The
+    * delegate sees every structural write, so the underlying generator's
+    * output context stays consistent and `writeRawValue` lands separators
+    * correctly. */
+  private def writeWith(n: JsonNode, fmt: Double => String): String = {
+    val sw = new java.io.StringWriter
+    val g = mapper.getFactory.createGenerator(sw)
+    val pg = new com.fasterxml.jackson.core.util.JsonGeneratorDelegate(g) {
+      override def writeNumber(v: Double): Unit = writeRawValue(fmt(v))
+      override def writeNumber(v: Float): Unit = writeRawValue(fmt(v.toDouble))
+    }
+    mapper.writeTree(pg, n)
+    pg.close()
+    sw.toString
+  }
 
   private val mcs: Array[java.math.MathContext] =
     Array.tabulate(19)(n => new java.math.MathContext(math.max(1, n), java.math.RoundingMode.HALF_EVEN))
@@ -94,15 +126,10 @@ object PyJson {
     (ds, ds.length - 1 - bd.scale)
   }
 
-  /** Python `repr(float)` — shortest round-trip decimal, positional for
-    * exponents in [-4, 16), else `1e+17`-style scientific. */
-  def pyFloatRepr(d: Double): String = {
-    if (d.isNaN) return "nan"
-    if (d.isPosInfinity) return "inf"
-    if (d.isNegInfinity) return "-inf"
-    val abs = math.abs(d)
-    val sign = if (d < 0 || (d == 0.0 && 1.0 / d < 0)) "-" else ""
-    if (abs == 0.0) return sign + "0.0"
+  /** Shortest round-trip decimal of a positive finite double, CPython-style:
+    * returns (digits, exp10) with value = d1.d2d3… × 10^exp10 and trailing
+    * zeros trimmed (see pyFloatRepr for the correctness argument). */
+  private def shortestDigitsOf(abs: Double): (String, Int) = {
     // Shortest round-trip decimal, CPython-style: at each precision the
     // candidate is the CORRECTLY-ROUNDED (p+1)-digit decimal of the EXACT
     // binary value (BigDecimal, half-even — NOT a re-rounding of the
@@ -144,10 +171,23 @@ object PyJson {
       digits = de._1
       exp10 = de._2
     }
-    if (digits == "0") return sign + "0.0"
     val trimmed0 = digits.reverse.dropWhile(_ == '0').reverse
     val trimmed = if (trimmed0.isEmpty) "0" else trimmed0
-    // value = 0.trimmed * 10^(exp10+1), with one leading digit before point
+    (trimmed, exp10)
+  }
+
+  /** Python `repr(float)` — shortest round-trip decimal, positional for
+    * exponents in [-4, 16), else `1e+17`-style scientific. */
+  def pyFloatRepr(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isPosInfinity) return "inf"
+    if (d.isNegInfinity) return "-inf"
+    val abs = math.abs(d)
+    val sign = if (d < 0 || (d == 0.0 && 1.0 / d < 0)) "-" else ""
+    if (abs == 0.0) return sign + "0.0"
+    val (trimmed, exp10) = shortestDigitsOf(abs)
+    if (trimmed == "0") return sign + "0.0"
+    // value = trimmed[0].trimmed[1:] * 10^exp10
     if (exp10 >= -4 && exp10 < 16) {
       if (exp10 >= trimmed.length - 1) {
         // integral-valued: pad zeros, append .0
@@ -164,6 +204,34 @@ object PyJson {
         else trimmed.head + "." + trimmed.tail
       val es = if (exp10 < 0) f"-${-exp10}%02d" else f"+$exp10%02d"
       s"$sign${mant}e$es"
+    }
+  }
+
+  /** ECMAScript/yyjson-style shortest repr: positional for exponents in
+    * [-6, 21), else scientific with unpadded exponent and no `+`
+    * (`1.5e-7`, `1e21`). Same digits as pyFloatRepr — only the notation
+    * cutoffs differ. Pinned against DuckDB `json_extract` re-serialization
+    * (10k-double probe, zero mismatches) in PyJsonSpec. */
+  def esFloatRepr(d: Double): String = {
+    if (d.isNaN || d.isInfinite) return "null" // unreachable after scrub
+    val abs = math.abs(d)
+    val sign = if (d < 0 || (d == 0.0 && 1.0 / d < 0)) "-" else ""
+    if (abs == 0.0) return sign + "0.0"
+    val (trimmed, exp10) = shortestDigitsOf(abs)
+    if (trimmed == "0") return sign + "0.0"
+    if (exp10 >= -6 && exp10 < 21) {
+      if (exp10 >= trimmed.length - 1)
+        sign + trimmed.padTo(exp10 + 1, '0') + ".0"
+      else if (exp10 >= 0) {
+        val (i, f) = trimmed.splitAt(exp10 + 1)
+        s"$sign$i.$f"
+      } else
+        sign + "0." + ("0" * (-exp10 - 1)) + trimmed
+    } else {
+      val mant =
+        if (trimmed.length == 1) trimmed
+        else trimmed.head + "." + trimmed.tail
+      s"$sign${mant}e$exp10"
     }
   }
 

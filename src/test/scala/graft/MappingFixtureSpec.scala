@@ -234,6 +234,21 @@ class MappingFixtureSpec extends SparkTestBase {
     assert(v16("values_misc_points_8_0") == "1569232878.0")
   }
 
+  test("arete_data: payload equals CPython json.dumps after key-pop (ground-truth corpus)") {
+    // src/test/resources/arete_payloads.jsonl: json.dumps(el, separators=(',',':'),
+    // ensure_ascii=False) of every fixture element with json.not_decoded /
+    // json.Compressed_Data popped — CPython 3.11 output, one line per element.
+    // Pins the payload column's float rendering (repr, e-07-style) and the
+    // order-preserving key removal of T2 (`tables.py:379-463`).
+    val rows = run(new AreteData("topic"), "arete_data.json")
+    assert(rows.length == 137)
+    val got = rows.map(_.getAs[String]("payload")).toVector.sorted
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/arete_payloads.jsonl"), "UTF-8")
+    val want = try src.getLines().toVector.sorted finally src.close()
+    assert(got == want)
+  }
+
   test("python repr parity (pyFloatRepr)") {
     val cases = Map(
       1569230478.0 -> "1569230478.0", 29.2534 -> "29.2534", -90.6609 -> "-90.6609",
