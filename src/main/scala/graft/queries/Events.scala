@@ -144,6 +144,44 @@ object Events {
         .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("sum_1h"))
         .orderBy(col("event_id"))
     },
+    // Rolling distinct users over a trailing 3-hour window (active-user
+    // telemetry). COUNT(DISTINCT) isn't a window aggregate in Spark, and a
+    // collect_set window would ship whole sets through the exchange — so
+    // the window is unrolled instead: distinct (hour, user) pairs each
+    // contribute to the 3 window-ends they fall into, then one
+    // count-distinct per window-end. Two narrow shuffles over ALREADY
+    // DEDUPED pairs (|hours × users|, not |events|) — the scale-right
+    // shape; trailing edge windows are emitted partial (same both engines).
+    "e12_rolling_distinct" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id")).distinct()
+        .select(explode(array(col("h"),
+            col("h") + expr("INTERVAL 1 HOUR"),
+            col("h") + expr("INTERVAL 2 HOUR"))).as("wend"), col("user_id"))
+        .groupBy(col("wend"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("wend"))
+    },
+    // Per-user inter-arrival gap statistics (session/burst profiling): lag
+    // over the (ts, event_id)-ordered per-user stream, then one agg per
+    // user. Gaps are integral microseconds, so min/max/sum are exact; the
+    // mean is a single IEEE division and the median is exact-percentile
+    // (both engines average the two middles) — hash-safe. One shuffle on
+    // user_id shared by the window and the agg (same key ⇒ no re-exchange).
+    "e13_gap_stats" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          (sum(col("gap_us")).cast("double") / count(lit(1)).cast("double")).as("avg_gap_us"),
+          expr("percentile(gap_us, 0.5)").as("p50_gap_us"))
+        .orderBy(col("user_id"))
+    },
     // Gap-filled resample + forward fill: hourly grid per event_type over
     // all 744 hours of January 2024, empty slots get n=0 and carry the last
     // observed hourly sum forward (sensor-style regularization). One agg
@@ -245,6 +283,27 @@ object Events {
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "e12_rolling_distinct" ->
+      """WITH hu AS (
+        |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, user_id FROM events),
+        |x AS (
+        |  SELECT h + r.o * INTERVAL 1 HOUR AS wend, user_id
+        |  FROM hu CROSS JOIN range(0, 3) r(o))
+        |SELECT wend, count(DISTINCT user_id) AS n_users
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e13_gap_stats" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |        (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        |  CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_gap_us,
+        |  quantile_cont(gap_us, 0.5) AS p50_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e10_resample_ffill" ->
       """WITH agg AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS slot, event_type,

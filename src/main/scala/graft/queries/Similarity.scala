@@ -219,6 +219,41 @@ object Similarity {
     // norms: exact per-label median — partial/final hash aggregate like any
     // built-in, shuffling only buffers; order-insensitive, so exact-
     // hashable against the oracle at any SF (unlike float sums).
+    // Embedding-QA outlier detection: per-label centroid, then the TOPK
+    // vectors FARTHEST from their own label's centroid by cosine (lowest
+    // cosine = likeliest mislabel/outlier). Hash-exact across engines by
+    // construction: (a) cosine is scale-invariant, so the un-normalized
+    // per-(label,pos) component SUM stands in for the mean centroid — no
+    // division; (b) each float component is cast to DECIMAL(18,6) (HALF_UP;
+    // bit-agreed with DuckDB's cast on every distinct component at sf0.1)
+    // and summed exactly, so the centroid is order-free; (c) the dot
+    // product folds sequentially on both engines (s1 precedent).
+    // Scale: posexplode feeds a map-side partial agg, so the shuffle
+    // carries only (#labels × dim × #partitions) partial rows; the
+    // centroid table (#labels × dim) is broadcast back. The final
+    // per-label ranking is a row_number window — for label cardinalities
+    // far beyond TOPK·cluster-width, swap in the salted two-phase top-k
+    // (operators/Skew.scala) as q20's scaladoc describes.
+    "s5_centroid_outliers" -> { (s, d) =>
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos"),
+          col("x").cast("double").cast("decimal(18,6)").as("xq"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("xq")).as("sx"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+          st => st.getField("sx").cast("double").cast("float")).as("cvec"))
+      val scored = normed(s, d).join(broadcast(cent), Seq("label"))
+        .withColumn("cosine",
+          dotCol("embedding", "cvec") /
+            (sqrt(col("sq")) * sqrt(vec_dot(col("cvec"), col("cvec")))))
+      val w = Window.partitionBy(col("label")).orderBy(col("cosine").asc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TOPK)
+        .select(col("label"), col("vec_id"), col("rk"), col("cosine"))
+        .orderBy(col("label"), col("rk"))
+    },
     "s3_label_median_norm" -> { (s, d) =>
       import s.implicits._
       Tables.embeddings(s, d)
@@ -252,6 +287,30 @@ object Similarity {
         |  FROM scored)
         |SELECT q_id, neighbor_id, rk, cosine FROM ranked
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "s5_centroid_outliers" ->
+      """WITH comp AS (
+        |  SELECT label, s.pos, s.xq
+        |  FROM (SELECT label, unnest(list_transform(embedding,
+        |          (x, i) -> struct_pack(pos := i, xq := CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))))) AS s
+        |        FROM embeddings)
+        |), cent AS (
+        |  SELECT label, pos, sum(xq) AS sx FROM comp GROUP BY 1, 2
+        |), cvecs AS (
+        |  SELECT label, list(CAST(CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS REAL) ORDER BY pos) AS cvec
+        |  FROM cent GROUP BY 1
+        |), scored AS (
+        |  SELECT e.label, e.vec_id,
+        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(e.embedding, c.cvec),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |    / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(e.embedding) u(x)))
+        |       * sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(c.cvec) u(x)))) AS cosine
+        |  FROM embeddings e JOIN cvecs c USING (label)
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cosine ASC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT label, vec_id, rk, cosine FROM ranked
+        |WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
     "s3_label_median_norm" ->
       """WITH e AS (
         |  SELECT label,

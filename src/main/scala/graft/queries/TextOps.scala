@@ -142,6 +142,46 @@ object TextOps {
         .groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("sh")).limit(20)
     },
+    // Intra-document repetition (Gopher-style quality signal): the fraction
+    // of duplicated word trigrams and the weight of the single most
+    // repeated one — high values flag boilerplate/spam for filtering. The
+    // trigram multiset never leaves its document, so this is a pure narrow
+    // map (typed kernel, one HashMap per doc): NO shuffle at any scale.
+    // Tokenization is the d3/d5/t8 shingle family's (lower, \s+, limit -1).
+    // The derived fractions are single-rounded IEEE divisions — hash-exact
+    // across engines.
+    "t13_repetition" -> { (s, d) =>
+      import s.implicits._
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val words = text.toLowerCase.split("\\s+", -1)
+          val counts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i + 2 < words.length) {
+            counts.merge(words(i) + " " + words(i + 1) + " " + words(i + 2), 1,
+              (a, b) => Integer.sum(a, b))
+            i += 1
+          }
+          var nTri = 0L
+          var maxRep = 0L
+          val it = counts.values.iterator
+          while (it.hasNext) {
+            val c = it.next().toLong
+            nTri += c
+            if (c > maxRep) maxRep = c
+          }
+          (id, words.length.toLong, nTri, counts.size.toLong, maxRep)
+        })
+        .toDF("doc_id", "n_tokens", "n_trigrams", "n_distinct", "max_rep")
+        .filter(col("n_trigrams") > 0)
+        .withColumn("dup_frac",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams").cast("double"))
+        .withColumn("top_frac",
+          col("max_rep").cast("double") / col("n_trigrams").cast("double"))
+        .orderBy(col("doc_id"))
+    },
     // Vocabulary table with document frequency and the idf ratio — the
     // corpus stats a quality/filtering pipeline keys on. Distinct words per
     // doc, one groupBy(word) shuffle; n_docs joins in as a broadcast scalar.
@@ -305,6 +345,26 @@ object TextOps {
            |SELECT sh, count(*) AS df FROM (
            |  SELECT doc_id, unnest(shingles) AS sh FROM sh_docs) t
            |GROUP BY sh ORDER BY df DESC, sh LIMIT 20""".stripMargin,
+      "t13_repetition" ->
+        """WITH tri AS (
+          |  SELECT doc_id, len(w) AS n_tokens,
+          |    list_transform(list_zip(w[1:-3], w[2:-2], w[3:-1]),
+          |                   s -> s[1] || ' ' || s[2] || ' ' || s[3]) AS tris
+          |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents) t
+          |  WHERE len(w) >= 3
+          |), cnt AS (
+          |  SELECT doc_id, any_value(n_tokens) AS n_tokens, tr, count(*) AS c
+          |  FROM (SELECT doc_id, n_tokens, unnest(tris) AS tr FROM tri) u
+          |  GROUP BY doc_id, tr
+          |), agg AS (
+          |  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+          |    CAST(sum(c) AS BIGINT) AS n_trigrams,
+          |    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_rep
+          |  FROM cnt GROUP BY doc_id)
+          |SELECT doc_id, n_tokens, n_trigrams, n_distinct, max_rep,
+          |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS dup_frac,
+          |  CAST(max_rep AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS top_frac
+          |FROM agg ORDER BY doc_id""".stripMargin,
       "t9_vocab_idf" ->
         """WITH w AS (
           |  SELECT unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS word

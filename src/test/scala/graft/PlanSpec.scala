@@ -208,4 +208,38 @@ class PlanSpec extends SparkTestBase {
     // shuffle) — the Aggregator shuffles buffers, not raw rows.
     assert("(?s)Aggregate.*Exchange.*Aggregate".r.findFirstIn(plan).nonEmpty, plan.take(3000))
   }
+
+  test("s5 centroid outliers: map-side component sums, centroid broadcast back") {
+    val plan = planOf("s5_centroid_outliers")
+    // The posexplode feed must partial-aggregate before its shuffle — the
+    // exchange carries (#labels × dim × #partitions) partials, not N×dim rows.
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    // The (#labels × dim) centroid table returns to the corpus broadcast;
+    // shuffling the 100 TB embedding side onto it would be the wrong join.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), "centroid join must broadcast")
+  }
+
+  test("t13 repetition: zero hash shuffles — trigram multisets stay in their document") {
+    val plan = planOf("t13_repetition")
+    assert(!plan.contains("hashpartitioning("),
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+  }
+
+  test("e12 rolling distinct: dedup happens on (hour,user) pairs BEFORE the unroll") {
+    val plan = planOf("e12_rolling_distinct")
+    // First shuffle keys on the deduped (h, user_id) pair — raw events never
+    // cross the wire three times; the Generate is the 3-window unroll.
+    assert("hashpartitioning\\(h#\\d+, user_id".r.findFirstIn(plan).nonEmpty,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(plan.contains("Generate"), plan.take(3000))
+    assert("hashpartitioning\\(".r.findAllIn(plan).size == 3,
+      "expected exactly dedup + distinct-partial + final-count shuffles")
+  }
+
+  test("e13 gap stats: one user_id exchange feeds both the lag window and the agg") {
+    val plan = planOf("e13_gap_stats")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+  }
 }
