@@ -23,7 +23,8 @@ object WallClockTest extends org.scalatest.Tag("graft.tags.WallClock")
 
 /** Structured Streaming behaviors (SURVEY.md §2.4 Streaming row): the full
   * source→decode→transform→upsert pipeline, watermarked windows, stream
-  * dedup, session windows, and custom state via flatMapGroupsWithState. */
+  * dedup, session windows, watermarked stream-stream interval joins, and
+  * custom state via flatMapGroupsWithState. */
 class StreamingSpec extends SparkTestBase {
 
   private def tmpDir(): String =
@@ -129,6 +130,37 @@ class StreamingSpec extends SparkTestBase {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     assert(spark.sql("SELECT k FROM dedup_out").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("stream-stream interval join: clicks attach to the view within the hour") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = new Timestamp(1700000000000L)
+    def at(min: Long) = new Timestamp(base.getTime + min * 60000L)
+
+    // views(user, vts) ⋈ clicks(user, cts) with vts ≤ cts ≤ vts + 1h: the
+    // canonical watermarked interval join — both sides keep bounded state
+    // (Spark derives the state retention from the watermark + bound).
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    views.addData((1L, at(0)), (2L, at(5)), (3L, at(10)))
+    clicks.addData((1L, at(30)), (2L, at(90)), (3L, at(20)), (3L, at(65)), (9L, at(30)))
+
+    val v = views.toDF().toDF("user", "vts").withWatermark("vts", "10 minutes")
+    val c = clicks.toDF().toDF("c_user", "cts").withWatermark("cts", "10 minutes")
+    val joined = v.join(c,
+      expr("user = c_user AND cts >= vts AND cts <= vts + INTERVAL 1 HOUR"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.sql("SELECT user, cts FROM ssj_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    // user 2's click is 85 min after the view (outside the 1 h bound);
+    // user 9 never viewed; user 3 clicks twice inside the window.
+    assert(got == Set((1L, at(30)), (3L, at(20)), (3L, at(65))))
   }
 
   test("session_window groups by inactivity gap") {
