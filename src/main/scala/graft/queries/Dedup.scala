@@ -50,6 +50,22 @@ object Dedup {
     else Seq(words.mkString(" "))
   }
 
+  /** One split's exploded (doc_id, sh) pairs (d8/d11). The source filter
+    * goes BELOW the typed shingle map: the map is an optimizer barrier, so
+    * filtering above it would shingle the whole corpus in BOTH branches.
+    * Filtered first, each split is shingled exactly once and the predicate
+    * pushes into the parquet scan (PlanSpec-pinned via d8). Pairs are
+    * distinct by construction (shinglesOf de-dups within a doc). */
+  private def splitShingles(s: SparkSession, d: String, pred: Column): DataFrame = {
+    import s.implicits._
+    Tables.parallelized(Tables.documents(s, d))
+      .filter(pred)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, shinglesOf(t)) })
+      .toDF("doc_id", "shingles")
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+  }
+
   /** (doc_id, shingles) only — the typed map is an optimizer barrier, so
     * pruning must happen HERE, not downstream: any extra column selected
     * before the mapPartitions is materialized for every row whether or not
@@ -291,22 +307,27 @@ object Dedup {
     // size — so the join is test-shingles × {0,1} membership, never a
     // doc-pair explosion; the groupBy then counts per test doc.
     "d8_decontaminate" -> { (s, d) =>
-      import s.implicits._
-      // The source filter goes BELOW the typed shingle map: the map is an
-      // optimizer barrier, so filtering above it would shingle the whole
-      // corpus in BOTH branches. Filtered first, each split is shingled
-      // exactly once and the predicate pushes into the parquet scan.
-      def shingled(pred: Column) = Tables.parallelized(Tables.documents(s, d))
-        .filter(pred)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.map { case (id, t) => (id, shinglesOf(t)) })
-        .toDF("doc_id", "shingles")
-        .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      val train = shingled(col("source") =!= "src0").select(col("sh")).distinct()
-      shingled(col("source") === "src0")
+      val train = splitShingles(s, d, col("source") =!= "src0").select(col("sh")).distinct()
+      splitShingles(s, d, col("source") === "src0")
         .join(train, "sh")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("sh")).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+    // Per-eval-doc contamination SCORE — d8 finds the contaminated docs,
+    // this ranks them: the fraction of an eval doc's (distinct) shingles
+    // that occur anywhere in the train split. Same set-reduced train side
+    // as d8 (membership left-join, no pair explosion); uncontaminated docs
+    // surface with score 0 so a threshold sweep sees the whole split.
+    "d11_contamination_score" -> { (s, d) =>
+      val train = splitShingles(s, d, col("source") =!= "src0")
+        .select(col("sh")).distinct().withColumn("hit", lit(1))
+      splitShingles(s, d, col("source") === "src0")
+        .join(train, Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+        .withColumn("score",
+          col("n_shared").cast("double") / col("n_shingles").cast("double"))
         .orderBy(col("doc_id"))
     },
     // Duplicate-CLUSTER resolution: near-dup pairs (d5, J ≥ 0.3) are edges
@@ -564,6 +585,17 @@ object Dedup {
          |SELECT doc_id, count(DISTINCT e.sh) AS n_shared
          |FROM e JOIN train USING (sh) WHERE e.source = 'src0'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d11_contamination_score" ->
+      s"""WITH $SH_CTE,
+         |e AS (SELECT s.doc_id, d.source, unnest(s.shingles) AS sh
+         |      FROM sh_docs s JOIN documents d USING (doc_id)),
+         |train AS (SELECT DISTINCT sh FROM e WHERE source != 'src0'),
+         |ev AS (SELECT doc_id, sh FROM e WHERE source = 'src0')
+         |SELECT ev.doc_id, count(*) AS n_shingles,
+         |  count(t.sh) AS n_shared,
+         |  CAST(count(t.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
+         |FROM ev LEFT JOIN train t USING (sh)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "d6_embedding_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,
