@@ -182,6 +182,28 @@ object Events {
           expr("percentile(gap_us, 0.5)").as("p50_gap_us"))
         .orderBy(col("user_id"))
     },
+    // Ordered funnel (view → click → purchase): per user, the first view,
+    // the first click strictly AFTER it, and the first purchase strictly
+    // after THAT — the sequential-pattern primitive behind conversion
+    // analysis. Three chained unordered-frame windows and the final
+    // per-user collapse all share ONE hashpartitioning(user_id) exchange
+    // (same key ⇒ no re-shuffle, e11/e13 precedent); users who never
+    // viewed drop, users who stall mid-funnel keep nulls so step-to-step
+    // conversion is a simple count over this output.
+    "e14_funnel" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("vts", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("cts", min(when(col("event_type") === "click" &&
+          col("ts") > col("vts"), col("ts"))).over(w))
+        .withColumn("pts", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("cts"), col("ts"))).over(w))
+        .filter(col("vts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(col("vts")).as("view_ts"), min(col("cts")).as("click_ts"),
+          min(col("pts")).as("purchase_ts"))
+        .orderBy(col("user_id"))
+    },
     // Gap-filled resample + forward fill: hourly grid per event_type over
     // all 744 hours of January 2024, empty slots get n=0 and carry the last
     // observed hourly sum forward (sensor-style regularization). One agg
@@ -304,6 +326,23 @@ object Events {
         |  quantile_cont(gap_us, 0.5) AS p50_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e14_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS view_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS click_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.view_ts
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.click_ts
+        |  GROUP BY 1)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin,
     "e10_resample_ffill" ->
       """WITH agg AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS slot, event_type,

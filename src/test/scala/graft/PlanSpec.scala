@@ -242,4 +242,11 @@ class PlanSpec extends SparkTestBase {
     assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
       plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
   }
+
+  test("e14 funnel: three chained windows + collapse share one user_id exchange") {
+    val plan = planOf("e14_funnel")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!plan.contains("Join"), "the one-pass funnel must not become a self-join chain")
+  }
 }
