@@ -86,10 +86,20 @@ object PyJson {
     * builds payloads with `json.dumps` (`tables.py:65-79`), whose float
     * rendering is CPython's shortest-round-trip repr, not Java's
     * `Double.toString` E-notation (`1e-07`, not `1.0E-7`). */
-  def canonical(n: JsonNode): String = writeWith(scrubNonFinite(n), pyFloatRepr)
+  def canonical(n: JsonNode): String = writeWith(scrubNonFinite(n), jsonPyFloat)
 
-  /** Canonical form of an already-scrubbed tree (same float policy). */
-  def writePy(n: JsonNode): String = writeWith(n, pyFloatRepr)
+  /** Canonical form WITHOUT the non-finite scrub (same float policy):
+    * StringMap parity — the reference's `json.dumps(value)` (simplejson,
+    * `maps.py:151`) keeps NaN/Infinity as bare tokens. */
+  def writePy(n: JsonNode): String = writeWith(n, jsonPyFloat)
+
+  /** simplejson's float token: bare `NaN`/`Infinity`/`-Infinity` (the
+    * json.dumps default), CPython repr for finite values. */
+  private def jsonPyFloat(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "Infinity"
+    else if (d.isNegInfinity) "-Infinity"
+    else pyFloatRepr(d)
 
   /** Canonical JSON with ECMAScript/yyjson-style float rendering — the form
     * DuckDB's `json_extract` re-serialization produces. Exists solely as a
@@ -186,9 +196,35 @@ object PyJson {
     val sign = if (d < 0 || (d == 0.0 && 1.0 / d < 0)) "-" else ""
     if (abs == 0.0) return sign + "0.0"
     val (trimmed, exp10) = shortestDigitsOf(abs)
+    // CPython: positional for exp10 in [-4, 16), exponent `e±DD` (2+ digits)
+    renderDigits(sign, trimmed, exp10, -4, 16,
+      e => if (e < 0) f"-${-e}%02d" else f"+$e%02d")
+  }
+
+  /** ECMAScript/yyjson-style shortest repr: positional for exponents in
+    * [-6, 21), else scientific with unpadded exponent and no `+`
+    * (`1.5e-7`, `1e21`). Same digits as pyFloatRepr — only the notation
+    * cutoffs differ. Pinned against DuckDB `json_extract` re-serialization
+    * (10k-double probe, zero mismatches) in KernelPropertySpec. */
+  def esFloatRepr(d: Double): String = {
+    if (d.isNaN || d.isInfinite) return "null" // unreachable after scrub
+    val abs = math.abs(d)
+    val sign = if (d < 0 || (d == 0.0 && 1.0 / d < 0)) "-" else ""
+    if (abs == 0.0) return sign + "0.0"
+    val (trimmed, exp10) = shortestDigitsOf(abs)
+    renderDigits(sign, trimmed, exp10, -6, 21, _.toString)
+  }
+
+  /** Shared notation layer over shortestDigitsOf: positional (with `.0` for
+    * integral values) while `lo <= exp10 < hi`, else `d.ddd e<suffix>` —
+    * the ONLY differences between CPython and ES forms are the cutoffs and
+    * the exponent suffix, so both renderers share this body and cannot
+    * drift digit-wise. */
+  private def renderDigits(sign: String, trimmed: String, exp10: Int,
+      lo: Int, hi: Int, expSuffix: Int => String): String = {
     if (trimmed == "0") return sign + "0.0"
     // value = trimmed[0].trimmed[1:] * 10^exp10
-    if (exp10 >= -4 && exp10 < 16) {
+    if (exp10 >= lo && exp10 < hi) {
       if (exp10 >= trimmed.length - 1) {
         // integral-valued: pad zeros, append .0
         sign + trimmed.padTo(exp10 + 1, '0') + ".0"
@@ -202,36 +238,7 @@ object PyJson {
       val mant =
         if (trimmed.length == 1) trimmed
         else trimmed.head + "." + trimmed.tail
-      val es = if (exp10 < 0) f"-${-exp10}%02d" else f"+$exp10%02d"
-      s"$sign${mant}e$es"
-    }
-  }
-
-  /** ECMAScript/yyjson-style shortest repr: positional for exponents in
-    * [-6, 21), else scientific with unpadded exponent and no `+`
-    * (`1.5e-7`, `1e21`). Same digits as pyFloatRepr — only the notation
-    * cutoffs differ. Pinned against DuckDB `json_extract` re-serialization
-    * (10k-double probe, zero mismatches) in PyJsonSpec. */
-  def esFloatRepr(d: Double): String = {
-    if (d.isNaN || d.isInfinite) return "null" // unreachable after scrub
-    val abs = math.abs(d)
-    val sign = if (d < 0 || (d == 0.0 && 1.0 / d < 0)) "-" else ""
-    if (abs == 0.0) return sign + "0.0"
-    val (trimmed, exp10) = shortestDigitsOf(abs)
-    if (trimmed == "0") return sign + "0.0"
-    if (exp10 >= -6 && exp10 < 21) {
-      if (exp10 >= trimmed.length - 1)
-        sign + trimmed.padTo(exp10 + 1, '0') + ".0"
-      else if (exp10 >= 0) {
-        val (i, f) = trimmed.splitAt(exp10 + 1)
-        s"$sign$i.$f"
-      } else
-        sign + "0." + ("0" * (-exp10 - 1)) + trimmed
-    } else {
-      val mant =
-        if (trimmed.length == 1) trimmed
-        else trimmed.head + "." + trimmed.tail
-      s"$sign${mant}e$exp10"
+      s"$sign${mant}e${expSuffix(exp10)}"
     }
   }
 

@@ -41,10 +41,15 @@ object Dedup {
     * (measured: two orders of magnitude slower at sf0.1). The typed map is
     * also an optimizer barrier, so downstream references reuse the
     * materialized array. */
+  /** The shingle family's tokenization (d3/d5/t8/t13 share it — ONE
+    * definition so the trigram universes cannot drift apart). limit -1
+    * keeps trailing empty tokens — parity with both Spark SQL split and
+    * DuckDB string_split_regex for trailing-whitespace text. */
+  private[queries] def wordsOf(text: String): Array[String] =
+    text.toLowerCase.split("\\s+", -1)
+
   private[queries] def shinglesOf(text: String): Seq[String] = {
-    // limit -1 keeps trailing empty tokens — parity with both Spark SQL
-    // split and DuckDB string_split_regex for trailing-whitespace text.
-    val words = text.toLowerCase.split("\\s+", -1)
+    val words = wordsOf(text)
     if (words.length >= 3)
       (0 to words.length - 3).map(i => s"${words(i)} ${words(i + 1)} ${words(i + 2)}").distinct
     else Seq(words.mkString(" "))

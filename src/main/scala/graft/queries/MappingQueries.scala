@@ -205,10 +205,12 @@ object MappingQueries {
   // m1/m2: the fixture has case-distinct keys (`L`/`l`) that break DuckDB
   // read_json STRUCT inference (case-insensitive field collision), but the
   // JSON-type route never infers a struct: CAST(content AS JSON) -> '$[*]'
-  // keeps every key verbatim, and yyjson's minified re-serialization
-  // matches Jackson's canonical form byte-for-byte on this fixture
-  // (verified; no NaN/Infinity tokens, so m1's scrub is a no-op here and
-  // ONE oracle body serves both — bound once so they cannot drift).
+  // keeps every key verbatim, and its minified re-serialization matches
+  // graft's CPython-repr canonical form byte-for-byte on this fixture (all
+  // floats sit inside [1e-3, 1e7), where the CPython, ES/yyjson, and
+  // Jackson notations coincide; no NaN/Infinity tokens, so m1's scrub is a
+  // no-op here and ONE oracle body serves both — both mappings now render
+  // through the same writePy/canonical float path, so they cannot drift).
   private val kvOracle =
     """SELECT 'fake' AS key,
       |  CAST(unnest(CAST(content AS JSON) -> '$[*]') AS VARCHAR) AS payload

@@ -235,7 +235,7 @@ object Similarity {
     // far beyond TOPK·cluster-width, swap in the salted two-phase top-k
     // (operators/Skew.scala) as q20's scaladoc describes.
     "s5_centroid_outliers" -> { (s, d) =>
-      val cent = Tables.embeddings(s, d)
+      val cent = Tables.parallelized(Tables.embeddings(s, d))
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .select(col("label"), col("pos"),
           col("x").cast("double").cast("decimal(18,6)").as("xq"))

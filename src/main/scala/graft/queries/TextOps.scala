@@ -156,7 +156,7 @@ object TextOps {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val words = text.toLowerCase.split("\\s+", -1)
+          val words = Dedup.wordsOf(text)
           val counts = new java.util.HashMap[String, Int]()
           var i = 0
           while (i + 2 < words.length) {

@@ -82,7 +82,7 @@ class StringMap(val topic: String, override val filters: TimeFilters = TimeFilte
   override def upsertConstraintName: Option[String] = None
   def upsertKeys: Option[Seq[String]] = None
   def mapMessage(key: String, raw: String): Option[KvRow] =
-    try Some(KvRow(Msg.nowTs(), key, PyJson.mapper.writeValueAsString(Msg.parse(raw))))
+    try Some(KvRow(Msg.nowTs(), key, PyJson.writePy(Msg.parse(raw))))
     catch { case _: Exception => None }
 }
 

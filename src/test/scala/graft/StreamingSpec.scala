@@ -154,7 +154,7 @@ class StreamingSpec extends SparkTestBase {
     val q = joined.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("ssj_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "join query did not drain")
 
     val got = spark.sql("SELECT user, cts FROM ssj_out").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
