@@ -45,6 +45,15 @@ class MappingFixtureSpec extends SparkTestBase {
     }
   }
 
+  test("null_infinity: StringMap keeps bare Infinity (simplejson json.dumps parity)") {
+    // The reference's StringMap does NOT payload_parse: `json.dumps(value)`
+    // (`maps.py:151`) serializes non-finite floats as bare tokens.
+    val rows = run(new StringMap("whatever"), "null_infinity.json")
+    assert(rows.length == 2)
+    assert(rows.exists(_.getAs[String]("payload").contains(":Infinity")),
+      rows.map(_.getAs[String]("payload")).mkString("\n"))
+  }
+
   test("health_and_status: NwicFloatReports goldens") {
     val rows = run(new NwicFloatReports("foo"), "health_and_status.json")
     assert(rows.length == 516)
