@@ -204,6 +204,30 @@ object Events {
           min(col("pts")).as("purchase_ts"))
         .orderBy(col("user_id"))
     },
+    // 3σ value-outlier detection (sensor cleaning / data QA): per-type
+    // mean/std from EXACT decimal sums (q8's bit-reproducible moment
+    // pattern — the engines' internal Welford paths would drift), the tiny
+    // stats table broadcast back onto the stream, outliers kept with their
+    // z-score. One agg shuffle; the scan side never moves. Both engines
+    // evaluate the identical double expression tree, so the 3σ comparison
+    // can never disagree at the boundary.
+    "e15_value_outliers" -> { (s, d) =>
+      val x = col("value").cast("decimal(18,2)")
+      val stats = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sum_x"),
+          sum(x * x).cast("double").as("sum_xx"))
+        .select(col("event_type"),
+          (col("sum_x") / col("n")).as("mean"),
+          sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1))
+            .as("stddev"))
+      Tables.events(s, d).join(broadcast(stats), "event_type")
+        .filter(abs(col("value") - col("mean")) > lit(3) * col("stddev"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - col("mean")) / col("stddev")).as("z"))
+        .orderBy(col("event_id"))
+    },
     // Gap-filled resample + forward fill: hourly grid per event_type over
     // all 744 hours of January 2024, empty slots get n=0 and carry the last
     // observed hourly sum forward (sensor-style regularization). One agg
@@ -326,6 +350,21 @@ object Events {
         |  quantile_cont(gap_us, 0.5) AS p50_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e15_value_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_x,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_xx
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT event_type, sum_x / n AS mean,
+        |    sqrt((sum_xx - sum_x * sum_x / n) / (n - 1)) AS stddev
+        |  FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - st.mean) / st.stddev AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs(e.value - st.mean) > 3 * st.stddev
+        |ORDER BY e.event_id""".stripMargin,
     "e14_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS view_ts

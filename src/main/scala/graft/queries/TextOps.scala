@@ -182,6 +182,30 @@ object TextOps {
           col("max_rep").cast("double") / col("n_trigrams").cast("double"))
         .orderBy(col("doc_id"))
     },
+    // Bigram novelty/boilerplate score: the mean corpus document-frequency
+    // of a doc's word bigrams — high avg_df flags template/boilerplate
+    // text, low flags novel (or noisy) text. Two shuffles, both on the
+    // bigram key (the DF count and the re-join), then a per-doc collapse;
+    // the sums are integral (exact, order-free), the final ratio is one
+    // IEEE division — hash-safe. Tokenization = the shingle family's.
+    "t14_bigram_novelty" -> { (s, d) =>
+      import s.implicits._
+      val bigrams = Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, t) =>
+          val w = Dedup.wordsOf(t)
+          (0 until w.length - 1).iterator.map(i => (id, w(i) + " " + w(i + 1)))
+        })
+        .toDF("doc_id", "bg")
+      val dfc = bigrams.distinct()
+        .groupBy(col("bg")).agg(count(lit(1)).as("bg_df"))
+      bigrams.join(dfc, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("bg_df")).as("sum_df"))
+        .withColumn("avg_df",
+          col("sum_df").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy(col("doc_id"))
+    },
     // Vocabulary table with document frequency and the idf ratio — the
     // corpus stats a quality/filtering pipeline keys on. Distinct words per
     // doc, one groupBy(word) shuffle; n_docs joins in as a broadcast scalar.
@@ -365,6 +389,21 @@ object TextOps {
           |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS dup_frac,
           |  CAST(max_rep AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS top_frac
           |FROM agg ORDER BY doc_id""".stripMargin,
+      "t14_bigram_novelty" ->
+        """WITH dw AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+          |b AS (
+          |  SELECT doc_id, unnest(list_transform(list_zip(w[1:-2], w[2:-1]),
+          |                                       s -> s[1] || ' ' || s[2])) AS bg
+          |  FROM dw),
+          |dfc AS (
+          |  SELECT bg, count(*) AS bg_df
+          |  FROM (SELECT DISTINCT doc_id, bg FROM b) GROUP BY bg)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST(sum(bg_df) AS BIGINT) AS sum_df,
+          |  CAST(CAST(sum(bg_df) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_df
+          |FROM b JOIN dfc USING (bg)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "t9_vocab_idf" ->
         """WITH w AS (
           |  SELECT unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS word

@@ -243,6 +243,21 @@ class PlanSpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
   }
 
+  test("e15 outliers: stats broadcast back, one event_type agg shuffle") {
+    val plan = planOf("e15_value_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), "the event stream must not shuffle onto the tiny stats table")
+    assert("hashpartitioning\\(event_type".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+  }
+
+  test("t14 bigram novelty: hash-keyed joins only, partial aggs present") {
+    val plan = planOf("t14_bigram_novelty")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "DF rejoin must stay keyed on the bigram")
+    assert(plan.contains("partial_count"), "DF count must map-side combine")
+  }
+
   test("e14 funnel: three chained windows + collapse share one user_id exchange") {
     val plan = planOf("e14_funnel")
     assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
