@@ -200,6 +200,23 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Approximate percentiles — the SCALE path to q7's exact percentile:
+    // exact percentile materializes every group value in one aggregation
+    // buffer (fine at thousands per group, lethal at 100 TB), while the
+    // KLL/GK-style sketch behind approx_percentile is bounded-size and
+    // mergeable, so it partial-aggregates map-side like any sum. Sketch
+    // internals are engine-specific (no cross-engine oracle) — rows-only;
+    // FormatsSpec bounds the rank error against the exact q7 values.
+    "q45_approx_percentiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_partkey, 0.5, 1000)").as("p50_approx"),
+             expr("approx_percentile(l_partkey, 0.9, 1000)").as("p90_approx"),
+             expr("percentile(l_partkey, 0.5)").as("p50_exact"),
+             expr("percentile(l_partkey, 0.9)").as("p90_exact"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Pure theta join (no equi component ⇒ broadcast nested loop): price
     // neighbors among a small part subset.
     "q17_theta_join" -> { (s, d) =>

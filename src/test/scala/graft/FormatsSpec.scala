@@ -87,4 +87,18 @@ class FormatsSpec extends SparkTestBase {
         s"approx $approx vs exact $exact off by >10%")
     }
   }
+
+  test("approx_percentile stays within the sketch's rank-error bound of exact") {
+    // accuracy=1000 ⇒ rank error ≤ 1/1000; allow 1% of the value RANGE as a
+    // generous conversion of rank error to value error on this data.
+    val r = graft.queries.Relational.queries("q45_approx_percentiles")(spark, sf).collect()
+    r.foreach { row =>
+      Seq((1, 3), (2, 4)).foreach { case (ai, ei) =>
+        val approx = row.getLong(ai).toDouble
+        val exact = row.getDouble(ei)
+        assert(math.abs(approx - exact) <= math.max(0.01 * exact, 1.0) + 2000,
+          s"approx_percentile $approx vs exact $exact drifted beyond the bound")
+      }
+    }
+  }
 }
