@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Spark 4 arbitrary-state operators (`transformWithState`) — the successor
   * API to `flatMapGroupsWithState`, backed by the RocksDB state store.
@@ -148,6 +148,74 @@ class IdleFlushProcessor[K, V](stateEnc: org.apache.spark.sql.Encoder[(Long, V, 
         Iterator((key, cur._2, cur._3))
       } else Iterator.empty // superseded (defensive; deleted on refresh)
     } else Iterator.empty
+}
+
+/** Streaming chunk assembly (the LIST-state quadrant of the API —
+  * [[LastWinsProcessor]] covers value state, [[StalenessProcessor]]/
+  * [[IdleFlushProcessor]] the two timer modes): per key, buffer values in
+  * arrival order and emit a `(key, chunkSeq, chunk)` as soon as `n` have
+  * accumulated — the streaming twin of t6's token-window chunking
+  * (sequence packing at ingest time). Chunk boundaries are split-invariant:
+  * the leftover carries across micro-batches in order, so re-batching the
+  * same stream yields identical chunks. State is O(keys × n); the RocksDB
+  * store keeps the buffered tail off-heap at scale. */
+class ChunkAssembler[K, V](elemEnc: org.apache.spark.sql.Encoder[V], n: Int)
+    extends StatefulProcessor[K, (K, V), (K, Long, Seq[V])] {
+
+  @transient private var buf: ListState[V] = _
+  @transient private var emitted: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[V]("buf", elemEnc, TTLConfig.NONE)
+    emitted = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: K, rows: Iterator[(K, V)],
+      timerValues: TimerValues): Iterator[(K, Long, Seq[V])] = {
+    val cur = scala.collection.mutable.ArrayBuffer.empty[V]
+    if (buf.exists()) cur ++= buf.get()
+    rows.foreach { case (_, v) => cur += v }
+    var seq = if (emitted.exists()) emitted.get() else 0L
+    val out = Seq.newBuilder[(K, Long, Seq[V])]
+    var off = 0
+    while (cur.length - off >= n) {
+      out += ((key, seq, cur.slice(off, off + n).toSeq))
+      off += n
+      seq += 1
+    }
+    emitted.update(seq)
+    buf.clear()
+    if (off < cur.length) buf.appendList(cur.drop(off).toArray[Any].asInstanceOf[Array[V]])
+    out.result().iterator
+  }
+}
+
+/** Per-key category tallies (the MAP-state quadrant): one RocksDB map per
+  * key holding `category -> running count`; each batch emits the updated
+  * `(key, category, count)` rows for categories it touched. Intermediate
+  * emissions depend on batching (counts are cumulative), so consumers read
+  * the max per (key, category) — monotone, hence re-batching-safe. State
+  * is O(keys × categories), never O(rows). */
+class CategoryCounts[K](catEnc: org.apache.spark.sql.Encoder[String])
+    extends StatefulProcessor[K, (K, String), (K, String, Long)] {
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts", catEnc,
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, String)],
+      timerValues: TimerValues): Iterator[(K, String, Long)] = {
+    val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    rows.foreach { case (_, cat) =>
+      val base = touched.getOrElse(cat,
+        if (counts.containsKey(cat)) counts.getValue(cat) else 0L)
+      touched.update(cat, base + 1L)
+    }
+    touched.foreach { case (cat, c) => counts.updateValue(cat, c) }
+    touched.iterator.map { case (cat, c) => (key, cat, c) }
+  }
 }
 
 object StateOps {

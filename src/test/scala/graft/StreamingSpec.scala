@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -24,7 +25,8 @@ object WallClockTest extends org.scalatest.Tag("graft.tags.WallClock")
 /** Structured Streaming behaviors (SURVEY.md §2.4 Streaming row): the full
   * source→decode→transform→upsert pipeline, watermarked windows, stream
   * dedup, session windows, watermarked stream-stream interval joins, and
-  * custom state via flatMapGroupsWithState. */
+  * custom state via flatMapGroupsWithState + all four transformWithState
+  * quadrants (value/list/map state, event-time + processing-time timers). */
 class StreamingSpec extends SparkTestBase {
 
   private def tmpDir(): String =
@@ -216,6 +218,76 @@ class StreamingSpec extends SparkTestBase {
       val rows = spark.sql("SELECT k, v FROM tws_out").collect()
         .map(r => (r.getString(0), r.getInt(1))).toMap
       assert(rows == Map("a" -> 7, "b" -> 2), s"got $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState ListState: chunk assembly is split-invariant") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, Int)]
+      // key a: 7 values → chunks [1,2,3],[4,5,6], leftover [7] retained;
+      // key b: 2 values → no chunk. Boundaries hold however MemoryStream
+      // batches the adds (the leftover carries over in order).
+      stream.addData(("a", 1), ("a", 2), ("a", 3), ("a", 4))
+      stream.addData(("a", 5), ("a", 6), ("a", 7), ("b", 8), ("b", 9))
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.ChunkAssembler[String, Int](Encoders.scalaInt, 3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val q = out.toDF("k", "seq", "chunk").writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("chunk_out")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "chunk query did not drain")
+      val rows = spark.sql("SELECT k, seq, chunk FROM chunk_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+      assert(rows == Set(("a", 0L, List(1, 2, 3)), ("a", 1L, List(4, 5, 6))), s"got $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState MapState: per-key category tallies are monotone") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, String)]
+      stream.addData(("u1", "click"), ("u1", "view"), ("u1", "click"))
+      stream.addData(("u1", "click"), ("u2", "view"))
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.CategoryCounts[String](Encoders.STRING),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val q = out.toDF("k", "cat", "n").writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("cat_out")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "tally query did not drain")
+      // Cumulative counts are monotone — the FINAL tally per (key, cat) is
+      // the max, independent of how the adds were batched.
+      val rows = spark.sql("SELECT k, cat, max(n) FROM cat_out GROUP BY 1, 2").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      assert(rows == Map(("u1", "click") -> 3L, ("u1", "view") -> 1L, ("u2", "view") -> 1L),
+        s"got $rows")
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
