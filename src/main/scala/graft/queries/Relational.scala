@@ -203,17 +203,17 @@ object Relational {
     // Approximate percentiles — the SCALE path to q7's exact percentile:
     // exact percentile materializes every group value in one aggregation
     // buffer (fine at thousands per group, lethal at 100 TB), while the
-    // KLL/GK-style sketch behind approx_percentile is bounded-size and
-    // mergeable, so it partial-aggregates map-side like any sum. Sketch
-    // internals are engine-specific (no cross-engine oracle) — rows-only;
-    // FormatsSpec bounds the rank error against the exact q7 values.
+    // G-K sketch behind approx_percentile is bounded-size and mergeable,
+    // so it partial-aggregates map-side like any sum. Sketch-ONLY on
+    // purpose: embedding the exact twin here would re-introduce the very
+    // unbounded buffer this query exists to avoid — FormatsSpec bounds the
+    // error against q7's exact output instead. Sketch internals are
+    // engine-specific (no cross-engine oracle) — rows-only.
     "q45_approx_percentiles" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_partkey, 0.5, 1000)").as("p50_approx"),
-             expr("approx_percentile(l_partkey, 0.9, 1000)").as("p90_approx"),
-             expr("percentile(l_partkey, 0.5)").as("p50_exact"),
-             expr("percentile(l_partkey, 0.9)").as("p90_exact"))
+             expr("approx_percentile(l_partkey, 0.9, 1000)").as("p90_approx"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -152,15 +152,24 @@ class IdleFlushProcessor[K, V](stateEnc: org.apache.spark.sql.Encoder[(Long, V, 
 
 /** Streaming chunk assembly (the LIST-state quadrant of the API —
   * [[LastWinsProcessor]] covers value state, [[StalenessProcessor]]/
-  * [[IdleFlushProcessor]] the two timer modes): per key, buffer values in
-  * arrival order and emit a `(key, chunkSeq, chunk)` as soon as `n` have
-  * accumulated — the streaming twin of t6's token-window chunking
-  * (sequence packing at ingest time). Chunk boundaries are split-invariant:
-  * the leftover carries across micro-batches in order, so re-batching the
-  * same stream yields identical chunks. State is O(keys × n); the RocksDB
-  * store keeps the buffered tail off-heap at scale. */
+  * [[IdleFlushProcessor]] the two timer modes): per key, order values by an
+  * explicit stream offset and emit a `(key, chunkSeq, chunk)` as soon as
+  * `n` have accumulated — the streaming twin of t6's token-window chunking
+  * (sequence packing at ingest time).
+  *
+  * Ordering contract: the post-shuffle per-key iterator order is NOT
+  * defined (same as [[LastWinsProcessor]], which is why both take an
+  * explicit offset), so each batch's rows are sorted by offset before
+  * chunking. Chunk boundaries are then invariant to re-batching PROVIDED
+  * offsets are batch-monotone per key — i.e. a later micro-batch never
+  * delivers a smaller offset (Kafka's per-partition ordering gives exactly
+  * this); cross-batch reordering would need watermark-style buffering,
+  * which is out of scope here. State is O(keys × n); RocksDB keeps the
+  * buffered tail off-heap at scale. */
 class ChunkAssembler[K, V](elemEnc: org.apache.spark.sql.Encoder[V], n: Int)
-    extends StatefulProcessor[K, (K, V), (K, Long, Seq[V])] {
+    extends StatefulProcessor[K, (K, V, Long), (K, Long, Seq[V])] {
+
+  require(n > 0, s"chunk size must be positive, got $n")
 
   @transient private var buf: ListState[V] = _
   @transient private var emitted: ValueState[Long] = _
@@ -170,11 +179,11 @@ class ChunkAssembler[K, V](elemEnc: org.apache.spark.sql.Encoder[V], n: Int)
     emitted = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  override def handleInputRows(key: K, rows: Iterator[(K, V)],
+  override def handleInputRows(key: K, rows: Iterator[(K, V, Long)],
       timerValues: TimerValues): Iterator[(K, Long, Seq[V])] = {
     val cur = scala.collection.mutable.ArrayBuffer.empty[V]
     if (buf.exists()) cur ++= buf.get()
-    rows.foreach { case (_, v) => cur += v }
+    cur ++= rows.toSeq.sortBy(_._3).map(_._2)
     var seq = if (emitted.exists()) emitted.get() else 0L
     val out = Seq.newBuilder[(K, Long, Seq[V])]
     var off = 0

@@ -32,6 +32,20 @@ class StreamingSpec extends SparkTestBase {
   private def tmpDir(): String =
     java.nio.file.Files.createTempDirectory("graft-ckpt").toString
 
+  /** transformWithState requires the RocksDB state store provider; restore
+    * whatever was configured afterwards. */
+  private def withRocksDB(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("end-to-end: memory stream → JsonMap → upsert sink") {
     val spark0 = spark
     import spark0.implicits._
@@ -195,11 +209,7 @@ class StreamingSpec extends SparkTestBase {
     val spark0 = spark
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    // transformWithState requires the RocksDB state store provider.
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val stream = MemoryStream[(String, Int, Long)]
       // "last" = highest stream offset, NOT iterator order: a's latest
       // offset (10) carries v=7 and arrives before the older (3, v=5).
@@ -218,11 +228,6 @@ class StreamingSpec extends SparkTestBase {
       val rows = spark.sql("SELECT k, v FROM tws_out").collect()
         .map(r => (r.getString(0), r.getInt(1))).toMap
       assert(rows == Map("a" -> 7, "b" -> 2), s"got $rows")
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -230,16 +235,14 @@ class StreamingSpec extends SparkTestBase {
     val spark0 = spark
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val stream = MemoryStream[(String, Int)]
+    withRocksDB {
+      val stream = MemoryStream[(String, Int, Long)]
       // key a: 7 values → chunks [1,2,3],[4,5,6], leftover [7] retained;
-      // key b: 2 values → no chunk. Boundaries hold however MemoryStream
-      // batches the adds (the leftover carries over in order).
-      stream.addData(("a", 1), ("a", 2), ("a", 3), ("a", 4))
-      stream.addData(("a", 5), ("a", 6), ("a", 7), ("b", 8), ("b", 9))
+      // key b: 2 values → no chunk. Within the first add, a's offsets are
+      // shuffled to prove the per-batch offset sort; across adds they are
+      // batch-monotone (the Kafka-shaped contract the scaladoc states).
+      stream.addData(("a", 3, 30L), ("a", 1, 10L), ("a", 2, 20L), ("a", 4, 40L))
+      stream.addData(("a", 6, 60L), ("a", 5, 50L), ("a", 7, 70L), ("b", 8, 10L), ("b", 9, 20L))
       val out = stream.toDS()
         .groupByKey(_._1)
         .transformWithState(
@@ -253,11 +256,6 @@ class StreamingSpec extends SparkTestBase {
       val rows = spark.sql("SELECT k, seq, chunk FROM chunk_out").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
       assert(rows == Set(("a", 0L, List(1, 2, 3)), ("a", 1L, List(4, 5, 6))), s"got $rows")
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -265,10 +263,7 @@ class StreamingSpec extends SparkTestBase {
     val spark0 = spark
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val stream = MemoryStream[(String, String)]
       stream.addData(("u1", "click"), ("u1", "view"), ("u1", "click"))
       stream.addData(("u1", "click"), ("u2", "view"))
@@ -288,11 +283,6 @@ class StreamingSpec extends SparkTestBase {
         .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
       assert(rows == Map(("u1", "click") -> 3L, ("u1", "view") -> 1L, ("u2", "view") -> 1L),
         s"got $rows")
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -300,10 +290,7 @@ class StreamingSpec extends SparkTestBase {
     val spark0 = spark
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       // Event-time timers: staleness is decided by the DATA's clock via the
       // watermark, so the test is deterministic — no wall-clock sleeps.
       // Each addData block is one micro-batch; the watermark advances after
@@ -341,11 +328,6 @@ class StreamingSpec extends SparkTestBase {
       // a tombstones exactly once.
       assert(rows.contains(("b", 4, false)), rows.toSeq)
       assert(rows.contains(("a", 1, false)), rows.toSeq)
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -360,10 +342,7 @@ class StreamingSpec extends SparkTestBase {
     val spark0 = spark
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val stream = MemoryStream[(String, Int)]
       val out = stream.toDS()
         .groupByKey(_._1)
@@ -388,11 +367,6 @@ class StreamingSpec extends SparkTestBase {
         assert(rows.toSeq == Seq(("a", 2, 2L)),
           s"expected one flush of a's buffer (last=2, n=2), got: ${rows.toSeq}")
       } finally q.stop()
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
