@@ -243,19 +243,27 @@ class MappingFixtureSpec extends SparkTestBase {
     assert(v16("values_misc_points_8_0") == "1569232878.0")
   }
 
-  test("arete_data: payload equals CPython json.dumps after key-pop (ground-truth corpus)") {
-    // src/test/resources/arete_payloads.jsonl: json.dumps(el, separators=(',',':'),
-    // ensure_ascii=False) of every fixture element with json.not_decoded /
-    // json.Compressed_Data popped — CPython 3.11 output, one line per element.
-    // Pins the payload column's float rendering (repr, e-07-style) and the
-    // order-preserving key removal of T2 (`tables.py:379-463`).
+  test("arete_data: payload equals CPython json.dumps after key-pop (ground-truth hash)") {
+    // Ground truth = CPython 3.11 `json.dumps(el, separators=(',',':'),
+    // ensure_ascii=False)` of every fixture element with json.not_decoded /
+    // json.Compressed_Data popped, sorted and newline-joined, pinned as a
+    // SHA-256 (computed 2026-08-12 against the live interpreter). Pins the
+    // payload column's float rendering (repr, e-07-style) and the
+    // order-preserving key removal of T2 (`tables.py:379-463`) without
+    // committing the fixture-derived text itself.
     val rows = run(new AreteData("topic"), "arete_data.json")
     assert(rows.length == 137)
     val got = rows.map(_.getAs[String]("payload")).toVector.sorted
-    val src = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/arete_payloads.jsonl"), "UTF-8")
-    val want = try src.getLines().toVector.sorted finally src.close()
-    assert(got == want)
+    // Debuggable exemplar first: the sub-1e-4 doubles that motivated the
+    // CPython float writer, byte-for-byte.
+    val ex = got.find(_.contains("e-07")).getOrElse(fail("no e-07 payload"))
+    val slice = ex.substring(ex.indexOf("\"lat0\""))
+    assert(slice.startsWith("\"lat0\":1.7881393432617188e-07,\"lat1\":-1.0132789611816406e-06," +
+      "\"lat2\":-6.556510925292969e-07,\"lat3\":-5.960464477539062e-07"), slice.take(160))
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(got.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(digest == "9b093abc9dd3363a3a49fb5fc9c4a5af87cda5a3ef604d95c28e177f32a55619")
   }
 
   test("python repr parity (pyFloatRepr)") {
