@@ -217,6 +217,26 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // SQL three-valued-logic pin: NOT IN against a NULL-tainted subquery
+    // yields UNKNOWN for every non-member (so zero rows survive), while
+    // NOT EXISTS is a plain anti join and keeps the real complement —
+    // the classic silent-wrong-answer trap in hand-written SQL. Both
+    // engines must agree on BOTH counts; Spark plans the NOT IN branch as
+    // a null-aware anti join (broadcast-only by design).
+    "q46_null_semantics" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM part_v p WHERE p.p_partkey NOT IN
+          |     (SELECT CASE WHEN l.l_quantity > 49 THEN l.l_partkey END
+          |      FROM lineitem_v l)) AS n_not_in,
+          |  (SELECT count(*) FROM part_v p WHERE NOT EXISTS
+          |     (SELECT 1 FROM lineitem_v l
+          |      WHERE l.l_quantity > 49 AND l.l_partkey = p.p_partkey)) AS n_not_exists
+          |""".stripMargin)
+    },
+
     // Pure theta join (no equi component ⇒ broadcast nested loop): price
     // neighbors among a small part subset.
     "q17_theta_join" -> { (s, d) =>
@@ -425,6 +445,14 @@ object Relational {
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+    "q46_null_semantics" ->
+      """SELECT
+        |  (SELECT count(*) FROM part p WHERE p.p_partkey NOT IN
+        |     (SELECT CASE WHEN l.l_quantity > 49 THEN l.l_partkey END
+        |      FROM lineitem l)) AS n_not_in,
+        |  (SELECT count(*) FROM part p WHERE NOT EXISTS
+        |     (SELECT 1 FROM lineitem l
+        |      WHERE l.l_quantity > 49 AND l.l_partkey = p.p_partkey)) AS n_not_exists""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb
         |FROM (SELECT * FROM part WHERE p_partkey <= 40) a
