@@ -73,6 +73,27 @@ object Multimodal {
         }
       }(enc).orderBy(col("doc_id"))
     },
+    // Resize: aspect-preserving fit into a 128×128 box — the geometry is
+    // exact integer arithmetic over the metadata struct (floor division,
+    // engine-identical), and the pixel resample is the same honest stub
+    // shape as mm2: a deterministic byte-slice standing in for the decoder
+    // (the slice length tracks the computed output geometry, so the
+    // contract — smaller box ⇒ smaller payload — is real). Narrow map,
+    // no shuffle.
+    "mm4_resize" -> { (s, d) =>
+      mediaTable(s, d)
+        .select(col("doc_id"), col("media"),
+          col("meta.width").as("w"), col("meta.height").as("h"))
+        .withColumn("out_w", expr("CAST(w * 128 div greatest(w, h) AS INT)"))
+        .withColumn("out_h", expr("CAST(h * 128 div greatest(w, h) AS INT)"))
+        .withColumn("thumb_bytes",
+          least(length(col("media")), expr("out_w * out_h div 64")).cast("int"))
+        .withColumn("thumb_digest",
+          md5(expr("substring(media, 1, thumb_bytes)")))
+        .select(col("doc_id"), col("w"), col("h"), col("out_w"), col("out_h"),
+          col("thumb_bytes"), col("thumb_digest"))
+        .orderBy(col("doc_id"))
+    },
     // Frame sampling: fixed-size binary windows every `stride` bytes
     // (video-frame analogue), via binary slicing — no UDF.
     "mm3_frame_sample" -> { (s, d) =>
@@ -112,6 +133,24 @@ object Multimodal {
         |    CAST(list_sum(list_transform(range(n),
         |      i -> CAST(ascii(text[i+1]) AS BIGINT))) AS DOUBLE) / n END AS mean_byte
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Geometry is integer floor division on both engines; ASCII corpus ⇒
+    // byte slice mirrored with VARCHAR substring (as mm3).
+    "mm4_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CAST(64 + doc_id % 512 AS INT) AS w,
+        |    CAST(64 + doc_id % 256 AS INT) AS h,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, w, h, len,
+        |    CAST(w * 128 // greatest(w, h) AS INT) AS out_w,
+        |    CAST(h * 128 // greatest(w, h) AS INT) AS out_h
+        |  FROM m)
+        |SELECT doc_id, w, h, out_w, out_h,
+        |  CAST(least(len, out_w * out_h // 64) AS INT) AS thumb_bytes,
+        |  md5(text[1:CAST(least(len, out_w * out_h // 64) AS INT)]) AS thumb_digest
+        |FROM g ORDER BY doc_id""".stripMargin,
     // ASCII corpus ⇒ byte and character offsets agree, so the blob slicing
     // is mirrored with VARCHAR substring (DuckDB 1.0 has no md5(BLOB)).
     // range() takes constants only: 16 frames covers max len 577 ≪ 16·64.
