@@ -204,6 +204,23 @@ object Events {
           min(col("pts")).as("purchase_ts"))
         .orderBy(col("user_id"))
     },
+    // OHLC bars (the financial/telemetry resample): per (event_type, hour),
+    // open/close = value at the first/last event by (ts, event_id), high/
+    // low/volume as plain aggregates. min_by/max_by over the unique
+    // (ts, event_id) pair keeps open/close deterministic; the decimal sum
+    // keeps volume bit-reproducible. ONE shuffle on the grouping key —
+    // min_by partial-aggregates map-side like any other agg.
+    "e16_ohlc" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("slot"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("volume"))
+        .orderBy(col("event_type"), col("slot"))
+    },
     // 3σ value-outlier detection (sensor cleaning / data QA): per-type
     // mean/std from EXACT decimal sums (q8's bit-reproducible moment
     // pattern — the engines' internal Welford paths would drift), the tiny
@@ -350,6 +367,24 @@ object Events {
         |  quantile_cont(gap_us, 0.5) AS p50_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB's arg_min takes no struct ordering key (skill-noted limit), so
+    // open/close come from row_number windows over the same total order.
+    "e16_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS slot,
+        |         CAST(ts AS TIMESTAMP) AS t, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, slot ORDER BY t, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, slot ORDER BY t DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, slot,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  max(value) AS high, min(value) AS low, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS volume
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e15_value_outliers" ->
       """WITH s AS (
         |  SELECT event_type, count(*) AS n,
