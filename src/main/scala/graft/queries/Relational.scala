@@ -224,15 +224,15 @@ object Relational {
     // engines must agree on BOTH counts; Spark plans the NOT IN branch as
     // a null-aware anti join (broadcast-only by design).
     "q46_null_semantics" -> { (s, d) =>
-      Tables.part(s, d).createOrReplaceTempView("part_v")
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, d).createOrReplaceTempView("q46_part")
+      Tables.lineitem(s, d).createOrReplaceTempView("q46_lineitem")
       s.sql(
         """SELECT
-          |  (SELECT count(*) FROM part_v p WHERE p.p_partkey NOT IN
+          |  (SELECT count(*) FROM q46_part p WHERE p.p_partkey NOT IN
           |     (SELECT CASE WHEN l.l_quantity > 49 THEN l.l_partkey END
-          |      FROM lineitem_v l)) AS n_not_in,
-          |  (SELECT count(*) FROM part_v p WHERE NOT EXISTS
-          |     (SELECT 1 FROM lineitem_v l
+          |      FROM q46_lineitem l)) AS n_not_in,
+          |  (SELECT count(*) FROM q46_part p WHERE NOT EXISTS
+          |     (SELECT 1 FROM q46_lineitem l
           |      WHERE l.l_quantity > 49 AND l.l_partkey = p.p_partkey)) AS n_not_exists
           |""".stripMargin)
     },

@@ -256,8 +256,8 @@ class MappingFixtureSpec extends SparkTestBase {
     val got = rows.map(_.getAs[String]("payload")).toVector.sorted
     // Debuggable exemplar first: the sub-1e-4 doubles that motivated the
     // CPython float writer, byte-for-byte.
-    val ex = got.find(_.contains("e-07")).getOrElse(fail("no e-07 payload"))
-    val slice = ex.substring(ex.indexOf("\"lat0\""))
+    val ex = got.find(_.contains("\"lat0\":")).getOrElse(fail("no payload with lat0"))
+    val slice = ex.substring(ex.indexOf("\"lat0\":"))
     assert(slice.startsWith("\"lat0\":1.7881393432617188e-07,\"lat1\":-1.0132789611816406e-06," +
       "\"lat2\":-6.556510925292969e-07,\"lat3\":-5.960464477539062e-07"), slice.take(160))
     val digest = java.security.MessageDigest.getInstance("SHA-256")
