@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNPREFIXED: the default
+// LoggedOutput strategy prepends "[info] " to every line, which breaks any
+// line-wise JSON parse of Bench's contract line by the harness tail capture.
+run / outputStrategy := Some(StdoutOutput)
 // Wall-clock-dependent streaming tests (ProcessingTime timers) are tagged
 // and excluded from the default run. NOTE: a plain `testOnly ... -- -n <tag>`
 // canNOT re-include them — sbt merges the `--` args with this setting and

@@ -83,35 +83,47 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"passes","note":"min-of-3; ambient host noise ±25%, see BENCHNOTES.md","queries":$spread}""")
 
-    // Contract line LAST, with the QUERIES MAP AT THE END: the harness
-    // captures the last 2000 chars of stdout — which provably include
-    // sbt's trailing "[success] Total time: ..." line (~75 chars, verified
-    // in BENCH_r01–r03 tails) — and JSON-parses them (r1–r3 'parsed' was
-    // null AND the first sorted key, d1_dedup_exact, was clipped off the
-    // front). At 92 queries the sum of key lengths alone exceeds the
-    // ~1925-char effective budget, so full in-tail fidelity is impossible
-    // by construction. Damage control instead:
-    //  - wrapper fields (metric/value/unit/sf) go FIRST — sacrificial;
-    //    a clipped total is recoverable as sum(queries);
-    //  - entries are ordered FASTEST-FIRST, so if the clip runs past the
-    //    wrapper it eats the cheapest mapping-twin rows, never the
-    //    headline d/q/e/t/s timings the judge tracks;
-    //  - the full-fidelity output (this line at 3 decimals + the per-pass
-    //    spread above) is committed per-round as BENCH_LOCAL.json.
-    def contractLine(withNote: Boolean): String = {
-      val qs = results.sortBy(_._2)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+    // Contract line LAST — and it must fit WHOLE inside the harness's
+    // 2000-char tail capture (minus sbt's trailing "[success] Total
+    // time: ..." line, ~75 chars, verified at the end of every
+    // BENCH_r0x tail). r1–r4 printed full query names and overflowed,
+    // which nulled the harness-side parse every round. Fix: per-query
+    // keys abbreviate to the SURVEY §2 operator id (the token before
+    // the first '_': q1_agg -> q1), exactly the key style the driver
+    // contract's own example uses ({"queries":{"q1":sec,...}}). Only
+    // the mapping twins collide on that prefix (m4_core/m4_geography,
+    // m6/m7/m8/m9/m10 likewise) and keep their full names. At 105
+    // queries this measures ~1360 chars — ~550 chars of headroom, or
+    // roughly 45 more short-key queries before the fallbacks below
+    // would kick in. Full-fidelity names + per-pass spread are on the
+    // "passes" line above and committed per-round as BENCH_LOCAL.json.
+    val prefixCount = names.groupBy(_.split("_")(0)).map { case (p, ns) => p -> ns.size }
+    def shortKey(n: String): String = {
+      val p = n.split("_")(0)
+      if (prefixCount(p) == 1) p else n
+    }
+    def contractLine(withNote: Boolean, prec: Int): String = {
+      val qs = results
+        .map { case (k, v) => shortKey(k) -> v }
+        .sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, prec) }
         .mkString("{", ",", "}")
       val total = fmt(results.map(_._2).sum, 2)
-      val note = if (withNote) """"note":"min-of-3 passes; see BENCHNOTES.md",""" else ""
+      val note =
+        if (withNote)
+          """"note":"min-of-3 passes; keys are SURVEY ids, full names in BENCH_LOCAL.json","""
+        else ""
       val sfName = new java.io.File(sfDir).getName
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfName",$note"queries":$qs}"""
     }
-    // ~1925 = 2000-char capture minus the sbt success-line suffix.
-    val line = contractLine(withNote = true) match {
-      case l if l.length < 1915 => l
-      case _ => contractLine(withNote = false)
-    }
+    // ~1900 = 2000-char capture minus the sbt success-line suffix, with
+    // margin. Degrade gracefully (drop note, then a decimal) rather than
+    // ever emitting a line the tail capture would clip mid-JSON.
+    val line = Seq(
+      contractLine(withNote = true, prec = 2),
+      contractLine(withNote = false, prec = 2),
+      contractLine(withNote = false, prec = 1)
+    ).find(_.length < 1900).getOrElse(contractLine(withNote = false, prec = 1))
     println(line)
     spark.stop()
   }
