@@ -479,6 +479,31 @@ object Dedup {
         .filter(col("cosine") >= 0.3)
         .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
         .orderBy(col("vec_a"), col("vec_b"))
+    },
+    // SUB-document dedup: the paragraph-level pass of a training-data
+    // pipeline (CCNet-style), at fixed 8-word windows since this corpus has
+    // no paragraph marks. Each disjoint chunk is md5'd, counted corpus-wide,
+    // and every doc reports its duplicated-chunk fraction — the signal for
+    // stripping boilerplate that whole-doc dedup (d1–d5) can't see. Scale
+    // shape: chunking is a narrow flatMap; the ONLY shuffles are the
+    // groupBy(chunk-hash) count and the hash-key rejoin (both on the same
+    // key, so the exchange is reused); per-doc collapse partial-aggregates
+    // map-side. Hashes are 32-char md5 strings — fine at this fan-out (16
+    // shuffled bytes/word); at 100 TB shave them with substr(md5, 1, 16).
+    "d12_chunk_dedup" -> { (s, d) =>
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, int((size(w)-1)/8)), " +
+            "i -> md5(cast(array_join(slice(w, i*8+1, 8), ' ') as binary)))")).as("ch"))
+      val cnt = chunks.groupBy(col("ch")).agg(count(lit(1)).as("n_occ"))
+      chunks.join(cnt, "ch")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -616,6 +641,23 @@ object Dedup {
         |     list_transform(list_zip(a.embedding, b.embedding),
         |                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
         |    / (sqrt(a.sq) * sqrt(b.sq)) >= 0.3
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // t6's chunking machinery at width/stride 8, md5'd (md5(VARCHAR) —
+    // DuckDB has no md5(BLOB); Spark's cast-to-binary twin is byte-identical
+    // on this ASCII corpus, parity pinned by t4).
+    "d12_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(range((len(w)-1)//8 + 1),
+        |      i -> md5(array_to_string(list_slice(w, CAST(i*8+1 AS BIGINT), CAST(i*8+8 AS BIGINT)), ' ')))) AS ch
+        |  FROM t),
+        |cnt AS (SELECT ch, count(*) AS n_occ FROM c GROUP BY ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM c JOIN cnt USING (ch)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

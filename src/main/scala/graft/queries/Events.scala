@@ -268,6 +268,84 @@ object Events {
         .withColumn("filled", last(col("sum_value"), ignoreNulls = true).over(w))
         .select(col("event_type"), col("slot"), col("n"), col("sum_value"), col("filled"))
         .orderBy(col("event_type"), col("slot"))
+    },
+    // Cohort retention: users bucketed by first-active week (their cohort),
+    // then for each (cohort_week, active_week) the distinct active users and
+    // the retention ratio vs the cohort's size — the product-analytics
+    // matrix every activity pipeline reports. Scale shape: first-seen is one
+    // groupBy(user_id) shuffle; the distinct (user, week) activity set is
+    // one more; the cohort-size table is weeks-sized (tiny) and broadcast.
+    // The ratio is a single IEEE division — hash-exact cross-engine.
+    "e17_retention" -> { (s, d) =>
+      val firstSeen = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+        .distinct()
+      val cohortSize = firstSeen.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("cohort_n"))
+      active.join(firstSeen, "user_id")
+        .groupBy(col("cohort_week"), col("active_week"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .join(broadcast(cohortSize), "cohort_week")
+        .withColumn("retention",
+          col("n_active").cast("double") / col("cohort_n").cast("double"))
+        .select(col("cohort_week"), col("active_week"), col("n_active"),
+          col("cohort_n"), col("retention"))
+        .orderBy(col("cohort_week"), col("active_week"))
+    },
+    // Per-user interval union (busy-time coverage): merge each user's
+    // events into 30-min-gap islands (e3's sessionize rule), then collapse
+    // to one row per user with the interval count, the summed busy time,
+    // the first-to-last span, and the busy/span coverage ratio. All time
+    // arithmetic is exact µs BIGINTs; the one division is IEEE-exact. One
+    // shuffle on user_id; both windows and the final agg reuse it.
+    "e18_interval_union" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("ivl_start"), max(col("ts")).as("ivl_end"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(unix_micros(col("ivl_end")) - unix_micros(col("ivl_start"))).as("busy_us"),
+          (max(unix_micros(col("ivl_end"))) - min(unix_micros(col("ivl_start"))))
+            .as("span_us"))
+        .withColumn("coverage",
+          when(col("span_us") > 0,
+            col("busy_us").cast("double") / col("span_us").cast("double"))
+            .otherwise(lit(0.0)))
+        .orderBy(col("user_id"))
+    },
+    // Time-weighted average (TWAP): each observation weighted by how long
+    // it remained current (µs until the user's next event); the standard
+    // irregular-series average for sensor/price data, where a plain mean
+    // over-counts bursts. Exact by construction: DECIMAL(18,2) value ×
+    // BIGINT µs is an exact decimal product, summed exactly (order-free),
+    // divided ONCE in IEEE doubles. One user_id shuffle shared by the lead
+    // window and the aggregation. The last observation has no successor
+    // and drops out (standard left-closed TWAP convention).
+    "e19_twap" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("dt_us", unix_micros(col("next_ts")) - unix_micros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_obs"),
+          sum(col("dt_us")).as("obs_us"),
+          (sum(col("value").cast("decimal(18,2)") * col("dt_us")).cast("double") /
+            sum(col("dt_us")).cast("double")).as("twap"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -432,6 +510,58 @@ object Events {
         |    PARTITION BY g.event_type ORDER BY g.slot
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.slot = g.slot
-        |ORDER BY g.event_type, g.slot""".stripMargin
+        |ORDER BY g.event_type, g.slot""".stripMargin,
+    // date_trunc('week', ts) returns DATE in DuckDB (TIMESTAMP in Spark) —
+    // cast back so the schema gate agrees.
+    "e17_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS active_week
+        |  FROM events),
+        |cs AS (SELECT cohort_week, count(*) AS cohort_n FROM fs GROUP BY 1)
+        |SELECT fs.cohort_week, act.active_week,
+        |  count(DISTINCT act.user_id) AS n_active, any_value(cs.cohort_n) AS cohort_n,
+        |  CAST(count(DISTINCT act.user_id) AS DOUBLE) / CAST(any_value(cs.cohort_n) AS DOUBLE) AS retention
+        |FROM act JOIN fs USING (user_id) JOIN cs USING (cohort_week)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e18_interval_union" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |ivl AS (
+        |  SELECT user_id, min(ts) AS ivl_start, max(ts) AS ivl_end
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(epoch_us(ivl_end) - epoch_us(ivl_start)) AS BIGINT) AS busy_us,
+        |  max(epoch_us(ivl_end)) - min(epoch_us(ivl_start)) AS span_us,
+        |  CASE WHEN max(epoch_us(ivl_end)) - min(epoch_us(ivl_start)) > 0
+        |       THEN CAST(CAST(sum(epoch_us(ivl_end) - epoch_us(ivl_start)) AS BIGINT) AS DOUBLE)
+        |            / CAST(max(epoch_us(ivl_end)) - min(epoch_us(ivl_start)) AS DOUBLE)
+        |       ELSE 0.0 END AS coverage
+        |FROM ivl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e19_twap" ->
+      """WITH w AS (
+        |  SELECT user_id, value,
+        |    epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER win) - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT user_id, count(*) AS n_obs,
+        |  CAST(sum(dt_us) AS BIGINT) AS obs_us,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * dt_us) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sum(dt_us) AS BIGINT) AS DOUBLE) AS twap
+        |FROM w WHERE dt_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

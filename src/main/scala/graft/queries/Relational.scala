@@ -237,6 +237,24 @@ object Relational {
           |""".stripMargin)
     },
 
+    // Groupwise filtering — "rows above their own group's average" — the
+    // canonical correlated-aggregate-subquery shape. Planned as a WINDOW
+    // (one shuffle on the group key, each partition scanned once) instead
+    // of the naive self-join/correlated rewrite, which recomputes the
+    // aggregate per probe. The average is an exact decimal sum divided
+    // once in IEEE doubles, so both engines compare identical values at
+    // the > boundary.
+    "q47_above_group_avg" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, d)
+        .withColumn("cust_avg",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double"))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Pure theta join (no equi component ⇒ broadcast nested loop): price
     // neighbors among a small part subset.
     "q17_theta_join" -> { (s, d) =>
@@ -453,6 +471,16 @@ object Relational {
         |  (SELECT count(*) FROM part p WHERE NOT EXISTS
         |     (SELECT 1 FROM lineitem l
         |      WHERE l.l_quantity > 49 AND l.l_partkey = p.p_partkey)) AS n_not_exists""".stripMargin,
+    // Decimal window sum → VARCHAR → DOUBLE (the skill-noted double-round
+    // trap in DuckDB's direct decimal→double cast); window sums over
+    // DECIMAL keep their type (no HUGEINT hop).
+    "q47_above_group_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
+        |      / CAST(count(*) OVER w AS DOUBLE) AS cust_avg
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey)) t
+        |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb
         |FROM (SELECT * FROM part WHERE p_partkey <= 40) a

@@ -98,6 +98,24 @@ object Similarity {
     Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"), col("embedding"),
       vec_dot(col("embedding"), col("embedding")).as("sq"))
 
+  /** Per-label centroid vectors with ORDER-FREE exact arithmetic: each float
+    * component is quantized to DECIMAL(18,6) and summed (exact regardless of
+    * accumulation order — float sums would be partitioning-dependent), then
+    * the per-position sums are collapsed back to a float vector. Cosine
+    * against these is scale-invariant, so the un-divided component sum
+    * stands in for the mean. Shared by s5 (outlier ranking) and s6 (label
+    * similarity matrix) so the centroid definition cannot drift. */
+  private def centroidVecs(s: SparkSession, d: String): DataFrame =
+    Tables.parallelized(Tables.embeddings(s, d))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        col("x").cast("double").cast("decimal(18,6)").as("xq"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("xq")).as("sx"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+        st => st.getField("sx").cast("double").cast("float")).as("cvec"))
+
   // Native codegen'd dot product (FloatVecDot) — same sequential fold order
   // as the SQL higher-order formulation, so oracle parity is preserved.
   private def dotCol(a: String, b: String) = vec_dot(col(a), col(b))
@@ -235,16 +253,7 @@ object Similarity {
     // far beyond TOPK·cluster-width, swap in the salted two-phase top-k
     // (operators/Skew.scala) as q20's scaladoc describes.
     "s5_centroid_outliers" -> { (s, d) =>
-      val cent = Tables.parallelized(Tables.embeddings(s, d))
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .select(col("label"), col("pos"),
-          col("x").cast("double").cast("decimal(18,6)").as("xq"))
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(col("xq")).as("sx"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
-          st => st.getField("sx").cast("double").cast("float")).as("cvec"))
-      val scored = normed(s, d).join(broadcast(cent), Seq("label"))
+      val scored = normed(s, d).join(broadcast(centroidVecs(s, d)), Seq("label"))
         .withColumn("cosine",
           dotCol("embedding", "cvec") /
             (sqrt(col("sq")) * sqrt(vec_dot(col("cvec"), col("cvec")))))
@@ -266,6 +275,27 @@ object Similarity {
           count(lit(1)).as[Long])
         .toDF("label", "median_norm_sq", "n")
         .orderBy(col("label"))
+    },
+    // Label-centroid similarity matrix: pairwise cosine between every two
+    // label centroids — the embedding-space QA view (which classes are
+    // confusable / candidates for merging). Builds on s5's order-free
+    // decimal centroids, so it is hash-exact. Scale: the centroid table is
+    // #labels × dim (tiny at any corpus size — the corpus collapses in the
+    // one posexplode partial agg), so the pairwise step is a broadcast
+    // theta-join over k² pairs, never touching the corpus again.
+    "s6_centroid_sim" -> { (s, d) =>
+      // Self-joining the lazy centroid plan would scan the corpus twice
+      // (union/self-join duplicates the subtree — d9's lesson); the
+      // centroid table is #labels × dim, so materialize it once.
+      val cent = centroidVecs(s, d).localCheckpoint(true)
+      val a = cent.select(col("label").as("label_a"), col("cvec").as("va"))
+      val b = cent.select(col("label").as("label_b"), col("cvec").as("vb"))
+      a.join(broadcast(b), col("label_a") < col("label_b"))
+        .withColumn("cosine",
+          vec_dot(col("va"), col("vb")) /
+            (sqrt(vec_dot(col("va"), col("va"))) * sqrt(vec_dot(col("vb"), col("vb")))))
+        .select(col("label_a"), col("label_b"), col("cosine"))
+        .orderBy(col("label_a"), col("label_b"))
     }
   )
 
@@ -317,6 +347,26 @@ object Similarity {
         |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS norm_sq
         |  FROM embeddings)
         |SELECT label, median(norm_sq) AS median_norm_sq, count(*) AS n
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s5's centroid CTEs verbatim, then the k² pairwise cosine.
+    "s6_centroid_sim" ->
+      """WITH comp AS (
+        |  SELECT label, s.pos, s.xq
+        |  FROM (SELECT label, unnest(list_transform(embedding,
+        |          (x, i) -> struct_pack(pos := i, xq := CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))))) AS s
+        |        FROM embeddings)
+        |), cent AS (
+        |  SELECT label, pos, sum(xq) AS sx FROM comp GROUP BY 1, 2
+        |), cvecs AS (
+        |  SELECT label, list(CAST(CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS REAL) ORDER BY pos) AS cvec
+        |  FROM cent GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |     list_transform(list_zip(a.cvec, b.cvec),
+        |                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |  / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(a.cvec) u(x)))
+        |     * sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(b.cvec) u(x)))) AS cosine
+        |FROM cvecs a JOIN cvecs b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin
   )
 }

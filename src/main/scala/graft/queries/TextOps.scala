@@ -276,6 +276,57 @@ object TextOps {
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= BUDGET)
         .orderBy(col("source"), col("cum_tokens"))
+    },
+    // Blocklist scrub (the PII/ToS-masking shape: emails, phone numbers,
+    // trademarked terms — here a term blocklist, since the corpus is plain
+    // words): every blocklisted token is replaced with a mask and the
+    // replacement count emitted, so a filtering stage can drop docs whose
+    // masked fraction is too high. Pure narrow scan+project (regexp_replace
+    // + regexp_extract_all are codegen'd) — no shuffle, linear at 100 TB.
+    // The pattern stays inside the regex subset Java and RE2 share
+    // (alternation, \b word boundaries), so Spark and DuckDB agree exactly.
+    "t15_blocklist_scrub" -> { (s, d) =>
+      val pat = "\\b(customer|vector|spark)\\b"
+      val nMasked = size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("bigint")
+      val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nMasked.as("n_masked"),
+          (nMasked.cast("double") / nWords.cast("double")).as("masked_frac"),
+          regexp_replace(col("text"), pat, "[MASKED]").as("scrubbed"))
+        .orderBy(col("doc_id"))
+    },
+    // Lexical diversity (quality signal alongside t2/t13): type-token ratio
+    // and hapax-legomenon fraction — low TTR flags repetitive/boilerplate
+    // text, high hapax flags noisy/OCR-garbled text. The word multiset
+    // never leaves its document (t13's pattern: one HashMap per doc in a
+    // typed kernel), so this is a pure narrow map — NO shuffle at any
+    // scale. Tokenization is the shingle family's (wordsOf).
+    "t16_lexical_diversity" -> { (s, d) =>
+      import s.implicits._
+      Tables.parallelized(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val words = Dedup.wordsOf(text)
+          val counts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i < words.length) {
+            counts.merge(words(i), 1, (a, b) => Integer.sum(a, b))
+            i += 1
+          }
+          var hapax = 0L
+          val it = counts.values.iterator
+          while (it.hasNext) if (it.next() == 1) hapax += 1
+          (id, words.length.toLong, counts.size.toLong, hapax)
+        })
+        .toDF("doc_id", "n_words", "n_distinct", "n_hapax")
+        .withColumn("ttr",
+          col("n_distinct").cast("double") / col("n_words").cast("double"))
+        .withColumn("hapax_frac",
+          col("n_hapax").cast("double") / col("n_distinct").cast("double"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -433,7 +484,30 @@ object TextOps {
           |  FROM (SELECT doc_id, source,
           |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
           |        FROM documents) a) b
-          |WHERE cum_tokens <= 800 ORDER BY source, cum_tokens""".stripMargin
+          |WHERE cum_tokens <= 800 ORDER BY source, cum_tokens""".stripMargin,
+      // DuckDB regexp_replace masks only the FIRST match without the 'g'
+      // option (Java's replaces all).
+      "t15_blocklist_scrub" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '\b(customer|vector|spark)\b')) AS BIGINT) AS n_masked,
+          |  CAST(len(regexp_extract_all(text, '\b(customer|vector|spark)\b')) AS DOUBLE)
+          |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS masked_frac,
+          |  regexp_replace(text, '\b(customer|vector|spark)\b', '[MASKED]', 'g') AS scrubbed
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "t16_lexical_diversity" ->
+        """WITH wc AS (
+          |  SELECT doc_id, w, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+          |        FROM documents) t
+          |  GROUP BY doc_id, w)
+          |SELECT doc_id,
+          |  CAST(sum(c) AS BIGINT) AS n_words,
+          |  count(*) AS n_distinct,
+          |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          |  CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS ttr,
+          |  CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE) AS hapax_frac
+          |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -264,4 +264,51 @@ class PlanSpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
     assert(!plan.contains("Join"), "the one-pass funnel must not become a self-join chain")
   }
+
+  test("e18 interval union: islands, intervals and final agg share one user_id exchange") {
+    val plan = planOf("e18_interval_union")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!plan.contains("Join"), "interval union must not become a self-join")
+  }
+
+  test("q47 groupwise filter plans as one o_custkey window exchange, not a re-scan join") {
+    val plan = planOf("q47_above_group_avg")
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!plan.contains("Join"), "groupwise filter must not plan as a correlated self-join")
+  }
+
+  test("t15 blocklist scrub is a pure narrow scan+project (zero hash shuffles)") {
+    val plan = planOf("t15_blocklist_scrub")
+    assert(!plan.contains("hashpartitioning("),
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan must prune to (doc_id, text): $readSchema")
+  }
+
+  test("d12 chunk dedup: hash-keyed count + rejoin, map-side partials, no pair product") {
+    val plan = planOf("d12_chunk_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "chunk-count rejoin must stay keyed on the chunk hash")
+    assert(plan.contains("partial_count"), "chunk counting must map-side combine")
+  }
+
+  test("s6 centroid matrix: pairwise join runs on the materialized tiny table only") {
+    // centroidVecs is localCheckpoint'd, so the k² pairwise theta-join must
+    // read the (#labels × dim) RDD twice — NOT re-scan the corpus parquet
+    // per side.
+    val plan = planOf("s6_centroid_sim")
+    assert(!plan.contains("FileScan"),
+      "pairwise stage must not re-scan the embeddings parquet")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("e17 retention: distinct-user partials present, cohort sizes broadcast") {
+    val plan = planOf("e17_retention")
+    assert(plan.contains("count(distinct user_id"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
