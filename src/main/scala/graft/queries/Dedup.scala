@@ -480,6 +480,39 @@ object Dedup {
         .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
+    // ASYMMETRIC containment |A∩B| / |A| (ordered pairs): catches
+    // subset-duplicates — excerpts, quotes, a doc embedded in a longer one —
+    // which symmetric Jaccard under-scores (a 50-shingle doc inside a
+    // 500-shingle doc has J ≈ 0.1 but containment 1.0). Same postings-list
+    // scaffolding and DF-cap contract as d5 (one shingle pass, bounded pair
+    // expansion, cap² worst case per shingle); the ordered groupBy keeps
+    // BOTH directions, so each doc reports what fraction of ITSELF appears
+    // elsewhere. inter counts the DF ≤ cap vocabulary while na is the full
+    // set size — d5's convention (see its RESULT CONTRACT note; on this
+    // corpus max DF < cap, so the capped result is bit-identical to the
+    // uncapped oracle).
+    "d13_containment" -> { (s, d) =>
+      val DF_CAP = s.conf.getOption("graft.dedup.d5DfCap").map(_.toInt).getOrElse(50)
+      val postings = withShingles(s, d)
+        .select(struct(col("doc_id"),
+            size(col("shingles")).cast("bigint").as("n_sh")).as("doc"),
+          explode(col("shingles")).as("sh"))
+        .groupBy(col("sh"))
+        .agg(collect_list(col("doc")).as("ds"))
+        .filter(size(col("ds")).between(2, DF_CAP))
+      postings
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a"), explode(col("ds")).as("b"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("na"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("containment",
+          col("inter").cast("double") / col("na").cast("double"))
+        .filter(col("containment") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     // SUB-document dedup: the paragraph-level pass of a training-data
     // pipeline (CCNet-style), at fixed 8-word windows since this corpus has
     // no paragraph marks. Each disjoint chunk is md5'd, counted corpus-wide,
@@ -642,6 +675,20 @@ object Dedup {
         |                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
         |    / (sqrt(a.sq) * sqrt(b.sq)) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Ordered-pair variant of PAIRS_CTE (a ≠ b instead of a < b); the
+    // containment denominator is the FULL shingle-set size (d5 convention).
+    "d13_containment" ->
+      s"""WITH $SH_CTE,
+         |$INV_CTE,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na,
+         |         count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_a, doc_b, inter,
+         |  CAST(inter AS DOUBLE) / na AS containment
+         |FROM pairs WHERE CAST(inter AS DOUBLE) / na >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // t6's chunking machinery at width/stride 8, md5'd (md5(VARCHAR) —
     // DuckDB has no md5(BLOB); Spark's cast-to-binary twin is byte-identical
     // on this ASCII corpus, parity pinned by t4).

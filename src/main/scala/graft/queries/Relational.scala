@@ -255,6 +255,34 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // Bloom-pruned join (semi-join reduction): build a Bloom filter over
+    // the SMALL side's join keys, probe it on the fat side BEFORE the join
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling only rows that can possibly match
+    // (what Spark's runtime row-level filtering injects automatically when
+    // statistics allow; built explicitly here so the shape is pinned and
+    // testable). Pruning is CONSERVATIVE (no false negatives), so the
+    // result is the exact join result — false positives only cost shuffle
+    // bytes, never correctness — which is what makes this oracle-exact.
+    // The probe is a typed per-row lambda (the bloom sketch has no Column
+    // probe API) — a narrow map, the one place a non-codegen filter is
+    // inherent to the operator.
+    "q48_bloom_prune_join" -> { (s, d) =>
+      import s.implicits._
+      val rich = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val bloom = rich.stat.bloomFilter("c_custkey", 10000, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val pruned = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+        .filter(r => bc.value.mightContain(r._2))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      pruned.join(rich, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("c_acctbal"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Pure theta join (no equi component ⇒ broadcast nested loop): price
     // neighbors among a small part subset.
     "q17_theta_join" -> { (s, d) =>
@@ -481,6 +509,11 @@ object Relational {
         |      / CAST(count(*) OVER w AS DOUBLE) AS cust_avg
         |  FROM orders WINDOW w AS (PARTITION BY o_custkey)) t
         |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
+    // Bloom pruning is conservative, so the oracle is the plain join.
+    "q48_bloom_prune_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000 ORDER BY o_orderkey""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb
         |FROM (SELECT * FROM part WHERE p_partkey <= 40) a

@@ -311,4 +311,27 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("q48 bloom pruning is conservative and actually prunes") {
+    import org.apache.spark.sql.functions.col
+    // No false negatives: the pruned join equals the plain join exactly.
+    val pruned = SparkEntry.queries("q48_bloom_prune_join")(spark, sf)
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).filter(col("c_acctbal") > 9000),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("c_acctbal"))
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    // And the probe rejects most non-matching fact rows (fpp 0.01 — allow
+    // generous slack): the pruned fact side must be far below the full scan.
+    val rich = Tables.customer(spark, sf).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val bloom = rich.stat.bloomFilter("c_custkey", 10000, 0.01)
+    val total = Tables.orders(spark, sf).count()
+    val kept = Tables.orders(spark, sf).select(col("o_custkey"))
+      .collect().count(r => bloom.mightContain(r.getLong(0)))
+    val matching = Tables.orders(spark, sf)
+      .join(rich, col("o_custkey") === col("c_custkey")).count()
+    assert(kept >= matching, "bloom must never drop a true match")
+    assert(kept < total, s"bloom kept $kept of $total fact rows — no pruning happened")
+  }
 }
