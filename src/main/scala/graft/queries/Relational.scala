@@ -255,6 +255,30 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // UNPIVOT/melt: wide measure columns to long (measure, value) form —
+    // the normalization step feeding generic per-measure pipelines. A
+    // narrow Expand (each row emits k rows, no shuffle until the agg);
+    // sums go through DECIMAL for cross-engine exactness. NULL caveat:
+    // Spark's unpivot KEEPS null values where SQL-standard UNPIVOT
+    // (DuckDB's included) drops them — these measures are non-null (TPC-H
+    // invariant), but melting nullable columns needs an explicit
+    // `.filter(col("val").isNotNull)` to match SQL semantics.
+    "q49_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("measure"))
+    },
+
     // Bloom-pruned join (semi-join reduction): build a Bloom filter over
     // the SMALL side's join keys, probe it on the fat side BEFORE the join
     // shuffle — at 100 TB this is the difference between shuffling the
@@ -509,6 +533,18 @@ object Relational {
         |      / CAST(count(*) OVER w AS DOUBLE) AS cust_avg
         |  FROM orders WINDOW w AS (PARTITION BY o_custkey)) t
         |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
+    "q49_unpivot" ->
+      """WITH u AS (
+        |  SELECT measure, val FROM (
+        |    SELECT l_orderkey, l_linenumber,
+        |           CAST(l_quantity AS DOUBLE) AS l_quantity,
+        |           CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+        |           CAST(l_discount AS DOUBLE) AS l_discount
+        |    FROM lineitem)
+        |  UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount)))
+        |SELECT measure, count(*) AS n,
+        |  CAST(CAST(sum(CAST(val AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // Bloom pruning is conservative, so the oracle is the plain join.
     "q48_bloom_prune_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_acctbal

@@ -327,6 +327,30 @@ object TextOps {
         .withColumn("hapax_frac",
           col("n_hapax").cast("double") / col("n_distinct").cast("double"))
         .orderBy(col("doc_id"))
+    },
+    // Composite quality GATE — the stage that actually drops documents:
+    // named per-signal booleans (length band, lexical diversity, stopword
+    // presence — t2/t16's signals) plus the final keep flag, so a corpus
+    // report can attribute every rejection. Pure Catalyst scan+project
+    // (array_distinct for TTR, no kernel needed), zero shuffles; the
+    // threshold comparisons sit on IEEE divisions both engines compute
+    // identically, so the booleans can never disagree at the boundary.
+    "t17_quality_gate" -> { (s, d) =>
+      val words = split(trim(lower(col("text"))), "\\s+")
+      val nWords = size(words).cast("bigint")
+      val nDistinct = size(array_distinct(words)).cast("bigint")
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val nStop = langScore(padded, Seq(" the ", " a ", " of ", " and "))
+      val ttr = nDistinct.cast("double") / nWords.cast("double")
+      val stopRatio = nStop.cast("double") / nWords.cast("double")
+      val lenOk = nWords.between(20, 80)
+      val ttrOk = ttr >= 0.7
+      val stopOk = stopRatio > 0.0
+      Tables.documents(s, d)
+        .select(col("doc_id"), nWords.as("n_words"), ttr.as("ttr"),
+          stopRatio.as("stop_ratio"), lenOk.as("len_ok"), ttrOk.as("ttr_ok"),
+          stopOk.as("stop_ok"), (lenOk && ttrOk && stopOk).as("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -507,7 +531,25 @@ object TextOps {
           |  CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS ttr,
           |  CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
           |    / CAST(count(*) AS DOUBLE) AS hapax_frac
-          |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+          |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "t17_quality_gate" ->
+        s"""WITH sig AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_words,
+           |    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS n_distinct,
+           |    CAST(${sqlScore(Seq(" the ", " a ", " of ", " and "))} AS BIGINT) AS n_stop
+           |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents) t),
+           |r AS (
+           |  SELECT doc_id, n_words,
+           |    CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+           |    CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio
+           |  FROM sig)
+           |SELECT doc_id, n_words, ttr, stop_ratio,
+           |  n_words BETWEEN 20 AND 80 AS len_ok,
+           |  ttr >= 0.7 AS ttr_ok,
+           |  stop_ratio > 0.0 AS stop_ok,
+           |  (n_words BETWEEN 20 AND 80) AND ttr >= 0.7 AND stop_ratio > 0.0 AS keep
+           |FROM r ORDER BY doc_id""".stripMargin
     )
   }
 }
