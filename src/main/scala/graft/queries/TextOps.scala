@@ -351,6 +351,36 @@ object TextOps {
           stopRatio.as("stop_ratio"), lenOk.as("len_ok"), ttrOk.as("ttr_ok"),
           stopOk.as("stop_ok"), (lenOk && ttrOk && stopOk).as("keep"))
         .orderBy(col("doc_id"))
+    },
+    // End-to-end pipeline composition — the whole point of the library in
+    // one plan: quality-gate (t17's length band) → exact dedup keeping the
+    // first copy (d1's rule) → token-window chunking (t6's geometry) →
+    // per-source corpus stats. Everything fuses into ONE job — no
+    // intermediate tables, Catalyst sees the whole lineage: the gate is a
+    // scan-level filter, the dedup's rn=1 rewrites to a PARTIAL+final
+    // WindowGroupLimit (each map task forwards one row per text before
+    // the shuffle — at 100 TB the dedup exchange carries survivors, not
+    // the corpus), chunking is a narrow flatMap, and the rollup is the
+    // count-distinct two-phase aggregate. Three keyed exchanges total,
+    // zero joins (pinned in PlanSpec).
+    "p1_e2e_pipeline" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val nWords = size(split(trim(lower(col("text"))), "\\s+")).cast("bigint")
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .filter(nWords.between(20, 80))             // gate
+        .withColumn("rn", row_number().over(w))     // exact dedup, first wins
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"),
+          split(trim(col("text")), "\\s+").as("wd"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, int((size(wd)-1)/24)), i -> size(slice(wd, i*24+1, 32)))"))
+          .as("chunk_tokens"))                      // t6 chunk geometry
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens").cast("bigint")).as("n_tokens"))
+        .orderBy(col("source"))
     }
   )
 
@@ -549,7 +579,26 @@ object TextOps {
            |  ttr >= 0.7 AS ttr_ok,
            |  stop_ratio > 0.0 AS stop_ok,
            |  (n_words BETWEEN 20 AND 80) AND ttr >= 0.7 AND stop_ratio > 0.0 AS keep
-           |FROM r ORDER BY doc_id""".stripMargin
+           |FROM r ORDER BY doc_id""".stripMargin,
+      "p1_e2e_pipeline" ->
+        """WITH gated AS (
+          |  SELECT doc_id, source, text
+          |  FROM documents
+          |  WHERE CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+          |        BETWEEN 20 AND 80),
+          |deduped AS (
+          |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS wd FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          |    FROM gated) t
+          |  WHERE rn = 1),
+          |chunks AS (
+          |  SELECT doc_id, source,
+          |    unnest(list_transform(range((len(wd)-1)//24 + 1),
+          |      i -> len(list_slice(wd, CAST(i*24+1 AS BIGINT), CAST(i*24+32 AS BIGINT))))) AS chunk_tokens
+          |  FROM deduped)
+          |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+          |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
+          |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -312,6 +312,16 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("p1 pipeline fuses: dedup is a partial WindowGroupLimit, 3 exchanges, no joins") {
+    val plan = planOf("p1_e2e_pipeline")
+    // rn=1 must rewrite to the map-side-limited WindowGroupLimit — the
+    // dedup exchange then carries one row per text, not the gated corpus.
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert("hashpartitioning\\(".r.findAllIn(plan).size == 3,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!plan.contains("Join"), "pipeline must stay join-free")
+  }
+
   test("q48 bloom pruning is conservative and actually prunes") {
     import org.apache.spark.sql.functions.col
     // No false negatives: the pruned join equals the plain join exactly.
