@@ -480,6 +480,29 @@ object Dedup {
         .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
+    // Winnowing-fingerprint candidate pairs (the MOSS plagiarism-detector
+    // shape): two docs sharing a minimal 32-byte rolling-hash window share
+    // a 32-byte substring with high probability — a BYTE-level near-dup
+    // signal that survives word-level edits the shingle family (d3/d5)
+    // keys on, computed by the codegen'd rolling_min_hash Expression
+    // (O(text) per doc, narrow). One groupBy(fp) shuffle of (fp, doc_id)
+    // pairs; pair expansion is bounded by the same DF-cap pattern as d5
+    // (`graft.dedup.d14FpCap`, default 50) so a boilerplate substring
+    // shared by a million docs can never go quadratic.
+    "d14_winnow_pairs" -> { (s, d) =>
+      import graft.functions.RollingHashFunctions.rolling_min_hash
+      val FP_CAP = s.conf.getOption("graft.dedup.d14FpCap").map(_.toInt).getOrElse(50)
+      val fps = Tables.documents(s, d)
+        .select(col("doc_id"), rolling_min_hash(col("text"), 32).as("fp"))
+      fps.groupBy(col("fp"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, FP_CAP))
+        .select(col("fp"), explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("fp"), col("doc_a"), explode(col("ds")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("fp"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     // ASYMMETRIC containment |A∩B| / |A| (ordered pairs): catches
     // subset-duplicates — excerpts, quotes, a doc embedded in a longer one —
     // which symmetric Jaccard under-scores (a 50-shingle doc inside a
@@ -675,6 +698,16 @@ object Dedup {
         |                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
         |    / (sqrt(a.sq) * sqrt(b.sq)) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // t5's fingerprint CTE (TextOps.FP_SQL — one definition), then the
+    // capped group self-pairing.
+    "d14_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+         |f AS (SELECT doc_id, ${TextOps.FP_SQL} AS fp FROM t),
+         |g AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 50)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |JOIN g ON a.fp = g.fp
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // Ordered-pair variant of PAIRS_CTE (a ≠ b instead of a < b); the
     // containment denominator is the FULL shingle-set size (d5 convention).
     "d13_containment" ->

@@ -98,6 +98,26 @@ object Similarity {
     Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"), col("embedding"),
       vec_dot(col("embedding"), col("embedding")).as("sq"))
 
+  /** The declared every-50th query set, SIZE-GUARDED for broadcast (shared
+    * by s1 and s7): the set is corpus-proportional, so at 100 TB it would
+    * overflow any broadcast threshold — a lazy distributed count joins in
+    * and `raise_error` fails the job with a pointer to the scale paths
+    * (s2/s4) instead of silently OOMing the driver. Cap configurable via
+    * `graft.ann.maxQuerySet`. */
+  private def guardedQuerySet(s: SparkSession, e: DataFrame, op: String): DataFrame = {
+    val maxQ = s.conf.getOption("graft.ann.maxQuerySet").map(_.toInt).getOrElse(10000)
+    val q0 = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sq").as("q_sq"))
+    val qn = q0.agg(count(lit(1)).as("__q_n"))
+    q0.crossJoin(broadcast(qn))
+      .filter(when(col("__q_n") > maxQ, raise_error(format_string(
+        op + ": query set has %s vectors > graft.ann.maxQuerySet=%s; " +
+          "the broadcast exact baseline needs a bounded query set — use " +
+          "s2_knn_lsh or s4_knn_ivf at this scale",
+        col("__q_n"), lit(maxQ)))).isNull)
+      .drop("__q_n")
+  }
+
   /** Per-label centroid vectors with ORDER-FREE exact arithmetic: each float
     * component is quantized to DECIMAL(18,6) and summed (exact regardless of
     * accumulation order — float sums would be partitioning-dependent), then
@@ -130,19 +150,9 @@ object Similarity {
     // job with a pointer to the scale paths (s2/s4) instead of silently
     // OOMing the driver. Cap configurable via `graft.ann.maxQuerySet`.
     "s1_knn_brute" -> { (s, d) =>
-      val maxQ = s.conf.getOption("graft.ann.maxQuerySet").map(_.toInt).getOrElse(10000)
       val e = normed(s, d)
-      val q0 = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sq").as("q_sq"))
-      val qn = q0.agg(count(lit(1)).as("__q_n"))
-      val q = q0.crossJoin(broadcast(qn))
-        .filter(when(col("__q_n") > maxQ, raise_error(format_string(
-          "s1_knn_brute: query set has %s vectors > graft.ann.maxQuerySet=%s; " +
-            "the broadcast exact baseline needs a bounded query set — use " +
-            "s2_knn_lsh or s4_knn_ivf at this scale",
-          col("__q_n"), lit(maxQ)))).isNull)
-        .drop("__q_n")
-      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      val scored = e.join(broadcast(guardedQuerySet(s, e, "s1_knn_brute")),
+        col("vec_id") =!= col("q_id"))
         .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
       scored.withColumn("rk", row_number().over(w))
@@ -276,6 +286,28 @@ object Similarity {
         .toDF("label", "median_norm_sq", "n")
         .orderBy(col("label"))
     },
+    // Hard-negative / margin mining (embedding-training data prep): for
+    // each query vector, the gap between its best and second-best cosine
+    // neighbor — small margins mark ambiguous regions, exactly the pairs
+    // contrastive training wants more of. Same guarded-broadcast scan as
+    // s1 (bounded query set, corpus never shuffles); the margin is one
+    // exact double subtraction, so the row set is oracle-stable.
+    "s7_margin_mining" -> { (s, d) =>
+      val e = normed(s, d)
+      val scored = e.join(broadcast(guardedQuerySet(s, e, "s7_margin_mining")),
+        col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .groupBy(col("q_id"))
+        .agg(
+          max(when(col("rk") === 1, col("vec_id"))).as("best_id"),
+          max(when(col("rk") === 1, col("cosine"))).as("cos1"),
+          max(when(col("rk") === 2, col("cosine"))).as("cos2"))
+        .withColumn("margin", col("cos1") - col("cos2"))
+        .orderBy(col("q_id"))
+    },
     // Label-centroid similarity matrix: pairwise cosine between every two
     // label centroids — the embedding-space QA view (which classes are
     // confusable / candidates for merging). Builds on s5's order-free
@@ -348,6 +380,29 @@ object Similarity {
         |  FROM embeddings)
         |SELECT label, median(norm_sq) AS median_norm_sq, count(*) AS n
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s1's scored/ranked CTEs at rk ≤ 2, collapsed to a margin per query.
+    "s7_margin_mining" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(q.embedding, c.embedding),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |      / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT q_id,
+        |  max(CASE WHEN rk = 1 THEN neighbor_id END) AS best_id,
+        |  max(CASE WHEN rk = 1 THEN cosine END) AS cos1,
+        |  max(CASE WHEN rk = 2 THEN cosine END) AS cos2,
+        |  max(CASE WHEN rk = 1 THEN cosine END) - max(CASE WHEN rk = 2 THEN cosine END) AS margin
+        |FROM ranked WHERE rk <= 2
+        |GROUP BY q_id ORDER BY q_id""".stripMargin,
     // s5's centroid CTEs verbatim, then the k² pairwise cosine.
     "s6_centroid_sim" ->
       """WITH comp AS (

@@ -384,6 +384,22 @@ object TextOps {
     }
   )
 
+  /** DuckDB twin of `rolling_min_hash(text, 32)` — the minimal 32-byte
+    * rolling-window hash. Expects a CTE `t(doc_id, text, n)` in scope with
+    * n = octet_length. Shared by the t5 oracle and Dedup's d14 (winnowing
+    * candidate pairs), so the fingerprint definition cannot drift. */
+  private[queries] val FP_SQL =
+    """CASE WHEN n <= 32 THEN
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(n), i -> CAST(ascii(text[i+1]) AS BIGINT))),
+      |      (a,b) -> (a*31+b) % 1000000007)
+      |  ELSE
+      |    list_min(list_transform(range(n - 31), i ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(32), j -> CAST(ascii(text[i+j+1]) AS BIGINT))),
+      |        (a,b) -> (a*31+b) % 1000000007)))
+      |  END""".stripMargin
+
   private val q = "'"
   private def sqlOcc(m: String): String =
     s"(length(padded) - length(replace(padded, $q$m$q, ''))) // ${m.length}"
@@ -434,22 +450,13 @@ object TextOps {
       // ASCII corpus ⇒ ascii(char) == byte value, so the char-wise direct
       // recomputation equals the byte-wise rolling kernel.
       "t5_rolling_hash" ->
-        """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
-          |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |      list_transform(range(n), i -> CAST(ascii(text[i+1]) AS BIGINT))),
-          |    (a,b) -> (a*31+b) % 1000000007) AS whole_hash,
-          |  CASE WHEN n <= 32 THEN
-          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |        list_transform(range(n), i -> CAST(ascii(text[i+1]) AS BIGINT))),
-          |      (a,b) -> (a*31+b) % 1000000007)
-          |  ELSE
-          |    list_min(list_transform(range(n - 31), i ->
-          |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |          list_transform(range(32), j -> CAST(ascii(text[i+j+1]) AS BIGINT))),
-          |        (a,b) -> (a*31+b) % 1000000007)))
-          |  END AS fp
-          |FROM t ORDER BY doc_id""".stripMargin,
+        s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(n), i -> CAST(ascii(text[i+1]) AS BIGINT))),
+           |    (a,b) -> (a*31+b) % 1000000007) AS whole_hash,
+           |  $FP_SQL AS fp
+           |FROM t ORDER BY doc_id""".stripMargin,
       "t6_chunks" ->
         """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
           |c AS (SELECT doc_id, unnest(list_transform(range((len(w)-1)//24 + 1),
