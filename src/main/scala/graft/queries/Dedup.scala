@@ -480,6 +480,44 @@ object Dedup {
         .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
+    // Semantic dedup (the SemDeDup recipe: cluster, keep one representative,
+    // drop members too similar to it): per label cluster, the MEDOID is the
+    // vector most aligned with the cluster centroid (s5/s6's order-free
+    // decimal centroid); every other member reports its cosine to the
+    // medoid and an is_dup flag at the 0.25 threshold. Composition of
+    // existing pieces — centroid partial-agg (corpus collapses once),
+    // medoid = row_number over cosine-to-centroid, then ONE broadcast join
+    // of the per-label medoid table back to the corpus; no pairwise
+    // explosion anywhere (that is SemDeDup's whole point vs d6).
+    "d15_semdedup" -> { (s, d) =>
+      import graft.functions.VecFunctions.vec_dot
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.parallelized(Tables.embeddings(s, d)).select(
+        col("vec_id"), col("label"), col("embedding"),
+        vec_dot(col("embedding"), col("embedding")).as("sq"))
+      val cent = Similarity.centroidVecs(s, d)
+      val scored = e.join(broadcast(cent), Seq("label"))
+        .withColumn("cos_cent",
+          vec_dot(col("embedding"), col("cvec")) /
+            (sqrt(col("sq")) * sqrt(vec_dot(col("cvec"), col("cvec")))))
+      val w = Window.partitionBy(col("label")).orderBy(col("cos_cent").desc, col("vec_id"))
+      val ranked = scored.withColumn("rk", row_number().over(w))
+      // Materialize the #labels-sized medoid table so the broadcast side
+      // doesn't re-run the centroid+rank subtree (s6/d9's lesson); the
+      // corpus-sized ranked side stays lazy and is scanned once more for
+      // the final join — two corpus passes total, never a pairwise product.
+      val medoids = ranked.filter(col("rk") === 1)
+        .select(col("label"), col("vec_id").as("medoid_id"),
+          col("embedding").as("m_emb"), col("sq").as("m_sq"))
+        .localCheckpoint(true)
+      ranked.join(broadcast(medoids), Seq("label"))
+        .withColumn("cos_med",
+          vec_dot(col("embedding"), col("m_emb")) /
+            (sqrt(col("sq")) * sqrt(col("m_sq"))))
+        .withColumn("is_dup", col("vec_id") =!= col("medoid_id") && col("cos_med") >= 0.25)
+        .select(col("label"), col("vec_id"), col("medoid_id"), col("cos_med"), col("is_dup"))
+        .orderBy(col("label"), col("vec_id"))
+    },
     // Winnowing-fingerprint candidate pairs (the MOSS plagiarism-detector
     // shape): two docs sharing a minimal 32-byte rolling-hash window share
     // a 32-byte substring with high probability — a BYTE-level near-dup
@@ -698,6 +736,43 @@ object Dedup {
         |                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
         |    / (sqrt(a.sq) * sqrt(b.sq)) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // s5's centroid CTEs, then medoid-by-rank and one per-label rejoin.
+    "d15_semdedup" ->
+      """WITH comp AS (
+        |  SELECT label, s.pos, s.xq
+        |  FROM (SELECT label, unnest(list_transform(embedding,
+        |          (x, i) -> struct_pack(pos := i, xq := CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))))) AS s
+        |        FROM embeddings)
+        |), cent AS (
+        |  SELECT label, pos, sum(xq) AS sx FROM comp GROUP BY 1, 2
+        |), cvecs AS (
+        |  SELECT label, list(CAST(CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS REAL) ORDER BY pos) AS cvec
+        |  FROM cent GROUP BY 1
+        |), scored AS (
+        |  SELECT e.label, e.vec_id, e.embedding,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(e.embedding) u(x)) AS sq,
+        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(e.embedding, c.cvec),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |    / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(e.embedding) u(x)))
+        |       * sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(c.cvec) u(x)))) AS cos_cent
+        |  FROM embeddings e JOIN cvecs c USING (label)
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos_cent DESC, vec_id) AS rk
+        |  FROM scored
+        |), med AS (
+        |  SELECT label, vec_id AS medoid_id, embedding AS m_emb, sq AS m_sq
+        |  FROM ranked WHERE rk = 1)
+        |SELECT label, vec_id, medoid_id, cos_med,
+        |  vec_id <> medoid_id AND cos_med >= 0.25 AS is_dup
+        |FROM (
+        |  SELECT r.label, r.vec_id, m.medoid_id,
+        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(r.embedding, m.m_emb),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |      / (sqrt(r.sq) * sqrt(m.m_sq)) AS cos_med
+        |  FROM ranked r JOIN med m USING (label)) t
+        |ORDER BY label, vec_id""".stripMargin,
     // t5's fingerprint CTE (TextOps.FP_SQL — one definition), then the
     // capped group self-pairing.
     "d14_winnow_pairs" ->

@@ -255,6 +255,24 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // Salted two-phase aggregation, driver-facing: l_returnflag has THREE
+    // values over the whole table — the textbook hot-key aggregation AQE
+    // cannot split (it only rewrites joins). Phase 1 spreads each key over
+    // 8 content-derived salts (retry-deterministic, operators/Skew.scala),
+    // phase 2 merges partials per key. Decimal partial sums are exact and
+    // order-free, so salted == unsalted bit-for-bit — which is exactly what
+    // the plain-GROUP-BY oracle proves.
+    "q50_salted_agg" -> { (s, d) =>
+      graft.operators.Skew.saltedAggregate(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+        keys = Seq("l_returnflag"), salts = 8,
+        partials = Seq(count(lit(1)).as("pc"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("ps")),
+        merges = Seq(sum(col("pc")).cast("bigint").as("n"),
+          sum(col("ps")).cast("double").as("sum_qty")))
+        .orderBy(col("l_returnflag"))
+    },
+
     // UNPIVOT/melt: wide measure columns to long (measure, value) form —
     // the normalization step feeding generic per-measure pipelines. A
     // narrow Expand (each row emits k rows, no shuffle until the agg);
@@ -533,6 +551,11 @@ object Relational {
         |      / CAST(count(*) OVER w AS DOUBLE) AS cust_avg
         |  FROM orders WINDOW w AS (PARTITION BY o_custkey)) t
         |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
+    // The salted plan must equal the direct aggregate exactly.
+    "q50_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q49_unpivot" ->
       """WITH u AS (
         |  SELECT measure, val FROM (

@@ -125,7 +125,7 @@ object Similarity {
     * against these is scale-invariant, so the un-divided component sum
     * stands in for the mean. Shared by s5 (outlier ranking) and s6 (label
     * similarity matrix) so the centroid definition cannot drift. */
-  private def centroidVecs(s: SparkSession, d: String): DataFrame =
+  private[queries] def centroidVecs(s: SparkSession, d: String): DataFrame =
     Tables.parallelized(Tables.embeddings(s, d))
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("label"), col("pos"),
