@@ -46,6 +46,47 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("p1 pipeline runs as a file stream: gate → dedup → chunk rollup matches batch") {
+    // The training-data pipeline (t17 gate → exact dedup → t6 chunking →
+    // rollup) over a STREAMING parquet source — the continuous-ingestion
+    // form. dropDuplicates("text") keeps whichever copy arrives first, so
+    // per-SOURCE splits depend on arrival order; the text-determined
+    // totals (docs, chunks, tokens) are order-invariant and must equal the
+    // batch pipeline's exactly.
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    // FileStreamSource ingests directories: stage the single parquet file
+    // into one (the continuous-ingestion landing-zone shape).
+    val landing = tmpDir()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$landing/documents.parquet"))
+    val nWords = size(split(trim(lower(col("text"))), "\\s+")).cast("bigint")
+    val stream = spark.readStream.schema(schema).parquet(landing)
+      .filter(nWords.between(20, 80))
+      .dropDuplicates("text")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("wd"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, int((size(wd)-1)/24)), i -> size(slice(wd, i*24+1, 32)))"))
+        .as(Seq("chunk_idx", "chunk_tokens")))
+      .groupBy()
+      // distinct aggregation is unsupported on streams: count docs via the
+      // first-chunk indicator (every gated doc has >= 20 words => >= 1 chunk).
+      .agg(sum(when(col("chunk_idx") === 0, 1L).otherwise(0L)).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens").cast("bigint")).as("n_tokens"))
+    val q = stream.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("p1_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("p1_stream").collect()(0)
+    val want = SparkEntry.queries("p1_e2e_pipeline")(spark, dir)
+      .agg(sum(col("n_docs")).cast("bigint"), sum(col("n_chunks")).cast("bigint"),
+        sum(col("n_tokens")).cast("bigint")).collect()(0)
+    assert(got.getLong(0) == want.getLong(0), "n_docs")
+    assert(got.getLong(1) == want.getLong(1), "n_chunks")
+    assert(got.getLong(2) == want.getLong(2), "n_tokens")
+  }
+
   test("end-to-end: memory stream → JsonMap → upsert sink") {
     val spark0 = spark
     import spark0.implicits._
