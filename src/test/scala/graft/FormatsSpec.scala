@@ -26,6 +26,34 @@ class FormatsSpec extends SparkTestBase {
     assert(back.count() == events.count())
   }
 
+  test("orc scan round-trip preserves rows and values exactly") {
+    val src = Tables.supplier(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("avro file round-trip preserves rows and values exactly (jar-gated; canceled offline)") {
+    // The spark-avro CONNECTOR doesn't ship in /opt/spark/jars (only the
+    // core avro library, which Decoders uses for payload decode) — same
+    // deploy-classpath situation as the Kafka source, gated the same way.
+    assume(
+      try {
+        org.apache.spark.sql.execution.datasources.DataSource
+          .lookupDataSource("avro", spark.sessionState.conf)
+        true
+      } catch { case _: Throwable => false },
+      "spark-avro connector jar not on the classpath (offline image)")
+    val src = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    src.write.mode("overwrite").format("avro").save(dir)
+    val back = spark.read.format("avro").load(dir)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("partitioned parquet layout: partition pruning reaches the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.documents(spark, sf).write.mode("overwrite")
