@@ -127,6 +127,14 @@ object Dedup {
       .toDF("doc_id", "shingles", "bands")
   }
 
+  /** (doc_id, band, band_sig) bucket-membership rows — d3/d10's banding
+    * exposed as the input stream for `streaming.BandIndexProcessor` (the
+    * continuous-ingestion near-dup index); one definition, so the batch
+    * and streaming band universes cannot drift. */
+  private[graft] def bandRows(s: SparkSession, d: String): DataFrame =
+    bandedSets(s, d, lit(true)).select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "band_sig")))
+
   /** xxhash64-compatible string hash (same bits as the SQL `xxhash64`). */
   private[queries] def xxh64(s: String, seed: Long = 42L): Long = {
     val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)

@@ -227,6 +227,49 @@ class CategoryCounts[K](catEnc: org.apache.spark.sql.Encoder[String])
   }
 }
 
+/** Streaming near-dup candidate index — d3/d10's MinHash banding as
+  * CONTINUOUS ingestion. Keyed by LSH bucket `(band, band_signature)`;
+  * state is the ListState of doc_ids already resident in the bucket. Each
+  * arriving doc emits one `(min_id, max_id)` candidate pair per prior
+  * occupant, then joins the bucket — so across any micro-batch split the
+  * emitted set equals the batch band-collision pairs (streaming recall ==
+  * batch banding recall; StreamingSpec pins d3's verified pairs ⊆ emitted
+  * candidates). Exact-Jaccard verification belongs DOWNSTREAM on the
+  * candidate stream, as in batch d3 — candidates only, never corpus².
+  *
+  * Scale: state is one doc_id per (doc × band) spread across buckets in
+  * RocksDB; the emission loop is capped at `maxBucket` occupants (d5's
+  * DF-cap contract transplanted) so one boilerplate bucket can never go
+  * quadratic — beyond the cap, new members still join the bucket silently.
+  * A pair can surface once per shared band (batch d3 dedups with
+  * `.distinct()`); streaming consumers dedup the same way downstream. */
+class BandIndexProcessor(maxBucket: Int = 50)
+    extends StatefulProcessor[(Int, Long), ((Int, Long), Long), (Long, Long)] {
+
+  @transient private var docs: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    docs = getHandle.getListState[Long]("docs", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: (Int, Long), rows: Iterator[((Int, Long), Long)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    // Deterministic intra-batch order: a batch boundary between two docs
+    // and their co-arrival must yield the same pair set.
+    val incoming = rows.map(_._2).toArray.distinct.sorted
+    var resident = docs.get().toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    incoming.foreach { d =>
+      if (!resident.contains(d)) { // replay-idempotent
+        if (resident.length <= maxBucket)
+          resident.foreach(p => out += ((math.min(p, d), math.max(p, d))))
+        docs.appendValue(d)
+        resident = resident :+ d
+      }
+    }
+    out.iterator
+  }
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

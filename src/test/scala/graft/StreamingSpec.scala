@@ -272,6 +272,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState band index: streaming LSH candidates cover d3's verified pairs") {
+    // The MinHash banding of d3/d10 as CONTINUOUS ingestion: docs arrive in
+    // two waves; every band-bucket collision — within a wave or against
+    // bucket state from the earlier wave — emits a candidate pair. Batch
+    // d3's final (exact-Jaccard-verified) pair set must be a subset of the
+    // streamed candidates: banding recall is preserved across batch splits.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDB {
+      val rows = graft.queries.Dedup.bandRows(spark, sf)
+        .select(col("band"), col("band_sig"), col("doc_id"))
+        .as[(Int, Long, Long)].collect().toSeq
+      val stream = MemoryStream[(Int, Long, Long)]
+      stream.addData(rows.filter(_._3 % 2 == 0): _*)
+      stream.addData(rows.filter(_._3 % 2 == 1): _*)
+      val cands = stream.toDS()
+        .map(r => ((r._1, r._2), r._3))
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.BandIndexProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val q = cands.toDF("doc_a", "doc_b").writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("band_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val got = spark.sql("SELECT doc_a, doc_b FROM band_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val verified = SparkEntry.queries("d3_dedup_minhash")(spark, sf)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(verified.nonEmpty, "testdata should contain at least one J >= 0.9 pair")
+      assert(verified.subsetOf(got), s"candidates missing: ${verified -- got}")
+    }
+  }
+
   test("transformWithState ListState: chunk assembly is split-invariant") {
     val spark0 = spark
     import spark0.implicits._
