@@ -325,6 +325,21 @@ object Events {
             .otherwise(lit(0.0)))
         .orderBy(col("user_id"))
     },
+    // Value histogram per event type (distribution profiling — the QA view
+    // before setting e15's outlier thresholds): fixed-width buckets via an
+    // explicit floor(value / width) rather than width_bucket, because the
+    // explicit form is ONE correctly-rounded IEEE division + floor on both
+    // engines (width_bucket's internal (v-lo)*n/(hi-lo) arithmetic order
+    // is engine-specific and can flip a boundary value by an ulp). One
+    // aggregation shuffle on (type, bucket).
+    "e20_value_histogram" -> { (s, d) =>
+      val bucket = floor(col("value") / 5.0).cast("bigint")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
     // Time-weighted average (TWAP): each observation weighted by how long
     // it remained current (µs until the user's next event); the standard
     // irregular-series average for sensor/price data, where a plain mean
@@ -551,6 +566,10 @@ object Events {
         |            / CAST(max(epoch_us(ivl_end)) - min(epoch_us(ivl_start)) AS DOUBLE)
         |       ELSE 0.0 END AS coverage
         |FROM ivl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e20_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e19_twap" ->
       """WITH w AS (
         |  SELECT user_id, value,

@@ -106,6 +106,22 @@ object Multimodal {
         .withColumn("frame_digest", md5(col("frame")))
         .select(col("doc_id"), col("frame_idx"), col("frame_digest"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    // Content-addressed blob dedup — the media pass that runs BEFORE any
+    // decode: group by payload digest so each distinct blob is decoded/
+    // stored once (the canonical object-store layout), keep the lowest
+    // doc_id as the canonical reference and report the bytes saved. The
+    // shuffle carries (digest, 2×int) — 16-byte keys, never media bytes.
+    "mm5_blob_dedup" -> { (s, d) =>
+      mediaTable(s, d)
+        .select(col("doc_id"), md5(col("media")).as("digest"),
+          length(col("media")).cast("bigint").as("n_bytes"))
+        .groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_refs"),
+          max(col("n_bytes")).as("blob_bytes"),
+          (sum(col("n_bytes")) - max(col("n_bytes"))).as("bytes_saved"))
+        .orderBy(col("digest"))
     }
   )
 
@@ -162,6 +178,12 @@ object Multimodal {
         |      FROM m CROSS JOIN range(0, 16) t(i)
         |      WHERE i <= (len - 1) // 64)
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, frame_digest
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm5_blob_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+        |  count(*) AS n_refs,
+        |  CAST(max(octet_length(encode(text))) AS BIGINT) AS blob_bytes,
+        |  CAST(sum(octet_length(encode(text))) - max(octet_length(encode(text))) AS BIGINT) AS bytes_saved
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
