@@ -606,6 +606,43 @@ object Dedup {
         .withColumn("dup_frac",
           col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
         .orderBy(col("doc_id"))
+    },
+    // Pairwise SOURCE-level overlap matrix: the dataset-curation view of
+    // d8 ("how much do my corpora share?" before mixing them). Each source
+    // reduces to its DISTINCT shingle set FIRST (the d8 membership shape —
+    // corpus-size work collapses to set-size work), then a shingle-keyed
+    // self-join counts intersections. Per-shingle fan-out is bounded by
+    // #sources² (a shingle in all k sources emits k(k-1)/2 pairs), never by
+    // corpus size; set sizes broadcast (one row per source) for the union /
+    // Jaccard arithmetic, whose single division of exact BIGINTs is
+    // IEEE-exact. At 100 TB with thousands of sources the same plan holds,
+    // but hot shingles shared by ALL sources dominate (k²) — production
+    // would drop top-DF shingles first (d5's df-cap), which tightens the
+    // estimate toward discriminative overlap anyway. INNER-join semantics:
+    // source pairs sharing zero shingles have no row (n_inter = 0 pairs
+    // carry no curation signal).
+    "d16_source_overlap" -> { (s, d) =>
+      import s.implicits._
+      val srcSh = Tables.parallelized(Tables.documents(s, d))
+        .select(col("source"), col("text")).as[(String, String)]
+        .mapPartitions(_.map { case (src, t) => (src, shinglesOf(t)) })
+        .toDF("source", "shingles")
+        .select(col("source"), explode(col("shingles")).as("sh"))
+        .distinct()
+      val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val inter = srcSh.toDF("src_a", "sh")
+        .join(srcSh.toDF("src_b", "sh2"),
+          col("sh") === col("sh2") && col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.toDF("src_a", "n_a")), "src_a")
+        .join(broadcast(sizes.toDF("src_b", "n_b")), "src_b")
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_inter"), col("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 
@@ -821,6 +858,18 @@ object Dedup {
         |  CAST(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS dup_frac
         |FROM c JOIN cnt USING (ch)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d16_source_overlap" ->
+      s"""WITH $SH_CTE,
+         |e0 AS (SELECT d.source, unnest(s.shingles) AS sh
+         |       FROM sh_docs s JOIN documents d USING (doc_id)),
+         |e AS (SELECT DISTINCT source, sh FROM e0),
+         |sz AS (SELECT source, count(*) AS n_sh FROM e GROUP BY 1),
+         |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+         |      FROM e a JOIN e b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_inter,
+         |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+         |FROM i JOIN sz sa ON i.src_a = sa.source JOIN sz sb ON i.src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -361,6 +361,58 @@ object Events {
           (sum(col("value").cast("decimal(18,2)") * col("dt_us")).cast("double") /
             sum(col("dt_us")).cast("double")).as("twap"))
         .orderBy(col("user_id"))
+    },
+    // Gaps-and-islands streak detection: per user, runs of identical
+    // consecutive event_type, reporting the run count, the longest run, and
+    // which type achieved it (ties broken by type then run position, so the
+    // answer is total-order deterministic). Everything — the change-flag
+    // window, the run rollup, the per-user argmax window, and the run-count
+    // window — partitions by user_id, so ONE shuffle feeds four operators.
+    "e21_streaks" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pick = Window.partitionBy(col("user_id"))
+        .orderBy(col("len").desc, col("event_type"), col("run_id"))
+      Tables.events(s, d)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(byUser).isNull ||
+               lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("run_id", sum(col("chg")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(max(col("event_type")).as("event_type"), count(lit(1)).as("len"))
+        .withColumn("n_runs",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_runs"), col("len").as("longest"),
+          col("event_type").as("top_type"))
+        .orderBy(col("user_id"))
+    },
+    // Spearman rank correlation between arrival order and value, per event
+    // type — drift detection ("are values trending over time?") without
+    // assuming normality. Computed from the classic integer identity
+    // rho = (n(n²−1) − 6·Σd²) / n(n²−1) with row_number ranks (deterministic
+    // (value|ts, event_id) tiebreaks), so both operands are exact BIGINTs
+    // and the single division is IEEE-exact — hash-oracle-safe where a
+    // corr()-of-doubles formulation would drift by summation order. The two
+    // rank windows use different sort keys but the SAME event_type hash
+    // partitioning: one shuffle, two in-partition sorts. At 100 TB the
+    // per-key sort is the cost; for few huge keys the standard fix is a
+    // two-pass distributed rank (sortWithinPartitions + partition offsets).
+    "e22_spearman" -> { (s, d) =>
+      val byVal = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val byTs  = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rv", row_number().over(byVal).cast("bigint"))
+        .withColumn("rt", row_number().over(byTs).cast("bigint"))
+        .withColumn("d2", (col("rv") - col("rt")) * (col("rv") - col("rt")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("s_d2"))
+        .withColumn("rho",
+          (col("n") * (col("n") * col("n") - 1) - lit(6L) * col("s_d2")).cast("double") /
+            (col("n") * (col("n") * col("n") - 1)).cast("double"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -581,6 +633,42 @@ object Events {
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * dt_us) AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(sum(dt_us) AS BIGINT) AS DOUBLE) AS twap
         |FROM w WHERE dt_us IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e21_streaks" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |runs AS (
+        |  SELECT user_id,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id,
+        |    event_type
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, run_id, max(event_type) AS event_type, count(*) AS len
+        |  FROM runs GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT user_id, event_type, len,
+        |    count(*) OVER (PARTITION BY user_id) AS n_runs,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, event_type, run_id) AS rn
+        |  FROM agg)
+        |SELECT user_id, n_runs, len AS longest, event_type AS top_type
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "e22_spearman" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rv,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS rt
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS s_d2
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n, s_d2,
+        |  CAST(n * (n * n - 1) - 6 * s_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS rho
+        |FROM a ORDER BY event_type""".stripMargin
   )
 }

@@ -325,6 +325,49 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // Filtered (conditional) aggregation — SQL's `FILTER (WHERE …)` clause,
+    // expressed as sum(when(...)) so every conditional branch stays inside
+    // ONE map-side partial aggregate: five measures over two predicates in
+    // a single scan + single shuffle, where naive per-predicate subqueries
+    // would scan the fact table once per measure. Decimal conditional sums
+    // keep the hash oracle exact.
+    "q51_filtered_agg" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+          sum(when(col("l_returnflag") === "R",
+            col("l_quantity").cast("decimal(18,2)"))).cast("double").as("qty_returned"),
+          sum(when(col("l_quantity") > 30, 1L).otherwise(0L)).as("n_big"),
+          sum(when(col("l_quantity") > 30,
+            col("l_extendedprice").cast("decimal(18,2)"))).cast("double").as("price_big"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // Per-group mode (most frequent value) with a total-order tiebreak
+    // (count desc, then value asc) so the answer is deterministic — the
+    // categorical twin of q47's numeric groupwise stats. Two-level shape:
+    // an exact (group, value) count, then a per-group argmax window; both
+    // hash-partition by the group key and the value-count pre-aggregation
+    // bounds the window input to |distinct values| rows per group, so at
+    // 100 TB the windowed stage sees cardinality-of-domain rows, not
+    // corpus rows.
+    "q52_mode" -> { (s, d) =>
+      val pick = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("n_total",
+          sum(col("cnt")).over(Window.partitionBy(col("o_orderstatus"))).cast("bigint"))
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("cnt").as("n_mode"), col("n_total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Pure theta join (no equi component ⇒ broadcast nested loop): price
     // neighbors among a small part subset.
     "q17_theta_join" -> { (s, d) =>
@@ -573,6 +616,25 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_acctbal > 9000 ORDER BY o_orderkey""".stripMargin,
+    "q51_filtered_agg" ->
+      """SELECT l_linestatus, count(*) AS n_total,
+        |  count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_returnflag = 'R') AS VARCHAR) AS DOUBLE) AS qty_returned,
+        |  count(*) FILTER (WHERE l_quantity > 30) AS n_big,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_quantity > 30) AS VARCHAR) AS DOUBLE) AS price_big
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  cnt AS n_mode, n_total FROM (
+        |  SELECT o_orderstatus, o_orderpriority, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_total,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, o_orderpriority) AS rn
+        |  FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |        FROM orders GROUP BY 1, 2) c) t
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb
         |FROM (SELECT * FROM part WHERE p_partkey <= 40) a

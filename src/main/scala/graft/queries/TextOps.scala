@@ -381,6 +381,41 @@ object TextOps {
           count(lit(1)).as("n_chunks"),
           sum(col("chunk_tokens").cast("bigint")).as("n_tokens"))
         .orderBy(col("source"))
+    },
+    // Word co-occurrence with a PMI-style association score — the corpus
+    // statistic behind collocation mining and topic drift checks. Pair
+    // generation is a NARROW flatMap over each doc's sorted-distinct word
+    // array (transform+slice upper-triangle — no self-join, no shuffle
+    // until the pair count), so the only exchanges are the two counting
+    // aggregates; doc frequencies and N broadcast back onto the pair
+    // counts. PMI is emitted as the RATIO p(x,y)/(p(x)p(y)) =
+    // n_xy·N / (df_x·df_y) — exact integer products, ONE IEEE division —
+    // rather than its log (libm ulp drift; t9's recipe). Pair cardinality
+    // is vocab², not corpus-sized: at 100 TB the df broadcast stays small
+    // exactly when the statistic is meaningful, and a df-cap (d5) bounds
+    // the narrow flatMap's per-doc fan-out for degenerate vocabularies.
+    "t18_pmi_cooccur" -> { (s, d) =>
+      val withWords = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_sort(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("ws"))
+      val pairs = withWords.select(explode(expr(
+          "flatten(transform(ws, (x, i) -> " +
+            "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS w1, y AS w2))))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cxy = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+      val dfc = withWords.select(explode(col("ws")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      cxy
+        .join(broadcast(dfc.toDF("w1", "df_a")), "w1")
+        .join(broadcast(dfc.toDF("w2", "df_b")), "w2")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_ratio", (col("n_xy") * col("n_docs")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double"))
+        .select(col("w1"), col("w2"), col("n_xy"), col("df_a"), col("df_b"),
+          col("pmi_ratio"))
+        .orderBy(col("w1"), col("w2"))
     }
   )
 
@@ -605,7 +640,24 @@ object TextOps {
           |  FROM deduped)
           |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
           |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
-          |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin,
+      "t18_pmi_cooccur" ->
+        """WITH dw AS (
+          |  SELECT doc_id,
+          |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ws
+          |  FROM documents),
+          |e AS (SELECT doc_id, unnest(ws) AS word FROM dw),
+          |cxy AS (
+          |  SELECT a.word AS w1, b.word AS w2, count(*) AS n_xy
+          |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.word < b.word
+          |  GROUP BY 1, 2),
+          |dfc AS (SELECT word, count(*) AS df FROM e GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents)
+          |SELECT w1, w2, n_xy, a.df AS df_a, b.df AS df_b,
+          |  CAST(n_xy * n_docs AS DOUBLE) / CAST(a.df * b.df AS DOUBLE) AS pmi_ratio
+          |FROM cxy JOIN dfc a ON cxy.w1 = a.word JOIN dfc b ON cxy.w2 = b.word
+          |CROSS JOIN n
+          |ORDER BY w1, w2""".stripMargin
     )
   }
 }

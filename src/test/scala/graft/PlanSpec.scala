@@ -322,6 +322,61 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "pipeline must stay join-free")
   }
 
+  test("e21 streaks: change-flag, run rollup, argmax and run-count share one user_id exchange") {
+    val plan = planOf("e21_streaks")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!plan.contains("Join"), "streak detection must not plan as a self-join")
+  }
+
+  test("e22 spearman: both rank windows and the agg share one event_type exchange") {
+    val plan = planOf("e22_spearman")
+    assert("hashpartitioning\\(event_type".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!plan.contains("Join"), "rank correlation must not plan as a rank self-join")
+  }
+
+  test("q51 filtered agg: five conditional measures in ONE scan + one agg shuffle") {
+    val plan = planOf("q51_filtered_agg")
+    assert("hashpartitioning\\(l_linestatus".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "conditional sums must map-side combine")
+    assert(!plan.contains("Join"), "FILTER measures must not fan out into per-predicate scans")
+    // One scan of lineitem, not one per measure.
+    assert(plan.linesIterator.count(_.contains("lineitem.parquet")) <= 2, // formatted plan repeats the path in scan + location lines
+      plan.linesIterator.filter(_.contains("lineitem.parquet")).mkString("\n"))
+  }
+
+  test("q52 mode: the argmax window sees pre-aggregated (group,value) counts, not raw rows") {
+    val plan = planOf("q52_mode")
+    assert(plan.contains("partial_count"), "value counting must map-side combine")
+    assert(!plan.contains("Join"), "mode must not plan as a counts self-join")
+    // Two keyed exchanges: the (status, priority) count and the status window.
+    assert("hashpartitioning\\(o_orderstatus".r.findAllIn(plan).size == 2,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+  }
+
+  test("d16 source overlap: shingle-keyed intersection join, set sizes broadcast") {
+    val plan = planOf("d16_source_overlap")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the intersection join must stay keyed on the shingle")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-source set sizes (one row per source) must broadcast onto the pair counts")
+  }
+
+  test("t18 pmi: pair generation is a narrow flatMap; df and N broadcast onto pair counts") {
+    val plan = planOf("t18_pmi_cooccur")
+    // Only the scalar N rides a BNLJ (t9's IdentityBroadcastMode pattern);
+    // the pair counts and doc frequencies meet in broadcast hash joins.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), "no pairwise corpus product")
+    assert(!plan.contains("SortMergeJoin"),
+      "vocab-sized df sides must broadcast, never shuffle the pair counts")
+    assert("hashpartitioning\\(w1".r.findAllIn(plan).size >= 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+  }
+
   test("q48 bloom pruning is conservative and actually prunes") {
     import org.apache.spark.sql.functions.col
     // No false negatives: the pruned join equals the plain join exactly.
