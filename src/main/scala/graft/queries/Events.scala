@@ -413,6 +413,26 @@ object Events {
           (col("n") * (col("n") * col("n") - 1) - lit(6L) * col("s_d2")).cast("double") /
             (col("n") * (col("n") * col("n") - 1)).cast("double"))
         .orderBy(col("event_type"))
+    },
+    // First-order Markov transition matrix over per-user event sequences:
+    // counts of (prev_type → type) steps plus the conditional probability
+    // p(type | prev_type) — the sequence-mining view behind next-event
+    // prediction and anomalous-flow detection. The lag window shuffles by
+    // user_id once; transition counting is a domain²-sized aggregate; the
+    // row-normalizing denominator comes from a window over the TINY count
+    // table (|types|² rows), not a corpus re-scan. The probability is one
+    // IEEE division of exact BIGINTs.
+    "e23_transitions" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_from",
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("bigint"))
+        .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+        .orderBy(col("prev_type"), col("event_type"))
     }
   )
 
@@ -669,6 +689,19 @@ object Events {
         |  FROM r GROUP BY 1)
         |SELECT event_type, n, s_d2,
         |  CAST(n * (n * n - 1) - 6 * s_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS rho
-        |FROM a ORDER BY event_type""".stripMargin
+        |FROM a ORDER BY event_type""".stripMargin,
+    "e23_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type, count(*) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+        |  CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin
   )
 }

@@ -368,6 +368,37 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Equi-depth (quartile) histogram WITHOUT a global sort: a naive
+    // ntile() needs one total-order window partition — the classic
+    // single-reducer bottleneck — so instead the three quartile boundaries
+    // reduce out of a percentile aggregate (map-side partials), broadcast
+    // back, and bucket assignment is a narrow CASE scan + one aggregation
+    // shuffle. Boundaries are computed on CENTS (round(price·100) BIGINT):
+    // percentile interpolation between INTEGER neighbors at g ∈ {0,¼,½,¾}
+    // is exact in IEEE doubles on both engines, where interpolating raw
+    // doubles is arithmetic-order-specific (Spark (1−g)a+gb vs DuckDB
+    // a+(b−a)g) and can drift an ulp.
+    "q53_equidepth" -> { (s, d) =>
+      val cents = round(col("o_totalprice") * 100).cast("bigint")
+      val b = Tables.orders(s, d)
+        .select(cents.as("cents"))
+        .agg(expr("percentile(cents, array(0.25, 0.5, 0.75))").as("bs"))
+      Tables.orders(s, d)
+        .withColumn("cents", cents)
+        .crossJoin(broadcast(b))
+        .withColumn("bucket",
+          when(col("cents") <= col("bs")(0), 1)
+            .when(col("cents") <= col("bs")(1), 2)
+            .when(col("cents") <= col("bs")(2), 3)
+            .otherwise(4))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("bucket"))
+    },
+
     // Pure theta join (no equi component ⇒ broadcast nested loop): price
     // neighbors among a small part subset.
     "q17_theta_join" -> { (s, d) =>
@@ -635,6 +666,21 @@ object Relational {
         |  FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |        FROM orders GROUP BY 1, 2) c) t
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "q53_equidepth" ->
+      """WITH c AS (
+        |  SELECT o_totalprice, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT quantile_cont(cents, [0.25, 0.5, 0.75]) AS bs FROM c)
+        |SELECT bucket, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_totalprice,
+        |    CASE WHEN cents <= bs[1] THEN 1
+        |         WHEN cents <= bs[2] THEN 2
+        |         WHEN cents <= bs[3] THEN 3
+        |         ELSE 4 END AS bucket
+        |  FROM c CROSS JOIN b) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb
         |FROM (SELECT * FROM part WHERE p_partkey <= 40) a

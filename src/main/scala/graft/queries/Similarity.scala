@@ -107,7 +107,8 @@ object Similarity {
   private def guardedQuerySet(s: SparkSession, e: DataFrame, op: String): DataFrame = {
     val maxQ = s.conf.getOption("graft.ann.maxQuerySet").map(_.toInt).getOrElse(10000)
     val q0 = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sq").as("q_sq"))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("sq").as("q_sq"))
     val qn = q0.agg(count(lit(1)).as("__q_n"))
     q0.crossJoin(broadcast(qn))
       .filter(when(col("__q_n") > maxQ, raise_error(format_string(
@@ -308,6 +309,31 @@ object Similarity {
         .withColumn("margin", col("cos1") - col("cos2"))
         .orderBy(col("q_id"))
     },
+    // 1-NN label accuracy — the standard intrinsic eval of embedding
+    // quality ("do nearest neighbors share a label?") run entirely
+    // in-engine: each guarded query vector takes its nearest OTHER
+    // vector's label as the prediction, rolled up per true label with an
+    // exact-count accuracy ratio. Reuses s1's guarded broadcast scan
+    // (same scale contract: bounded query set, linear corpus pass; the
+    // corpus-proportional eval belongs on s2/s4 candidates). The ratio is
+    // one IEEE division of exact BIGINTs — hash-oracle-safe.
+    "s8_knn_accuracy" -> { (s, d) =>
+      val e = normed(s, d)
+      val scored = e.join(broadcast(guardedQuerySet(s, e, "s8_knn_accuracy")),
+        col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("q_label"))
+        .agg(count(lit(1)).as("n_q"),
+          sum(when(col("label") === col("q_label"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          col("n_correct").cast("double") / col("n_q").cast("double"))
+        .select(col("q_label").as("label"), col("n_q"), col("n_correct"),
+          col("accuracy"))
+        .orderBy(col("label"))
+    },
     // Label-centroid similarity matrix: pairwise cosine between every two
     // label centroids — the embedding-space QA view (which classes are
     // confusable / candidates for merging). Builds on s5's order-free
@@ -403,6 +429,28 @@ object Similarity {
         |  max(CASE WHEN rk = 1 THEN cosine END) - max(CASE WHEN rk = 2 THEN cosine END) AS margin
         |FROM ranked WHERE rk <= 2
         |GROUP BY q_id ORDER BY q_id""".stripMargin,
+    "s8_knn_accuracy" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS neighbor_id, c.label AS c_label,
+        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(q.embedding, c.embedding),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |      / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |best AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |    FROM scored) t
+        |  WHERE rk = 1)
+        |SELECT q_label AS label, count(*) AS n_q,
+        |  CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS accuracy
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
     // s5's centroid CTEs verbatim, then the k² pairwise cosine.
     "s6_centroid_sim" ->
       """WITH comp AS (

@@ -416,6 +416,34 @@ object TextOps {
         .select(col("w1"), col("w2"), col("n_xy"), col("df_a"), col("df_b"),
           col("pmi_ratio"))
         .orderBy(col("w1"), col("w2"))
+    },
+    // TF-IDF keyword extraction: each doc's top-3 terms by tf·(N/df), the
+    // linear-form score = tf·N/df — exact integer product over integer, ONE
+    // IEEE division (t9's log-free recipe; the log is monotone, so top-k
+    // under the ratio IS top-k under tf-idf). Term frequencies shuffle on
+    // (doc_id, word) with map-side partials; doc frequencies derive from
+    // the SAME aggregate (one extra vocab-keyed exchange over vocab-sized
+    // input) and broadcast back; the per-doc argmax window re-shuffles
+    // tf rows by doc_id. Ties (equal scores) break by word asc, so top-3
+    // is a total order — deterministic on both engines.
+    "t19_tfidf_terms" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val pick = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word"))
+      tf.join(broadcast(dfc), "word")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+        .withColumn("rk", row_number().over(pick))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("doc_id"), col("rk"))
     }
   )
 
@@ -657,7 +685,25 @@ object TextOps {
           |  CAST(n_xy * n_docs AS DOUBLE) / CAST(a.df * b.df AS DOUBLE) AS pmi_ratio
           |FROM cxy JOIN dfc a ON cxy.w1 = a.word JOIN dfc b ON cxy.w2 = b.word
           |CROSS JOIN n
-          |ORDER BY w1, w2""".stripMargin
+          |ORDER BY w1, w2""".stripMargin,
+      "t19_tfidf_terms" ->
+        """WITH tf AS (
+          |  SELECT doc_id, w AS word, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+          |    FROM documents) t
+          |  GROUP BY 1, 2),
+          |dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT doc_id, word, tf, df,
+          |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+          |  FROM tf JOIN dfc USING (word) CROSS JOIN n),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY score DESC, word) AS rk
+          |  FROM scored)
+          |SELECT doc_id, rk, word, tf, df, score
+          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
     )
   }
 }

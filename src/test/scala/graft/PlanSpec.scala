@@ -377,6 +377,40 @@ class PlanSpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
   }
 
+  test("e23 transitions: one user_id exchange for the lag, counts are domain-sized") {
+    val plan = planOf("e23_transitions")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(plan.contains("partial_count"), "transition counting must map-side combine")
+    assert(!plan.contains("Join"), "row-normalization must window the tiny count table, not re-join the corpus")
+  }
+
+  test("t19 tfidf: df and N broadcast onto tf; no shuffle of tf against vocab") {
+    val plan = planOf("t19_tfidf_terms")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the vocab-sized df table must broadcast, never shuffle the tf rows")
+    assert(plan.contains("partial_count"), "term counting must map-side combine")
+  }
+
+  test("s8 knn accuracy: guarded query broadcast, no corpus self-shuffle") {
+    val plan = planOf("s8_knn_accuracy")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the guarded query set must broadcast against the corpus scan (s1's shape)")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+  }
+
+  test("q53 equidepth: boundaries reduce+broadcast — no global-sort ntile single reducer") {
+    val plan = planOf("q53_equidepth")
+    // The windowless formulation: no Window at all, boundaries ride a
+    // 1-row broadcast (BNLJ over IdentityBroadcastMode, t9's pattern).
+    assert(!plan.contains("Window"), "equi-depth must not plan as a total-order ntile window")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("partial_percentile") || plan.contains("partial_count"),
+      "boundary percentile must map-side combine")
+  }
+
   test("q48 bloom pruning is conservative and actually prunes") {
     import org.apache.spark.sql.functions.col
     // No false negatives: the pruned join equals the plain join exactly.
