@@ -643,6 +643,31 @@ object Dedup {
         .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
           col("n_inter"), col("jaccard"))
         .orderBy(col("src_a"), col("src_b"))
+    },
+    // Survivorship: collapse each d9 duplicate cluster to ONE kept doc by
+    // an explicit policy — keep-the-longest (n_chars desc, doc_id asc
+    // tiebreak), the standard canonical-record selection that turns a
+    // cluster assignment into an actual deduped corpus. Composes d9's
+    // converged labels with a metadata join (doc_id-keyed, survivors are
+    // cluster-count-sized) and one per-cluster argmax window. The policy
+    // column is the only thing to swap for quality-based survivorship
+    // (t17's gate score slots in unchanged).
+    "d17_survivorship" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val clusters = queries("d9_dup_clusters")(s, d)
+        .select(col("doc_id"), col("cluster_id"))
+      val meta = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val pick = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      clusters.join(meta, "doc_id")
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("bigint"))
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+          col("n_chars").as("kept_chars"), col("n_members"),
+          (col("n_members") - 1).as("n_dropped"))
+        .orderBy(col("cluster_id"))
     }
   )
 
@@ -870,6 +895,30 @@ object Dedup {
          |SELECT src_a, src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_inter,
          |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
          |FROM i JOIN sz sa ON i.src_a = sa.source JOIN sz sb ON i.src_b = sb.source
-         |ORDER BY src_a, src_b""".stripMargin
+         |ORDER BY src_a, src_b""".stripMargin,
+    // d9's connected-components closure verbatim, then the keep-longest argmax.
+    "d17_survivorship" ->
+      s"""WITH RECURSIVE $SH_CTE,
+         |$INV_CTE,
+         |$PAIRS_CTE,
+         |p AS (SELECT doc_a, doc_b FROM pairs
+         |      WHERE $JACCARD_SQL >= 0.3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(u, l) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
+         |cc AS (SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u),
+         |m AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+         |      FROM cc JOIN documents d USING (doc_id)),
+         |r AS (SELECT *,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM m)
+         |SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(n_members - 1 AS BIGINT) AS n_dropped
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
   )
 }

@@ -433,6 +433,36 @@ object Events {
           sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("bigint"))
         .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
         .orderBy(col("prev_type"), col("event_type"))
+    },
+    // Robust (median/MAD) outliers — e15's 3-sigma twin for heavy-tailed
+    // data, where mean/stddev are themselves dragged by the outliers.
+    // Exactness recipe: values quantize to integer MICROS (round(v·1e6),
+    // exact on both engines), so both medians interpolate integers or
+    // integer-halves at g = ½ — exact in IEEE doubles — and the modified
+    // z-score (mu − med)/(1.4826·mad) is a fixed two-op double expression
+    // evaluated identically on both engines. Two tiny per-type stat
+    // tables (|types| rows) broadcast back onto the stream; each is
+    // localCheckpoint'd because its lazy plan would otherwise be INLINED
+    // into every consumer (d9's union lesson) — med feeds both the MAD
+    // branch and the outer join, so the corpus would re-scan once per
+    // reference. Materialized, the statistic costs its inherent two
+    // passes (med, then MAD of deviations), both scan-shaped.
+    "e24_mad_outliers" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("mu", round(col("value") * 1e6).cast("bigint"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(mu, 0.5)").as("med"))
+        .localCheckpoint(true)
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("mu") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+        .localCheckpoint(true)
+      dev.join(broadcast(mad), "event_type")
+        .withColumn("z", (col("mu") - col("med")) / (lit(1.4826) * col("mad")))
+        .filter(abs(col("z")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -702,6 +732,19 @@ object Events {
         |SELECT prev_type, event_type, n,
         |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
         |  CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE) AS p
-        |FROM c ORDER BY prev_type, event_type""".stripMargin
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
+    "e24_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 1e6) AS BIGINT) AS mu
+        |  FROM events),
+        |med AS (SELECT event_type, quantile_cont(mu, 0.5) AS med FROM e GROUP BY 1),
+        |d AS (SELECT e.*, med, abs(mu - med) AS dev FROM e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT event_id, d.event_type, value,
+        |  (mu - med) / (1.4826 * mad) AS z
+        |FROM d JOIN mad USING (event_type)
+        |WHERE abs((mu - med) / (1.4826 * mad)) > 3.5
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -399,6 +399,25 @@ object Relational {
         .orderBy(col("bucket"))
     },
 
+    // Salted skew JOIN surfaced as a driver query (q50's join-side twin):
+    // the fact side hashes o_orderpriority — FIVE values over the whole
+    // table, the hot-key join AQE's skew split handles only after the
+    // fact — across 8 content-derived salts while the dim side replicates
+    // 8×, so no single reducer owns a whole priority. The dim here is the
+    // per-priority aggregate (attach-group-stats-to-rows, the classic
+    // skewed enrichment); at this size it would broadcast anyway — the
+    // point is the SEMANTICS proof: the plain-join oracle shows salted ==
+    // unsalted row-for-row, which is what licenses the rewrite on a dim
+    // that is too big to broadcast but small enough to replicate.
+    "q54_salted_join" -> { (s, d) =>
+      val dim = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("prio_n"))
+      val big = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(big, dim, "o_orderpriority", salts = 8)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("prio_n"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Pure theta join (no equi component ⇒ broadcast nested loop): price
     // neighbors among a small part subset.
     "q17_theta_join" -> { (s, d) =>
@@ -681,6 +700,13 @@ object Relational {
         |         ELSE 4 END AS bucket
         |  FROM c CROSS JOIN b) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The salted join must equal the plain join exactly.
+    "q54_salted_join" ->
+      """SELECT o_orderkey, o_orderpriority, prio_n
+        |FROM orders
+        |JOIN (SELECT o_orderpriority, count(*) AS prio_n
+        |      FROM orders GROUP BY 1) USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb
         |FROM (SELECT * FROM part WHERE p_partkey <= 40) a

@@ -411,6 +411,30 @@ class PlanSpec extends SparkTestBase {
       "boundary percentile must map-side combine")
   }
 
+  test("e24 MAD outliers: both stat tables broadcast back, never shuffle the stream") {
+    val plan = planOf("e24_mad_outliers")
+    // Formatted mode prints each node in the tree AND the detail section —
+    // count the numbered detail headers, one per physical node.
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 2, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the |types|-row med/mad tables must broadcast onto the events scan")
+  }
+
+  test("q54 salted join: keyed equi-join on (key, salt), no product, no single hot reducer") {
+    val plan = planOf("q54_salted_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "salting must stay an equi-join on (key, __salt)")
+    // The fact side's partitioning must include the salt column.
+    assert(plan.contains("__salt"), plan.take(3000))
+  }
+
+  test("d17 survivorship: metadata join stays doc_id-keyed, argmax window over cluster rows") {
+    val plan = planOf("d17_survivorship")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the n_chars metadata join must stay keyed on doc_id")
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"), plan.take(2000))
+  }
+
   test("q48 bloom pruning is conservative and actually prunes") {
     import org.apache.spark.sql.functions.col
     // No false negatives: the pruned join equals the plain join exactly.
