@@ -463,6 +463,24 @@ object Events {
         .filter(abs(col("z")) > 3.5)
         .select(col("event_id"), col("event_type"), col("value"), col("z"))
         .orderBy(col("event_id"))
+    },
+    // Diurnal seasonality profile: fold the calendar onto hour-of-day and
+    // report each (type, hour) cell's share of its type plus the lift vs a
+    // uniform 1/24 baseline — the QA view for "is this stream's traffic
+    // shape sane?" and the input to load-aware sampling. One aggregation
+    // shuffle to domain-sized (|types|·24) cells; the row-normalizing
+    // window runs over that tiny table. share·24 is one exact-integer
+    // division then one double multiply — identical on both engines.
+    "e25_seasonality" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("hod", hour(col("ts")).cast("bigint"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_type",
+          sum(col("n")).over(Window.partitionBy(col("event_type"))).cast("bigint"))
+        .withColumn("share", col("n").cast("double") / col("n_type").cast("double"))
+        .withColumn("lift", col("share") * 24.0)
+        .orderBy(col("event_type"), col("hod"))
     }
   )
 
@@ -745,6 +763,15 @@ object Events {
         |  (mu - med) / (1.4826 * mad) AS z
         |FROM d JOIN mad USING (event_type)
         |WHERE abs((mu - med) / (1.4826 * mad)) > 3.5
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "e25_seasonality" ->
+      """WITH c AS (
+        |  SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hod, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hod, n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_type,
+        |  CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE) AS share,
+        |  CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE) * 24.0 AS lift
+        |FROM c ORDER BY event_type, hod""".stripMargin
   )
 }

@@ -444,6 +444,25 @@ object TextOps {
         .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"),
           col("score"))
         .orderBy(col("doc_id"), col("rk"))
+    },
+    // Corpus composition report: doc and token counts per (source, lang)
+    // with each language's share within its source — the table a curation
+    // run reads before setting t12's mixture weights. One aggregation
+    // shuffle to domain-sized (source × lang) cells; the share window runs
+    // over that tiny table; token counts are exact BIGINT sums and the
+    // share is one exact-integer division.
+    "t20_source_composition" -> { (s, d) =>
+      val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
+        .withColumn("src_docs",
+          sum(col("n_docs")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("source")))
+            .cast("bigint"))
+        .withColumn("doc_share",
+          col("n_docs").cast("double") / col("src_docs").cast("double"))
+        .orderBy(col("source"), col("lang"))
     }
   )
 
@@ -703,7 +722,17 @@ object TextOps {
           |    ORDER BY score DESC, word) AS rk
           |  FROM scored)
           |SELECT doc_id, rk, word, tf, df, score
-          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+      "t20_source_composition" ->
+        """WITH c AS (
+          |  SELECT source, lang, count(*) AS n_docs,
+          |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY 1, 2)
+          |SELECT source, lang, n_docs, n_tokens,
+          |  CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS src_docs,
+          |  CAST(n_docs AS DOUBLE)
+          |    / CAST(CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS DOUBLE) AS doc_share
+          |FROM c ORDER BY source, lang""".stripMargin
     )
   }
 }

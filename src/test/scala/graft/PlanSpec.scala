@@ -435,6 +435,22 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit") || plan.contains("Window"), plan.take(2000))
   }
 
+  test("e25 seasonality: one agg shuffle to domain-sized cells, window over the tiny table") {
+    val plan = planOf("e25_seasonality")
+    assert(plan.contains("partial_count"), "cell counting must map-side combine")
+    assert(!plan.contains("Join"), "row-normalization must window the cell table, not re-join the corpus")
+  }
+
+  test("t20 source composition: one agg shuffle, exact token sums, no join") {
+    val plan = planOf("t20_source_composition")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "doc/token counting must map-side combine")
+    assert(!plan.contains("Join"), "share normalization must window the cell table")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("doc_id") && !readSchema.contains("n_chars"),
+      s"scan must prune to (source, lang, text): $readSchema")
+  }
+
   test("q48 bloom pruning is conservative and actually prunes") {
     import org.apache.spark.sql.functions.col
     // No false negatives: the pruned join equals the plain join exactly.
