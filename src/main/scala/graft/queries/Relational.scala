@@ -418,6 +418,27 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // Numeric RANGE window frame (e11's value-domain sibling): per order,
+    // how many orders of the same status fall within $1000 BELOW its
+    // price, and their decimal-exact total. Value-based frames are
+    // tie-UNAMBIGUOUS by construction (peers share a frame), so no
+    // row_number tiebreak is needed for determinism — the reason this is
+    // hash-oracle-safe per row. One status-keyed exchange; the in-window
+    // scan is the standard sliding-frame O(n) per partition. The Scala DSL
+    // only takes Long range bounds, so the frame is declared in SQL.
+    "q55_num_range_frame" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("n_band", expr(
+          "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice " +
+            "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"))
+        .withColumn("band_total", expr(
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+            "PARTITION BY o_orderstatus ORDER BY o_totalprice " +
+            "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Pure theta join (no equi component ⇒ broadcast nested loop): price
     // neighbors among a small part subset.
     "q17_theta_join" -> { (s, d) =>
@@ -706,6 +727,14 @@ object Relational {
         |FROM orders
         |JOIN (SELECT o_orderpriority, count(*) AS prio_n
         |      FROM orders GROUP BY 1) USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q55_num_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  count(*) OVER w AS n_band,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS band_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |  RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb

@@ -451,6 +451,13 @@ class PlanSpec extends SparkTestBase {
       s"scan must prune to (source, lang, text): $readSchema")
   }
 
+  test("q55 numeric range frame: both frame aggregates share one o_orderstatus exchange") {
+    val plan = planOf("q55_num_range_frame")
+    assert("hashpartitioning\\(o_orderstatus".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!plan.contains("Join"), "a value-range frame must not plan as a range self-join")
+  }
+
   test("q48 bloom pruning is conservative and actually prunes") {
     import org.apache.spark.sql.functions.col
     // No false negatives: the pruned join equals the plain join exactly.
