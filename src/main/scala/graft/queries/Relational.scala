@@ -419,23 +419,29 @@ object Relational {
     },
 
     // Numeric RANGE window frame (e11's value-domain sibling): per order,
-    // how many orders of the same status fall within $1000 BELOW its
+    // how many orders of the same status fall within $100 BELOW its
     // price, and their decimal-exact total. Value-based frames are
     // tie-UNAMBIGUOUS by construction (peers share a frame), so no
     // row_number tiebreak is needed for determinism — the reason this is
-    // hash-oracle-safe per row. One status-keyed exchange; the in-window
-    // scan is the standard sliding-frame O(n) per partition. The Scala DSL
-    // only takes Long range bounds, so the frame is declared in SQL.
+    // hash-oracle-safe per row. One status-keyed exchange. COST MODEL:
+    // Spark's sliding-frame evaluation does not retract, so a bounded-
+    // preceding RANGE frame re-aggregates O(w̄) rows per row — total
+    // O(n·w̄) per partition (measured: a $1000 band over sf0.1's dense
+    // prices was the slowest query in the suite at 3.8 s; $100 ≈ w̄/10).
+    // At scale, wide bands over dense domains belong on bucketed
+    // pre-aggregation (e20's histogram) or the e5 range join, not a
+    // per-row frame. The Scala DSL only takes Long range bounds, so the
+    // frame is declared in SQL.
     "q55_num_range_frame" -> { (s, d) =>
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .withColumn("n_band", expr(
           "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice " +
-            "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"))
+            "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)"))
         .withColumn("band_total", expr(
           "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
             "PARTITION BY o_orderstatus ORDER BY o_totalprice " +
-            "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+            "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE)"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -734,7 +740,7 @@ object Relational {
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS band_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
-        |  RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+        |  RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb
