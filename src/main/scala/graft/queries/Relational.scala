@@ -445,6 +445,36 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // TPC-H Q5-shaped flagship: revenue by nation for one region and a
+    // date window across SIX tables — the canonical star-join the rest of
+    // the q-suite exercises piecewise. Declared fully relationally so
+    // Catalyst owns the join order: region/nation/supplier/customer are
+    // broadcast dims, the orders date filter pushes into its scan before
+    // the fact join, and the l_extendedprice·(1−l_discount) revenue runs
+    // in DECIMAL (scale-4 product, order-free sum) for the exact oracle.
+    // The only shuffles at any scale are the two fact-key exchanges
+    // (lineitem↔orders), with AQE free to pick broadcast for everything
+    // else — the plan a 100 TB run wants.
+    "q56_tpch5" -> { (s, d) =>
+      val revenue = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(BigDecimal(1).bigDecimal).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01"),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // Pure theta join (no equi component ⇒ broadcast nested loop): price
     // neighbors among a small part subset.
     "q17_theta_join" -> { (s, d) =>
@@ -742,6 +772,18 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
         |  RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "q56_tpch5" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb
         |FROM (SELECT * FROM part WHERE p_partkey <= 40) a

@@ -458,6 +458,17 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "a value-range frame must not plan as a range self-join")
   }
 
+  test("q56 tpch5: dims broadcast, date filter pushed into the orders scan") {
+    val plan = planOf("q56_tpch5")
+    // nation/region/supplier/customer must all ride broadcast joins; only
+    // the fact-key joins may shuffle.
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).take(6).mkString("\n"))
+  }
+
   test("q48 bloom pruning is conservative and actually prunes") {
     import org.apache.spark.sql.functions.col
     // No false negatives: the pruned join equals the plain join exactly.
