@@ -334,6 +334,34 @@ object Similarity {
           col("accuracy"))
         .orderBy(col("label"))
     },
+    // Triplet mining for contrastive training: each guarded anchor gets
+    // its hardest positive (nearest SAME-label neighbor) and hardest
+    // negative (nearest OTHER-label neighbor), plus the triplet margin
+    // cos_pos − cos_neg — negative margins are exactly the triplets a
+    // contrastive loss learns from. One guarded broadcast corpus pass
+    // (s1's scale contract); the per-anchor argmax runs per (anchor,
+    // same-label?) branch via conditional rank windows, so no second
+    // corpus scan. Ranks use the (cosine desc, vec_id) total order —
+    // deterministic, hash-oracle-safe.
+    "s9_triplet_mining" -> { (s, d) =>
+      val e = normed(s, d)
+      val scored = e.join(broadcast(guardedQuerySet(s, e, "s9_triplet_mining")),
+        col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+        .withColumn("same", col("label") === col("q_label"))
+      val w = Window.partitionBy(col("q_id"), col("same"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("q_id"))
+        .agg(
+          max(when(col("same"), col("vec_id"))).as("pos_id"),
+          max(when(col("same"), col("cosine"))).as("cos_pos"),
+          max(when(!col("same"), col("vec_id"))).as("neg_id"),
+          max(when(!col("same"), col("cosine"))).as("cos_neg"))
+        .withColumn("margin", col("cos_pos") - col("cos_neg"))
+        .orderBy(col("q_id"))
+    },
     // Label-centroid similarity matrix: pairwise cosine between every two
     // label centroids — the embedding-space QA view (which classes are
     // confusable / candidates for merging). Builds on s5's order-free
@@ -450,6 +478,32 @@ object Similarity {
         |  CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
         |  CAST(CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS accuracy
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s9_triplet_mining" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    c.label = q.label AS same,
+        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(q.embedding, c.embedding),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |      / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |best AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id, same
+        |      ORDER BY cosine DESC, neighbor_id) AS rk
+        |    FROM scored) t
+        |  WHERE rk = 1)
+        |SELECT q_id,
+        |  max(CASE WHEN same THEN neighbor_id END) AS pos_id,
+        |  max(CASE WHEN same THEN cosine END) AS cos_pos,
+        |  max(CASE WHEN NOT same THEN neighbor_id END) AS neg_id,
+        |  max(CASE WHEN NOT same THEN cosine END) AS cos_neg,
+        |  max(CASE WHEN same THEN cosine END) - max(CASE WHEN NOT same THEN cosine END) AS margin
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
     // s5's centroid CTEs verbatim, then the k² pairwise cosine.
     "s6_centroid_sim" ->

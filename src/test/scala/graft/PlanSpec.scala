@@ -469,6 +469,17 @@ class PlanSpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("PushedFilters")).take(6).mkString("\n"))
   }
 
+  test("s9 triplet mining: guarded query broadcast, single corpus pass for both branches") {
+    val plan = planOf("s9_triplet_mining")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the guarded anchor set must broadcast against the corpus scan (s1's shape)")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    // One corpus scan feeds the (q_id, same) rank window and the rollup.
+    assert(plan.linesIterator.count(_.contains("embeddings.parquet")) <= 4,
+      plan.linesIterator.filter(_.contains("embeddings.parquet")).mkString("\n"))
+  }
+
   test("q48 bloom pruning is conservative and actually prunes") {
     import org.apache.spark.sql.functions.col
     // No false negatives: the pruned join equals the plain join exactly.
