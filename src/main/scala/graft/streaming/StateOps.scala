@@ -270,6 +270,39 @@ class BandIndexProcessor(maxBucket: Int = 50)
   }
 }
 
+/** Per-key sequence transition emitter — e23's Markov transition matrix as
+  * CONTINUOUS ingestion: ValueState holds each key's latest (offset, type);
+  * every arriving row emits one `(prev_type, type)` step. Rows sort by the
+  * explicit stream offset within the batch (after the groupByKey shuffle
+  * the iterator order is NOT stream order — the same contract as
+  * [[LastWinsProcessor]]; offsets are batch-monotone, the Kafka shape), so
+  * across ANY micro-batch split the emitted multiset equals the batch
+  * lag-window pairs — downstream counts == e23's counts, pinned in
+  * StreamingSpec. Unlike the aggregate processors above, this one is
+  * SEQUENCE-aware: correctness depends on per-key total order, not just
+  * per-key accumulation. State is one (offset, type) per key — O(keys). */
+class TransitionProcessor[K](stateEnc: org.apache.spark.sql.Encoder[(Long, String)])
+    extends StatefulProcessor[K, (K, String, Long), (String, String)] {
+
+  @transient private var last: ValueState[(Long, String)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[(Long, String)]("last", stateEnc, TTLConfig.NONE)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, String, Long)],
+      timerValues: TimerValues): Iterator[(String, String)] = {
+    val sorted = rows.toArray.sortBy(_._3)
+    var cur: Option[(Long, String)] = if (last.exists()) Some(last.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    sorted.foreach { case (_, t, off) =>
+      cur.foreach { case (_, prev) => out += ((prev, t)) }
+      cur = Some((off, t))
+    }
+    cur.foreach(last.update)
+    out.iterator
+  }
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

@@ -335,6 +335,39 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState sequence state: streamed transitions == batch lag pairs") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDB {
+      val stream = MemoryStream[(String, String, Long)]
+      // u1: view → click → click → purchase; u2: signup → view. The batch
+      // boundary cuts u1 mid-sequence, and intra-batch offsets arrive
+      // shuffled — both must not change the emitted step multiset.
+      stream.addData(("u1", "click", 20L), ("u1", "view", 10L), ("u2", "signup", 5L))
+      stream.addData(("u1", "purchase", 40L), ("u1", "click", 30L), ("u2", "view", 15L))
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.TransitionProcessor[String](
+            org.apache.spark.sql.Encoders.tuple(Encoders.scalaLong, Encoders.STRING)),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      val q = out.toDF("prev_type", "event_type").writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName("trans_out")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "transition query did not drain")
+      val got = spark.sql("SELECT prev_type, event_type FROM trans_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toList.sorted
+      // The batch e23 lag-pair multiset over the same rows.
+      val expected = List(
+        ("view", "click"), ("click", "click"), ("click", "purchase"), // u1
+        ("signup", "view")).sorted // u2
+      assert(got == expected, s"got $got")
+    }
+  }
+
   test("transformWithState MapState: per-key category tallies are monotone") {
     val spark0 = spark
     import spark0.implicits._
