@@ -481,6 +481,41 @@ object Events {
         .withColumn("share", col("n").cast("double") / col("n_type").cast("double"))
         .withColumn("lift", col("share") * 24.0)
         .orderBy(col("event_type"), col("hod"))
+    },
+    // Pairwise type co-movement: Pearson correlation between every two
+    // event types' HOURLY count series — "do errors spike with
+    // purchases?" — computed from the raw-moment identity
+    // (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) over exact BIGINT count
+    // sums (q8's recipe), so the one division, two correctly-rounded
+    // sqrts and one product are engine-identical where builtin corr()'s
+    // Welford accumulation order would drift. The series align on the
+    // COMPLETE hour×type grid (missing cells = 0 — an inner join would
+    // bias the correlation toward co-active hours). Corpus collapses in
+    // the first (hour, type) aggregate; everything after runs on
+    // grid-sized data (|hours|·|types| rows, |types|² pairs).
+    "e26_type_correlation" -> { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // grid + both join branches reuse it — one corpus pass
+      val grid = hc.select(col("h")).distinct()
+        .crossJoin(hc.select(col("event_type")).distinct())
+      val full = grid.join(hc, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      val j = full.toDF("h", "type_a", "x")
+        .join(full.toDF("h2", "type_b", "y"),
+          col("h") === col("h2") && col("type_a") < col("type_b"))
+      j.groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("corr",
+          (col("n_hours") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n_hours") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .select(col("type_a"), col("type_b"), col("n_hours"), col("corr"))
+        .orderBy(col("type_a"), col("type_b"))
     }
   )
 
@@ -772,6 +807,30 @@ object Events {
         |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_type,
         |  CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE) AS share,
         |  CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE) * 24.0 AS lift
-        |FROM c ORDER BY event_type, hod""".stripMargin
+        |FROM c ORDER BY event_type, hod""".stripMargin,
+    "e26_type_correlation" ->
+      """WITH hc AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT h, event_type FROM (SELECT DISTINCT h FROM hc)
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM hc)),
+        |f AS (
+        |  SELECT g.h, g.event_type, CAST(coalesce(hc.c, 0) AS BIGINT) AS c
+        |  FROM grid g LEFT JOIN hc ON g.h = hc.h AND g.event_type = hc.event_type),
+        |j AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.c AS x, b.c AS y
+        |  FROM f a JOIN f b ON a.h = b.h AND a.event_type < b.event_type),
+        |m AS (
+        |  SELECT type_a, type_b, count(*) AS n_hours,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM j GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_hours,
+        |  CAST(n_hours * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE))
+        |     * sqrt(CAST(n_hours * syy - sy * sy AS DOUBLE))) AS corr
+        |FROM m ORDER BY type_a, type_b""".stripMargin
   )
 }

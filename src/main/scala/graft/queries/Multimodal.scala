@@ -122,6 +122,26 @@ object Multimodal {
           max(col("n_bytes")).as("blob_bytes"),
           (sum(col("n_bytes")) - max(col("n_bytes"))).as("bytes_saved"))
         .orderBy(col("digest"))
+    },
+    // Storage-layout profile: blob-size distribution per source — the
+    // numbers that size `maxPartitionBytes` / target file sizes before a
+    // 100 TB media write (mean alone misleads when a few huge blobs skew a
+    // source). Exact BIGINT byte sums; quartiles interpolate INTEGER byte
+    // lengths at g ∈ {0,¼,½,¾} — IEEE-exact on both engines (q53's
+    // recipe). One aggregation shuffle on source; bytes never move, only
+    // their lengths.
+    "mm6_storage_profile" -> { (s, d) =>
+      mediaTable(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), length(col("media")).cast("bigint").as("n_bytes"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          expr("percentile(n_bytes, 0.25)").as("p25_bytes"),
+          expr("percentile(n_bytes, 0.5)").as("p50_bytes"),
+          expr("percentile(n_bytes, 0.75)").as("p75_bytes"),
+          max(col("n_bytes")).as("max_bytes"))
+        .orderBy(col("source"))
     }
   )
 
@@ -184,6 +204,17 @@ object Multimodal {
         |  count(*) AS n_refs,
         |  CAST(max(octet_length(encode(text))) AS BIGINT) AS blob_bytes,
         |  CAST(sum(octet_length(encode(text))) - max(octet_length(encode(text))) AS BIGINT) AS bytes_saved
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm6_storage_profile" ->
+      """WITH b AS (
+        |  SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  quantile_cont(n_bytes, 0.25) AS p25_bytes,
+        |  quantile_cont(n_bytes, 0.5) AS p50_bytes,
+        |  quantile_cont(n_bytes, 0.75) AS p75_bytes,
+        |  max(n_bytes) AS max_bytes
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -480,6 +480,24 @@ class PlanSpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("embeddings.parquet")).mkString("\n"))
   }
 
+  test("e26 type correlation: corpus collapses in the first agg; pair join is grid-sized") {
+    val plan = planOf("e26_type_correlation")
+    // The only parquet scan feeds the (hour, type) aggregate; the grid,
+    // fill and pair joins all read the checkpointed RDD.
+    assert(plan.linesIterator.count(_.contains("events.parquet")) <= 2,
+      plan.linesIterator.filter(_.contains("events.parquet")).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"),
+      "pair alignment must stay keyed on the hour (the type grid rides broadcast)")
+  }
+
+  test("mm6 storage profile: one source-keyed agg, media bytes never shuffle") {
+    val plan = planOf("mm6_storage_profile")
+    assert("hashpartitioning\\(source".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(plan.contains("partial_count") || plan.contains("partial_percentile"),
+      "the size stats must map-side combine")
+  }
+
   test("q48 bloom pruning is conservative and actually prunes") {
     import org.apache.spark.sql.functions.col
     // No false negatives: the pruned join equals the plain join exactly.
