@@ -263,4 +263,56 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(Kernel.parseTimeUtc("2019-01-01T12:00:00.250-08:00") ==
       Kernel.parseTimeUtc("2019-01-01T12:00:00.250Z"))
   }
+
+  // --- statistical-identity guards for the oracled exact formulas ---
+  // e22 computes Spearman as (n(n²−1) − 6Σd²)/n(n²−1) over BIGINT ranks,
+  // e26 computes Pearson as (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+  // over BIGINT count sums. Pin each against its definitional form so a
+  // future edit to the query's arithmetic cannot silently change the
+  // statistic while staying self-consistent with its own oracle twin.
+
+  test("e22 identity: integer-form Spearman equals Pearson of the ranks (tie-free)") {
+    forAll(Gen.zip(Gen.choose(3, 60), Gen.choose(0L, 1000000L)).map { case (n, seed) =>
+        new scala.util.Random(seed).shuffle((1 to n).toVector) }, 100) { perm =>
+      val n = perm.length.toLong
+      val rt = (1 to perm.length).map(_.toLong) // identity ranks
+      val rv = perm.map(_.toLong)
+      val s = rv.zip(rt).map { case (a, b) => (a - b) * (a - b) }.sum
+      val rho = (n * (n * n - 1) - 6L * s).toDouble / (n * (n * n - 1)).toDouble
+      // Definitional Pearson over the two rank vectors.
+      val mx = rv.map(_.toDouble).sum / n
+      val my = rt.map(_.toDouble).sum / n
+      val cov = rv.zip(rt).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sx = math.sqrt(rv.map(a => (a - mx) * (a - mx)).sum)
+      val sy = math.sqrt(rt.map(b => (b - my) * (b - my)).sum)
+      assert(math.abs(rho - cov / (sx * sy)) < 1e-9, s"n=$n perm=${perm.take(8)}")
+    }
+  }
+
+  test("e26 identity: raw-moment Pearson equals the mean-centered definition") {
+    val vecGen = for {
+      n <- Gen.choose(3, 50)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 500L))
+      ys <- Gen.listOfN(n, Gen.choose(0L, 500L))
+    } yield (xs.toVector, ys.toVector)
+    forAll(vecGen, 100) { case (xs, ys) =>
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val syy = ys.map(y => y * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val denomX = n * sxx - sx * sx
+      val denomY = n * syy - sy * sy
+      if (denomX > 0 && denomY > 0) { // constant series have no correlation
+        val raw = (n * sxy - sx * sy).toDouble /
+          (math.sqrt(denomX.toDouble) * math.sqrt(denomY.toDouble))
+        val mx = sx.toDouble / n
+        val my = sy.toDouble / n
+        val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+        val vx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum)
+        val vy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+        assert(math.abs(raw - cov / (vx * vy)) < 1e-9, s"n=$n")
+      }
+    }
+  }
 }
