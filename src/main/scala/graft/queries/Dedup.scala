@@ -93,6 +93,51 @@ object Dedup {
     * `pred` is applied BELOW the typed map (which is an optimizer barrier):
     * callers splitting the corpus (d10) push their split predicate into the
     * parquet scan and pay the shingle pass only for their slice. */
+  /** Converged min-label propagation over the d5 near-dup pair graph —
+    * the shared core of d9 (cluster table) and d17 (survivorship), hoisted
+    * so d17 pays d9's propagation cost once and adds only its metadata
+    * join, instead of also re-running d9's presentation layer (the
+    * cluster_size window + global sort, which d17 discards). Returns the
+    * checkpointed (doc_id, cluster_id) fixpoint — each round is already
+    * an eager localCheckpoint, so the caller composes on O(1)-deep
+    * lineage. Algorithm + scale notes at the d9 entry. */
+  private def convergedLabels(s: SparkSession, d: String): DataFrame = {
+    // Checkpoint the PAIR set before mirroring it: union duplicates its
+    // input subtree, so unioning the lazy d5 plan would run the whole
+    // shingle/postings pipeline twice in the one eager checkpoint job.
+    val pairs = queries("d5_ngram_jaccard")(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    val maxRounds = 32
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("label").as("prev_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") =!= col("prev_label")).count()
+      labels = next.select(col("id"), col("label"))
+      rounds += 1
+    }
+    // Fail-fast convention (d6/s1): emitting non-converged labels would
+    // split a component across cluster_ids and leave subclusters with NO
+    // is_rep row — silently wrong for a keep-one-per-cluster consumer.
+    // Diameter > 32 means the pair graph is not dedup-shaped (long
+    // chains); that wants the large-star/small-star variant, not more
+    // rounds here.
+    if (changed > 0) throw new IllegalStateException(
+      s"d9_dup_clusters: label propagation not converged after $maxRounds rounds " +
+        s"($changed labels still moving) — component diameter exceeds the dedup-cluster " +
+        "assumption; raise the round cap or use a star-contraction variant")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   private def bandedSets(s: SparkSession, d: String, pred: Column): DataFrame = {
     import s.implicits._
     val bandsPerDoc = NUM_HASHES / BANDS
@@ -370,41 +415,7 @@ object Dedup {
     // snapshots.
     "d9_dup_clusters" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // Checkpoint the PAIR set before mirroring it: union duplicates its
-      // input subtree, so unioning the lazy d5 plan would run the whole
-      // shingle/postings pipeline twice in the one eager checkpoint job.
-      val pairs = queries("d5_ngram_jaccard")(s, d).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true)
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").localCheckpoint(true)
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint(true)
-      var changed = 1L
-      var rounds = 0
-      val maxRounds = 32
-      while (changed > 0 && rounds < maxRounds) {
-        val nbrMin = edges.join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-          .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(col("id"), col("label").as("prev_label"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .localCheckpoint(true)
-        changed = next.filter(col("label") =!= col("prev_label")).count()
-        labels = next.select(col("id"), col("label"))
-        rounds += 1
-      }
-      // Fail-fast convention (d6/s1): emitting non-converged labels would
-      // split a component across cluster_ids and leave subclusters with NO
-      // is_rep row — silently wrong for a keep-one-per-cluster consumer.
-      // Diameter > 32 means the pair graph is not dedup-shaped (long
-      // chains); that wants the large-star/small-star variant, not more
-      // rounds here.
-      if (changed > 0) throw new IllegalStateException(
-        s"d9_dup_clusters: label propagation not converged after $maxRounds rounds " +
-          s"($changed labels still moving) — component diameter exceeds the dedup-cluster " +
-          "assumption; raise the round cap or use a star-contraction variant")
-      labels
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      convergedLabels(s, d)
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .withColumn("is_rep", col("doc_id") === col("cluster_id"))
@@ -652,10 +663,13 @@ object Dedup {
     // cluster-count-sized) and one per-cluster argmax window. The policy
     // column is the only thing to swap for quality-based survivorship
     // (t17's gate score slots in unchanged).
+    // Uses convergedLabels directly (not the d9 query) so the propagation's
+    // checkpointed fixpoint feeds the join without d9's cluster_size window
+    // + global sort, which this query never reads — d17's cost is d9's core
+    // plus a cluster-sized argmax, not d9's presentation layer too.
     "d17_survivorship" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val clusters = queries("d9_dup_clusters")(s, d)
-        .select(col("doc_id"), col("cluster_id"))
+      val clusters = convergedLabels(s, d)
       val meta = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       val pick = Window.partitionBy(col("cluster_id"))
         .orderBy(col("n_chars").desc, col("doc_id"))

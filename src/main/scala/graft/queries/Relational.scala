@@ -445,6 +445,47 @@ object Relational {
         .orderBy(col("o_orderkey"))
     },
 
+    // q55's SCALE TWIN: the same per-row band count/total computed WITHOUT
+    // a window frame — the documented scale path for wide bands over dense
+    // value domains. Why the twin exists: Spark's sliding RANGE frame does
+    // not retract, so q55 re-aggregates O(w̄) rows per row, serialized over
+    // THREE o_orderstatus partitions — at 100× the frame is a 3-reducer
+    // O(n·w̄) wall. Here the band is a bucketed self-join: bucket width =
+    // band width, so [p−band, p] spans exactly {bucket−1, bucket}; the
+    // probe side explodes to those two keys and the join distributes over
+    // (status × ~5000 buckets) instead of 3 statuses. Work is the same
+    // O(n·w̄) comparisons but embarrassingly parallel, with no sorted-run
+    // re-scan. Buckets are computed on CENTS (exact BIGINT, q53's trick) so
+    // bucket containment is integer-rigorous; the band MEMBERSHIP predicate
+    // stays on the same double arithmetic as the frame bound (p − band is
+    // an EXACT double subtraction for 2-decimal prices < 2^19, so the two
+    // paths and the DuckDB twin agree bit-for-bit). Band width is
+    // conf-tunable (spark.graft.q55.band) for the frame-vs-join scaling
+    // experiment in BENCHNOTES; the shipped default matches q55's $100.
+    // Oracled with the SAME SQL as q55 — the twin must hash-match exactly.
+    "q55_scale" -> { (s, d) =>
+      val band = s.conf.get("spark.graft.q55.band", "100.0").toDouble
+      val bandCents = math.round(band * 100)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        // `div` (integer division) — Column./ is DOUBLE division, whose
+        // rounding could misplace a value sitting exactly on a bucket edge.
+        .withColumn("bucket",
+          expr(s"CAST(round(o_totalprice * 100) AS BIGINT) div $bandCents"))
+      val probe = base.withColumn("bkt",
+        explode(array(col("bucket") - 1, col("bucket")))).drop("bucket")
+      val build = base.select(
+        col("o_orderstatus").as("b_status"), col("bucket").as("b_bkt"),
+        col("o_totalprice").as("b_price"))
+      probe.join(build,
+          col("o_orderstatus") === col("b_status") && col("bkt") === col("b_bkt") &&
+            col("b_price") >= col("o_totalprice") - band && col("b_price") <= col("o_totalprice"))
+        .groupBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .agg(count(lit(1)).as("n_band"),
+          sum(col("b_price").cast("decimal(18,2)")).cast("double").as("band_total"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // TPC-H Q5-shaped flagship: revenue by nation for one region and a
     // date window across SIX tables — the canonical star-join the rest of
     // the q-suite exercises piecewise. Declared fully relationally so
