@@ -84,15 +84,6 @@ object Dedup {
       .toDF("doc_id", "shingles")
   }
 
-  /** (doc_id, shingles, banded MinHash signature) in ONE narrow pass: the
-    * signature is a per-document reduction, so the naive explode →
-    * groupBy(doc_id) formulation would shuffle the whole shingle corpus for
-    * nothing. Hash bits are identical to the SQL `xxhash64(lit(i), shingle)`
-    * / `xxhash64(slice(sig, …))` forms (seed 42, same int→bytes
-    * accumulation), so buckets are deterministic across engines/runs.
-    * `pred` is applied BELOW the typed map (which is an optimizer barrier):
-    * callers splitting the corpus (d10) push their split predicate into the
-    * parquet scan and pay the shingle pass only for their slice. */
   /** Converged min-label propagation over the d5 near-dup pair graph —
     * the shared core of d9 (cluster table) and d17 (survivorship), hoisted
     * so d17 pays d9's propagation cost once and adds only its metadata
@@ -132,12 +123,21 @@ object Dedup {
     // chains); that wants the large-star/small-star variant, not more
     // rounds here.
     if (changed > 0) throw new IllegalStateException(
-      s"d9_dup_clusters: label propagation not converged after $maxRounds rounds " +
+      s"convergedLabels (d9/d17): label propagation not converged after $maxRounds rounds " +
         s"($changed labels still moving) — component diameter exceeds the dedup-cluster " +
         "assumption; raise the round cap or use a star-contraction variant")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** (doc_id, shingles, banded MinHash signature) in ONE narrow pass: the
+    * signature is a per-document reduction, so the naive explode →
+    * groupBy(doc_id) formulation would shuffle the whole shingle corpus for
+    * nothing. Hash bits are identical to the SQL `xxhash64(lit(i), shingle)`
+    * / `xxhash64(slice(sig, …))` forms (seed 42, same int→bytes
+    * accumulation), so buckets are deterministic across engines/runs.
+    * `pred` is applied BELOW the typed map (which is an optimizer barrier):
+    * callers splitting the corpus (d10) push their split predicate into the
+    * parquet scan and pay the shingle pass only for their slice. */
   private def bandedSets(s: SparkSession, d: String, pred: Column): DataFrame = {
     import s.implicits._
     val bandsPerDoc = NUM_HASHES / BANDS

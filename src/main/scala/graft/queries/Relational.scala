@@ -466,6 +466,11 @@ object Relational {
     "q55_scale" -> { (s, d) =>
       val band = s.conf.get("spark.graft.q55.band", "100.0").toDouble
       val bandCents = math.round(band * 100)
+      // A band below $0.01 would bucket by `div 0` (all-null, silently
+      // empty); a non-whole-cent band (e.g. 0.015) would make the cent
+      // bucket width diverge from the double membership band. Fail fast.
+      require(bandCents > 0 && math.abs(band * 100 - bandCents) < 1e-6,
+        s"spark.graft.q55.band must be a positive whole-cent amount, got $band")
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         // `div` (integer division) — Column./ is DOUBLE division, whose
@@ -806,6 +811,17 @@ object Relational {
         |      FROM orders GROUP BY 1) USING (o_orderpriority)
         |ORDER BY o_orderkey""".stripMargin,
     "q55_num_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  count(*) OVER w AS n_band,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS band_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |  RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    // The scale twin computes the identical band with a bucketed self-join
+    // instead of a frame, so its oracle IS q55's frame SQL: any divergence
+    // between the two evaluation strategies is a wrong answer.
+    "q55_scale" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  count(*) OVER w AS n_band,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS band_total

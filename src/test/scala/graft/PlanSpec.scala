@@ -458,6 +458,18 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "a value-range frame must not plan as a range self-join")
   }
 
+  test("q55_scale: frame-free — one bucketed self-join, no Window node") {
+    val plan = planOf("q55_scale")
+    assert(!plan.contains("Window"),
+      "the scale twin must NOT fall back to a window frame — that is the 3-reducer wall it exists to avoid")
+    assert("\\(\\d+\\) SortMergeJoin".r.findAllIn(plan).size +
+      "\\(\\d+\\) ShuffledHashJoin".r.findAllIn(plan).size +
+      "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "band membership must ride the equi-join on (status, bucket), not a theta join")
+  }
+
   test("q56 tpch5: dims broadcast, date filter pushed into the orders scan") {
     val plan = planOf("q56_tpch5")
     // nation/region/supplier/customer must all ride broadcast joins; only

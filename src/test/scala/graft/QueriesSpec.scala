@@ -13,6 +13,22 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // The frame-free scale twin must be row-for-row identical to the frame
+  // query — same rows, same order (both end in ORDER BY o_orderkey), same
+  // doubles bit-for-bit (the decimal sums are order-free).
+  test("q55_scale equals q55_num_range_frame exactly") {
+    val frame = SparkEntry.queries("q55_num_range_frame")(spark, sf).collect()
+    val twin = SparkEntry.queries("q55_scale")(spark, sf).collect()
+    assert(twin.length == frame.length, s"${twin.length} vs ${frame.length} rows")
+    twin.zip(frame).foreach { case (t, f) => assert(t == f, s"twin $t != frame $f") }
+  }
+
+  test("q55_scale rejects a sub-cent or fractional-cent band") {
+    spark.conf.set("spark.graft.q55.band", "0.001")
+    try intercept[IllegalArgumentException](SparkEntry.queries("q55_scale")(spark, sf))
+    finally spark.conf.unset("spark.graft.q55.band")
+  }
+
   // Queries allowed to be empty at the tiny sf0.001 scale (threshold-based
   // pair finders; the planted near-dups exist at every SF, but keep slack).
   private val mayBeEmpty = Set("q13_anti_join", "q42_except")
