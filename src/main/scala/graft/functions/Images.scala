@@ -1,0 +1,103 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Real JDK image codec for the multimodal operators (mm2/mm4): decode is
+  * `javax.imageio.ImageIO.read` — the same path that decodes the reference's
+  * base64 JPEG data-URIs (`/root/reference/tests/test_dbsink.py:1034-1048`,
+  * fixtures in `tests/base64_images.json`; MultimodalSpec pins their decoded
+  * width/height/pixel-sum goldens). Features are exact integers (pixel sums,
+  * geometry), so the DuckDB oracle can recompute them arithmetically for the
+  * deterministic pattern corpus while the decode path itself stays real.
+  *
+  * Everything here is per-row driver-free work that runs inside
+  * `mapPartitions` batches — at scale each operator is a narrow map over the
+  * corpus; image bytes never shuffle.
+  */
+object Images {
+
+  /** Deterministic gray test pattern: v(x, y, id) = (31x + 17y + 7·id) mod
+    * 256. Chosen to be exactly re-computable in the DuckDB oracle (integer
+    * arithmetic only) while exercising a real PNG encode→decode round trip
+    * (PNG is lossless, so decoded pixels equal the generated pattern
+    * bit-for-bit). */
+  def patternValue(x: Int, y: Int, id: Long): Int =
+    ((31L * x + 17L * y + 7L * id) % 256L).toInt
+
+  /** Pattern image geometry: width 16–64, height 12–48 — small enough that
+    * the oracle's per-row pixel list stays cheap, big enough that box-fit
+    * always downscales (max(w,h) >= box). */
+  def patternWidth(id: Long): Int = (16 + id % 49).toInt
+  def patternHeight(id: Long): Int = (12 + id % 37).toInt
+
+  /** Encode the id-keyed gray pattern as a real PNG via ImageIO. */
+  def encodePatternPng(id: Long): Array[Byte] = {
+    val w = patternWidth(id)
+    val h = patternHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = patternValue(x, y, id)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real decode. None when the payload is not a decodable image — ImageIO
+    * returns null rather than throwing for unknown formats, which is the
+    * contract a 100 TB media scan wants (corrupt blobs are data, not
+    * exceptions; callers decide whether to dead-letter or fail). */
+  def decode(bytes: Array[Byte]): Option[BufferedImage] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+
+  /** Exact-integer feature pair: sum of the three sRGB channels over every
+    * pixel, plus the pixel count. For the gray pattern this is 3·Σv. */
+  def rgbSum(img: BufferedImage): (Long, Int) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (s, w * h)
+  }
+
+  /** Aspect-preserving box-fit rescale on the decoded BufferedImage:
+    * out = (w, h) · box / max(w, h), nearest-neighbor with pure integer
+    * source mapping src = (i · in) div out — floor division on both engines,
+    * so the oracle mirrors the resample exactly (no filter-kernel floats). */
+  def resizeBoxFit(img: BufferedImage, box: Int): BufferedImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val m = math.max(w, h)
+    val ow = math.max(1, w * box / m)
+    val oh = math.max(1, h * box / m)
+    val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+    var j = 0
+    while (j < oh) {
+      var i = 0
+      while (i < ow) {
+        out.setRGB(i, j, img.getRGB(i * w / ow, j * h / oh))
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+}

@@ -10,30 +10,17 @@ import graft.Tables
   * carries base64 JPEG data-URIs through HSTORE —
   * `/root/reference/tests/test_dbsink.py:1034-1048`).
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * libraries ship in this container); the Spark-side plumbing is real and
-  * what the tests/oracle verify: binary column construction, struct
-  * metadata, per-partition batched decode via `mapPartitions` (the Scala
-  * analogue of a Pandas-UDF batch), and frame sampling with binary slicing.
-  * At scale each operator is a narrow map over the corpus — no shuffle.
+  * The decode step is REAL: `javax.imageio.ImageIO` (see
+  * [[graft.functions.Images]]) decodes actual PNG payloads inside batched
+  * `mapPartitions` (the Scala analogue of a Pandas-UDF batch), and
+  * MultimodalSpec pins the same decoder against the reference's base64 JPEG
+  * fixtures. mm2/mm4 run over a deterministic pattern-PNG corpus keyed by
+  * doc_id so their pixel features are exact integers the DuckDB oracle
+  * recomputes arithmetically (PNG is lossless — decoded pixels equal the
+  * generated pattern bit-for-bit). At scale each operator is a narrow map
+  * over the corpus — no shuffle, image bytes never leave their partition.
   */
 object Multimodal {
-
-  /** STUB decode: deterministic pseudo-features from raw bytes. A real
-    * deployment swaps this body for an image decoder; the signature
-    * (bytes → fixed-width features) and the batch shape are the contract. */
-  def stubDecode(bytes: Array[Byte]): (Int, Long, Double) = {
-    val n = bytes.length
-    var checksum = 0L
-    var i = 0
-    while (i < n) { checksum = (checksum * 31 + (bytes(i) & 0xff)) & 0x7fffffffL; i += 1 }
-    val meanByte = if (n == 0) 0.0 else {
-      var s = 0L; var j = 0
-      while (j < n) { s += (bytes(j) & 0xff); j += 1 }
-      s.toDouble / n
-    }
-    (n, checksum, meanByte)
-  }
 
   /** The multimodal table: binary payload + typed metadata struct. */
   private def mediaTable(s: SparkSession, d: String): DataFrame =
@@ -44,6 +31,25 @@ object Multimodal {
         lit("jpeg").as("format"),
         (lit(64) + col("doc_id") % 512).cast("int").as("width"),
         (lit(64) + col("doc_id") % 256).cast("int").as("height")).as("meta"))
+
+  /** Real-image corpus for the decode operators: one genuine PNG per
+    * document, encoded from the doc_id-keyed gray pattern (Images.
+    * encodePatternPng). Generated per-partition — the encode is itself the
+    * write half of the codec round trip mm2/mm4 verify. Kept separate from
+    * mediaTable so mm1/mm3/mm5/mm6's byte-level oracles (which mirror the
+    * payload in SQL) keep their text-derived payloads. */
+  private def pngTable(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("png", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    Tables.parallelized(Tables.documents(s, d)).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, graft.functions.Images.encodePatternPng(id))
+        }
+      }(enc)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary column + metadata struct construction.
@@ -58,41 +64,54 @@ object Multimodal {
           md5(col("media")).as("digest"))
         .orderBy(col("doc_id"))
     },
-    // Batched decode via mapPartitions (Pandas-UDF-shaped: one iterator of
-    // rows per partition, features out).
+    // Batched REAL decode via mapPartitions (Pandas-UDF-shaped: one iterator
+    // of rows per partition, features out). The payload is a real PNG
+    // (pattern keyed by doc_id, encoded with ImageIO — see pngTable) and the
+    // decode is ImageIO.read; features are the decoded geometry plus the
+    // exact RGB pixel sum, which the oracle recomputes from the pattern
+    // arithmetic because PNG round-trips pixels losslessly. A payload that
+    // fails to decode is a hard error HERE because this corpus is 100%
+    // synthetic images; a production media scan would route Nones to a
+    // dead-letter count instead (S3's PERMISSIVE-decode convention).
     "mm2_decode_features" -> { (s, d) =>
-      val df = mediaTable(s, d)
       val outSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("n_bytes", IntegerType),
-        StructField("checksum", LongType), StructField("mean_byte", DoubleType)))
+        StructField("doc_id", LongType), StructField("width", IntegerType),
+        StructField("height", IntegerType), StructField("n_px", IntegerType),
+        StructField("pix_sum", LongType)))
       val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-      df.select("doc_id", "media").mapPartitions { rows =>
+      pngTable(s, d).mapPartitions { rows =>
         rows.map { r =>
-          val (n, ck, mb) = stubDecode(r.getAs[Array[Byte]]("media"))
-          Row(r.getLong(0), n, ck, mb)
+          val img = graft.functions.Images.decode(r.getAs[Array[Byte]](1))
+            .getOrElse(throw new IllegalStateException(
+              s"mm2_decode_features: undecodable image payload for doc_id=${r.getLong(0)}"))
+          val (sum, n) = graft.functions.Images.rgbSum(img)
+          Row(r.getLong(0), img.getWidth, img.getHeight, n, sum)
         }
       }(enc).orderBy(col("doc_id"))
     },
-    // Resize: aspect-preserving fit into a 128×128 box — the geometry is
-    // exact integer arithmetic over the metadata struct (floor division,
-    // engine-identical), and the pixel resample is the same honest stub
-    // shape as mm2: a deterministic byte-slice standing in for the decoder
-    // (the slice length tracks the computed output geometry, so the
-    // contract — smaller box ⇒ smaller payload — is real). Narrow map,
-    // no shuffle.
+    // Resize: REAL aspect-preserving box-fit rescale on the decoded
+    // BufferedImage (ImageIO decode → nearest-neighbor resample → pixel-sum
+    // features). Nearest-neighbor with floor-division source mapping keeps
+    // the resample integer-exact, so the oracle mirrors the full decode →
+    // rescale → feature pipeline arithmetically. Narrow map, no shuffle.
     "mm4_resize" -> { (s, d) =>
-      mediaTable(s, d)
-        .select(col("doc_id"), col("media"),
-          col("meta.width").as("w"), col("meta.height").as("h"))
-        .withColumn("out_w", expr("CAST(w * 128 div greatest(w, h) AS INT)"))
-        .withColumn("out_h", expr("CAST(h * 128 div greatest(w, h) AS INT)"))
-        .withColumn("thumb_bytes",
-          least(length(col("media")), expr("out_w * out_h div 64")).cast("int"))
-        .withColumn("thumb_digest",
-          md5(expr("substring(media, 1, thumb_bytes)")))
-        .select(col("doc_id"), col("w"), col("h"), col("out_w"), col("out_h"),
-          col("thumb_bytes"), col("thumb_digest"))
-        .orderBy(col("doc_id"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("w", IntegerType),
+        StructField("h", IntegerType), StructField("out_w", IntegerType),
+        StructField("out_h", IntegerType), StructField("n_thumb_px", IntegerType),
+        StructField("thumb_pix_sum", LongType)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+      pngTable(s, d).mapPartitions { rows =>
+        rows.map { r =>
+          val img = graft.functions.Images.decode(r.getAs[Array[Byte]](1))
+            .getOrElse(throw new IllegalStateException(
+              s"mm4_resize: undecodable image payload for doc_id=${r.getLong(0)}"))
+          val thumb = graft.functions.Images.resizeBoxFit(img, 16)
+          val (sum, n) = graft.functions.Images.rgbSum(thumb)
+          Row(r.getLong(0), img.getWidth, img.getHeight,
+            thumb.getWidth, thumb.getHeight, n, sum)
+        }
+      }(enc).orderBy(col("doc_id"))
     },
     // Frame sampling: fixed-size binary windows every `stride` bytes
     // (video-frame analogue), via binary slicing — no UDF.
@@ -154,38 +173,39 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // The stub's features are exact integer arithmetic over the bytes, so a
-    // full oracle exists (ASCII corpus ⇒ ascii(char) == byte value): the
-    // checksum folds (acc*31 + b) & 0x7fffffff and stays < 2^36 — no
-    // overflow; the empty-input reduce over the prepended seed yields 0,
-    // matching stubDecode's n=0 contract.
+    // The decoded features are exact integers, and PNG is lossless, so the
+    // oracle recomputes them from the pattern arithmetic directly:
+    // v(x,y,id) = (31x + 17y + 7·id) mod 256, gray ⇒ rgb sum = 3·Σv.
+    // Spark's side went bytes → ImageIO decode → pixels; any codec bug
+    // (stride, channel order, geometry) breaks the hash.
     "mm2_decode_features" ->
-      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
-        |SELECT doc_id, CAST(n AS INT) AS n_bytes,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(n), i -> CAST(ascii(text[i+1]) AS BIGINT))),
-        |    (a,b) -> (a*31+b) & 2147483647) AS checksum,
-        |  CASE WHEN n = 0 THEN CAST(0 AS DOUBLE) ELSE
-        |    CAST(list_sum(list_transform(range(n),
-        |      i -> CAST(ascii(text[i+1]) AS BIGINT))) AS DOUBLE) / n END AS mean_byte
-        |FROM t ORDER BY doc_id""".stripMargin,
-    // Geometry is integer floor division on both engines; ASCII corpus ⇒
-    // byte slice mirrored with VARCHAR substring (as mm3).
+      """WITH m AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 49 AS INT) AS w,
+        |    CAST(12 + doc_id % 37 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height, CAST(w * h AS INT) AS n_px,
+        |  CAST(3 * list_sum(list_transform(range(w * h),
+        |    p -> (31 * (p % w) + 17 * (p // w) + 7 * doc_id) % 256)) AS BIGINT) AS pix_sum
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // Box-fit geometry and the nearest-neighbor source mapping are floor
+    // division on both engines: thumb pixel (i, j) samples source
+    // (i·w // out_w, j·h // out_h), whose pattern value the oracle
+    // recomputes — the full decode → rescale → feature pipeline mirrored.
     "mm4_resize" ->
-      """WITH m AS (
-        |  SELECT doc_id, text,
-        |    CAST(64 + doc_id % 512 AS INT) AS w,
-        |    CAST(64 + doc_id % 256 AS INT) AS h,
-        |    octet_length(encode(text)) AS len
+      """WITH m AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 49 AS INT) AS w,
+        |    CAST(12 + doc_id % 37 AS INT) AS h
         |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, text, w, h, len,
-        |    CAST(w * 128 // greatest(w, h) AS INT) AS out_w,
-        |    CAST(h * 128 // greatest(w, h) AS INT) AS out_h
+        |g AS (SELECT doc_id, w, h,
+        |    CAST(w * 16 // greatest(w, h) AS INT) AS out_w,
+        |    CAST(h * 16 // greatest(w, h) AS INT) AS out_h
         |  FROM m)
         |SELECT doc_id, w, h, out_w, out_h,
-        |  CAST(least(len, out_w * out_h // 64) AS INT) AS thumb_bytes,
-        |  md5(text[1:CAST(least(len, out_w * out_h // 64) AS INT)]) AS thumb_digest
+        |  CAST(out_w * out_h AS INT) AS n_thumb_px,
+        |  CAST(3 * list_sum(list_transform(range(out_w * out_h),
+        |    p -> (31 * ((p % out_w) * w // out_w)
+        |        + 17 * ((p // out_w) * h // out_h)
+        |        + 7 * doc_id) % 256)) AS BIGINT) AS thumb_pix_sum
         |FROM g ORDER BY doc_id""".stripMargin,
     // ASCII corpus ⇒ byte and character offsets agree, so the blob slicing
     // is mirrored with VARCHAR substring (DuckDB 1.0 has no md5(BLOB)).

@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.Images
+
+/** Real-codec goldens for the multimodal decode path.
+  *
+  * The reference carries base64 JPEG data-URIs through HSTORE values
+  * (`/root/reference/tests/test_dbsink.py:1034-1048`, fixtures in
+  * `tests/base64_images.json`); these tests run the engine's actual decoder
+  * ([[Images.decode]] = `javax.imageio.ImageIO.read`) over those exact
+  * payloads and pin the decoded geometry + RGB pixel sums, so the decode
+  * used by mm2/mm4 is proven against real-world image bytes, not only the
+  * synthetic PNG corpus the oracle covers. */
+class MultimodalSpec extends SparkTestBase {
+
+  /** Extract the base64 payloads of every `data:image/...` value in the
+    * reference fixture file, in document order. */
+  private def fixtureImages(): Seq[Array[Byte]] = {
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/tests/base64_images.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    "data:image/[a-zA-Z]+;base64,([A-Za-z0-9+/=]+)".r
+      .findAllMatchIn(raw).map(m => java.util.Base64.getDecoder.decode(m.group(1)))
+      .toSeq
+  }
+
+  test("reference JPEG fixtures decode to pinned width/height/pixel-sum goldens") {
+    val imgs = fixtureImages()
+    assert(imgs.length == 3, s"expected 3 data-URI images, found ${imgs.length}")
+    // Goldens computed with this JDK's ImageIO (the decoder under test).
+    val golden = Seq((50, 50, 1252974L), (50, 50, 982209L), (100, 100, 1925940L))
+    imgs.zip(golden).zipWithIndex.foreach { case ((bytes, (w, h, sum)), i) =>
+      val img = Images.decode(bytes).getOrElse(fail(s"fixture $i failed to decode"))
+      val (s, n) = Images.rgbSum(img)
+      assert((img.getWidth, img.getHeight, s) == ((w, h, sum)),
+        s"fixture $i: got (${img.getWidth}, ${img.getHeight}, $s), want ($w, $h, $sum)")
+      assert(n == w * h)
+    }
+  }
+
+  test("PNG encode -> ImageIO decode round-trips the pattern bit-for-bit") {
+    Seq(0L, 1L, 17L, 255L, 4096L).foreach { id =>
+      val img = Images.decode(Images.encodePatternPng(id))
+        .getOrElse(fail(s"pattern PNG for id=$id failed to decode"))
+      assert(img.getWidth == Images.patternWidth(id))
+      assert(img.getHeight == Images.patternHeight(id))
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val v = Images.patternValue(x, y, id)
+          assert((img.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v),
+            s"pixel ($x, $y) of id=$id drifted through the codec")
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("non-image payloads decode to None (dead-letter contract, not a throw)") {
+    assert(Images.decode("not an image".getBytes).isEmpty)
+    assert(Images.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("box-fit rescale: geometry and nearest-neighbor sampling are exact") {
+    val id = 42L
+    val img = Images.decode(Images.encodePatternPng(id)).get
+    val thumb = Images.resizeBoxFit(img, 16)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val m = math.max(w, h)
+    assert(thumb.getWidth == w * 16 / m && thumb.getHeight == h * 16 / m)
+    // Every thumb pixel equals the pattern value at its floor-mapped source.
+    var j = 0
+    while (j < thumb.getHeight) {
+      var i = 0
+      while (i < thumb.getWidth) {
+        val v = Images.patternValue(i * w / thumb.getWidth, j * h / thumb.getHeight, id)
+        assert((thumb.getRGB(i, j) & 0xffffff) == ((v << 16) | (v << 8) | v))
+        i += 1
+      }
+      j += 1
+    }
+  }
+}
