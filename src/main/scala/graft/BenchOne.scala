@@ -19,6 +19,10 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Experiment plumbing: SPARK_GRAFT_CONF="k1=v1,k2=v2" sets runtime confs
+    // (e.g. spark.graft.q55.band for the frame-vs-join band experiment).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     def force(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
     // Warm-up on the small sibling SF when present, else on the bench dir.

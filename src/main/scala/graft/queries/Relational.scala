@@ -433,61 +433,125 @@ object Relational {
     // per-row frame. The Scala DSL only takes Long range bounds, so the
     // frame is declared in SQL.
     "q55_num_range_frame" -> { (s, d) =>
+      // Band honors the same conf as the scale twin so the frame-vs-join
+      // experiment (BENCHNOTES) compares identical work; the shipped
+      // default matches the oracle's hardcoded 100.0.
+      val band = s.conf.get("spark.graft.q55.band", "100.0").toDouble
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .withColumn("n_band", expr(
-          "count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice " +
-            "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)"))
+          s"count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice " +
+            s"RANGE BETWEEN $band PRECEDING AND CURRENT ROW)"))
         .withColumn("band_total", expr(
-          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
-            "PARTITION BY o_orderstatus ORDER BY o_totalprice " +
-            "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+          s"CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+            s"PARTITION BY o_orderstatus ORDER BY o_totalprice " +
+            s"RANGE BETWEEN $band PRECEDING AND CURRENT ROW) AS DOUBLE)"))
         .orderBy(col("o_orderkey"))
     },
 
     // q55's SCALE TWIN: the same per-row band count/total computed WITHOUT
-    // a window frame — the documented scale path for wide bands over dense
-    // value domains. Why the twin exists: Spark's sliding RANGE frame does
-    // not retract, so q55 re-aggregates O(w̄) rows per row, serialized over
-    // THREE o_orderstatus partitions — at 100× the frame is a 3-reducer
-    // O(n·w̄) wall. Here the band is a bucketed self-join: bucket width =
-    // band width, so [p−band, p] spans exactly {bucket−1, bucket}; the
-    // probe side explodes to those two keys and the join distributes over
-    // (status × ~5000 buckets) instead of 3 statuses. Work is the same
-    // O(n·w̄) comparisons but embarrassingly parallel, with no sorted-run
-    // re-scan. Buckets are computed on CENTS (exact BIGINT, q53's trick) so
-    // bucket containment is integer-rigorous; the band MEMBERSHIP predicate
-    // stays on the same double arithmetic as the frame bound (p − band is
-    // an EXACT double subtraction for 2-decimal prices < 2^19, so the two
-    // paths and the DuckDB twin agree bit-for-bit). Band width is
-    // conf-tunable (spark.graft.q55.band) for the frame-vs-join scaling
-    // experiment in BENCHNOTES; the shipped default matches q55's $100.
-    // Oracled with the SAME SQL as q55 — the twin must hash-match exactly.
+    // a window frame — the scale path for wide bands over dense value
+    // domains. Why the twin exists: Spark's sliding RANGE frame does not
+    // retract, so q55 re-aggregates O(w̄) rows per row, serialized over
+    // THREE o_orderstatus partitions — wall-clock ∝ n·w̄/3 no matter how
+    // many cores the cluster has. MEASURED (BENCHNOTES r7): the naive
+    // band-wide bucketed self-join is NOT the answer — per-pair join cost
+    // is ~20–50× the window's buffer-scan cost, so 32-vs-3 cores never
+    // closes the gap ($1000 band, sf1: join 44.9 s vs frame 9.6 s). This is
+    // the answer: a PREFIX-SUMMED HISTOGRAM with edge-bucket correction.
+    //   1. Bucket prices on CENTS (exact BIGINT, q53's trick) at width =
+    //      band/K (K = spark.graft.q55.k, default 10) and aggregate one
+    //      (count, decimal sum) per (status, bucket) — one n-row agg into a
+    //      DOMAIN-bound table (price-range/width · statuses rows, n-free).
+    //   2. Densify + running-total it per status (a Window over the tiny
+    //      histogram, never over the fact), broadcast it, and give every
+    //      row its [b0+1, bp−1] full-bucket span with two O(1) broadcast
+    //      lookups: prefix(bp−1) − prefix(b0).
+    //   3. Only the two EDGE buckets (b0, bp) pay pair work — a fine-
+    //      bucketed self-join on (status, bucket) filtered to the exact
+    //      [p−band, p] bounds: n·2w̄/K pairs instead of n·w̄.
+    // Work: n·(2w̄/K) + n·O(1) + histogram, distributed over every core;
+    // K trades broadcast size (∝K) against edge pair work (∝1/K). All
+    // arithmetic is integer cents and DECIMAL(18,2) sums (order-free), so
+    // the result hash-matches the frame bit-for-bit: b0 = bp − K exactly
+    // because width divides band, and the [p−band, p] membership bounds
+    // compare cents with cents. Oracled with the SAME SQL as q55.
     "q55_scale" -> { (s, d) =>
       val band = s.conf.get("spark.graft.q55.band", "100.0").toDouble
       val bandCents = math.round(band * 100)
-      // A band below $0.01 would bucket by `div 0` (all-null, silently
-      // empty); a non-whole-cent band (e.g. 0.015) would make the cent
-      // bucket width diverge from the double membership band. Fail fast.
+      // A band below $0.01 would produce zero-width buckets; a non-whole-
+      // cent band (e.g. 0.015) would make the cent arithmetic diverge from
+      // the double frame bound. Fail fast.
       require(bandCents > 0 && math.abs(band * 100 - bandCents) < 1e-6,
         s"spark.graft.q55.band must be a positive whole-cent amount, got $band")
+      val k = s.conf.get("spark.graft.q55.k", "10").toInt
+      require(k > 0, s"spark.graft.q55.k must be positive, got $k")
+      // Width must divide the band so b0 = bp − K is exact; clamp K to the
+      // band's cent count (width ≥ 1 cent).
+      val widthCents = math.max(1L, bandCents / k)
+      require(bandCents % widthCents == 0,
+        s"spark.graft.q55.k=$k does not divide the $bandCents-cent band evenly")
+      val kk = bandCents / widthCents
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        // `div` (integer division) — Column./ is DOUBLE division, whose
-        // rounding could misplace a value sitting exactly on a bucket edge.
-        .withColumn("bucket",
-          expr(s"CAST(round(o_totalprice * 100) AS BIGINT) div $bandCents"))
-      val probe = base.withColumn("bkt",
-        explode(array(col("bucket") - 1, col("bucket")))).drop("bucket")
-      val build = base.select(
-        col("o_orderstatus").as("b_status"), col("bucket").as("b_bkt"),
+        // `div` (integer floor division) — Column./ is DOUBLE division,
+        // whose rounding could misplace a value on a bucket edge.
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .withColumn("bkt", expr(s"cents div $widthCents"))
+      // (1) domain-bound histogram: one (count, exact sum) per bucket.
+      val hist = base.groupBy(col("o_orderstatus").as("h_status"), col("bkt").as("h_bkt"))
+        .agg(count(lit(1)).as("h_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("h_sum"))
+      // (2) densify to [min bkt − K, max bkt] per status (covers every b0
+      // and bp−1 lookup), then running totals. The Window here is over the
+      // histogram — its row count is domain/width · statuses, independent
+      // of n — so the 3-partition serialization the frame suffers on the
+      // FACT table is irrelevant here.
+      val span = hist.groupBy(col("h_status"))
+        .agg(min(col("h_bkt")).as("lo"), max(col("h_bkt")).as("hi"))
+        .select(col("h_status").as("p_status"),
+          explode(expr(s"sequence(lo - $kk, hi)")).as("p_bkt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_status")).orderBy(col("p_bkt"))
+      val prefix = span
+        .join(hist, col("p_status") === col("h_status") && col("p_bkt") === col("h_bkt"), "left")
+        .select(col("p_status"), col("p_bkt"),
+          coalesce(col("h_cnt"), lit(0L)).as("cnt"),
+          coalesce(col("h_sum"), lit(BigDecimal(0).bigDecimal).cast("decimal(18,2)")).as("sm"))
+        .select(col("p_status"), col("p_bkt"),
+          sum(col("cnt")).over(w).as("pref_cnt"), sum(col("sm")).over(w).as("pref_sum"))
+        .localCheckpoint(true) // tiny; consumed by two broadcast joins
+      // (3) edge buckets only: pair work n·2w̄/K, spread over (status ×
+      // domain/width) keys — every core busy, no band-wide pair blowup.
+      val probe = base.withColumn("e_bkt",
+        explode(array(col("bkt") - kk, col("bkt")))).drop("bkt")
+      val build = base.select(col("o_orderstatus").as("b_status"),
+        col("bkt").as("b_bkt"), col("cents").as("b_cents"),
         col("o_totalprice").as("b_price"))
-      probe.join(build,
-          col("o_orderstatus") === col("b_status") && col("bkt") === col("b_bkt") &&
-            col("b_price") >= col("o_totalprice") - band && col("b_price") <= col("o_totalprice"))
-        .groupBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .agg(count(lit(1)).as("n_band"),
-          sum(col("b_price").cast("decimal(18,2)")).cast("double").as("band_total"))
+      val edges = probe.join(build.hint("shuffle_hash"),
+          col("o_orderstatus") === col("b_status") && col("e_bkt") === col("b_bkt") &&
+            col("b_cents") >= col("cents") - lit(bandCents) && col("b_cents") <= col("cents"))
+        .groupBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"))
+        .agg(count(lit(1)).as("e_cnt"),
+          sum(col("b_price").cast("decimal(18,2)")).as("e_sum"))
+      // assemble: edges + (prefix(bp−1) − prefix(b0)); every row matches
+      // itself in bp, so the edge join never drops a row.
+      val hi = prefix.select(col("p_status").as("hi_status"), col("p_bkt").as("hi_bkt"),
+        col("pref_cnt").as("hi_cnt"), col("pref_sum").as("hi_sum"))
+      val lo = prefix.select(col("p_status").as("lo_status"), col("p_bkt").as("lo_bkt"),
+        col("pref_cnt").as("lo_cnt"), col("pref_sum").as("lo_sum"))
+      edges
+        .join(broadcast(hi), col("o_orderstatus") === col("hi_status") &&
+          expr(s"cents div $widthCents - 1") === col("hi_bkt"), "left")
+        .join(broadcast(lo), col("o_orderstatus") === col("lo_status") &&
+          expr(s"(cents - $bandCents) div $widthCents") === col("lo_bkt"), "left")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("e_cnt") + coalesce(col("hi_cnt"), lit(0L)) - coalesce(col("lo_cnt"), lit(0L)))
+            .as("n_band"),
+          (col("e_sum") +
+            coalesce(col("hi_sum"), lit(BigDecimal(0).bigDecimal)) -
+            coalesce(col("lo_sum"), lit(BigDecimal(0).bigDecimal)))
+            .cast("double").as("band_total"))
         .orderBy(col("o_orderkey"))
     },
 

@@ -458,14 +458,17 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "a value-range frame must not plan as a range self-join")
   }
 
-  test("q55_scale: frame-free — one bucketed self-join, no Window node") {
+  test("q55_scale: histogram prefix + edge join — no fact-table Window") {
     val plan = planOf("q55_scale")
-    assert(!plan.contains("Window"),
-      "the scale twin must NOT fall back to a window frame — that is the 3-reducer wall it exists to avoid")
-    assert("\\(\\d+\\) SortMergeJoin".r.findAllIn(plan).size +
-      "\\(\\d+\\) ShuffledHashJoin".r.findAllIn(plan).size +
-      "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 1,
-      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // The only Window is the running total over the domain-bound histogram
+    // (checkpointed before this plan, so the fact-side plan has none): the
+    // n·w̄-over-3-partitions frame wall must not reappear on the fact.
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 0,
+      plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    // Edge-bucket pair work rides the hinted shuffle-hash join (no sort of
+    // the exploded probe); the two prefix lookups ride broadcasts.
+    assert("\\(\\d+\\) ShuffledHashJoin".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 2, plan.take(3000))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "band membership must ride the equi-join on (status, bucket), not a theta join")
   }
