@@ -81,50 +81,52 @@ object Bench {
       val ts = passes.map(_(n))
       "\"" + n + "\":[" + ts.map(t => fmt(t, 3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"passes","note":"min-of-3; ambient host noise ±25%, see BENCHNOTES.md","queries":$spread}""")
+    val sfName = new java.io.File(sfDir).getName
+    val passesLine =
+      s"""{"metric":"passes","sf":"$sfName","total":${fmt(results.map(_._2).sum, 2)},""" +
+        s""""note":"min-of-3; ambient host noise +/-25%, see BENCHNOTES.md","queries":$spread}"""
+    println(passesLine)
+    // BENCH_LOCAL.json is the canonical full-fidelity per-query record
+    // (full names, all three pass times) — written HERE so it is current
+    // at HEAD after every bench run instead of hand-refreshed. Non-sf0.1
+    // runs (scaling studies) get their own suffixed file so they never
+    // clobber the sf0.1 record the round artifacts reference.
+    val localName = if (sfName == "sf0.1") "BENCH_LOCAL.json" else s"BENCH_LOCAL_$sfName.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(localName),
+      (passesLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] $localName write failed: $e") }
 
-    // Contract line LAST — and it must fit WHOLE inside the harness's
+    // Contract line LAST — it must fit WHOLE inside the harness's
     // 2000-char tail capture (minus sbt's trailing "[success] Total
-    // time: ..." line, ~75 chars, verified at the end of every
-    // BENCH_r0x tail). r1–r4 printed full query names and overflowed,
-    // which nulled the harness-side parse every round. Fix: per-query
-    // keys abbreviate to the SURVEY §2 operator id (the token before
-    // the first '_': q1_agg -> q1), exactly the key style the driver
-    // contract's own example uses ({"queries":{"q1":sec,...}}). Only
-    // the mapping twins collide on that prefix (m4_core/m4_geography,
-    // m6/m7/m8/m9/m10 likewise) and keep their full names. At 105
-    // queries this measures ~1360 chars — ~550 chars of headroom, or
-    // roughly 45 more short-key queries before the fallbacks below
-    // would kick in. Full-fidelity names + per-pass spread are on the
-    // "passes" line above and committed per-round as BENCH_LOCAL.json.
+    // time: ..." line, ~75 chars). r1–r4 printed full query names and
+    // overflowed, nulling the harness-side parse; r5–r6 fit the whole
+    // suite with SURVEY-id keys but had only ~6 queries of headroom left
+    // at 145. As of round 7 the line carries totals + the TOP-25 slowest
+    // queries (the plan-audit headline set, slowest first, SURVEY-id
+    // keys: the token before the first '_', full name where ids collide)
+    // and points at BENCH_LOCAL.json for the rest — the suite can now
+    // grow without ever clipping. BENCH_LOCAL.json (written above every
+    // run) is the canonical full-fidelity record.
     val prefixCount = names.groupBy(_.split("_")(0)).map { case (p, ns) => p -> ns.size }
     def shortKey(n: String): String = {
       val p = n.split("_")(0)
       if (prefixCount(p) == 1) p else n
     }
-    def contractLine(withNote: Boolean, prec: Int): String = {
-      val qs = results
-        .map { case (k, v) => shortKey(k) -> v }
-        .sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, prec) }
-        .mkString("{", ",", "}")
-      val total = fmt(results.map(_._2).sum, 2)
-      val note =
-        if (withNote)
-          """"note":"min-of-3 passes; keys are SURVEY ids, full names in BENCH_LOCAL.json","""
-        else ""
-      val sfName = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfName",$note"queries":$qs}"""
-    }
-    // ~1900 = 2000-char capture minus the sbt success-line suffix, with
-    // margin. Degrade gracefully (drop note, then a decimal) rather than
-    // ever emitting a line the tail capture would clip mid-JSON.
-    val line = Seq(
-      contractLine(withNote = true, prec = 2),
-      contractLine(withNote = false, prec = 2),
-      contractLine(withNote = false, prec = 1)
-    ).find(_.length < 1900).getOrElse(contractLine(withNote = false, prec = 1))
-    println(line)
+    val top = results.sortBy(-_._2).take(25)
+    val qs = top.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec",""" +
+        s""""sf":"$sfName","n_queries":${names.size},""" +
+        s""""note":"min-of-3 passes; top-25 by time, slowest first; full map in BENCH_LOCAL.json",""" +
+        s""""queries":$qs}"""
+    // Belt-and-braces: the top-25 line is ~700 chars by construction; if a
+    // pathological run ever pushed it past the capture budget, fall back to
+    // totals only rather than emit a clippable line.
+    println(if (line.length < 1900)
+      line
+    else
+      s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","sf":"$sfName","n_queries":${names.size},"queries":{}}""")
     spark.stop()
   }
 }

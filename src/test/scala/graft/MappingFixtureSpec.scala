@@ -163,6 +163,28 @@ class MappingFixtureSpec extends SparkTestBase {
     assert(rows(0).getAs[String]("geom").startsWith("POLYGON"))
   }
 
+  test("geography: JTS-computed goldens over the envelopes fixture (m4 geom cross-check)") {
+    // m4_geography's geom column has no DuckDB-spatial oracle offline; this
+    // pins the WKT output through an independent JTS read-back instead:
+    // per-row polygon areas/point-counts and the 4-envelope union's
+    // area/centroid. The envelopes are concentric (union area == largest
+    // row's area) — a semantic cross-check, not just a string compare.
+    val rows = run(new GenericGeography("topic"), "driftworker-envelopes.json")
+    val rdr = new org.locationtech.jts.io.WKTReader()
+    val geoms = rows.map(r => rdr.read(r.getAs[String]("geom")))
+    assert(geoms.map(_.getNumPoints).toSeq == Seq(17, 23, 21, 16))
+    val wantAreas = Seq(0.0020895, 0.004088, 0.005121, 0.0059395)
+    geoms.map(_.getArea).zip(wantAreas).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-9, s"area $got != $want")
+    }
+    val union = geoms.reduce(_.union(_))
+    assert(math.abs(union.getArea - 0.0059395) < 1e-9, s"union area ${union.getArea}")
+    assert(math.abs(union.getCentroid.getX - 242.47193287874956) < 1e-9)
+    assert(math.abs(union.getCentroid.getY - 32.374193366444985) < 1e-9)
+    // concentric: the union collapses to the largest envelope's ring count
+    assert(union.getNumPoints == 16)
+  }
+
   test("sofar: NwicFloatReportsSofar goldens") {
     val rows = run(new NwicFloatReportsSofar("sofar.data"), "sofar.json")
     assert(rows.length == 146)
