@@ -79,6 +79,54 @@ object Relational {
           expr("percentile(l_linenumber, 0.25)").as("q1_line"))
         .orderBy(col("l_returnflag"))
     },
+    // q7's SCALE TWIN (r7, same playbook as q55_scale): Spark's exact
+    // `percentile` buffers a value→count map PER AGGREGATION BUFFER and
+    // merges those maps up a 3-reducer tree — at sf1 it is the #3 fact
+    // hotspot (5.4 s) and at 100 TB the per-buffer maps and their merges
+    // are the wall. This computes the SAME doubles from a domain-bound
+    // counts table: one groupBy(flag, value) shuffle (map-side combined,
+    // result ≤ |domain|·|flags| rows regardless of n), a cumulative-rank
+    // window over that tiny table, then order statistics by rank lookup.
+    // The interpolation replicates Percentile.getPercentile arithmetic
+    // EXACTLY — pos = q·(n−1); (ceil−pos)·v_lo + (pos−floor)·v_hi, same
+    // double operation order — so the twin hash-matches q7 (and its
+    // DuckDB quantile_cont oracle) bit-for-bit. Shuffles carry counts,
+    // never raw values; reducer memory is domain-bound, not n-bound.
+    "q7_scale" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+      def exactPct(valueCol: String, quantiles: Seq[(String, Double)]): DataFrame = {
+        val counts = li.groupBy(col("l_returnflag"), col(valueCol).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val ordered = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        val byFlag = Window.partitionBy(col("l_returnflag"))
+        val ranked = counts
+          .withColumn("cum", sum(col("c")).over(ordered))
+          .withColumn("n", sum(col("c")).over(byFlag))
+        // Row covers sorted 0-based ranks [cum−c, cum−1]; the value at rank
+        // r is min(v | cum > r). floor/ceil of a double are LONG in Spark,
+        // so the rank probes stay integer comparisons against cum.
+        val aggs = quantiles.flatMap { case (name, q) =>
+          val pos = lit(q) * (col("n") - 1).cast("double")
+          Seq(
+            min(when(col("cum") > floor(pos), col("v"))).cast("double").as(s"${name}_lo"),
+            min(when(col("cum") > ceil(pos), col("v"))).cast("double").as(s"${name}_hi"))
+        }
+        val allAggs = first(col("n")).as("n") +: aggs
+        val agged = ranked.groupBy(col("l_returnflag"))
+          .agg(allAggs.head, allAggs.tail: _*)
+        quantiles.foldLeft(agged) { case (df, (name, q)) =>
+          val pos = lit(q) * (col("n") - 1).cast("double")
+          df.withColumn(name,
+            when(floor(pos) === ceil(pos), col(s"${name}_lo"))
+              .otherwise((ceil(pos).cast("double") - pos) * col(s"${name}_lo") +
+                (pos - floor(pos).cast("double")) * col(s"${name}_hi")))
+        }.select(col("l_returnflag") +: quantiles.map(q => col(q._1)): _*)
+      }
+      exactPct("l_partkey", Seq("p50" -> 0.5, "p90" -> 0.9))
+        .join(exactPct("l_linenumber", Seq("q1_line" -> 0.25)), "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    },
     // Moment statistics computed from exact decimal sums (rather than the
     // engines' internal Welford paths, which differ in fp rounding):
     // mean, sample variance, stddev — bit-reproducible on both engines.
@@ -710,6 +758,14 @@ object Relational {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "q7_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_partkey, 0.5) AS p50,
+        |  quantile_cont(l_partkey, 0.9) AS p90,
+        |  quantile_cont(l_linenumber, 0.25) AS q1_line
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The scale twin's oracle IS q7's: the rank-lookup path must reproduce
+    // the buffered-percentile doubles exactly.
+    "q7_scale" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_partkey, 0.5) AS p50,
         |  quantile_cont(l_partkey, 0.9) AS p90,

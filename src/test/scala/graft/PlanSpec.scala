@@ -473,6 +473,15 @@ class PlanSpec extends SparkTestBase {
       "band membership must ride the equi-join on (status, bucket), not a theta join")
   }
 
+  test("q7_scale: no buffered percentile aggregate, counts map-side combine") {
+    val plan = planOf("q7_scale")
+    assert(!plan.toLowerCase.contains("percentile"),
+      "the scale twin must not fall back to the value-buffering percentile aggregate")
+    assert(!plan.contains("ObjectHashAggregate"),
+      "order statistics must ride hash aggregates over the counts table, not object buffers")
+    assert(plan.contains("partial_count"), "the (flag, value) counts must map-side combine")
+  }
+
   test("q56 tpch5: dims broadcast, date filter pushed into the orders scan") {
     val plan = planOf("q56_tpch5")
     // nation/region/supplier/customer must all ride broadcast joins; only

@@ -23,6 +23,15 @@ class QueriesSpec extends SparkTestBase {
     twin.zip(frame).foreach { case (t, f) => assert(t == f, s"twin $t != frame $f") }
   }
 
+  // The rank-lookup percentile twin must reproduce the buffered-percentile
+  // doubles bit-for-bit (same interpolation arithmetic, same inputs).
+  test("q7_scale equals q7_percentiles exactly") {
+    val buffered = SparkEntry.queries("q7_percentiles")(spark, sf).collect()
+    val twin = SparkEntry.queries("q7_scale")(spark, sf).collect()
+    assert(twin.length == buffered.length)
+    twin.zip(buffered).foreach { case (t, f) => assert(t == f, s"twin $t != buffered $f") }
+  }
+
   test("q55_scale rejects a sub-cent or fractional-cent band") {
     spark.conf.set("spark.graft.q55.band", "0.001")
     try intercept[IllegalArgumentException](SparkEntry.queries("q55_scale")(spark, sf))
