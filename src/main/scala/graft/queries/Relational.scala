@@ -532,13 +532,24 @@ object Relational {
       // the double frame bound. Fail fast.
       require(bandCents > 0 && math.abs(band * 100 - bandCents) < 1e-6,
         s"spark.graft.q55.band must be a positive whole-cent amount, got $band")
-      val k = s.conf.get("spark.graft.q55.k", "10").toInt
-      require(k > 0, s"spark.graft.q55.k must be positive, got $k")
-      // Width must divide the band so b0 = bp − K is exact; clamp K to the
-      // band's cent count (width ≥ 1 cent).
-      val widthCents = math.max(1L, bandCents / k)
-      require(bandCents % widthCents == 0,
-        s"spark.graft.q55.k=$k does not divide the $bandCents-cent band evenly")
+      // Bucket width: the BENCHNOTES r7 sweep measured width ≈ $10 optimal
+      // at both bands and both SFs on this domain (edge pair work ∝ width;
+      // prefix-table size ∝ 1/width and stays a trivial broadcast until
+      // far below that), so the default targets $10 — snapped DOWN to the
+      // nearest divisor of the band so b0 = bp − K stays exact. Setting
+      // spark.graft.q55.k overrides (width = band/K) for experiments.
+      val widthCents = s.conf.getOption("spark.graft.q55.k") match {
+        case Some(k) =>
+          require(k.toInt > 0, s"spark.graft.q55.k must be positive, got $k")
+          val wc = math.max(1L, bandCents / k.toInt)
+          require(bandCents % wc == 0,
+            s"spark.graft.q55.k=$k does not divide the $bandCents-cent band evenly")
+          wc
+        case None =>
+          var wc = math.min(bandCents, 1000L)
+          while (bandCents % wc != 0) wc -= 1
+          wc
+      }
       val kk = bandCents / widthCents
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
