@@ -32,6 +32,21 @@ class QueriesSpec extends SparkTestBase {
     twin.zip(buffered).foreach { case (t, f) => assert(t == f, s"twin $t != buffered $f") }
   }
 
+  // Property pin across band widths: exercises the default width's
+  // divisor snapping ($0.37 -> width 37 cents, K=1: zero full buckets,
+  // everything rides the edge join) through mid ($2.50) and wide ($250,
+  // K=25) bands. The twin must match the frame at every width.
+  for (band <- Seq("0.37", "2.50", "250.00"))
+    test(s"q55_scale equals the frame at band $$${band}") {
+      spark.conf.set("spark.graft.q55.band", band)
+      try {
+        val frame = SparkEntry.queries("q55_num_range_frame")(spark, sf).collect()
+        val twin = SparkEntry.queries("q55_scale")(spark, sf).collect()
+        assert(twin.length == frame.length && twin.nonEmpty)
+        twin.zip(frame).foreach { case (t, f) => assert(t == f, s"band $band: $t != $f") }
+      } finally spark.conf.unset("spark.graft.q55.band")
+    }
+
   test("q55_scale rejects a sub-cent or fractional-cent band") {
     spark.conf.set("spark.graft.q55.band", "0.001")
     try intercept[IllegalArgumentException](SparkEntry.queries("q55_scale")(spark, sf))
