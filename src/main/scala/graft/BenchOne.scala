@@ -30,8 +30,12 @@ object BenchOne {
       .map(p => new java.io.File(p, "sf0.001"))
       .filter(_.isDirectory).map(_.getPath).getOrElse(sfDir)
     args.foreach(n => force(n, warmDir))
+    // SPARK_GRAFT_PASSES trims the timed passes (default 2) for very
+    // long single-query runs (e.g. the q55 frame at sf10) — the pass
+    // count is printed, so a 1-pass number is self-describing.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     args.foreach { n =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to nPasses).map { _ =>
         val t0 = System.nanoTime(); force(n, sfDir); (System.nanoTime() - t0) / 1e9
       }
       println(f"[benchone] $n: ${times.min}%.2f s (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")

@@ -65,6 +65,10 @@ object GenData {
   }
 
   def gen(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    // events.parquet carries TIMESTAMP(NANOS); read it as BIGINT nanos
+    // everywhere in here (stride probe + replication) — Tables.events
+    // makes the same choice.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String, files: Int): Unit = {
       df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -73,29 +77,38 @@ object GenData {
 
     // Broadcast copy index: one source scan feeds all `factor` copies.
     val copies = broadcast(spark.range(factor).withColumnRenamed("id", "cp"))
+    // Per-ENTITY key strides (max key + 1), computed from the source so
+    // generations chain (sf0.1 → sf1 → sf10): a key and every foreign key
+    // referencing it must shift by the same stride or FK closure breaks.
+    def stride(t: String, k: String): Long =
+      read(t).agg(max(col(k))).head.getLong(0) + 1
+    val custS = stride("customer", "c_custkey")
+    val suppS = stride("supplier", "s_suppkey")
+    val partS = stride("part", "p_partkey")
+    val ordS = stride("orders", "o_orderkey")
+    val evS = stride("events", "event_id")
+    val userS = stride("events", "user_id")
     def replicate(t: String, shifts: Map[String, Long], extra: DataFrame => DataFrame = identity) = {
       val base = read(t)
-      val shifted = shifts.foldLeft(base.crossJoin(copies)) { case (df, (k, stride)) =>
-        df.withColumn(k, col(k) + col("cp") * stride)
+      val shifted = shifts.foldLeft(base.crossJoin(copies)) { case (df, (k, st)) =>
+        df.withColumn(k, col(k) + col("cp") * st)
       }
       extra(shifted).select(base.columns.map(col).toIndexedSeq: _*)
     }
 
     write(read("region"), "region", 1)
     write(read("nation"), "nation", 1)
-    write(replicate("customer", Map("c_custkey" -> 15000L),
+    write(replicate("customer", Map("c_custkey" -> custS),
       _.withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))), "customer", 4)
-    write(replicate("supplier", Map("s_suppkey" -> 1000L),
+    write(replicate("supplier", Map("s_suppkey" -> suppS),
       _.withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))), "supplier", 1)
-    write(replicate("part", Map("p_partkey" -> 20000L)), "part", 4)
-    write(replicate("orders", Map("o_orderkey" -> 150000L, "o_custkey" -> 15000L)), "orders", 32)
+    write(replicate("part", Map("p_partkey" -> partS)), "part", 4)
+    write(replicate("orders", Map("o_orderkey" -> ordS, "o_custkey" -> custS)), "orders", 32)
     write(replicate("lineitem",
-      Map("l_orderkey" -> 150000L, "l_partkey" -> 20000L, "l_suppkey" -> 1000L)), "lineitem", 32)
-    // events.ts is BIGINT nanoseconds under nanosAsLong (Tables.events
-    // divides to µs) — keep that layout; +copy µs keeps event identity
-    // unique without crossing any second-level window boundary.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    write(replicate("events", Map("event_id" -> 100000L, "user_id" -> 1500L),
+      Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)), "lineitem", 32)
+    // events.ts stays BIGINT nanoseconds (layout set above); +copy µs
+    // keeps event identity unique without moving any window boundary.
+    write(replicate("events", Map("event_id" -> evS, "user_id" -> userS),
       _.withColumn("ts", col("ts") + col("cp") * 1000L)), "events", 32)
 
     // --- documents: fresh corpus at the measured recipe -------------------
