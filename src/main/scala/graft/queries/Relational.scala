@@ -81,12 +81,14 @@ object Relational {
     },
     // q7's SCALE TWIN (r7, same playbook as q55_scale): Spark's exact
     // `percentile` buffers a value→count map PER AGGREGATION BUFFER and
-    // merges those maps up a 3-reducer tree — at sf1 it is the #3 fact
-    // hotspot (5.4 s) and at 100 TB the per-buffer maps and their merges
-    // are the wall. This computes the SAME doubles from a domain-bound
-    // counts table: one groupBy(flag, value) shuffle (map-side combined,
-    // result ≤ |domain|·|flags| rows regardless of n), a cumulative-rank
-    // window over that tiny table, then order statistics by rank lookup.
+    // merges those maps up a 3-reducer tree — measured: the #3 fact
+    // hotspot at sf1 (4.4 s) and an OutOfMemoryError at sf10's 60M rows,
+    // while this twin finishes in 19 s. It computes the SAME doubles from
+    // a domain-bound counts table: one groupBy(flag, value) shuffle
+    // (map-side combined, result ≤ |domain|·|flags| rows regardless of n),
+    // a TWO-LEVEL cumulative-rank prefix over that table (see inside —
+    // no |flags|-partition window anywhere), then order statistics by
+    // rank lookup.
     // The interpolation replicates Percentile.getPercentile arithmetic
     // EXACTLY — pos = q·(n−1); (ceil−pos)·v_lo + (pos−floor)·v_hi, same
     // double operation order — so the twin hash-matches q7 (and its
@@ -96,13 +98,32 @@ object Relational {
       import org.apache.spark.sql.expressions.Window
       val li = Tables.lineitem(s, d)
       def exactPct(valueCol: String, quantiles: Seq[(String, Double)]): DataFrame = {
+        // TWO-LEVEL prefix (q55's lesson applied to its own machinery): a
+        // plain partitionBy(flag) running total would serialize the counts
+        // table over |flags| partitions — at sf10 that is a 3-reducer
+        // window over 6M rows, the exact wall the twin exists to remove.
+        // Instead: coarse 64Ki-value buckets get an exclusive prefix on a
+        // (domain/65536 · flags)-row table (tiny forever), broadcast back;
+        // the fine running total partitions by (flag, coarse) — thousands
+        // of independent partitions. cum = coarse base + fine cum, exact
+        // integer addition.
         val counts = li.groupBy(col("l_returnflag"), col(valueCol).as("v"))
           .agg(count(lit(1)).as("c"))
-        val ordered = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-        val byFlag = Window.partitionBy(col("l_returnflag"))
+          .withColumn("cg", expr("v div 65536"))
+          .localCheckpoint(true) // two consumers; don't re-run the corpus agg
+        val cgTot = counts.groupBy(col("l_returnflag").as("t_flag"), col("cg").as("t_cg"))
+          .agg(sum(col("c")).as("cgc"))
+        val wCoarse = Window.partitionBy(col("t_flag")).orderBy(col("t_cg"))
+        val cgPref = cgTot.select(col("t_flag"), col("t_cg"),
+          (sum(col("cgc")).over(wCoarse) - col("cgc")).as("base"))
+        val nTot = cgTot.groupBy(col("t_flag").as("n_flag")).agg(sum(col("cgc")).as("n"))
+        val fine = Window.partitionBy(col("l_returnflag"), col("cg")).orderBy(col("v"))
         val ranked = counts
-          .withColumn("cum", sum(col("c")).over(ordered))
-          .withColumn("n", sum(col("c")).over(byFlag))
+          .withColumn("fine_cum", sum(col("c")).over(fine))
+          .join(broadcast(cgPref),
+            col("l_returnflag") === col("t_flag") && col("cg") === col("t_cg"))
+          .join(broadcast(nTot), col("l_returnflag") === col("n_flag"))
+          .withColumn("cum", col("base") + col("fine_cum"))
         // Row covers sorted 0-based ranks [cum−c, cum−1]; the value at rank
         // r is min(v | cum > r). floor/ceil of a double are LONG in Spark,
         // so the rank probes stay integer comparisons against cum.

@@ -473,13 +473,17 @@ class PlanSpec extends SparkTestBase {
       "band membership must ride the equi-join on (status, bucket), not a theta join")
   }
 
-  test("q7_scale: no buffered percentile aggregate, counts map-side combine") {
+  test("q7_scale: no buffered percentile aggregate, fine prefix partitioned by coarse bucket") {
     val plan = planOf("q7_scale")
     assert(!plan.toLowerCase.contains("percentile"),
       "the scale twin must not fall back to the value-buffering percentile aggregate")
     assert(!plan.contains("ObjectHashAggregate"),
       "order statistics must ride hash aggregates over the counts table, not object buffers")
-    assert(plan.contains("partial_count"), "the (flag, value) counts must map-side combine")
+    // The fine running total must partition by (flag, cg) — a plain
+    // per-flag window would serialize the counts table over |flags|
+    // partitions, the wall the twin exists to remove.
+    assert("windowspecdefinition\\(l_returnflag#\\d+, cg#".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("windowspecdefinition")).take(4).mkString("\n"))
   }
 
   test("q56 tpch5: dims broadcast, date filter pushed into the orders scan") {
