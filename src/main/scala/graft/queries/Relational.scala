@@ -540,11 +540,22 @@ object Relational {
     //      bucketed self-join on (status, bucket) filtered to the exact
     //      [p−band, p] bounds: n·2w̄/K pairs instead of n·w̄.
     // Work: n·(2w̄/K) + n·O(1) + histogram, distributed over every core;
-    // K trades broadcast size (∝K) against edge pair work (∝1/K). All
-    // arithmetic is integer cents and DECIMAL(18,2) sums (order-free), so
-    // the result hash-matches the frame bit-for-bit: b0 = bp − K exactly
-    // because width divides band, and the [p−band, p] membership bounds
-    // compare cents with cents. Oracled with the SAME SQL as q55.
+    // K trades broadcast size (∝K) against edge pair work (∝1/K).
+    // Exactness: bucket arithmetic is integer cents (b0 = bp − K exactly
+    // because width divides band) and sums are DECIMAL(18,2) (order-free).
+    // Band MEMBERSHIP on the edge buckets, however, uses the frame's own
+    // double arithmetic (b_price >= p − band, b_price <= p): the frame and
+    // the DuckDB oracle compare doubles, and a build row sitting exactly at
+    // the cent position of p − band can be excluded by the double test when
+    // nearest(p − band) < nearest(p) − band (e.g. p=$100.01, b=$0.01,
+    // band=$100: p−band rounds to 0.010000000000005116 > 0.01). Cents-based
+    // membership would include such rows and break the hash contract on
+    // denser data. Interior (full) buckets are safe in cents space: every
+    // row there is ≥ 1 whole cent inside [p−band, p] (lower margin
+    // w − (cents mod w) ≥ 1 cent, upper margin ≥ 1 cent), and a ≥ 1-cent
+    // margin dominates both the half-cent rounding of `round(price·100)`
+    // and the sub-nanocent double error of p − band, so double and cents
+    // tests cannot disagree off the edge. Oracled with the SAME SQL as q55.
     "q55_scale" -> { (s, d) =>
       val band = s.conf.get("spark.graft.q55.band", "100.0").toDouble
       val bandCents = math.round(band * 100)
@@ -556,9 +567,13 @@ object Relational {
       // Bucket width: the BENCHNOTES r7 sweep measured width ≈ $10 optimal
       // at both bands and both SFs on this domain (edge pair work ∝ width;
       // prefix-table size ∝ 1/width and stays a trivial broadcast until
-      // far below that), so the default targets $10 — snapped DOWN to the
-      // nearest divisor of the band so b0 = bp − K stays exact. Setting
-      // spark.graft.q55.k overrides (width = band/K) for experiments.
+      // far below that), so the default snaps to the divisor of the band
+      // NEAREST $10 in log space (ties → wider). The band itself is always
+      // a divisor, so a prime-cent band (e.g. $99.73) snaps to K=1 — all
+      // pair work on the edge join, slower but memory-bounded — instead of
+      // walking down to 1-cent buckets and a domain-sized prefix table
+      // (the r7 hazard). Setting spark.graft.q55.k overrides (width =
+      // band/K) for experiments.
       val widthCents = s.conf.getOption("spark.graft.q55.k") match {
         case Some(k) =>
           require(k.toInt > 0, s"spark.graft.q55.k must be positive, got $k")
@@ -567,9 +582,10 @@ object Relational {
             s"spark.graft.q55.k=$k does not divide the $bandCents-cent band evenly")
           wc
         case None =>
-          var wc = math.min(bandCents, 1000L)
-          while (bandCents % wc != 0) wc -= 1
-          wc
+          val divisors = (1L to math.sqrt(bandCents.toDouble).toLong + 1)
+            .filter(bandCents % _ == 0)
+            .flatMap(i => Seq(i, bandCents / i)).distinct
+          divisors.minBy(w => (math.abs(math.log10(w / 1000.0)), -w))
       }
       val kk = bandCents / widthCents
       val base = Tables.orders(s, d)
@@ -587,8 +603,18 @@ object Relational {
       // histogram — its row count is domain/width · statuses, independent
       // of n — so the 3-partition serialization the frame suffers on the
       // FACT table is irrelevant here.
+      // Belt-and-braces memory guard (d6's raise_error idiom): whatever
+      // width was chosen, refuse to densify a prefix table larger than
+      // spark.graft.q55.maxPrefixRows per status — fail fast with the fix
+      // spelled out rather than OOM a broadcast at scale.
+      val maxPrefix = s.conf.get("spark.graft.q55.maxPrefixRows", "2000000").toLong
       val span = hist.groupBy(col("h_status"))
         .agg(min(col("h_bkt")).as("lo"), max(col("h_bkt")).as("hi"))
+        .filter(when(col("hi") - col("lo") + lit(kk + 1) > maxPrefix,
+          raise_error(format_string(
+            "q55_scale: status %s needs %s prefix rows > spark.graft.q55.maxPrefixRows=%s; " +
+              "use wider buckets (smaller spark.graft.q55.k), raise the cap, or run q55_num_range_frame",
+            col("h_status"), col("hi") - col("lo") + lit(kk + 1), lit(maxPrefix)))).isNull)
         .select(col("h_status").as("p_status"),
           explode(expr(s"sequence(lo - $kk, hi)")).as("p_bkt"))
       val w = org.apache.spark.sql.expressions.Window
@@ -606,11 +632,13 @@ object Relational {
       val probe = base.withColumn("e_bkt",
         explode(array(col("bkt") - kk, col("bkt")))).drop("bkt")
       val build = base.select(col("o_orderstatus").as("b_status"),
-        col("bkt").as("b_bkt"), col("cents").as("b_cents"),
-        col("o_totalprice").as("b_price"))
+        col("bkt").as("b_bkt"), col("o_totalprice").as("b_price"))
+      // Membership is the frame's arithmetic verbatim — see the exactness
+      // note above; cents only route rows to buckets, never decide bounds.
       val edges = probe.join(build.hint("shuffle_hash"),
           col("o_orderstatus") === col("b_status") && col("e_bkt") === col("b_bkt") &&
-            col("b_cents") >= col("cents") - lit(bandCents) && col("b_cents") <= col("cents"))
+            col("b_price") >= col("o_totalprice") - lit(band) &&
+            col("b_price") <= col("o_totalprice"))
         .groupBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"))
         .agg(count(lit(1)).as("e_cnt"),
           sum(col("b_price").cast("decimal(18,2)")).as("e_sum"))
@@ -623,8 +651,12 @@ object Relational {
       edges
         .join(broadcast(hi), col("o_orderstatus") === col("hi_status") &&
           expr(s"cents div $widthCents - 1") === col("hi_bkt"), "left")
+        // lo bucket is bp − K derived from the SAME non-negative division
+        // as bp: `(cents - bandCents) div width` would truncate toward zero
+        // when a price sits below the band (cents < bandCents), landing one
+        // bucket high — `div` is not floor division for negatives.
         .join(broadcast(lo), col("o_orderstatus") === col("lo_status") &&
-          expr(s"(cents - $bandCents) div $widthCents") === col("lo_bkt"), "left")
+          expr(s"cents div $widthCents - $kk") === col("lo_bkt"), "left")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           (col("e_cnt") + coalesce(col("hi_cnt"), lit(0L)) - coalesce(col("lo_cnt"), lit(0L)))
             .as("n_band"),
@@ -970,9 +1002,9 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
         |  RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
-    // The scale twin computes the identical band with a bucketed self-join
-    // instead of a frame, so its oracle IS q55's frame SQL: any divergence
-    // between the two evaluation strategies is a wrong answer.
+    // The scale twin computes the identical band with a histogram prefix +
+    // edge join instead of a frame, so its oracle IS q55's frame SQL: any
+    // divergence between the two evaluation strategies is a wrong answer.
     "q55_scale" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  count(*) OVER w AS n_band,

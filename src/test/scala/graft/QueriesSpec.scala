@@ -47,10 +47,63 @@ class QueriesSpec extends SparkTestBase {
       } finally spark.conf.unset("spark.graft.q55.band")
     }
 
+  // Adversarial arithmetic pin (r8, ADVICE item): a build row sitting at
+  // exactly the cent position of p − band, where nearest(p − band) is
+  // strictly greater than b's double — the frame (and the DuckDB oracle)
+  // EXCLUDE b=$0.01 from p=$100.01's $100 band because 100.01 − 100.0
+  // rounds to 0.010000000000005116 > 0.01, while integer-cents membership
+  // (1 ≥ 10001 − 10000) would include it. The shipped sf corpora happen to
+  // contain no such pair; this pin is what keeps the twin's edge join on
+  // the frame's own double arithmetic for denser, independently drawn data.
+  test("q55_scale matches the frame on a boundary-adversarial corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("q55adv").toString
+    import spark.implicits._
+    Seq(0.01, 0.02, 30.33, 50.0, 99.99, 100.0, 100.01, 100.02, 150.01, 200.01)
+      .zipWithIndex.map { case (p, i) => (i.toLong, "O", p) }
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val frame = SparkEntry.queries("q55_num_range_frame")(spark, dir).collect()
+    val twin = SparkEntry.queries("q55_scale")(spark, dir).collect()
+    // Sanity that the corpus really exercises the divergence: the frame's
+    // band for p=$100.01 holds 6 rows (0.02, 30.33, 50.0, 99.99, 100.0,
+    // 100.01) — NOT the cent-grid 7th row at $0.01.
+    val probe = frame.find(_.getDouble(2) == 100.01).get
+    assert(probe.getLong(3) == 6L, s"frame n_band for $$100.01: $probe")
+    assert(twin.length == frame.length)
+    twin.zip(frame).foreach { case (t, f) => assert(t == f, s"adv: $t != $f") }
+  }
+
   test("q55_scale rejects a sub-cent or fractional-cent band") {
     spark.conf.set("spark.graft.q55.band", "0.001")
     try intercept[IllegalArgumentException](SparkEntry.queries("q55_scale")(spark, sf))
     finally spark.conf.unset("spark.graft.q55.band")
+  }
+
+  // A prime-cent band ($99.73 = 9973 cents) has no divisor near $10; the r7
+  // snapping walked down to 1-cent buckets — a domain-sized prefix table.
+  // The r8 snap picks the band itself (K=1: all pair work on the edge join,
+  // memory-bounded) and must still match the frame exactly.
+  test("q55_scale handles a prime-cent band via K=1, matching the frame") {
+    spark.conf.set("spark.graft.q55.band", "99.73")
+    try {
+      val frame = SparkEntry.queries("q55_num_range_frame")(spark, sf).collect()
+      val twin = SparkEntry.queries("q55_scale")(spark, sf).collect()
+      assert(twin.length == frame.length && twin.nonEmpty)
+      twin.zip(frame).foreach { case (t, f) => assert(t == f, s"prime band: $t != $f") }
+    } finally spark.conf.unset("spark.graft.q55.band")
+  }
+
+  // The densify guard must fail fast with an actionable message rather than
+  // broadcast an over-cap prefix table.
+  test("q55_scale refuses an over-cap prefix table with an actionable error") {
+    spark.conf.set("spark.graft.q55.maxPrefixRows", "10")
+    try {
+      val e = intercept[Exception](
+        SparkEntry.queries("q55_scale")(spark, sf).collect())
+      def msgs(t: Throwable): List[String] =
+        if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("maxPrefixRows")), e.toString)
+    } finally spark.conf.unset("spark.graft.q55.maxPrefixRows")
   }
 
   // Queries allowed to be empty at the tiny sf0.001 scale (threshold-based
