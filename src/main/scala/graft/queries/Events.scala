@@ -398,14 +398,70 @@ object Events {
     // corr()-of-doubles formulation would drift by summation order. The two
     // rank windows use different sort keys but the SAME event_type hash
     // partitioning: one shuffle, two in-partition sorts. At 100 TB the
-    // per-key sort is the cost; for few huge keys the standard fix is a
-    // two-pass distributed rank (sortWithinPartitions + partition offsets).
+    // per-key sort is the cost — event_type has FIXED cardinality 10, so
+    // this is the q55/q7 low-cardinality window wall; the scale path is
+    // the two-pass distributed rank implemented as e22_scale below.
     "e22_spearman" -> { (s, d) =>
       val byVal = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
       val byTs  = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
         .withColumn("rv", row_number().over(byVal).cast("bigint"))
         .withColumn("rt", row_number().over(byTs).cast("bigint"))
+        .withColumn("d2", (col("rv") - col("rt")) * (col("rv") - col("rt")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("s_d2"))
+        .withColumn("rho",
+          (col("n") * (col("n") * col("n") - 1) - lit(6L) * col("s_d2")).cast("double") /
+            (col("n") * (col("n") * col("n") - 1)).cast("double"))
+        .orderBy(col("event_type"))
+    },
+    // e22's SCALE TWIN (r8 — q7_scale's two-level playbook applied to
+    // per-ROW ranks): e22's two row_number windows partition the FULL
+    // events fact by event_type — cardinality 10, FIXED, independent of
+    // data size — so at 100 TB ten reducers each sort n/10 rows and
+    // wall-clock is ∝ n regardless of cluster width. The twin computes the
+    // SAME ranks as a two-pass distributed rank per sort dimension:
+    //   (1) coarse MONOTONE buckets of the primary sort key — unit-value
+    //       buckets for `value`, hours for `ts` (widths via
+    //       spark.graft.e22.{vwidth,thours}); equal keys share a bucket,
+    //       so cross-bucket order is total and ties resolve inside one
+    //       fine partition exactly as e22's (key, event_id) sort does;
+    //   (2) a groupBy(type, bucket) count — map-side combined, result
+    //       |types|·|buckets| rows — with an exclusive running prefix over
+    //       that TINY table (the only Windows partitioned by bare type run
+    //       here, on domain-bound rows, never on the fact);
+    //   (3) fine row_number partitioned by (type, bucket) — thousands of
+    //       independent partitions — plus the broadcast base:
+    //       rank = base + row_number, exact integers.
+    // Σd² and the single IEEE division are e22's expressions verbatim, so
+    // the twin hash-matches e22 and its DuckDB oracle bit-for-bit
+    // (QueriesSpec pins row equality; PlanSpec pins the partition keys).
+    "e22_scale" -> { (s, d) =>
+      val vwidth = s.conf.get("spark.graft.e22.vwidth", "1.0").toDouble
+      val thours = s.conf.get("spark.graft.e22.thours", "1").toLong
+      require(vwidth > 0 && thours > 0,
+        s"spark.graft.e22.vwidth/thours must be positive, got $vwidth/$thours")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("gv", floor(col("value") / lit(vwidth)).cast("bigint"))
+        .withColumn("gt", expr(s"unix_micros(ts) div ${thours * 3600000000L}"))
+      def prefix(bucket: String, tag: String): DataFrame = {
+        val w = Window.partitionBy(col(s"${tag}_ty")).orderBy(col(s"${tag}_g"))
+        ev.groupBy(col("event_type").as(s"${tag}_ty"), col(bucket).as(s"${tag}_g"))
+          .agg(count(lit(1)).as("c"))
+          .select(col(s"${tag}_ty"), col(s"${tag}_g"),
+            (sum(col("c")).over(w) - col("c")).as(s"${tag}_base"))
+      }
+      val fineV = Window.partitionBy(col("event_type"), col("gv"))
+        .orderBy(col("value"), col("event_id"))
+      val fineT = Window.partitionBy(col("event_type"), col("gt"))
+        .orderBy(col("ts"), col("event_id"))
+      ev.join(broadcast(prefix("gv", "v")),
+          col("event_type") === col("v_ty") && col("gv") === col("v_g"))
+        .withColumn("rv", (col("v_base") + row_number().over(fineV)).cast("bigint"))
+        .join(broadcast(prefix("gt", "t")),
+          col("event_type") === col("t_ty") && col("gt") === col("t_g"))
+        .withColumn("rt", (col("t_base") + row_number().over(fineT)).cast("bigint"))
         .withColumn("d2", (col("rv") - col("rt")) * (col("rv") - col("rt")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("d2")).as("s_d2"))
@@ -518,6 +574,22 @@ object Events {
         .orderBy(col("type_a"), col("type_b"))
     }
   )
+
+  // Shared by e22_spearman and its rank-twin e22_scale: both must produce
+  // these rows bit-for-bit.
+  private val e22Sql =
+    """WITH r AS (
+      |  SELECT event_type,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rv,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS rt
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS s_d2
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n, s_d2,
+      |  CAST(n * (n * n - 1) - 6 * s_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS rho
+      |FROM a ORDER BY event_type""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "e1_tumbling_window" ->
@@ -760,19 +832,11 @@ object Events {
         |  FROM agg)
         |SELECT user_id, n_runs, len AS longest, event_type AS top_type
         |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "e22_spearman" ->
-      """WITH r AS (
-        |  SELECT event_type,
-        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rv,
-        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS rt
-        |  FROM events),
-        |a AS (
-        |  SELECT event_type, count(*) AS n,
-        |    CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS s_d2
-        |  FROM r GROUP BY 1)
-        |SELECT event_type, n, s_d2,
-        |  CAST(n * (n * n - 1) - 6 * s_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS rho
-        |FROM a ORDER BY event_type""".stripMargin,
+    "e22_spearman" -> e22Sql,
+    // The scale twin computes identical ranks without a full-fact
+    // per-type window, so its oracle IS e22's SQL: any divergence between
+    // the two rank strategies is a wrong answer.
+    "e22_scale" -> e22Sql,
     "e23_transitions" ->
       """WITH t AS (
         |  SELECT user_id, event_type,

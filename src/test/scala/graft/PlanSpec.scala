@@ -486,6 +486,21 @@ class PlanSpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("windowspecdefinition")).take(4).mkString("\n"))
   }
 
+  test("e22_scale: fine ranks partitioned by (type, bucket), never bare event_type on the fact") {
+    val plan = planOf("e22_scale")
+    // A windowspecdefinition whose partition list is event_type alone and
+    // whose first ORDER key is the raw sort column is e22's full-fact
+    // window — the 10-fixed-partition wall the twin exists to remove. The
+    // fine windows must carry the coarse bucket in the partition list.
+    assert("windowspecdefinition\\(event_type#\\d+, (value|ts)#\\d+".r.findFirstIn(plan).isEmpty,
+      plan.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+    assert("windowspecdefinition\\(event_type#\\d+, gv#".r.findFirstIn(plan).isDefined &&
+      "windowspecdefinition\\(event_type#\\d+, gt#".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+    // Both coarse prefix tables ride broadcasts back onto the fact.
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 2, plan.take(3000))
+  }
+
   test("q56 tpch5: dims broadcast, date filter pushed into the orders scan") {
     val plan = planOf("q56_tpch5")
     // nation/region/supplier/customer must all ride broadcast joins; only

@@ -47,6 +47,32 @@ class QueriesSpec extends SparkTestBase {
       } finally spark.conf.unset("spark.graft.q55.band")
     }
 
+  // The distributed-rank twin must reproduce e22's full-fact window ranks
+  // exactly — same Σd², same single-division rho doubles bit-for-bit.
+  test("e22_scale equals e22_spearman exactly") {
+    val window = SparkEntry.queries("e22_spearman")(spark, sf).collect()
+    val twin = SparkEntry.queries("e22_scale")(spark, sf).collect()
+    assert(twin.length == window.length && twin.nonEmpty)
+    twin.zip(window).foreach { case (t, f) => assert(t == f, s"twin $t != window $f") }
+  }
+
+  // Bucket widths must not change the answer (rank two-level decomposition
+  // is exact for any positive width): pin a coarse and a fine setting.
+  for ((vw, th) <- Seq(("0.25", "6"), ("50.0", "720")))
+    test(s"e22_scale equals e22_spearman at vwidth=$vw thours=$th") {
+      spark.conf.set("spark.graft.e22.vwidth", vw)
+      spark.conf.set("spark.graft.e22.thours", th)
+      try {
+        val window = SparkEntry.queries("e22_spearman")(spark, sf).collect()
+        val twin = SparkEntry.queries("e22_scale")(spark, sf).collect()
+        assert(twin.length == window.length && twin.nonEmpty)
+        twin.zip(window).foreach { case (t, f) => assert(t == f, s"($vw,$th): $t != $f") }
+      } finally {
+        spark.conf.unset("spark.graft.e22.vwidth")
+        spark.conf.unset("spark.graft.e22.thours")
+      }
+    }
+
   // Adversarial arithmetic pin (r8, ADVICE item): a build row sitting at
   // exactly the cent position of p − band, where nearest(p − band) is
   // strictly greater than b's double — the frame (and the DuckDB oracle)
