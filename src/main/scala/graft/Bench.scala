@@ -38,7 +38,15 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_SKIP: comma-separated query names to exclude, for runs
+    // where a query is KNOWN to sink the shared JVM (q7_percentiles
+    // OOMs the whole suite at sf10 — BENCHNOTES r7; its scale twin
+    // q7_scale still runs). Never silent: every skip is printed and the
+    // round artifact must name it.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    skip.foreach(n => System.err.println(s"[bench] SKIPPED by SPARK_GRAFT_SKIP: $n"))
+    val names = (SparkEntry.queries.keys.toSet -- skip).toSeq.sorted
     // Warm-up: JVM + codegen + parquet footers (smallest SF keeps it cheap),
     // plus one untimed scan of each bench-SF table so the first timed query
     // doesn't absorb the file-system cold read.
@@ -92,9 +100,20 @@ object Bench {
     // runs (scaling studies) get their own suffixed file so they never
     // clobber the sf0.1 record the round artifacts reference.
     val localName = if (sfName == "sf0.1") "BENCH_LOCAL.json" else s"BENCH_LOCAL_$sfName.json"
-    try java.nio.file.Files.write(java.nio.file.Paths.get(localName),
-      (passesLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] $localName write failed: $e") }
+    // Resolve against the repo root (where build.sbt lives) rather than the
+    // bare cwd, so a bench launched from elsewhere doesn't silently drop
+    // the canonical record in a stray directory; log the absolute path
+    // either way (to stderr — stdout's tail is the harness's parse zone).
+    val repoRoot = Iterator.iterate(new java.io.File(".").getAbsoluteFile.getParentFile)(_.getParentFile)
+      .takeWhile(_ != null).take(8)
+      .find(d => new java.io.File(d, "build.sbt").isFile)
+      .getOrElse(new java.io.File("."))
+    val localPath = new java.io.File(repoRoot, localName).getAbsoluteFile.toPath
+    try {
+      java.nio.file.Files.write(localPath,
+        (passesLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote $localPath")
+    } catch { case e: Throwable => System.err.println(s"[bench] $localPath write failed: $e") }
 
     // Contract line LAST — it must fit WHOLE inside the harness's
     // 2000-char tail capture (minus sbt's trailing "[success] Total

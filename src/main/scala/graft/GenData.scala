@@ -147,7 +147,12 @@ object GenData {
     // --- embeddings: fresh isotropic unit vectors -------------------------
     // Source scales ×4 per decade (500 → 2000); Box–Muller over two
     // xxhash64 uniforms gives the same gaussian-then-normalize shape.
-    val nVecs = read("embeddings").count() * 4
+    // The ×4-per-decade law generalizes to any factor as 4^log10(factor)
+    // (r8 ADVICE fix: a hard ×4 only matched factor=10 — a factor-2 run
+    // silently produced a ×4 corpus and chained non-decade generations
+    // drifted from the documented curve).
+    val nVecs = math.round(
+      read("embeddings").count() * math.pow(4.0, math.log10(factor.toDouble)))
     val gauss = (tag: String) => expr(
       s"""transform(sequence(0, 63), i ->
          |  sqrt(-2.0 * ln((pmod(xxhash64('u1$tag', vec_id, i), 1000000000) + 0.5) / 1000000000.0))

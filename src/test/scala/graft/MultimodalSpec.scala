@@ -28,13 +28,22 @@ class MultimodalSpec extends SparkTestBase {
   test("reference JPEG fixtures decode to pinned width/height/pixel-sum goldens") {
     val imgs = fixtureImages()
     assert(imgs.length == 3, s"expected 3 data-URI images, found ${imgs.length}")
-    // Goldens computed with this JDK's ImageIO (the decoder under test).
+    // Goldens computed with JDK 17's ImageIO (the decoder under test).
+    // Dimensions are bit-specified by the JPEG header and pinned exactly;
+    // pixel sums are NOT bit-specified (the IDCT is implementation-defined
+    // within IEEE 1180 tolerances), so a JDK/ImageIO update may legitimately
+    // shift each pixel by a count or two — compare within |Δ| ≤ n_px so the
+    // pin survives a decoder upgrade while still catching real codec bugs
+    // (a channel swap, stride error, or resize regression shifts sums by
+    // orders of magnitude more than 1/pixel).
     val golden = Seq((50, 50, 1252974L), (50, 50, 982209L), (100, 100, 1925940L))
     imgs.zip(golden).zipWithIndex.foreach { case ((bytes, (w, h, sum)), i) =>
       val img = Images.decode(bytes).getOrElse(fail(s"fixture $i failed to decode"))
       val (s, n) = Images.rgbSum(img)
-      assert((img.getWidth, img.getHeight, s) == ((w, h, sum)),
-        s"fixture $i: got (${img.getWidth}, ${img.getHeight}, $s), want ($w, $h, $sum)")
+      assert((img.getWidth, img.getHeight) == ((w, h)),
+        s"fixture $i: got ${img.getWidth}x${img.getHeight}, want ${w}x$h")
+      assert(math.abs(s - sum) <= n,
+        s"fixture $i: pixel sum $s drifted more than $n from golden $sum")
       assert(n == w * h)
     }
   }
