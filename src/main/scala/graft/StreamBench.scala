@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming-layer scale evidence (round 8): every `transformWithState`
+  * processor is spec-pinned equal to its batch twin at fixture scale, but
+  * pins say nothing about throughput or state growth. This harness runs
+  * the continuous-ingestion paths over the sf1 corpus and reports msg/s,
+  * per-micro-batch latency, and RocksDB state size from the query's own
+  * `StreamingQueryProgress` — numbers for BENCHNOTES alongside
+  * ThroughputBench's faithful-layer msg/s.
+  *
+  * Cases (all RocksDB-backed where stateful):
+  *  1. BandIndexProcessor over sf1 documents' MinHash band rows (the
+  *     streaming near-dup index), fed in waves of micro-batches.
+  *  2. TransitionProcessor over sf1 events keyed by user_id (the
+  *     sequence-aware Markov emitter; state = one value per key).
+  *  3. The p1 file-stream pipeline (gate → dedup → chunk rollup) over the
+  *     sf1 documents landing zone with maxFilesPerTrigger throttling.
+  *
+  * Not driver-run — `sbt "runMain graft.StreamBench [sfDir]"`.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("spark-warehouse/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def tmpDir(): String =
+      java.nio.file.Files.createTempDirectory("streambench").toString
+
+    /** Drain per-wave, then summarize the query's progress history. */
+    def report(name: String, q: org.apache.spark.sql.streaming.StreamingQuery,
+        totalRows: Long, wallSec: Double): Unit = {
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val batchMs = progs.map(_.durationMs.get("triggerExecution").toLong)
+      val state = progs.lastOption.flatMap(_.stateOperators.headOption)
+      val stateRows = state.map(_.numRowsTotal).getOrElse(0L)
+      val stateBytes = state.map(_.memoryUsedBytes).getOrElse(0L)
+      val sst = state.flatMap(s => Option(s.customMetrics.get("rocksdbSstFileSize")))
+        .map(_.toString).getOrElse("0")
+      println(f"[streambench] $name: $totalRows%d rows in $wallSec%.2f s = " +
+        f"${totalRows / wallSec}%.0f rows/s; ${batchMs.length}%d batches, " +
+        f"latency ms min/mean/max = ${if (batchMs.isEmpty) 0L else batchMs.min}%d/" +
+        f"${if (batchMs.isEmpty) 0L else batchMs.sum / batchMs.length}%d/" +
+        f"${if (batchMs.isEmpty) 0L else batchMs.max}%d; " +
+        f"state rows = $stateRows%d, state mem = $stateBytes%d B, sst = $sst B")
+    }
+
+    // ---- 1. BandIndexProcessor over sf1 documents band rows --------------
+    {
+      val rows = graft.queries.Dedup.bandRows(spark, sfDir)
+        .select(col("band"), col("band_sig"), col("doc_id"))
+        .as[(Int, Long, Long)].collect()
+      val waves = 10
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, Long, Long)]
+      val cands = stream.toDS()
+        .map(r => ((r._1, r._2), r._3))
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.BandIndexProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val q = cands.toDF("doc_a", "doc_b").writeStream.outputMode(OutputMode.Append())
+        .format("noop").option("checkpointLocation", tmpDir())
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      (0 until waves).foreach { w =>
+        stream.addData(rows.zipWithIndex.collect {
+          case (r, i) if i % waves == w => r
+        }.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("band_index(sf docs)", q, rows.length.toLong, wall)
+      q.stop()
+    }
+
+    // ---- 2. TransitionProcessor over sf1 events ---------------------------
+    {
+      val rows = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .as[(Long, String, Long)].collect()
+      val waves = 10
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.TransitionProcessor[Long](
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.STRING)),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("prev_type", "event_type").writeStream
+        .outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", tmpDir())
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      (0 until waves).foreach { w =>
+        stream.addData(rows.zipWithIndex.collect {
+          case (r, i) if i % waves == w => r
+        }.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("transitions(sf events)", q, rows.length.toLong, wall)
+      q.stop()
+    }
+
+    // ---- 3. p1 pipeline as a throttled file stream ------------------------
+    {
+      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      val landing = tmpDir()
+      val srcDir = new java.io.File(s"$sfDir/documents.parquet")
+      val parts = srcDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      parts.foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$landing/${f.getName}"))
+      }
+      val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      val nWords = size(split(trim(lower(col("text"))), "\\s+")).cast("bigint")
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4").parquet(landing)
+        .filter(nWords.between(20, 80))
+        .dropDuplicates("text")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("wd"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, int((size(wd)-1)/24)), i -> size(slice(wd, i*24+1, 32)))"))
+          .as(Seq("chunk_idx", "chunk_tokens")))
+        .groupBy()
+        .agg(sum(when(col("chunk_idx") === 0, 1L).otherwise(0L)).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens").cast("bigint")).as("n_tokens"))
+      val t0 = System.nanoTime()
+      val q = stream.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName("p1_stream_bench")
+        .option("checkpointLocation", tmpDir()).start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("p1_file_stream(sf docs)", q, nDocs, wall)
+      q.stop()
+    }
+
+    spark.stop()
+  }
+}
