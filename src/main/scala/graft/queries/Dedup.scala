@@ -505,12 +505,15 @@ object Dedup {
     // decimal centroid); every other member reports its cosine to the
     // medoid and an is_dup flag at the 0.25 threshold. Composition of
     // existing pieces — centroid partial-agg (corpus collapses once),
-    // medoid = row_number over cosine-to-centroid, then ONE broadcast join
-    // of the per-label medoid table back to the corpus; no pairwise
-    // explosion anywhere (that is SemDeDup's whole point vs d6).
+    // medoid = max_by argmax (r8: was a row_number window partitioned by
+    // label — cardinality 10, FIXED, i.e. a 10-reducer corpus sort, the
+    // e22/q55 wall shape; the argmax needs no order at all, so max_by with
+    // a (cos_cent, −vec_id) ordering struct reproduces the exact
+    // (desc cosine, asc vec_id) pick as a map-side-combining aggregate),
+    // then ONE broadcast join of the per-label medoid table back to the
+    // corpus; no pairwise explosion anywhere (SemDeDup's point vs d6).
     "d15_semdedup" -> { (s, d) =>
       import graft.functions.VecFunctions.vec_dot
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.parallelized(Tables.embeddings(s, d)).select(
         col("vec_id"), col("label"), col("embedding"),
         vec_dot(col("embedding"), col("embedding")).as("sq"))
@@ -519,17 +522,18 @@ object Dedup {
         .withColumn("cos_cent",
           vec_dot(col("embedding"), col("cvec")) /
             (sqrt(col("sq")) * sqrt(vec_dot(col("cvec"), col("cvec")))))
-      val w = Window.partitionBy(col("label")).orderBy(col("cos_cent").desc, col("vec_id"))
-      val ranked = scored.withColumn("rk", row_number().over(w))
       // Materialize the #labels-sized medoid table so the broadcast side
-      // doesn't re-run the centroid+rank subtree (s6/d9's lesson); the
-      // corpus-sized ranked side stays lazy and is scanned once more for
+      // doesn't re-run the centroid+argmax subtree (s6/d9's lesson); the
+      // corpus-sized scored side stays lazy and is scanned once more for
       // the final join — two corpus passes total, never a pairwise product.
-      val medoids = ranked.filter(col("rk") === 1)
-        .select(col("label"), col("vec_id").as("medoid_id"),
-          col("embedding").as("m_emb"), col("sq").as("m_sq"))
+      val medoids = scored.groupBy(col("label"))
+        .agg(max_by(
+          struct(col("vec_id"), col("embedding"), col("sq")),
+          struct(col("cos_cent"), (-col("vec_id")).as("nv"))).as("m"))
+        .select(col("label"), col("m.vec_id").as("medoid_id"),
+          col("m.embedding").as("m_emb"), col("m.sq").as("m_sq"))
         .localCheckpoint(true)
-      ranked.join(broadcast(medoids), Seq("label"))
+      scored.join(broadcast(medoids), Seq("label"))
         .withColumn("cos_med",
           vec_dot(col("embedding"), col("m_emb")) /
             (sqrt(col("sq")) * sqrt(col("m_sq"))))

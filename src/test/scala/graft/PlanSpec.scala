@@ -486,6 +486,16 @@ class PlanSpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("windowspecdefinition")).take(4).mkString("\n"))
   }
 
+  test("d15: medoid argmax rides aggregates — no label-partitioned corpus sort") {
+    val plan = planOf("d15_semdedup")
+    // r8: the medoid pick is max_by (map-side-combining aggregate); the
+    // r7 row_number window partitioned the corpus by label (cardinality
+    // 10, fixed) — the e22/q55 serialization shape — and must not return.
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 0,
+      plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan.take(3000))
+  }
+
   test("e22_scale: fine ranks partitioned by (type, bucket), never bare event_type on the fact") {
     val plan = planOf("e22_scale")
     // A windowspecdefinition whose partition list is event_type alone and
