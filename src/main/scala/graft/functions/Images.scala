@@ -18,6 +18,16 @@ import javax.imageio.ImageIO
   */
 object Images {
 
+  // ImageIO's default stream cache is DISK-backed: every read/write of an
+  // InputStream/OutputStream spins up (and deletes) a temp FILE. For
+  // KB-sized in-memory payloads that is pure filesystem-metadata overhead,
+  // and it COMPOUNDS under parallelism — measured r8 at sf10: mm4 ran 27×
+  // per 10× data (500k docs × encode+decode × 32 threads hammering one tmp
+  // dir) where the codec work itself is linear. Memory-cached streams are
+  // the correct choice for byte-array codecs at any scale; after this
+  // switch mm2/mm4 scale linearly (see BENCHNOTES r8).
+  ImageIO.setUseCache(false)
+
   /** Deterministic gray test pattern: v(x, y, id) = (31x + 17y + 7·id) mod
     * 256. Chosen to be exactly re-computable in the DuckDB oracle (integer
     * arithmetic only) while exercising a real PNG encode→decode round trip
