@@ -564,12 +564,17 @@ object Relational {
       // the double frame bound. Fail fast.
       require(bandCents > 0 && math.abs(band * 100 - bandCents) < 1e-6,
         s"spark.graft.q55.band must be a positive whole-cent amount, got $band")
-      // Bucket width: the BENCHNOTES r7 sweep measured width ≈ $10 optimal
-      // at both bands and both SFs on this domain (edge pair work ∝ width;
-      // prefix-table size ∝ 1/width and stays a trivial broadcast until
-      // far below that), so the default snaps to the divisor of the band
-      // NEAREST $10 in log space (ties → wider). The band itself is always
-      // a divisor, so a prime-cent band (e.g. $99.73) snaps to K=1 — all
+      // Bucket width: edge pair work ∝ width·density while the prefix
+      // table (and its broadcast) ∝ 1/width, so the optimum SHRINKS as the
+      // corpus densifies. Measured (BENCHNOTES r7+r8 sweeps): width $10 is
+      // optimal at sf0.1/sf1 (1.65/4.67 s; $1 pays the broadcast build —
+      // 4.58/5.64 s) but at sf10's 15M orders $1 wins 99.6 s vs $10's
+      // 150 s (occupancy 290/bucket has left the pair term dominant). The
+      // default therefore targets $10 below `spark.graft.q55.denseN` rows
+      // (5M — between the measured decades) and $1 above — the row count
+      // is a metadata-cheap parquet count — then snaps to the nearest band
+      // divisor in log space (ties → wider). The band itself is always a
+      // divisor, so a prime-cent band (e.g. $99.73) snaps to K=1 — all
       // pair work on the edge join, slower but memory-bounded — instead of
       // walking down to 1-cent buckets and a domain-sized prefix table
       // (the r7 hazard). Setting spark.graft.q55.k overrides (width =
@@ -582,10 +587,12 @@ object Relational {
             s"spark.graft.q55.k=$k does not divide the $bandCents-cent band evenly")
           wc
         case None =>
+          val denseN = s.conf.get("spark.graft.q55.denseN", "5000000").toLong
+          val target = if (Tables.orders(s, d).count() > denseN) 100.0 else 1000.0
           val divisors = (1L to math.sqrt(bandCents.toDouble).toLong + 1)
             .filter(bandCents % _ == 0)
             .flatMap(i => Seq(i, bandCents / i)).distinct
-          divisors.minBy(w => (math.abs(math.log10(w / 1000.0)), -w))
+          divisors.minBy(w => (math.abs(math.log10(w / target)), -w))
       }
       val kk = bandCents / widthCents
       val base = Tables.orders(s, d)
