@@ -21,6 +21,12 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   *     sf1 documents landing zone with maxFilesPerTrigger throttling.
   *
   * Not driver-run — `sbt "runMain graft.StreamBench [sfDir]"`.
+  *
+  * The corpus `.collect()`s below are the MemoryStream FEED (rows must
+  * originate driver-side to be added in waves) — bench-harness plumbing,
+  * not an operator path; the operators under test receive them through
+  * the normal groupByKey shuffle. The p1 case uses a real file source
+  * with no driver materialization at all.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
