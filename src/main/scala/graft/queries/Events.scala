@@ -441,10 +441,17 @@ object Events {
       val thours = s.conf.get("spark.graft.e22.thours", "1").toLong
       require(vwidth > 0 && thours > 0,
         s"spark.graft.e22.vwidth/thours must be positive, got $vwidth/$thours")
+      // floor(double/width) for values and exact integer FLOOR division
+      // for micros (`div` truncates toward zero — a pre-1970 timestamp
+      // would land one bucket high and break the monotone-bucket
+      // invariant; this corpus is post-1970, but the operator must not
+      // silently assume it).
+      val tw = thours * 3600000000L
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("ts"), col("value"))
         .withColumn("gv", floor(col("value") / lit(vwidth)).cast("bigint"))
-        .withColumn("gt", expr(s"unix_micros(ts) div ${thours * 3600000000L}"))
+        .withColumn("gt",
+          expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $tw)) div $tw"))
       def prefix(bucket: String, tag: String): DataFrame = {
         val w = Window.partitionBy(col(s"${tag}_ty")).orderBy(col(s"${tag}_g"))
         ev.groupBy(col("event_type").as(s"${tag}_ty"), col(bucket).as(s"${tag}_g"))

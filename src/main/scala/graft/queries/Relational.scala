@@ -595,12 +595,19 @@ object Relational {
           divisors.minBy(w => (math.abs(math.log10(w / target)), -w))
       }
       val kk = bandCents / widthCents
+      // Exact FLOOR division for bucketing: `a div b` truncates toward
+      // zero, which for negative cents would make bucket 0 span 2w−1
+      // cents and break the uniform-width interior-margin argument (and
+      // the b0 = bp − K identity). `(a − pmod(a, b)) div b` is floor
+      // division in exact integer ops for any sign — prices are positive
+      // in this corpus, but the operator must not silently assume it.
+      def floorDiv(a: String, b: Long) = s"($a - pmod($a, $b)) div $b"
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        // `div` (integer floor division) — Column./ is DOUBLE division,
-        // whose rounding could misplace a value on a bucket edge.
+        // integer cents, not Column./ — DOUBLE division rounding could
+        // misplace a value on a bucket edge.
         .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-        .withColumn("bkt", expr(s"cents div $widthCents"))
+        .withColumn("bkt", expr(floorDiv("cents", widthCents)))
       // (1) domain-bound histogram: one (count, exact sum) per bucket.
       val hist = base.groupBy(col("o_orderstatus").as("h_status"), col("bkt").as("h_bkt"))
         .agg(count(lit(1)).as("h_cnt"),
@@ -657,13 +664,13 @@ object Relational {
         col("pref_cnt").as("lo_cnt"), col("pref_sum").as("lo_sum"))
       edges
         .join(broadcast(hi), col("o_orderstatus") === col("hi_status") &&
-          expr(s"cents div $widthCents - 1") === col("hi_bkt"), "left")
-        // lo bucket is bp − K derived from the SAME non-negative division
-        // as bp: `(cents - bandCents) div width` would truncate toward zero
-        // when a price sits below the band (cents < bandCents), landing one
+          expr(s"${floorDiv("cents", widthCents)} - 1") === col("hi_bkt"), "left")
+        // lo bucket is bp − K derived from the SAME floor division as bp:
+        // `(cents - bandCents) div width` would truncate toward zero when
+        // a price sits below the band (cents < bandCents), landing one
         // bucket high — `div` is not floor division for negatives.
         .join(broadcast(lo), col("o_orderstatus") === col("lo_status") &&
-          expr(s"cents div $widthCents - $kk") === col("lo_bkt"), "left")
+          expr(s"${floorDiv("cents", widthCents)} - $kk") === col("lo_bkt"), "left")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           (col("e_cnt") + coalesce(col("hi_cnt"), lit(0L)) - coalesce(col("lo_cnt"), lit(0L)))
             .as("n_band"),

@@ -99,6 +99,24 @@ class QueriesSpec extends SparkTestBase {
     twin.zip(frame).foreach { case (t, f) => assert(t == f, s"adv: $t != $f") }
   }
 
+  // Negative prices: `div` truncates toward zero, so naive cents-div
+  // bucketing would give bucket 0 a double width spanning the origin and
+  // break both the interior-margin argument and b0 = bp − K. The floor-
+  // division bucketing must keep the twin exact on a corpus straddling 0
+  // (credit notes, adjustments — not in TPC-H, legal in the operator).
+  test("q55_scale matches the frame on a corpus with negative prices") {
+    val dir = java.nio.file.Files.createTempDirectory("q55neg").toString
+    import spark.implicits._
+    Seq(-250.01, -99.99, -50.0, -0.01, 0.0, 0.01, 25.5, 49.99, 50.0, 99.99, 100.01, 150.0)
+      .zipWithIndex.map { case (p, i) => (i.toLong, "O", p) }
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val frame = SparkEntry.queries("q55_num_range_frame")(spark, dir).collect()
+    val twin = SparkEntry.queries("q55_scale")(spark, dir).collect()
+    assert(twin.length == frame.length && twin.nonEmpty)
+    twin.zip(frame).foreach { case (t, f) => assert(t == f, s"neg: $t != $f") }
+  }
+
   test("q55_scale rejects a sub-cent or fractional-cent band") {
     spark.conf.set("spark.graft.q55.band", "0.001")
     try intercept[IllegalArgumentException](SparkEntry.queries("q55_scale")(spark, sf))
