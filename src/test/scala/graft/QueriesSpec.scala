@@ -32,6 +32,26 @@ class QueriesSpec extends SparkTestBase {
     twin.zip(buffered).foreach { case (t, f) => assert(t == f, s"twin $t != buffered $f") }
   }
 
+  // Negative value domain (r8): q7_scale's coarse bucket uses `v div 65536`,
+  // which truncates toward zero — bucket 0 is double-width around the
+  // origin, but rank correctness needs only that the bucket function be
+  // MONOTONE with equal values sharing a bucket, both of which truncation
+  // preserves. Pin it on a corpus straddling zero so the invariant is
+  // proven, not assumed.
+  test("q7_scale equals q7_percentiles on a negative-valued domain") {
+    val dir = java.nio.file.Files.createTempDirectory("q7neg").toString
+    import spark.implicits._
+    val rows = (-70000L to 70000L by 1357L).zipWithIndex.map { case (v, i) =>
+      (if (i % 3 == 0) "A" else if (i % 3 == 1) "N" else "R", v, (i % 7).toLong - 3L)
+    }
+    rows.toDF("l_returnflag", "l_partkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val buffered = SparkEntry.queries("q7_percentiles")(spark, dir).collect()
+    val twin = SparkEntry.queries("q7_scale")(spark, dir).collect()
+    assert(twin.length == buffered.length && twin.nonEmpty)
+    twin.zip(buffered).foreach { case (t, f) => assert(t == f, s"neg: $t != $f") }
+  }
+
   // Property pin across band widths: exercises the default width's
   // divisor snapping ($0.37 -> width 37 cents, K=1: zero full buckets,
   // everything rides the edge join) through mid ($2.50) and wide ($250,
