@@ -436,11 +436,22 @@ object Events {
     // Σd² and the single IEEE division are e22's expressions verbatim, so
     // the twin hash-matches e22 and its DuckDB oracle bit-for-bit
     // (QueriesSpec pins row equality; PlanSpec pins the partition keys).
+    // NULL keys rank too: bucket columns are null for null value/ts (and
+    // event_type itself may be null), so every join below is null-SAFE
+    // (<=>) — a plain === would silently drop those rows while e22's
+    // windows rank them nulls-first. The null bucket sorts first in the
+    // prefix window exactly as nulls sort first in e22's ORDER BY, so
+    // ranks stay identical (QueriesSpec pins this on a null-laden corpus).
     "e22_scale" -> { (s, d) =>
       val vwidth = s.conf.get("spark.graft.e22.vwidth", "1.0").toDouble
       val thours = s.conf.get("spark.graft.e22.thours", "1").toLong
       require(vwidth > 0 && thours > 0,
         s"spark.graft.e22.vwidth/thours must be positive, got $vwidth/$thours")
+      // Belt-and-braces memory guard (q55_scale's idiom): the prefix
+      // tables are broadcast, and their size is value-domain/vwidth (resp.
+      // time-span/thours) per type — a user-set sliver width would densify
+      // a near-fact-sized table. Refuse loudly before the broadcast.
+      val maxPrefix = s.conf.get("spark.graft.e22.maxPrefixRows", "2000000").toLong
       // floor(double/width) for values and exact integer FLOOR division
       // for micros (`div` truncates toward zero — a pre-1970 timestamp
       // would land one bucket high and break the monotone-bucket
@@ -454,8 +465,19 @@ object Events {
           expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $tw)) div $tw"))
       def prefix(bucket: String, tag: String): DataFrame = {
         val w = Window.partitionBy(col(s"${tag}_ty")).orderBy(col(s"${tag}_g"))
+        // Whole-partition bucket count per type (same tiny aggregate, same
+        // shuffle key as the running sum) — the guard predicate.
+        val nb = Window.partitionBy(col(s"${tag}_ty"))
+        val knob = if (tag == "v") "vwidth" else "thours"
         ev.groupBy(col("event_type").as(s"${tag}_ty"), col(bucket).as(s"${tag}_g"))
           .agg(count(lit(1)).as("c"))
+          .withColumn("nb", count(lit(1)).over(nb))
+          .filter(when(col("nb") > maxPrefix,
+            raise_error(format_string(
+              s"e22_scale: %s buckets for event_type %s exceed " +
+                s"spark.graft.e22.maxPrefixRows=$maxPrefix; widen " +
+                s"spark.graft.e22.$knob, raise the cap, or run e22_spearman",
+              col("nb"), col(s"${tag}_ty")))).isNull)
           .select(col(s"${tag}_ty"), col(s"${tag}_g"),
             (sum(col("c")).over(w) - col("c")).as(s"${tag}_base"))
       }
@@ -464,10 +486,10 @@ object Events {
       val fineT = Window.partitionBy(col("event_type"), col("gt"))
         .orderBy(col("ts"), col("event_id"))
       ev.join(broadcast(prefix("gv", "v")),
-          col("event_type") === col("v_ty") && col("gv") === col("v_g"))
+          col("event_type") <=> col("v_ty") && col("gv") <=> col("v_g"))
         .withColumn("rv", (col("v_base") + row_number().over(fineV)).cast("bigint"))
         .join(broadcast(prefix("gt", "t")),
-          col("event_type") === col("t_ty") && col("gt") === col("t_g"))
+          col("event_type") <=> col("t_ty") && col("gt") <=> col("t_g"))
         .withColumn("rt", (col("t_base") + row_number().over(fineT)).cast("bigint"))
         .withColumn("d2", (col("rv") - col("rt")) * (col("rv") - col("rt")))
         .groupBy(col("event_type"))

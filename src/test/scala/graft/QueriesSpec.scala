@@ -93,6 +93,45 @@ class QueriesSpec extends SparkTestBase {
       }
     }
 
+  // Null keys (value, ts, even event_type itself — parquet columns are
+  // nullable in principle): e22's windows RANK null rows (Spark sorts
+  // nulls first); the twin's bucket joins must be null-safe or those rows
+  // silently vanish from Σd² and n. Pin equality on a null-laden corpus.
+  test("e22_scale equals e22_spearman on a corpus with null value/ts/type") {
+    val dir = java.nio.file.Files.createTempDirectory("e22null").toString
+    import spark.implicits._
+    val base = 1600000000000000000L // 2020-09-13, nanos
+    val rows: Seq[(Long, Option[String], Option[Long], Option[Double])] =
+      (1L to 40L).map { i =>
+        val ty = if (i % 7 == 0) None else Some(if (i % 2 == 0) "click" else "view")
+        val ts = if (i % 5 == 0) None else Some(base + i * 3600L * 1000000000L)
+        val v  = if (i % 4 == 0) None else Some((i % 11).toDouble * 0.37)
+        (i, ty, ts, v)
+      }
+    rows.toDF("event_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val window = SparkEntry.queries("e22_spearman")(spark, dir).collect()
+    val twin = SparkEntry.queries("e22_scale")(spark, dir).collect()
+    assert(twin.length == window.length && twin.nonEmpty)
+    // Null rows must be IN the counts: 40 rows total across groups.
+    assert(window.map(_.getLong(1)).sum == 40L)
+    twin.zip(window).foreach { case (t, f) => assert(t == f, s"null corpus: $t != $f") }
+  }
+
+  // The broadcast-prefix densify guard (q55_scale's idiom): a sliver
+  // vwidth must fail fast with an actionable message, not broadcast a
+  // near-fact-sized prefix table.
+  test("e22_scale refuses an over-cap prefix table with an actionable error") {
+    spark.conf.set("spark.graft.e22.maxPrefixRows", "10")
+    try {
+      val e = intercept[Exception](
+        SparkEntry.queries("e22_scale")(spark, sf).collect())
+      def msgs(t: Throwable): List[String] =
+        if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("maxPrefixRows")), e.toString)
+    } finally spark.conf.unset("spark.graft.e22.maxPrefixRows")
+  }
+
   // Adversarial arithmetic pin (r8, ADVICE item): a build row sitting at
   // exactly the cent position of p − band, where nearest(p − band) is
   // strictly greater than b's double — the frame (and the DuckDB oracle)
