@@ -107,6 +107,15 @@ object Relational {
         // the fine running total partitions by (flag, coarse) — thousands
         // of independent partitions. cum = coarse base + fine cum, exact
         // integer addition.
+        // NULL semantics must be the builtin's (r8): `percentile` IGNORES
+        // null values but still emits a row (null percentiles) for a group
+        // whose values are all null, and a null GROUP KEY is a group like
+        // any other. So: null-v rows stay out of the rank machinery and
+        // out of n, every flag (null included, via null-safe joins and the
+        // nTot left-join below) reaches the output, and an all-null flag
+        // interpolates null from its empty rank probes — the silent
+        // alternative (counting nulls into n while dropping them from
+        // ranks) skews every probe rank on null-laden data.
         val counts = li.groupBy(col("l_returnflag"), col(valueCol).as("v"))
           .agg(count(lit(1)).as("c"))
           .withColumn("cg", expr("v div 65536"))
@@ -114,15 +123,19 @@ object Relational {
         val cgTot = counts.groupBy(col("l_returnflag").as("t_flag"), col("cg").as("t_cg"))
           .agg(sum(col("c")).as("cgc"))
         val wCoarse = Window.partitionBy(col("t_flag")).orderBy(col("t_cg"))
-        val cgPref = cgTot.select(col("t_flag"), col("t_cg"),
-          (sum(col("cgc")).over(wCoarse) - col("cgc")).as("base"))
-        val nTot = cgTot.groupBy(col("t_flag").as("n_flag")).agg(sum(col("cgc")).as("n"))
+        val cgPref = cgTot.filter(col("t_cg").isNotNull)
+          .select(col("t_flag"), col("t_cg"),
+            (sum(col("cgc")).over(wCoarse) - col("cgc")).as("base"))
+        // n = non-null values only (cg is null iff v is null), but keep
+        // every flag so all-null groups survive to the output row.
+        val nTot = cgTot.groupBy(col("t_flag").as("n_flag"))
+          .agg(sum(when(col("t_cg").isNotNull, col("cgc")).otherwise(lit(0L))).as("n"))
         val fine = Window.partitionBy(col("l_returnflag"), col("cg")).orderBy(col("v"))
-        val ranked = counts
+        val ranked = counts.filter(col("v").isNotNull)
           .withColumn("fine_cum", sum(col("c")).over(fine))
           .join(broadcast(cgPref),
-            col("l_returnflag") === col("t_flag") && col("cg") === col("t_cg"))
-          .join(broadcast(nTot), col("l_returnflag") === col("n_flag"))
+            col("l_returnflag") <=> col("t_flag") && col("cg") === col("t_cg"))
+          .join(broadcast(nTot), col("l_returnflag") <=> col("n_flag"))
           .withColumn("cum", col("base") + col("fine_cum"))
         // Row covers sorted 0-based ranks [cum−c, cum−1]; the value at rank
         // r is min(v | cum > r). floor/ceil of a double are LONG in Spark,
@@ -133,10 +146,14 @@ object Relational {
             min(when(col("cum") > floor(pos), col("v"))).cast("double").as(s"${name}_lo"),
             min(when(col("cum") > ceil(pos), col("v"))).cast("double").as(s"${name}_hi"))
         }
-        val allAggs = first(col("n")).as("n") +: aggs
-        val agged = ranked.groupBy(col("l_returnflag"))
-          .agg(allAggs.head, allAggs.tail: _*)
-        quantiles.foldLeft(agged) { case (df, (name, q)) =>
+        val agged = ranked.groupBy(col("l_returnflag").as("a_flag"))
+          .agg(aggs.head, aggs.tail: _*)
+        // nTot holds EVERY flag (null-keyed and all-null groups included);
+        // a left join leaves the latter's lo/hi probes null and the
+        // interpolation yields null — the builtin's row for such a group.
+        val withN = nTot.join(agged, col("n_flag") <=> col("a_flag"), "left")
+          .withColumn("l_returnflag", col("n_flag"))
+        quantiles.foldLeft(withN) { case (df, (name, q)) =>
           val pos = lit(q) * (col("n") - 1).cast("double")
           df.withColumn(name,
             when(floor(pos) === ceil(pos), col(s"${name}_lo"))
@@ -144,8 +161,11 @@ object Relational {
                 (pos - floor(pos).cast("double")) * col(s"${name}_hi")))
         }.select(col("l_returnflag") +: quantiles.map(q => col(q._1)): _*)
       }
+      val byLine = exactPct("l_linenumber", Seq("q1_line" -> 0.25))
+        .withColumnRenamed("l_returnflag", "b_flag")
       exactPct("l_partkey", Seq("p50" -> 0.5, "p90" -> 0.9))
-        .join(exactPct("l_linenumber", Seq("q1_line" -> 0.25)), "l_returnflag")
+        // null-safe: a null flag group must pair with itself, not vanish
+        .join(byLine, col("l_returnflag") <=> col("b_flag")).drop("b_flag")
         .orderBy(col("l_returnflag"))
     },
     // Moment statistics computed from exact decimal sums (rather than the

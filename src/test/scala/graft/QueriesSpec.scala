@@ -52,6 +52,37 @@ class QueriesSpec extends SparkTestBase {
     twin.zip(buffered).foreach { case (t, f) => assert(t == f, s"neg: $t != $f") }
   }
 
+  // Null semantics (r8): the builtin `percentile` IGNORES null values,
+  // emits a null-percentile row for a group whose values are ALL null,
+  // and treats a null group key as a group. The twin must do all three —
+  // the failure modes are silent (nulls counted into n skew every rank
+  // probe; null-keyed groups vanish through plain equi-joins).
+  test("q7_scale equals q7_percentiles on a null-laden corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("q7null").toString
+    import spark.implicits._
+    val rows: Seq[(Option[String], Option[Long], Option[Long])] =
+      (1 to 60).map { i =>
+        val flag = i % 4 match {
+          case 0 => None          // null group key
+          case 1 => Some("A")
+          case 2 => Some("N")
+          case _ => Some("R")
+        }
+        val pk = if (flag.contains("R") || i % 5 == 0) None // "R": ALL null
+                 else Some((i * 131 % 977).toLong)
+        val ln = if (i % 7 == 0) None else Some((i % 7).toLong)
+        (flag, pk, ln)
+      }
+    rows.toDF("l_returnflag", "l_partkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val buffered = SparkEntry.queries("q7_percentiles")(spark, dir).collect()
+    val twin = SparkEntry.queries("q7_scale")(spark, dir).collect()
+    // All four groups must be present, "R" with null p50/p90.
+    assert(buffered.length == 4 && twin.length == 4)
+    assert(buffered.find(r => r.getString(0) == "R").get.isNullAt(1))
+    twin.zip(buffered).foreach { case (t, f) => assert(t == f, s"null: $t != $f") }
+  }
+
   // Property pin across band widths: exercises the default width's
   // divisor snapping ($0.37 -> width 37 cents, K=1: zero full buckets,
   // everything rides the edge join) through mid ($2.50) and wide ($250,
