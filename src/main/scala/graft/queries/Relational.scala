@@ -628,8 +628,17 @@ object Relational {
         // misplace a value on a bucket edge.
         .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
         .withColumn("bkt", expr(floorDiv("cents", widthCents)))
+      // NULL prices (r8): the frame gives a null-price row its null PEER
+      // GROUP as the frame — n_band = #null-price rows in the status,
+      // band_total = sum over all-null = null (QueriesSpec pins this
+      // against the frame). They must also stay OUT of the histogram: a
+      // (status, null) bucket would sort FIRST in the running prefix and
+      // leak its count into every non-null row's full-bucket span. Route
+      // them down a tiny count-join side path instead (status cardinality
+      // rows, broadcast), and union at the end.
+      val nn = base.filter(col("cents").isNotNull)
       // (1) domain-bound histogram: one (count, exact sum) per bucket.
-      val hist = base.groupBy(col("o_orderstatus").as("h_status"), col("bkt").as("h_bkt"))
+      val hist = nn.groupBy(col("o_orderstatus").as("h_status"), col("bkt").as("h_bkt"))
         .agg(count(lit(1)).as("h_cnt"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("h_sum"))
       // (2) densify to [min bkt − K, max bkt] per status (covers every b0
@@ -654,7 +663,7 @@ object Relational {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("p_status")).orderBy(col("p_bkt"))
       val prefix = span
-        .join(hist, col("p_status") === col("h_status") && col("p_bkt") === col("h_bkt"), "left")
+        .join(hist, col("p_status") <=> col("h_status") && col("p_bkt") === col("h_bkt"), "left")
         .select(col("p_status"), col("p_bkt"),
           coalesce(col("h_cnt"), lit(0L)).as("cnt"),
           coalesce(col("h_sum"), lit(BigDecimal(0).bigDecimal).cast("decimal(18,2)")).as("sm"))
@@ -663,14 +672,14 @@ object Relational {
         .localCheckpoint(true) // tiny; consumed by two broadcast joins
       // (3) edge buckets only: pair work n·2w̄/K, spread over (status ×
       // domain/width) keys — every core busy, no band-wide pair blowup.
-      val probe = base.withColumn("e_bkt",
+      val probe = nn.withColumn("e_bkt",
         explode(array(col("bkt") - kk, col("bkt")))).drop("bkt")
-      val build = base.select(col("o_orderstatus").as("b_status"),
+      val build = nn.select(col("o_orderstatus").as("b_status"),
         col("bkt").as("b_bkt"), col("o_totalprice").as("b_price"))
       // Membership is the frame's arithmetic verbatim — see the exactness
       // note above; cents only route rows to buckets, never decide bounds.
       val edges = probe.join(build.hint("shuffle_hash"),
-          col("o_orderstatus") === col("b_status") && col("e_bkt") === col("b_bkt") &&
+          col("o_orderstatus") <=> col("b_status") && col("e_bkt") === col("b_bkt") &&
             col("b_price") >= col("o_totalprice") - lit(band) &&
             col("b_price") <= col("o_totalprice"))
         .groupBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"))
@@ -683,13 +692,13 @@ object Relational {
       val lo = prefix.select(col("p_status").as("lo_status"), col("p_bkt").as("lo_bkt"),
         col("pref_cnt").as("lo_cnt"), col("pref_sum").as("lo_sum"))
       edges
-        .join(broadcast(hi), col("o_orderstatus") === col("hi_status") &&
+        .join(broadcast(hi), col("o_orderstatus") <=> col("hi_status") &&
           expr(s"${floorDiv("cents", widthCents)} - 1") === col("hi_bkt"), "left")
         // lo bucket is bp − K derived from the SAME floor division as bp:
         // `(cents - bandCents) div width` would truncate toward zero when
         // a price sits below the band (cents < bandCents), landing one
         // bucket high — `div` is not floor division for negatives.
-        .join(broadcast(lo), col("o_orderstatus") === col("lo_status") &&
+        .join(broadcast(lo), col("o_orderstatus") <=> col("lo_status") &&
           expr(s"${floorDiv("cents", widthCents)} - $kk") === col("lo_bkt"), "left")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           (col("e_cnt") + coalesce(col("hi_cnt"), lit(0L)) - coalesce(col("lo_cnt"), lit(0L)))
@@ -698,6 +707,14 @@ object Relational {
             coalesce(col("hi_sum"), lit(BigDecimal(0).bigDecimal)) -
             coalesce(col("lo_sum"), lit(BigDecimal(0).bigDecimal)))
             .cast("double").as("band_total"))
+        .unionByName({
+          val nullCnt = base.filter(col("cents").isNull)
+            .groupBy(col("o_orderstatus").as("nc_status")).agg(count(lit(1)).as("nc"))
+          base.filter(col("cents").isNull)
+            .join(broadcast(nullCnt), col("o_orderstatus") <=> col("nc_status"))
+            .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+              col("nc").as("n_band"), lit(null).cast("double").as("band_total"))
+        })
         .orderBy(col("o_orderkey"))
     },
 

@@ -466,9 +466,10 @@ class PlanSpec extends SparkTestBase {
     assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 0,
       plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
     // Edge-bucket pair work rides the hinted shuffle-hash join (no sort of
-    // the exploded probe); the two prefix lookups ride broadcasts.
+    // the exploded probe); the two prefix lookups plus the null-price side
+    // path's per-status count (r8) ride broadcasts.
     assert("\\(\\d+\\) ShuffledHashJoin".r.findAllIn(plan).size == 1, plan.take(3000))
-    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 2, plan.take(3000))
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 3, plan.take(3000))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "band membership must ride the equi-join on (status, bucket), not a theta join")
   }

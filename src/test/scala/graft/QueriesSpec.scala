@@ -207,6 +207,33 @@ class QueriesSpec extends SparkTestBase {
     twin.zip(frame).foreach { case (t, f) => assert(t == f, s"neg: $t != $f") }
   }
 
+  // Null prices and a null status (r8): the frame emits EVERY row — a
+  // null-price row's RANGE frame is its null peer group (n_band = #null
+  // prices in the status, band_total = null) and a null status is a
+  // partition like any other. The twin must match: null prices must stay
+  // out of the histogram (a null bucket would sort first in the running
+  // prefix and leak into every non-null span) and ride a count side path;
+  // status joins must be null-safe.
+  test("q55_scale matches the frame on a corpus with null prices and status") {
+    val dir = java.nio.file.Files.createTempDirectory("q55null").toString
+    import spark.implicits._
+    val rows: Seq[(Long, Option[String], Option[Double])] =
+      (1 to 30).map { i =>
+        val st = if (i % 9 == 0) None else Some(if (i % 2 == 0) "O" else "F")
+        val p  = if (i % 4 == 0) None else Some((i * 37 % 251) + i / 7 * 0.01)
+        (i.toLong, st, p)
+      }
+    rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val frame = SparkEntry.queries("q55_num_range_frame")(spark, dir).collect()
+    val twin = SparkEntry.queries("q55_scale")(spark, dir).collect()
+    assert(frame.length == 30 && twin.length == 30)
+    // Corpus sanity: at least one null-price row inside a non-null status
+    // and at least one row in the null status actually exercised.
+    assert(frame.exists(r => r.isNullAt(2)) && frame.exists(r => r.isNullAt(1)))
+    twin.zip(frame).foreach { case (t, f) => assert(t == f, s"null: $t != $f") }
+  }
+
   test("q55_scale rejects a sub-cent or fractional-cent band") {
     spark.conf.set("spark.graft.q55.band", "0.001")
     try intercept[IllegalArgumentException](SparkEntry.queries("q55_scale")(spark, sf))
