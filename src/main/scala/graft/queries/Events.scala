@@ -460,7 +460,16 @@ object Events {
       val tw = thours * 3600000000L
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-        .withColumn("gv", floor(col("value") / lit(vwidth)).cast("bigint"))
+        // IEEE edge values must keep the bucket function MONOTONE in
+        // Spark's sort order (… < +Inf < NaN): double→long saturates ±Inf
+        // (and any |v|/vwidth beyond long range) to Min/MaxValue — fine,
+        // saturation is monotone and within-bucket order finishes the job
+        // — but (long)NaN is 0, which would silently drop NaN rows into
+        // the middle of the domain. Pin NaN to the MaxValue bucket, where
+        // in-bucket (value, event_id) order already places it after any
+        // saturated finite or +Inf neighbors.
+        .withColumn("gv", when(isnan(col("value")), lit(Long.MaxValue))
+          .otherwise(floor(col("value") / lit(vwidth))))
         .withColumn("gt",
           expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $tw)) div $tw"))
       def prefix(bucket: String, tag: String): DataFrame = {

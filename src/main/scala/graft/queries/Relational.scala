@@ -628,15 +628,20 @@ object Relational {
         // misplace a value on a bucket edge.
         .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
         .withColumn("bkt", expr(floorDiv("cents", widthCents)))
-      // NULL prices (r8): the frame gives a null-price row its null PEER
-      // GROUP as the frame — n_band = #null-price rows in the status,
-      // band_total = sum over all-null = null (QueriesSpec pins this
-      // against the frame). They must also stay OUT of the histogram: a
-      // (status, null) bucket would sort FIRST in the running prefix and
-      // leak its count into every non-null row's full-bucket span. Route
-      // them down a tiny count-join side path instead (status cardinality
-      // rows, broadcast), and union at the end.
-      val nn = base.filter(col("cents").isNotNull)
+      // NULL and NaN prices (r8): the frame gives each its PEER GROUP as
+      // the frame — nulls sort first, NaN last, both with n_band = #peers
+      // in the status and band_total = null (sum of all-null, resp. of
+      // CAST(NaN AS DECIMAL) = null; QueriesSpec pins both against the
+      // frame). They must also stay OUT of the histogram: a (status, null)
+      // bucket would sort FIRST in the running prefix and leak its count
+      // into every non-null row's full-bucket span, and NaN is worse —
+      // (long)NaN is 0, so round(NaN·100) silently plants NaN rows in the
+      // MIDDLE of the cent domain. Route both down a tiny count-join side
+      // path instead (status cardinality rows, broadcast), unioned at the
+      // end. (±Inf prices saturate the cent cast at ±Long extremes and
+      // blow the span past maxPrefixRows — the guard above fails fast.)
+      val special = col("o_totalprice").isNull || isnan(col("o_totalprice"))
+      val nn = base.filter(!special)
       // (1) domain-bound histogram: one (count, exact sum) per bucket.
       val hist = nn.groupBy(col("o_orderstatus").as("h_status"), col("bkt").as("h_bkt"))
         .agg(count(lit(1)).as("h_cnt"),
@@ -708,10 +713,13 @@ object Relational {
             coalesce(col("lo_sum"), lit(BigDecimal(0).bigDecimal)))
             .cast("double").as("band_total"))
         .unionByName({
-          val nullCnt = base.filter(col("cents").isNull)
-            .groupBy(col("o_orderstatus").as("nc_status")).agg(count(lit(1)).as("nc"))
-          base.filter(col("cents").isNull)
-            .join(broadcast(nullCnt), col("o_orderstatus") <=> col("nc_status"))
+          // nulls and NaNs are SEPARATE peer groups (nulls sort first,
+          // NaN last); `g` is a non-null boolean, so === is safe.
+          val sp = base.filter(special).withColumn("g", col("o_totalprice").isNull)
+          val spCnt = sp.groupBy(col("o_orderstatus").as("nc_status"), col("g").as("nc_g"))
+            .agg(count(lit(1)).as("nc"))
+          sp.join(broadcast(spCnt),
+              col("o_orderstatus") <=> col("nc_status") && col("g") === col("nc_g"))
             .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
               col("nc").as("n_band"), lit(null).cast("double").as("band_total"))
         })

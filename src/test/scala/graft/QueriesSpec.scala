@@ -128,7 +128,7 @@ class QueriesSpec extends SparkTestBase {
   // nullable in principle): e22's windows RANK null rows (Spark sorts
   // nulls first); the twin's bucket joins must be null-safe or those rows
   // silently vanish from Σd² and n. Pin equality on a null-laden corpus.
-  test("e22_scale equals e22_spearman on a corpus with null value/ts/type") {
+  test("e22_scale equals e22_spearman on a corpus with null/NaN/Inf value, null ts/type") {
     val dir = java.nio.file.Files.createTempDirectory("e22null").toString
     import spark.implicits._
     val base = 1600000000000000000L // 2020-09-13, nanos
@@ -136,7 +136,12 @@ class QueriesSpec extends SparkTestBase {
       (1L to 40L).map { i =>
         val ty = if (i % 7 == 0) None else Some(if (i % 2 == 0) "click" else "view")
         val ts = if (i % 5 == 0) None else Some(base + i * 3600L * 1000000000L)
-        val v  = if (i % 4 == 0) None else Some((i % 11).toDouble * 0.37)
+        val v = i % 13 match {
+          case 0 => Some(Double.NaN) // window ranks NaN LAST (after +Inf)
+          case 1 => Some(Double.PositiveInfinity)
+          case 2 => Some(Double.NegativeInfinity)
+          case _ => if (i % 4 == 0) None else Some((i % 11).toDouble * 0.37)
+        }
         (i, ty, ts, v)
       }
     rows.toDF("event_id", "event_type", "ts", "value")
@@ -214,13 +219,15 @@ class QueriesSpec extends SparkTestBase {
   // out of the histogram (a null bucket would sort first in the running
   // prefix and leak into every non-null span) and ride a count side path;
   // status joins must be null-safe.
-  test("q55_scale matches the frame on a corpus with null prices and status") {
+  test("q55_scale matches the frame on a corpus with null and NaN prices and null status") {
     val dir = java.nio.file.Files.createTempDirectory("q55null").toString
     import spark.implicits._
     val rows: Seq[(Long, Option[String], Option[Double])] =
       (1 to 30).map { i =>
         val st = if (i % 9 == 0) None else Some(if (i % 2 == 0) "O" else "F")
-        val p  = if (i % 4 == 0) None else Some((i * 37 % 251) + i / 7 * 0.01)
+        val p = if (i % 13 == 0) Some(Double.NaN) // NaN peer group, sorts last
+                else if (i % 4 == 0) None
+                else Some((i * 37 % 251) + i / 7 * 0.01)
         (i.toLong, st, p)
       }
     rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
