@@ -447,6 +447,11 @@ object Events {
       val thours = s.conf.get("spark.graft.e22.thours", "1").toLong
       require(vwidth > 0 && thours > 0,
         s"spark.graft.e22.vwidth/thours must be positive, got $vwidth/$thours")
+      // A century is ~876k hours; anything past 1e6 is a typo, and past
+      // 2.56e9 the micros-per-bucket product overflows Long — silently
+      // non-monotone buckets. Fail fast instead.
+      require(thours <= 1000000L,
+        s"spark.graft.e22.thours=$thours is beyond any sane bucket (max 1e6)")
       // Belt-and-braces memory guard (q55_scale's idiom): the prefix
       // tables are broadcast, and their size is value-domain/vwidth (resp.
       // time-span/thours) per type — a user-set sliver width would densify
