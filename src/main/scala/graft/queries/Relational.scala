@@ -280,12 +280,19 @@ object Relational {
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     },
     // HLL++ approximate distinct: engine-specific estimates (no cross-engine
-    // oracle) — rows-only check; the ScalaTest suite bounds the error.
+    // oracle) — rows-only check; FormatsSpec bounds the error against an
+    // exact count it computes itself. Sketch-ONLY (r8, q45's rationale
+    // applied): this query IS the scale path for distinct counting — the
+    // HLL sketch is fixed-size and mergeable, so it partial-aggregates
+    // map-side and stays linear, while an embedded exact countDistinct
+    // comparison column re-introduced the very Expand + distinct-pair
+    // shuffle the sketch exists to avoid (measured: the column made q6
+    // 12.8×/decade at sf10 — BENCHNOTES r8 — against the sketch's own
+    // linear cost). Exact distincts remain available as q2_distinct_agg.
     "q6_approx_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy(col("l_returnflag"))
     },
 
