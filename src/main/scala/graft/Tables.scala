@@ -60,4 +60,63 @@ object Tables {
     }.sum
     if (totalBytes < (1L << 30)) df.repartition(want) else df
   }
+
+  // ----------------------------------------------------------------------
+  // Input-validity contract for the LLM-pipeline operator families.
+  //
+  // The dedup/text/similarity operators declare an explicit input domain
+  // instead of crashing on (or silently mangling) hostile rows — at 100 TB
+  // a single null embedding or zero-norm vector must not kill a 1000-
+  // executor job, and must not change the answer either. The SAME predicate
+  // is applied on the Spark side (below) and interpolated into every DuckDB
+  // oracle (the `*Sql` fragments), so the contract is part of the verified
+  // semantics, not a side effect. Rows excluded here are counted, by
+  // reason, by the `t21_doc_validity` / `s10_vec_validity` audit queries —
+  // excluded data is observable, never silently dropped.
+  //
+  // Documents: a row is operable iff its key and payload exist. Empty or
+  // whitespace-only text IS valid (tokenizers must handle it); metadata
+  // columns (lang/source/n_chars) stay nullable and flow through group
+  // keys with SQL null semantics.
+  //
+  // Embeddings: similarity ops need the full vector algebra to be defined —
+  // key + label present, declared dimension, every element non-null and
+  // finite, and a nonzero norm (cosine divides by it). Validity is a
+  // per-row narrow-map predicate: it pushes to the scan and costs one
+  // fused pass, no shuffle.
+  // ----------------------------------------------------------------------
+
+  /** Declared embedding dimensionality of the corpus (TESTDATA.md);
+    * overridable per-session via `graft.embedding.dim`. */
+  val EMB_DIM = 64
+
+  def embDim(s: SparkSession): Int =
+    s.conf.getOption("graft.embedding.dim").map(_.toInt).getOrElse(EMB_DIM)
+
+  def validDocuments(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id").isNotNull && col("text").isNotNull)
+
+  /** DuckDB twin of [[validDocuments]] — interpolate as a derived table:
+    * `FROM ${Tables.validDocsSql} documents`. */
+  val validDocsSql: String =
+    "(SELECT * FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)"
+
+  def validEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val dim = embDim(s)
+    embeddings(s, d).filter(
+      col("vec_id").isNotNull && col("label").isNotNull &&
+        col("embedding").isNotNull && size(col("embedding")) === dim &&
+        !exists(col("embedding"), x =>
+          x.isNull || isnan(x) ||
+            x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity)) &&
+        exists(col("embedding"), x => x =!= lit(0.0f)))
+  }
+
+  /** DuckDB twin of [[validEmbeddings]] — interpolate as a derived table:
+    * `FROM ${Tables.validEmbSql} embeddings`. */
+  val validEmbSql: String =
+    s"""(SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL
+       |  AND embedding IS NOT NULL AND len(embedding) = $EMB_DIM
+       |  AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+       |  AND len(list_filter(embedding, x -> x <> 0)) > 0)""".stripMargin
 }

@@ -63,7 +63,7 @@ object Dedup {
     * distinct by construction (shinglesOf de-dups within a doc). */
   private def splitShingles(s: SparkSession, d: String, pred: Column): DataFrame = {
     import s.implicits._
-    Tables.parallelized(Tables.documents(s, d))
+    Tables.parallelized(Tables.validDocuments(s, d))
       .filter(pred)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, shinglesOf(t)) })
@@ -77,7 +77,7 @@ object Dedup {
     * a consumer uses it (d4/d5/t8 use none beyond the id). */
   private[queries] def withShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.parallelized(Tables.documents(s, d))
+    Tables.parallelized(Tables.validDocuments(s, d))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, shinglesOf(text)) })
@@ -141,7 +141,7 @@ object Dedup {
   private def bandedSets(s: SparkSession, d: String, pred: Column): DataFrame = {
     import s.implicits._
     val bandsPerDoc = NUM_HASHES / BANDS
-    Tables.parallelized(Tables.documents(s, d))
+    Tables.parallelized(Tables.validDocuments(s, d))
       .filter(pred)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
@@ -190,7 +190,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on the full text.
     "d1_dedup_exact" -> { (s, d) =>
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
@@ -201,7 +201,7 @@ object Dedup {
     "d2_dedup_fingerprint" -> { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("fp")).orderBy(col("doc_id"))
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .withColumn("fp", TextOps.fingerprintCol)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -339,7 +339,7 @@ object Dedup {
     "d6_embedding_neardup" -> { (s, d) =>
       import graft.functions.VecFunctions.vec_dot
       val maxBlock = s.conf.getOption("graft.dedup.maxExactBlock").map(_.toInt).getOrElse(20000)
-      val e0 = Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"),
+      val e0 = Tables.parallelized(Tables.validEmbeddings(s, d)).select(col("vec_id"), col("label"),
         col("embedding"),
         vec_dot(col("embedding"), col("embedding")).as("sq"))
       val sizes = e0.groupBy(col("label")).agg(count(lit(1)).as("__block_n"))
@@ -465,7 +465,7 @@ object Dedup {
     "d7_embedding_neardup_lsh" -> { (s, d) =>
       import s.implicits._
       import graft.functions.VecFunctions.vec_dot
-      val e = Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"),
+      val e = Tables.parallelized(Tables.validEmbeddings(s, d)).select(col("vec_id"), col("label"),
         col("embedding"),
         vec_dot(col("embedding"), col("embedding")).as("sq"))
       // Sign-bit codes in a typed mapPartitions tight loop (same pattern as
@@ -514,14 +514,20 @@ object Dedup {
     // corpus; no pairwise explosion anywhere (SemDeDup's point vs d6).
     "d15_semdedup" -> { (s, d) =>
       import graft.functions.VecFunctions.vec_dot
-      val e = Tables.parallelized(Tables.embeddings(s, d)).select(
+      val e = Tables.parallelized(Tables.validEmbeddings(s, d)).select(
         col("vec_id"), col("label"), col("embedding"),
         vec_dot(col("embedding"), col("embedding")).as("sq"))
       val cent = Similarity.centroidVecs(s, d)
+      // Zero-centroid guard (s5's case): a label's exact component sums can
+      // cancel to the zero vector, so the centroid-side norm can be 0 even
+      // though validity guarantees sq > 0. NULL cos_cent (DuckDB x/0
+      // semantics); the medoid max_by then falls back to the vec_id
+      // tiebreak, same as the oracle's nulls-last DESC rank. cos_med needs
+      // no guard — the medoid is a validated vector, so m_sq > 0.
       val scored = e.join(broadcast(cent), Seq("label"))
+        .withColumn("cnorm", sqrt(col("sq")) * sqrt(vec_dot(col("cvec"), col("cvec"))))
         .withColumn("cos_cent",
-          vec_dot(col("embedding"), col("cvec")) /
-            (sqrt(col("sq")) * sqrt(vec_dot(col("cvec"), col("cvec")))))
+          when(col("cnorm") =!= 0.0, vec_dot(col("embedding"), col("cvec")) / col("cnorm")))
       // Materialize the #labels-sized medoid table so the broadcast side
       // doesn't re-run the centroid+argmax subtree (s6/d9's lesson); the
       // corpus-sized scored side stays lazy and is scanned once more for
@@ -553,7 +559,7 @@ object Dedup {
     "d14_winnow_pairs" -> { (s, d) =>
       import graft.functions.RollingHashFunctions.rolling_min_hash
       val FP_CAP = s.conf.getOption("graft.dedup.d14FpCap").map(_.toInt).getOrElse(50)
-      val fps = Tables.documents(s, d)
+      val fps = Tables.validDocuments(s, d)
         .select(col("doc_id"), rolling_min_hash(col("text"), 32).as("fp"))
       fps.groupBy(col("fp"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -608,7 +614,7 @@ object Dedup {
     // map-side. Hashes are 32-char md5 strings — fine at this fan-out (16
     // shuffled bytes/word); at 100 TB shave them with substr(md5, 1, 16).
     "d12_chunk_dedup" -> { (s, d) =>
-      val chunks = Tables.documents(s, d)
+      val chunks = Tables.validDocuments(s, d)
         .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, int((size(w)-1)/8)), " +
@@ -638,7 +644,7 @@ object Dedup {
     // carry no curation signal).
     "d16_source_overlap" -> { (s, d) =>
       import s.implicits._
-      val srcSh = Tables.parallelized(Tables.documents(s, d))
+      val srcSh = Tables.parallelized(Tables.validDocuments(s, d))
         .select(col("source"), col("text")).as[(String, String)]
         .mapPartitions(_.map { case (src, t) => (src, shinglesOf(t)) })
         .toDF("source", "shingles")
@@ -674,7 +680,7 @@ object Dedup {
     "d17_survivorship" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val clusters = convergedLabels(s, d)
-      val meta = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val meta = Tables.validDocuments(s, d).select(col("doc_id"), col("n_chars"))
       val pick = Window.partitionBy(col("cluster_id"))
         .orderBy(col("n_chars").desc, col("doc_id"))
       clusters.join(meta, "doc_id")
@@ -692,12 +698,12 @@ object Dedup {
   // DuckDB twin of the shingle builder (list_zip over shifted slices).
   // Shared with TextOps' t8 oracle (same shingle definition by construction).
   private[queries] val SH_CTE =
-    """sh_docs AS (
+    s"""sh_docs AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
       |      list_transform(list_zip(w[1:-3], w[2:-2], w[3:-1]),
       |                     s -> s[1] || ' ' || s[2] || ' ' || s[3])
       |    ELSE [array_to_string(w, ' ')] END) AS shingles
-      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents) t)""".stripMargin
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM ${graft.Tables.validDocsSql} documents) t)""".stripMargin
 
   // Shared scaffolding for the Jaccard-family twins (d5/d9/d10): ONE
   // definition of the inverted index and the ordered-pair CTE, so the d5
@@ -718,15 +724,15 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
-      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM ${graft.Tables.validDocsSql} documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "d2_dedup_fingerprint" ->
-      """SELECT doc_id, lang, source FROM (
+      s"""SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source, row_number() OVER (
         |    PARTITION BY md5(array_to_string(list_sort(list_distinct(
-        |      string_split_regex(lower(text), '\s+'))), ' '))
+        |      string_split_regex(lower(text), '\\s+'))), ' '))
         |    ORDER BY doc_id) AS rn
-        |  FROM documents) t
+        |  FROM ${graft.Tables.validDocsSql} documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // d3: LSH banding is hash-specific, but on the fixed testdata its output
     // equals the exhaustive exact-Jaccard pair set at threshold 0.9 (verified
@@ -792,7 +798,7 @@ object Dedup {
     "d8_decontaminate" ->
       s"""WITH $SH_CTE,
          |e AS (SELECT s.doc_id, d.source, unnest(s.shingles) AS sh
-         |      FROM sh_docs s JOIN documents d USING (doc_id)),
+         |      FROM sh_docs s JOIN ${graft.Tables.validDocsSql} d USING (doc_id)),
          |train AS (SELECT DISTINCT sh FROM e WHERE source != 'src0')
          |SELECT doc_id, count(DISTINCT e.sh) AS n_shared
          |FROM e JOIN train USING (sh) WHERE e.source = 'src0'
@@ -800,7 +806,7 @@ object Dedup {
     "d11_contamination_score" ->
       s"""WITH $SH_CTE,
          |e AS (SELECT s.doc_id, d.source, unnest(s.shingles) AS sh
-         |      FROM sh_docs s JOIN documents d USING (doc_id)),
+         |      FROM sh_docs s JOIN ${graft.Tables.validDocsSql} d USING (doc_id)),
          |train AS (SELECT DISTINCT sh FROM e WHERE source != 'src0'),
          |ev AS (SELECT doc_id, sh FROM e WHERE source = 'src0')
          |SELECT ev.doc_id, count(*) AS n_shingles,
@@ -809,10 +815,10 @@ object Dedup {
          |FROM ev LEFT JOIN train t USING (sh)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "d6_embedding_neardup" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, label, embedding,
         |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
-        |  FROM embeddings)
+        |  FROM ${graft.Tables.validEmbSql} embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
         |  (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
         |     list_transform(list_zip(a.embedding, b.embedding),
@@ -826,11 +832,11 @@ object Dedup {
         |ORDER BY vec_a, vec_b""".stripMargin,
     // s5's centroid CTEs, then medoid-by-rank and one per-label rejoin.
     "d15_semdedup" ->
-      """WITH comp AS (
+      s"""WITH comp AS (
         |  SELECT label, s.pos, s.xq
         |  FROM (SELECT label, unnest(list_transform(embedding,
-        |          (x, i) -> struct_pack(pos := i, xq := CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))))) AS s
-        |        FROM embeddings)
+        |          (x, i) -> struct_pack(pos := i, xq := CAST(CAST(x AS VARCHAR) AS DECIMAL(38,6))))) AS s
+        |        FROM ${graft.Tables.validEmbSql} embeddings)
         |), cent AS (
         |  SELECT label, pos, sum(xq) AS sx FROM comp GROUP BY 1, 2
         |), cvecs AS (
@@ -844,7 +850,7 @@ object Dedup {
         |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
         |    / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(e.embedding) u(x)))
         |       * sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(c.cvec) u(x)))) AS cos_cent
-        |  FROM embeddings e JOIN cvecs c USING (label)
+        |  FROM ${graft.Tables.validEmbSql} e JOIN cvecs c USING (label)
         |), ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos_cent DESC, vec_id) AS rk
         |  FROM scored
@@ -864,7 +870,8 @@ object Dedup {
     // t5's fingerprint CTE (TextOps.FP_SQL — one definition), then the
     // capped group self-pairing.
     "d14_winnow_pairs" ->
-      s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+         |            hex(encode(text)) AS hx FROM ${graft.Tables.validDocsSql} documents),
          |f AS (SELECT doc_id, ${TextOps.FP_SQL} AS fp FROM t),
          |g AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 50)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
@@ -889,8 +896,8 @@ object Dedup {
     // DuckDB has no md5(BLOB); Spark's cast-to-binary twin is byte-identical
     // on this ASCII corpus, parity pinned by t4).
     "d12_chunk_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM ${graft.Tables.validDocsSql} documents),
         |c AS (
         |  SELECT doc_id, unnest(list_transform(range((len(w)-1)//8 + 1),
         |      i -> md5(array_to_string(list_slice(w, CAST(i*8+1 AS BIGINT), CAST(i*8+8 AS BIGINT)), ' ')))) AS ch
@@ -905,7 +912,7 @@ object Dedup {
     "d16_source_overlap" ->
       s"""WITH $SH_CTE,
          |e0 AS (SELECT d.source, unnest(s.shingles) AS sh
-         |       FROM sh_docs s JOIN documents d USING (doc_id)),
+         |       FROM sh_docs s JOIN ${graft.Tables.validDocsSql} d USING (doc_id)),
          |e AS (SELECT DISTINCT source, sh FROM e0),
          |sz AS (SELECT source, count(*) AS n_sh FROM e GROUP BY 1),
          |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
@@ -928,7 +935,7 @@ object Dedup {
          |  SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
          |cc AS (SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u),
          |m AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
-         |      FROM cc JOIN documents d USING (doc_id)),
+         |      FROM cc JOIN ${graft.Tables.validDocsSql} d USING (doc_id)),
          |r AS (SELECT *,
          |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
          |    row_number() OVER (PARTITION BY cluster_id

@@ -24,7 +24,7 @@ object Multimodal {
 
   /** The multimodal table: binary payload + typed metadata struct. */
   private def mediaTable(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    Tables.validDocuments(s, d).select(
       col("doc_id"),
       col("text").cast("binary").as("media"),
       struct(
@@ -42,7 +42,7 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("png", BinaryType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    Tables.parallelized(Tables.documents(s, d)).select(col("doc_id"))
+    Tables.parallelized(Tables.validDocuments(s, d)).select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -151,7 +151,7 @@ object Multimodal {
     // their lengths.
     "mm6_storage_profile" -> { (s, d) =>
       mediaTable(s, d)
-        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .join(Tables.validDocuments(s, d).select(col("doc_id"), col("source")), "doc_id")
         .select(col("source"), length(col("media")).cast("bigint").as("n_bytes"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
@@ -166,23 +166,23 @@ object Multimodal {
 
   def oracle: Map[String, String] = Map(
     "mm1_media_table" ->
-      """SELECT doc_id, hex(encode(text)) AS media_hex,
+      s"""SELECT doc_id, hex(encode(text)) AS media_hex,
         |  to_json({'format': 'jpeg',
         |           'width': CAST(64 + doc_id % 512 AS INT),
         |           'height': CAST(64 + doc_id % 256 AS INT)}) AS meta,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM ${graft.Tables.validDocsSql} documents ORDER BY doc_id""".stripMargin,
     // The decoded features are exact integers, and PNG is lossless, so the
     // oracle recomputes them from the pattern arithmetic directly:
     // v(x,y,id) = (31x + 17y + 7·id) mod 256, gray ⇒ rgb sum = 3·Σv.
     // Spark's side went bytes → ImageIO decode → pixels; any codec bug
     // (stride, channel order, geometry) breaks the hash.
     "mm2_decode_features" ->
-      """WITH m AS (SELECT doc_id,
+      s"""WITH m AS (SELECT doc_id,
         |    CAST(16 + doc_id % 49 AS INT) AS w,
         |    CAST(12 + doc_id % 37 AS INT) AS h
-        |  FROM documents)
+        |  FROM ${graft.Tables.validDocsSql} documents)
         |SELECT doc_id, w AS width, h AS height, CAST(w * h AS INT) AS n_px,
         |  CAST(3 * list_sum(list_transform(range(w * h),
         |    p -> (31 * (p % w) + 17 * (p // w) + 7 * doc_id) % 256)) AS BIGINT) AS pix_sum
@@ -192,10 +192,10 @@ object Multimodal {
     // (i·w // out_w, j·h // out_h), whose pattern value the oracle
     // recomputes — the full decode → rescale → feature pipeline mirrored.
     "mm4_resize" ->
-      """WITH m AS (SELECT doc_id,
+      s"""WITH m AS (SELECT doc_id,
         |    CAST(16 + doc_id % 49 AS INT) AS w,
         |    CAST(12 + doc_id % 37 AS INT) AS h
-        |  FROM documents),
+        |  FROM ${graft.Tables.validDocsSql} documents),
         |g AS (SELECT doc_id, w, h,
         |    CAST(w * 16 // greatest(w, h) AS INT) AS out_w,
         |    CAST(h * 16 // greatest(w, h) AS INT) AS out_h
@@ -211,8 +211,8 @@ object Multimodal {
     // is mirrored with VARCHAR substring (DuckDB 1.0 has no md5(BLOB)).
     // range() takes constants only: 16 frames covers max len 577 ≪ 16·64.
     "mm3_frame_sample" ->
-      """WITH m AS (SELECT doc_id, text,
-        |                  octet_length(encode(text)) AS len FROM documents),
+      s"""WITH m AS (SELECT doc_id, text,
+        |                  octet_length(encode(text)) AS len FROM ${graft.Tables.validDocsSql} documents),
         |f AS (SELECT doc_id, i AS frame_idx,
         |             md5(substring(text, CAST(i * 64 + 1 AS INT), 32)) AS frame_digest
         |      FROM m CROSS JOIN range(0, 16) t(i)
@@ -220,21 +220,21 @@ object Multimodal {
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, frame_digest
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "mm5_blob_dedup" ->
-      """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+      s"""SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
         |  count(*) AS n_refs,
         |  CAST(max(octet_length(encode(text))) AS BIGINT) AS blob_bytes,
         |  CAST(sum(octet_length(encode(text))) - max(octet_length(encode(text))) AS BIGINT) AS bytes_saved
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM ${graft.Tables.validDocsSql} documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm6_storage_profile" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |  FROM documents)
+        |  FROM ${graft.Tables.validDocsSql} documents)
         |SELECT source, count(*) AS n,
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  quantile_cont(n_bytes, 0.25) AS p25_bytes,
         |  quantile_cont(n_bytes, 0.5) AS p50_bytes,
         |  quantile_cont(n_bytes, 0.75) AS p75_bytes,
         |  max(n_bytes) AS max_bytes
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
   )
 }

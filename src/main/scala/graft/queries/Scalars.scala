@@ -66,13 +66,18 @@ object Scalars {
         .orderBy(col("bucket"))
     },
     // Array functions over the embeddings table: size, element access, slice.
+    // Deliberately UNFILTERED (unlike the s-family): these are the scalar
+    // demos, so they must be total over hostile rows — try_element_at
+    // returns NULL out of bounds / on NULL arrays, exactly DuckDB's
+    // list-index semantics (ANSI element_at would fail the job on the
+    // first short or empty array).
     "sc5_array_funcs" -> { (s, d) =>
       Tables.embeddings(s, d)
         .select(
           col("vec_id"),
           size(col("embedding")).as("dim"),
-          element_at(col("embedding"), 1).cast("double").as("first_elem"),
-          element_at(col("embedding"), 64).cast("double").as("last_elem"),
+          try_element_at(col("embedding"), lit(1)).cast("double").as("first_elem"),
+          try_element_at(col("embedding"), lit(64)).cast("double").as("last_elem"),
           size(filter(col("embedding"), x => x > 0)).as("n_positive"))
         .orderBy(col("vec_id"))
     },
@@ -160,10 +165,17 @@ object Scalars {
         |  levenshtein(p_brand, p_type) AS brand_type_dist,
         |  levenshtein(string_split(p_name, ' ')[1], string_split(p_name, ' ')[2]) AS word_dist
         |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin,
+    // NULL list → NULL (Spark aggregate propagates null input); EMPTY list
+    // → 0.0 (the fold's init value); a NULL ELEMENT poisons the fold (the
+    // accumulator goes NULL and stays NULL) where DuckDB's sum would skip
+    // it — the CASE arms reproduce all three against unnest, which yields
+    // zero rows for NULL and [] alike and drops NULL products.
     "sc6_array_fold" ->
       """SELECT vec_id,
-        |  (SELECT coalesce(sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)), 0.0)
-        |   FROM unnest(embedding) u(x)) AS sq_norm
+        |  CASE WHEN embedding IS NULL THEN NULL
+        |       WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
+        |       ELSE (SELECT coalesce(sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)), 0.0)
+        |             FROM unnest(embedding) u(x)) END AS sq_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "sc8_from_json" ->
       """SELECT event_id,

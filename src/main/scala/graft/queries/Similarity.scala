@@ -94,8 +94,15 @@ object Similarity {
 
   import graft.functions.VecFunctions.vec_dot
 
+  // All s-family ops consume the validated embedding domain (Tables
+  // .validEmbeddings: key+label present, declared dim, finite elements,
+  // nonzero norm — mirrored verbatim in every oracle below). Validity
+  // guarantees sq > 0, so every PAIRWISE cosine denominator is nonzero;
+  // only centroid-derived denominators can still vanish (a label's
+  // component sums can cancel to the zero vector) and are null-guarded
+  // where they occur (s5/s6).
   private def normed(s: SparkSession, d: String): DataFrame =
-    Tables.parallelized(Tables.embeddings(s, d)).select(col("vec_id"), col("label"), col("embedding"),
+    Tables.parallelized(Tables.validEmbeddings(s, d)).select(col("vec_id"), col("label"), col("embedding"),
       vec_dot(col("embedding"), col("embedding")).as("sq"))
 
   /** The declared every-50th query set, SIZE-GUARDED for broadcast (shared
@@ -120,17 +127,26 @@ object Similarity {
   }
 
   /** Per-label centroid vectors with ORDER-FREE exact arithmetic: each float
-    * component is quantized to DECIMAL(18,6) and summed (exact regardless of
+    * component is quantized to DECIMAL(38,6) and summed (exact regardless of
     * accumulation order — float sums would be partitioning-dependent), then
     * the per-position sums are collapsed back to a float vector. Cosine
     * against these is scale-invariant, so the un-divided component sum
     * stands in for the mean. Shared by s5 (outlier ranking) and s6 (label
-    * similarity matrix) so the centroid definition cannot drift. */
+    * similarity matrix) so the centroid definition cannot drift.
+    *
+    * Quantization route (r8 adversarial-domain audit): float → STRING →
+    * decimal, not float → double → decimal. Both engines print a float as
+    * its shortest round-trip decimal (Ryū), so the string names the same
+    * number on both sides; the double route diverges for |x| ≳ 1e11
+    * because Spark expands the double via its shortest repr while DuckDB
+    * expands the exact binary value — a hash-breaking disagreement the
+    * shipped small-magnitude corpus never exercised. DECIMAL(38,6)
+    * (was 18,6) keeps float-max-magnitude components representable. */
   private[queries] def centroidVecs(s: SparkSession, d: String): DataFrame =
-    Tables.parallelized(Tables.embeddings(s, d))
+    Tables.parallelized(Tables.validEmbeddings(s, d))
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("label"), col("pos"),
-        col("x").cast("double").cast("decimal(18,6)").as("xq"))
+        col("x").cast("string").cast("decimal(38,6)").as("xq"))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("xq")).as("sx"))
       .groupBy(col("label"))
@@ -264,19 +280,56 @@ object Similarity {
     // far beyond TOPK·cluster-width, swap in the salted two-phase top-k
     // (operators/Skew.scala) as q20's scaladoc describes.
     "s5_centroid_outliers" -> { (s, d) =>
+      // A label's exact component sums can cancel to the zero vector (e.g.
+      // a vector and its negation alone in a label), so the centroid-side
+      // norm — unlike the validity-guaranteed row norm — can be 0. DuckDB
+      // returns NULL for double x/0; the when() reproduces that, and the
+      // window orders NULL cosines LAST to match DuckDB's default null
+      // order (Spark's ASC default is nulls-first — a silent rank
+      // divergence on any degenerate label).
       val scored = normed(s, d).join(broadcast(centroidVecs(s, d)), Seq("label"))
+        .withColumn("cnorm", sqrt(col("sq")) * sqrt(vec_dot(col("cvec"), col("cvec"))))
         .withColumn("cosine",
-          dotCol("embedding", "cvec") /
-            (sqrt(col("sq")) * sqrt(vec_dot(col("cvec"), col("cvec")))))
-      val w = Window.partitionBy(col("label")).orderBy(col("cosine").asc, col("vec_id"))
+          when(col("cnorm") =!= 0.0, dotCol("embedding", "cvec") / col("cnorm")))
+      val w = Window.partitionBy(col("label")).orderBy(col("cosine").asc_nulls_last, col("vec_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= TOPK)
         .select(col("label"), col("vec_id"), col("rk"), col("cosine"))
         .orderBy(col("label"), col("rk"))
     },
+    // Input-validity audit for the embeddings domain (Tables.validEmbeddings'
+    // companion — t21's sibling): reason columns are independent indicators,
+    // n_valid is the exact row count every s-family/d6/d7/d15 consumer sees.
+    // One map-side-combining aggregate; the element scans are per-row
+    // narrow-map lambdas, so the single-row merge is the only exchange.
+    "s10_vec_validity" -> { (s, d) =>
+      val dim = graft.Tables.embDim(s)
+      val nonFinite = (x: Column) => x.isNull || isnan(x) ||
+        x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity)
+      Tables.embeddings(s, d)
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("n_null_vec_id"),
+          sum(when(col("label").isNull, 1L).otherwise(0L)).as("n_null_label"),
+          sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("n_null_emb"),
+          sum(when(col("embedding").isNotNull && size(col("embedding")) =!= dim, 1L)
+            .otherwise(0L)).as("n_wrong_dim"),
+          sum(when(col("embedding").isNotNull &&
+            coalesce(exists(col("embedding"), x => nonFinite(x)), lit(true)), 1L)
+            .otherwise(0L)).as("n_non_finite"),
+          sum(when(col("embedding").isNotNull &&
+            !coalesce(exists(col("embedding"), x => nonFinite(x)), lit(true)) &&
+            !exists(col("embedding"), x => x =!= lit(0.0f)), 1L)
+            .otherwise(0L)).as("n_zero_norm"),
+          sum(when(col("vec_id").isNotNull && col("label").isNotNull &&
+            col("embedding").isNotNull && size(col("embedding")) === dim &&
+            !coalesce(exists(col("embedding"), x => nonFinite(x)), lit(true)) &&
+            exists(col("embedding"), x => x =!= lit(0.0f)), 1L)
+            .otherwise(0L)).as("n_valid"))
+    },
     "s3_label_median_norm" -> { (s, d) =>
       import s.implicits._
-      Tables.embeddings(s, d)
+      Tables.validEmbeddings(s, d)
         .select(col("label"),
           vec_dot(col("embedding"), col("embedding")).as("norm_sq"))
         .as[(Int, Double)]
@@ -377,20 +430,42 @@ object Similarity {
       val a = cent.select(col("label").as("label_a"), col("cvec").as("va"))
       val b = cent.select(col("label").as("label_b"), col("cvec").as("vb"))
       a.join(broadcast(b), col("label_a") < col("label_b"))
+        // Same zero-centroid guard as s5: NULL cosine (DuckDB x/0
+        // semantics) instead of an ANSI divide-by-zero job failure.
+        .withColumn("cnorm",
+          sqrt(vec_dot(col("va"), col("va"))) * sqrt(vec_dot(col("vb"), col("vb"))))
         .withColumn("cosine",
-          vec_dot(col("va"), col("vb")) /
-            (sqrt(vec_dot(col("va"), col("va"))) * sqrt(vec_dot(col("vb"), col("vb")))))
+          when(col("cnorm") =!= 0.0, vec_dot(col("va"), col("vb")) / col("cnorm")))
         .select(col("label_a"), col("label_b"), col("cosine"))
         .orderBy(col("label_a"), col("label_b"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "s10_vec_validity" ->
+      """SELECT count(*) AS n_total,
+        |  CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec_id,
+        |  CAST(sum(CASE WHEN label IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_label,
+        |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_emb,
+        |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+        |  CAST(sum(CASE WHEN embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_non_finite,
+        |  CAST(sum(CASE WHEN embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+        |    AND len(list_filter(embedding, x -> x <> 0)) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  CAST(sum(CASE WHEN vec_id IS NOT NULL AND label IS NOT NULL
+        |    AND embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+        |    AND len(list_filter(embedding, x -> x <> 0)) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+        |FROM embeddings""".stripMargin,
     "s1_knn_brute" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding,
         |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
-        |  FROM embeddings),
+        |  FROM ${graft.Tables.validEmbSql} embeddings),
         |scored AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
         |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
@@ -404,11 +479,11 @@ object Similarity {
         |SELECT q_id, neighbor_id, rk, cosine FROM ranked
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "s5_centroid_outliers" ->
-      """WITH comp AS (
+      s"""WITH comp AS (
         |  SELECT label, s.pos, s.xq
         |  FROM (SELECT label, unnest(list_transform(embedding,
-        |          (x, i) -> struct_pack(pos := i, xq := CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))))) AS s
-        |        FROM embeddings)
+        |          (x, i) -> struct_pack(pos := i, xq := CAST(CAST(x AS VARCHAR) AS DECIMAL(38,6))))) AS s
+        |        FROM ${graft.Tables.validEmbSql} embeddings)
         |), cent AS (
         |  SELECT label, pos, sum(xq) AS sx FROM comp GROUP BY 1, 2
         |), cvecs AS (
@@ -421,25 +496,25 @@ object Similarity {
         |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
         |    / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(e.embedding) u(x)))
         |       * sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(c.cvec) u(x)))) AS cosine
-        |  FROM embeddings e JOIN cvecs c USING (label)
+        |  FROM ${graft.Tables.validEmbSql} e JOIN cvecs c USING (label)
         |), ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cosine ASC, vec_id) AS rk
         |  FROM scored)
         |SELECT label, vec_id, rk, cosine FROM ranked
         |WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
     "s3_label_median_norm" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT label,
         |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS norm_sq
-        |  FROM embeddings)
+        |  FROM ${graft.Tables.validEmbSql} embeddings)
         |SELECT label, median(norm_sq) AS median_norm_sq, count(*) AS n
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // s1's scored/ranked CTEs at rk ≤ 2, collapsed to a margin per query.
     "s7_margin_mining" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding,
         |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
-        |  FROM embeddings),
+        |  FROM ${graft.Tables.validEmbSql} embeddings),
         |scored AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
         |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
@@ -458,10 +533,10 @@ object Similarity {
         |FROM ranked WHERE rk <= 2
         |GROUP BY q_id ORDER BY q_id""".stripMargin,
     "s8_knn_accuracy" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, label, embedding,
         |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
-        |  FROM embeddings),
+        |  FROM ${graft.Tables.validEmbSql} embeddings),
         |scored AS (
         |  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS neighbor_id, c.label AS c_label,
         |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
@@ -480,10 +555,10 @@ object Similarity {
         |    / CAST(count(*) AS DOUBLE) AS accuracy
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
     "s9_triplet_mining" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, label, embedding,
         |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
-        |  FROM embeddings),
+        |  FROM ${graft.Tables.validEmbSql} embeddings),
         |scored AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
         |    c.label = q.label AS same,
@@ -507,11 +582,11 @@ object Similarity {
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
     // s5's centroid CTEs verbatim, then the k² pairwise cosine.
     "s6_centroid_sim" ->
-      """WITH comp AS (
+      s"""WITH comp AS (
         |  SELECT label, s.pos, s.xq
         |  FROM (SELECT label, unnest(list_transform(embedding,
-        |          (x, i) -> struct_pack(pos := i, xq := CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))))) AS s
-        |        FROM embeddings)
+        |          (x, i) -> struct_pack(pos := i, xq := CAST(CAST(x AS VARCHAR) AS DECIMAL(38,6))))) AS s
+        |        FROM ${graft.Tables.validEmbSql} embeddings)
         |), cent AS (
         |  SELECT label, pos, sum(xq) AS sx FROM comp GROUP BY 1, 2
         |), cvecs AS (

@@ -36,6 +36,21 @@ object TextOps {
     md5(array_join(array_sort(array_distinct(
       split(lower(col("text")), "\\s+"))), " ").cast("binary"))
 
+  /** Whitespace tokens with the BLANK-TEXT contract: empty or whitespace-only
+    * text has ZERO tokens. Raw `split(trim(x), "\\s+")` yields `[""]` there —
+    * a phantom token that inflates every count, poisons every ratio with a
+    * 0/1 instead of a NULL 0/0, and plants an empty-string word in the
+    * vocabulary aggregates (r8 adversarial audit: t2/t3/t6/t7/t9/t12/t15/
+    * t17/t18/t19/t20 all silently disagreed with the oracle on blank docs).
+    * Mirrored in every oracle as
+    * `CASE WHEN trim(x) = '' THEN [] ELSE string_split_regex(trim(x), '\\s+') END`.
+    * The typed-kernel family (wordsOf: t13/t14/t16, shingles) keeps Java
+    * split semantics — its oracles mirror THOSE; the two tokenizations are
+    * each self-consistent and both oracle-pinned. */
+  private[queries] def wsTokens(c: Column): Column =
+    when(trim(c) === "", array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language ID: argmax of marker-word counts, 'und' when all zero.
     "t1_langid" -> { (s, d) =>
@@ -46,7 +61,7 @@ object TextOps {
         .otherwise(scores.foldRight(lit("und")) { case ((l, sc), acc) =>
           when(sc === best, l).otherwise(acc)
         })
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .select(col("doc_id") +: scores.map { case (l, sc) => sc.as(s"score_$l") } :+
           pred.as("pred_lang"): _*)
         .orderBy(col("doc_id"))
@@ -58,19 +73,24 @@ object TextOps {
       val nWords = size(words).cast("bigint")
       val nChars = length(col("text")).cast("bigint")
       val nStop = langScore(padded, Seq(" the ", " a ", " of ", " and "))
-      Tables.documents(s, d)
+      // Token-less docs (empty/whitespace-only text): NULL ratios, matching
+      // DuckDB's x/0 → NULL — Spark's IEEE double division would yield
+      // NaN/Inf here and silently break oracle parity (r8 audit).
+      val safeDiv = (num: Column) =>
+        when(nWords =!= 0, num.cast("double") / nWords.cast("double"))
+      Tables.validDocuments(s, d)
         .select(
           col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
           nStop.as("n_stop"),
-          (nChars.cast("double") / nWords.cast("double")).as("avg_word_len"),
-          (nStop.cast("double") / nWords.cast("double")).as("stop_ratio"),
+          safeDiv(nChars).as("avg_word_len"),
+          safeDiv(nStop).as("stop_ratio"),
           when(nWords >= 20 && nWords <= 80, 1.0).otherwise(0.0)
-            .plus(nStop.cast("double") / nWords.cast("double")).as("quality"))
+            .plus(safeDiv(nStop)).as("quality"))
         .orderBy(col("doc_id"))
     },
     // Token counting: whitespace tokens + a BPE-ish regex tokenization.
     "t3_tokens" -> { (s, d) =>
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .select(
           col("doc_id"),
           size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
@@ -81,7 +101,7 @@ object TextOps {
     // Document fingerprinting: md5 over the sorted distinct word set (the
     // OpenRefine "fingerprint" key-collision method) + group stats.
     "t4_fingerprint" -> { (s, d) =>
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .withColumn("fp", fingerprintCol)
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
@@ -93,9 +113,13 @@ object TextOps {
     // every window directly (modular arithmetic, so exact equality).
     "t5_rolling_hash" -> { (s, d) =>
       import graft.functions.RollingHashFunctions.{poly_hash, rolling_min_hash}
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .select(col("doc_id"),
-          length(col("text")).cast("bigint").as("n_bytes"),
+          // octet_length, not length: the rolling kernel hashes UTF-8
+          // BYTES, and a non-ASCII char is >1 byte (r8 audit — `length`
+          // counts codepoints and silently disagreed with the byte-wise
+          // oracle on unicode text).
+          octet_length(col("text")).cast("bigint").as("n_bytes"),
           poly_hash(col("text")).as("whole_hash"),
           rolling_min_hash(col("text"), 32).as("fp"))
         .orderBy(col("doc_id"))
@@ -105,7 +129,7 @@ object TextOps {
     // (sequence/slice/array_join) — a narrow flatMap-shaped projection, no
     // shuffle, linear in corpus size.
     "t6_chunks" -> { (s, d) =>
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, int((size(w)-1)/24)), i -> array_join(slice(w, i*24+1, 32), ' '))"))
@@ -124,7 +148,7 @@ object TextOps {
         .partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .select(col("doc_id"), col("source"),
           size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
@@ -147,12 +171,12 @@ object TextOps {
     // repeated one — high values flag boilerplate/spam for filtering. The
     // trigram multiset never leaves its document, so this is a pure narrow
     // map (typed kernel, one HashMap per doc): NO shuffle at any scale.
-    // Tokenization is the d3/d5/t8 shingle family's (lower, \s+, limit -1).
+    // Tokenization is the d3/d5/t8 shingle family's (lower, \\s+, limit -1).
     // The derived fractions are single-rounded IEEE divisions — hash-exact
     // across engines.
     "t13_repetition" -> { (s, d) =>
       import s.implicits._
-      Tables.parallelized(Tables.documents(s, d))
+      Tables.parallelized(Tables.validDocuments(s, d))
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
@@ -190,7 +214,7 @@ object TextOps {
     // IEEE division — hash-safe. Tokenization = the shingle family's.
     "t14_bigram_novelty" -> { (s, d) =>
       import s.implicits._
-      val bigrams = Tables.parallelized(Tables.documents(s, d))
+      val bigrams = Tables.parallelized(Tables.validDocuments(s, d))
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, t) =>
           val w = Dedup.wordsOf(t)
@@ -215,10 +239,10 @@ object TextOps {
     // would break the hash gate; callers take the log themselves, which is
     // monotone in the ratio anyway.
     "t9_vocab_idf" -> { (s, d) =>
-      val words = Tables.documents(s, d)
+      val words = Tables.validDocuments(s, d)
         .select(explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("word"))
       val dfc = words.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val n = Tables.validDocuments(s, d).agg(count(lit(1)).as("n_docs"))
       dfc.crossJoin(broadcast(n))
         .withColumn("inv_df", col("n_docs").cast("double") / col("df").cast("double"))
         .select(col("word"), col("df"), col("n_docs"), col("inv_df"))
@@ -230,7 +254,7 @@ object TextOps {
     // engine (md5 parity with the oracle is pinned by t4). A narrow
     // filter+project: no shuffle, trivially linear at any scale.
     "t10_hash_sample" -> { (s, d) =>
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) === "0")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
@@ -248,7 +272,7 @@ object TextOps {
       val K = 10
       val w = Window.partitionBy(col("source"))
         .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .select(col("doc_id"), col("source"))
         .withColumn("rk", row_number().over(w).cast("bigint"))
         .filter(col("rk") <= K)
@@ -270,12 +294,14 @@ object TextOps {
       val w = Window.partitionBy(col("source"))
         .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .select(col("doc_id"), col("source"),
           size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= BUDGET)
-        .orderBy(col("source"), col("cum_tokens"))
+        // doc_id tiebreak: zero-token docs tie on cum_tokens, and an
+        // unordered tie is a row-order lottery against the oracle.
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
     },
     // Blocklist scrub (the PII/ToS-masking shape: emails, phone numbers,
     // trademarked terms — here a term blocklist, since the corpus is plain
@@ -284,16 +310,18 @@ object TextOps {
     // masked fraction is too high. Pure narrow scan+project (regexp_replace
     // + regexp_extract_all are codegen'd) — no shuffle, linear at 100 TB.
     // The pattern stays inside the regex subset Java and RE2 share
-    // (alternation, \b word boundaries), so Spark and DuckDB agree exactly.
+    // (alternation, \\b word boundaries), so Spark and DuckDB agree exactly.
     "t15_blocklist_scrub" -> { (s, d) =>
       val pat = "\\b(customer|vector|spark)\\b"
       val nMasked = size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("bigint")
       val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .select(
           col("doc_id"),
           nMasked.as("n_masked"),
-          (nMasked.cast("double") / nWords.cast("double")).as("masked_frac"),
+          // NULL for token-less docs — DuckDB x/0 parity (t2's guard).
+          when(nWords =!= 0, nMasked.cast("double") / nWords.cast("double"))
+            .as("masked_frac"),
           regexp_replace(col("text"), pat, "[MASKED]").as("scrubbed"))
         .orderBy(col("doc_id"))
     },
@@ -305,7 +333,7 @@ object TextOps {
     // scale. Tokenization is the shingle family's (wordsOf).
     "t16_lexical_diversity" -> { (s, d) =>
       import s.implicits._
-      Tables.parallelized(Tables.documents(s, d))
+      Tables.parallelized(Tables.validDocuments(s, d))
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
@@ -341,12 +369,16 @@ object TextOps {
       val nDistinct = size(array_distinct(words)).cast("bigint")
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
       val nStop = langScore(padded, Seq(" the ", " a ", " of ", " and "))
-      val ttr = nDistinct.cast("double") / nWords.cast("double")
-      val stopRatio = nStop.cast("double") / nWords.cast("double")
+      // NULL ratios for token-less docs (t2's DuckDB x/0 parity guard);
+      // the derived booleans go NULL too — identically on both engines —
+      // and `keep` still resolves FALSE via the three-valued AND with the
+      // false length gate.
+      val ttr = when(nWords =!= 0, nDistinct.cast("double") / nWords.cast("double"))
+      val stopRatio = when(nWords =!= 0, nStop.cast("double") / nWords.cast("double"))
       val lenOk = nWords.between(20, 80)
       val ttrOk = ttr >= 0.7
       val stopOk = stopRatio > 0.0
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .select(col("doc_id"), nWords.as("n_words"), ttr.as("ttr"),
           stopRatio.as("stop_ratio"), lenOk.as("len_ok"), ttrOk.as("ttr_ok"),
           stopOk.as("stop_ok"), (lenOk && ttrOk && stopOk).as("keep"))
@@ -367,7 +399,7 @@ object TextOps {
       import org.apache.spark.sql.expressions.Window
       val nWords = size(split(trim(lower(col("text"))), "\\s+")).cast("bigint")
       val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .filter(nWords.between(20, 80))             // gate
         .withColumn("rn", row_number().over(w))     // exact dedup, first wins
         .filter(col("rn") === 1)
@@ -395,7 +427,7 @@ object TextOps {
     // exactly when the statistic is meaningful, and a df-cap (d5) bounds
     // the narrow flatMap's per-doc fan-out for degenerate vocabularies.
     "t18_pmi_cooccur" -> { (s, d) =>
-      val withWords = Tables.documents(s, d)
+      val withWords = Tables.validDocuments(s, d)
         .select(col("doc_id"),
           array_sort(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("ws"))
       val pairs = withWords.select(explode(expr(
@@ -406,7 +438,7 @@ object TextOps {
       val cxy = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
       val dfc = withWords.select(explode(col("ws")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val n = Tables.validDocuments(s, d).agg(count(lit(1)).as("n_docs"))
       cxy
         .join(broadcast(dfc.toDF("w1", "df_a")), "w1")
         .join(broadcast(dfc.toDF("w2", "df_b")), "w2")
@@ -427,12 +459,12 @@ object TextOps {
     // tf rows by doc_id. Ties (equal scores) break by word asc, so top-3
     // is a total order — deterministic on both engines.
     "t19_tfidf_terms" -> { (s, d) =>
-      val tf = Tables.documents(s, d)
+      val tf = Tables.validDocuments(s, d)
         .select(col("doc_id"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val n = Tables.validDocuments(s, d).agg(count(lit(1)).as("n_docs"))
       val pick = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("word"))
       tf.join(broadcast(dfc), "word")
@@ -445,6 +477,28 @@ object TextOps {
           col("score"))
         .orderBy(col("doc_id"), col("rk"))
     },
+    // Input-validity audit for the documents domain (Tables.validDocuments'
+    // companion): every text/dedup operator consumes the valid subset, so
+    // this is the query that makes the excluded remainder OBSERVABLE — a
+    // curation run reads it before trusting any downstream count. Reason
+    // columns are independent indicators (a row can hit several); n_valid
+    // is the exact row count every validDocuments consumer sees. One
+    // map-side-combining aggregate over the scan — no shuffle beyond the
+    // single-row final merge at any corpus size.
+    "t21_doc_validity" -> { (s, d) =>
+      Tables.documents(s, d)
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_null_doc_id"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+          sum(when(col("doc_id").isNotNull && col("text").isNotNull, 1L)
+            .otherwise(0L)).as("n_valid"),
+          sum(when(col("text") === "", 1L).otherwise(0L)).as("n_empty_text"),
+          sum(when(col("text").isNotNull && col("text") =!= "" &&
+            trim(col("text")) === "", 1L).otherwise(0L)).as("n_ws_only"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_null_source"))
+    },
     // Corpus composition report: doc and token counts per (source, lang)
     // with each language's share within its source — the table a curation
     // run reads before setting t12's mixture weights. One aggregation
@@ -453,7 +507,7 @@ object TextOps {
     // share is one exact-integer division.
     "t20_source_composition" -> { (s, d) =>
       val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
-      Tables.documents(s, d)
+      Tables.validDocuments(s, d)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
         .withColumn("src_docs",
@@ -467,18 +521,22 @@ object TextOps {
   )
 
   /** DuckDB twin of `rolling_min_hash(text, 32)` — the minimal 32-byte
-    * rolling-window hash. Expects a CTE `t(doc_id, text, n)` in scope with
-    * n = octet_length. Shared by the t5 oracle and Dedup's d14 (winnowing
-    * candidate pairs), so the fingerprint definition cannot drift. */
+    * rolling-window hash. Expects a CTE `t(doc_id, text, n, hx)` in scope
+    * with n = octet_length and hx = hex(encode(text)). Byte extraction goes
+    * through the hex dump (r8 audit) so the twin hashes UTF-8 BYTES exactly
+    * like the kernel — the previous `ascii(text[i+1])` form read CODEPOINTS
+    * and silently diverged on any non-ASCII document. Shared by the t5
+    * oracle and Dedup's d14 (winnowing candidate pairs), so the fingerprint
+    * definition cannot drift. */
   private[queries] val FP_SQL =
     """CASE WHEN n <= 32 THEN
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(range(n), i -> CAST(ascii(text[i+1]) AS BIGINT))),
+      |        list_transform(range(n), i -> CAST('0x' || substring(hx, CAST(2*i+1 AS BIGINT), 2) AS BIGINT))),
       |      (a,b) -> (a*31+b) % 1000000007)
       |  ELSE
       |    list_min(list_transform(range(n - 31), i ->
       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(range(32), j -> CAST(ascii(text[i+j+1]) AS BIGINT))),
+      |          list_transform(range(32), j -> CAST('0x' || substring(hx, CAST(2*(i+j)+1 AS BIGINT), 2) AS BIGINT))),
       |        (a,b) -> (a*31+b) % 1000000007)))
       |  END""".stripMargin
 
@@ -499,7 +557,7 @@ object TextOps {
       "t1_langid" ->
         s"""WITH scored AS (
            |  SELECT doc_id, ${scoreCols.mkString(", ")}
-           |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents) t),
+           |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM ${graft.Tables.validDocsSql} documents) t),
            |best AS (SELECT *, $bestExpr AS best FROM scored)
            |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
            |  CASE WHEN best <= 0 THEN 'und' ELSE $predChain END AS pred_lang
@@ -513,62 +571,62 @@ object TextOps {
            |FROM (
            |  SELECT doc_id,
            |    CAST(length(text) AS BIGINT) AS n_chars,
-           |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_words,
+           |    CAST(len((CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS BIGINT) AS n_words,
            |    CAST(${sqlScore(Seq(" the ", " a ", " of ", " and "))} AS BIGINT) AS n_stop
-           |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents) t) t2
+           |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM ${graft.Tables.validDocsSql} documents) t) t2
            |ORDER BY doc_id""".stripMargin,
       "t3_tokens" ->
-        """SELECT doc_id,
-          |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+        s"""SELECT doc_id,
+          |  CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS INT) AS ws_tokens,
           |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens
-          |FROM documents ORDER BY doc_id""".stripMargin,
+          |FROM ${graft.Tables.validDocsSql} documents ORDER BY doc_id""".stripMargin,
       "t4_fingerprint" ->
-        """SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM (
+        s"""SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM (
           |  SELECT doc_id,
           |    md5(array_to_string(list_sort(list_distinct(
-          |      string_split_regex(lower(text), '\s+'))), ' ')) AS fp
-          |  FROM documents) t
+          |      string_split_regex(lower(text), '\\s+'))), ' ')) AS fp
+          |  FROM ${graft.Tables.validDocsSql} documents) t
           |GROUP BY fp ORDER BY fp""".stripMargin,
-      // ASCII corpus ⇒ ascii(char) == byte value, so the char-wise direct
-      // recomputation equals the byte-wise rolling kernel.
+      // whole_hash recomputed byte-wise from the hex dump (see FP_SQL).
       "t5_rolling_hash" ->
-        s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+        s"""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+           |            hex(encode(text)) AS hx FROM ${graft.Tables.validDocsSql} documents)
            |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
            |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |      list_transform(range(n), i -> CAST(ascii(text[i+1]) AS BIGINT))),
+           |      list_transform(range(n), i -> CAST('0x' || substring(hx, CAST(2*i+1 AS BIGINT), 2) AS BIGINT))),
            |    (a,b) -> (a*31+b) % 1000000007) AS whole_hash,
            |  $FP_SQL AS fp
            |FROM t ORDER BY doc_id""".stripMargin,
       "t6_chunks" ->
-        """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM ${graft.Tables.validDocsSql} documents),
           |c AS (SELECT doc_id, unnest(list_transform(range((len(w)-1)//24 + 1),
           |        i -> {'chunk_idx': i,
           |              'chunk': array_to_string(list_slice(w, CAST(i*24+1 AS BIGINT), CAST(i*24+32 AS BIGINT)), ' ')})) AS u
           |      FROM t)
           |SELECT doc_id, CAST(u.chunk_idx AS INT) AS chunk_idx, u.chunk AS chunk,
-          |  CAST(len(string_split(u.chunk, ' ')) AS INT) AS n_tokens
+          |  CAST(CASE WHEN u.chunk = '' THEN 0 ELSE len(string_split(u.chunk, ' ')) END AS INT) AS n_tokens
           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
       "t7_pack" ->
-        """WITH t AS (SELECT doc_id, source,
-          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
-          |  FROM documents)
+        s"""WITH t AS (SELECT doc_id, source,
+          |    CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens
+          |  FROM ${graft.Tables.validDocsSql} documents)
           |SELECT doc_id, source, n_tokens,
           |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
           |  (CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens) // 256 AS bin
-          |FROM t ORDER BY source, doc_id""".stripMargin,
+          |FROM t ORDER BY source NULLS FIRST, doc_id""".stripMargin,
       "t8_topk_ngrams" ->
         s"""WITH ${graft.queries.Dedup.SH_CTE}
            |SELECT sh, count(*) AS df FROM (
            |  SELECT doc_id, unnest(shingles) AS sh FROM sh_docs) t
            |GROUP BY sh ORDER BY df DESC, sh LIMIT 20""".stripMargin,
       "t13_repetition" ->
-        """WITH tri AS (
+        s"""WITH tri AS (
           |  SELECT doc_id, len(w) AS n_tokens,
           |    list_transform(list_zip(w[1:-3], w[2:-2], w[3:-1]),
           |                   s -> s[1] || ' ' || s[2] || ' ' || s[3]) AS tris
-          |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents) t
+          |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM ${graft.Tables.validDocsSql} documents) t
           |  WHERE len(w) >= 3
           |), cnt AS (
           |  SELECT doc_id, any_value(n_tokens) AS n_tokens, tr, count(*) AS c
@@ -584,8 +642,8 @@ object TextOps {
           |  CAST(max_rep AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS top_frac
           |FROM agg ORDER BY doc_id""".stripMargin,
       "t14_bigram_novelty" ->
-        """WITH dw AS (
-          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        s"""WITH dw AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM ${graft.Tables.validDocsSql} documents),
           |b AS (
           |  SELECT doc_id, unnest(list_transform(list_zip(w[1:-2], w[2:-1]),
           |                                       s -> s[1] || ' ' || s[2])) AS bg
@@ -599,49 +657,49 @@ object TextOps {
           |FROM b JOIN dfc USING (bg)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "t9_vocab_idf" ->
-        """WITH w AS (
-          |  SELECT unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS word
-          |  FROM documents),
+        s"""WITH w AS (
+          |  SELECT unnest(list_distinct((CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END))) AS word
+          |  FROM ${graft.Tables.validDocsSql} documents),
           |dfc AS (SELECT word, count(*) AS df FROM w GROUP BY word),
-          |n AS (SELECT count(*) AS n_docs FROM documents)
+          |n AS (SELECT count(*) AS n_docs FROM ${graft.Tables.validDocsSql} documents)
           |SELECT word, df, n_docs,
           |  CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS inv_df
           |FROM dfc CROSS JOIN n ORDER BY word""".stripMargin,
       "t10_hash_sample" ->
-        """SELECT doc_id, lang, source FROM documents
+        s"""SELECT doc_id, lang, source FROM ${graft.Tables.validDocsSql} documents
           |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
           |ORDER BY doc_id""".stripMargin,
       "t11_stratified_sample" ->
-        """SELECT doc_id, source, rk FROM (
+        s"""SELECT doc_id, source, rk FROM (
           |  SELECT doc_id, source, row_number() OVER (
           |    PARTITION BY source
           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-          |  FROM documents) t
-          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+          |  FROM ${graft.Tables.validDocsSql} documents) t
+          |WHERE rk <= 10 ORDER BY source NULLS FIRST, rk""".stripMargin,
       "t12_token_budget_mix" ->
-        """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+        s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
           |  SELECT doc_id, source, n_tokens,
           |    CAST(sum(n_tokens) OVER (PARTITION BY source
           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
           |  FROM (SELECT doc_id, source,
-          |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
-          |        FROM documents) a) b
-          |WHERE cum_tokens <= 800 ORDER BY source, cum_tokens""".stripMargin,
+          |          CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens
+          |        FROM ${graft.Tables.validDocsSql} documents) a) b
+          |WHERE cum_tokens <= 800 ORDER BY source NULLS FIRST, cum_tokens, doc_id""".stripMargin,
       // DuckDB regexp_replace masks only the FIRST match without the 'g'
       // option (Java's replaces all).
       "t15_blocklist_scrub" ->
-        """SELECT doc_id,
-          |  CAST(len(regexp_extract_all(text, '\b(customer|vector|spark)\b')) AS BIGINT) AS n_masked,
-          |  CAST(len(regexp_extract_all(text, '\b(customer|vector|spark)\b')) AS DOUBLE)
-          |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS masked_frac,
-          |  regexp_replace(text, '\b(customer|vector|spark)\b', '[MASKED]', 'g') AS scrubbed
-          |FROM documents ORDER BY doc_id""".stripMargin,
+        s"""SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '\\b(customer|vector|spark)\\b')) AS BIGINT) AS n_masked,
+          |  CAST(len(regexp_extract_all(text, '\\b(customer|vector|spark)\\b')) AS DOUBLE)
+          |    / CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS DOUBLE) AS masked_frac,
+          |  regexp_replace(text, '\\b(customer|vector|spark)\\b', '[MASKED]', 'g') AS scrubbed
+          |FROM ${graft.Tables.validDocsSql} documents ORDER BY doc_id""".stripMargin,
       "t16_lexical_diversity" ->
-        """WITH wc AS (
+        s"""WITH wc AS (
           |  SELECT doc_id, w, count(*) AS c
-          |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
-          |        FROM documents) t
+          |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+          |        FROM ${graft.Tables.validDocsSql} documents) t
           |  GROUP BY doc_id, w)
           |SELECT doc_id,
           |  CAST(sum(c) AS BIGINT) AS n_words,
@@ -654,10 +712,10 @@ object TextOps {
       "t17_quality_gate" ->
         s"""WITH sig AS (
            |  SELECT doc_id,
-           |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_words,
-           |    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS n_distinct,
+           |    CAST(len((CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS BIGINT) AS n_words,
+           |    CAST(len(list_distinct((CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END))) AS BIGINT) AS n_distinct,
            |    CAST(${sqlScore(Seq(" the ", " a ", " of ", " and "))} AS BIGINT) AS n_stop
-           |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents) t),
+           |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM ${graft.Tables.validDocsSql} documents) t),
            |r AS (
            |  SELECT doc_id, n_words,
            |    CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
@@ -670,13 +728,13 @@ object TextOps {
            |  (n_words BETWEEN 20 AND 80) AND ttr >= 0.7 AND stop_ratio > 0.0 AS keep
            |FROM r ORDER BY doc_id""".stripMargin,
       "p1_e2e_pipeline" ->
-        """WITH gated AS (
+        s"""WITH gated AS (
           |  SELECT doc_id, source, text
-          |  FROM documents
-          |  WHERE CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+          |  FROM ${graft.Tables.validDocsSql} documents
+          |  WHERE CAST(len((CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS BIGINT)
           |        BETWEEN 20 AND 80),
           |deduped AS (
-          |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS wd FROM (
+          |  SELECT doc_id, source, (CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END) AS wd FROM (
           |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
           |    FROM gated) t
           |  WHERE rn = 1),
@@ -687,32 +745,32 @@ object TextOps {
           |  FROM deduped)
           |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
           |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
-          |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin,
+          |FROM chunks GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
       "t18_pmi_cooccur" ->
-        """WITH dw AS (
+        s"""WITH dw AS (
           |  SELECT doc_id,
-          |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ws
-          |  FROM documents),
+          |    list_distinct((CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS ws
+          |  FROM ${graft.Tables.validDocsSql} documents),
           |e AS (SELECT doc_id, unnest(ws) AS word FROM dw),
           |cxy AS (
           |  SELECT a.word AS w1, b.word AS w2, count(*) AS n_xy
           |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.word < b.word
           |  GROUP BY 1, 2),
           |dfc AS (SELECT word, count(*) AS df FROM e GROUP BY 1),
-          |n AS (SELECT count(*) AS n_docs FROM documents)
+          |n AS (SELECT count(*) AS n_docs FROM ${graft.Tables.validDocsSql} documents)
           |SELECT w1, w2, n_xy, a.df AS df_a, b.df AS df_b,
           |  CAST(n_xy * n_docs AS DOUBLE) / CAST(a.df * b.df AS DOUBLE) AS pmi_ratio
           |FROM cxy JOIN dfc a ON cxy.w1 = a.word JOIN dfc b ON cxy.w2 = b.word
           |CROSS JOIN n
           |ORDER BY w1, w2""".stripMargin,
       "t19_tfidf_terms" ->
-        """WITH tf AS (
+        s"""WITH tf AS (
           |  SELECT doc_id, w AS word, count(*) AS tf FROM (
-          |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-          |    FROM documents) t
+          |    SELECT doc_id, unnest((CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS w
+          |    FROM ${graft.Tables.validDocsSql} documents) t
           |  GROUP BY 1, 2),
           |dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |n AS (SELECT count(*) AS n_docs FROM ${graft.Tables.validDocsSql} documents),
           |scored AS (
           |  SELECT doc_id, word, tf, df,
           |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
@@ -723,16 +781,26 @@ object TextOps {
           |  FROM scored)
           |SELECT doc_id, rk, word, tf, df, score
           |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+      "t21_doc_validity" ->
+        """SELECT count(*) AS n_total,
+          |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_doc_id,
+          |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+          |  CAST(sum(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+          |  CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+          |  CAST(sum(CASE WHEN text IS NOT NULL AND text <> '' AND trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_ws_only,
+          |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
+          |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_source
+          |FROM documents""".stripMargin,
       "t20_source_composition" ->
-        """WITH c AS (
+        s"""WITH c AS (
           |  SELECT source, lang, count(*) AS n_docs,
-          |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
-          |  FROM documents GROUP BY 1, 2)
+          |    CAST(sum(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END))) AS BIGINT) AS n_tokens
+          |  FROM ${graft.Tables.validDocsSql} documents GROUP BY 1, 2)
           |SELECT source, lang, n_docs, n_tokens,
           |  CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS src_docs,
           |  CAST(n_docs AS DOUBLE)
           |    / CAST(CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS DOUBLE) AS doc_share
-          |FROM c ORDER BY source, lang""".stripMargin
+          |FROM c ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
     )
   }
 }

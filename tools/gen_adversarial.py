@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Adversarial-corpus generator for the differential oracle audit.
+
+Copies an sf directory and appends hostile rows to documents/embeddings
+(and optionally events): nulls in every column, empty/whitespace/unicode
+texts, duplicate and near-duplicate texts, zero-norm / NaN / Inf /
+wrong-dimension / null-element vectors. The shipped generator data is
+uniformly clean (no nulls, no empties), so the oracle gate has never
+exercised these domains — the same blind spot that hid the q55_scale
+edge-membership bug (ADVICE r7) and the five r8 twin-audit bugs.
+
+Usage: python3 tools/gen_adversarial.py <src_sf_dir> <dst_dir>
+
+Then:  sbt "runMain graft.Verify <dst_dir> /tmp/adv_out d,t,s,mm"
+       python3 tools/check_oracle.py /tmp/adv_out <dst_dir>
+"""
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def docs_rows(base_rows):
+    """Adversarial documents rows; doc_ids from 10000 keep keys unique."""
+    dup_text = base_rows[0][1]  # exact duplicate of doc 0
+    near = base_rows[1][1].split()
+    near[len(near) // 2] = "CHANGED"
+    near_text = " ".join(near)
+    long_text = "spark data query join " * 2500  # ~55k chars
+    rows = [
+        (10000, None, "en", "srcA", 0),                      # null text
+        (10001, "", "en", "srcA", 0),                        # empty text
+        (10002, "   \t\n  ", "en", "srcA", 7),               # whitespace only
+        (10003, "naïve café \U0001f600\U0001f600 中文文本 العربية mixed", "zh", "srcB", 30),
+        (10004, "éclair combininǵ marks", "fr", "srcB", 22),
+        (10005, "a", "en", "srcA", 1),                       # single char
+        (10006, "!!! ??? ... ;;; ---", "en", "srcC", 19),    # punctuation only
+        (10007, "line1\nline2\t\"quoted\" \\backslash\\ 'single'", "en", "srcC", 41),
+        (10008, long_text, "en", "srcD", len(long_text)),    # very long
+        (10009, dup_text, "es", "srcE", len(dup_text)),      # exact dup of doc 0
+        (10010, near_text, "zh", "srcE", len(near_text)),    # near-dup of doc 1
+        (10011, "plain words here", None, "srcA", 16),       # null lang
+        (10012, "other words here", "en", None, 16),         # null source
+        (10013, "third words here", "en", "srcA", None),     # null n_chars
+        (10014, "short", "en", "srcA", 999),                 # n_chars lies
+        (10015, "orphan words", None, None, None),           # all meta null
+        (10016, ("dup " * 100).strip(), "en", "srcF", 399),  # one word repeated
+        (10017, "tiny doc", "en", "srcF", 8),                # shorter than shingle k
+        (None, "null id document text", "en", "srcF", 21),   # null doc_id
+        (10019, "  padded text  ", "en", "srcA", 15),
+        (10020, "SPARK Data QUERY Mixed CASE", "en", "srcA", 27),
+        (10021, "123 456 7.89 $100 100%", "en", "srcA", 22),
+        (10022, "crlf\r\nline endings\r\n", "en", "srcA", 20),
+        (10023, "nbsp and​zero width", "en", "srcA", 19),
+    ]
+    return rows
+
+
+def emb_rows(base_rows):
+    dim = len(base_rows[0][1])
+    v0 = list(base_rows[0][1])
+    rows = [
+        (10000, None, 0),                                  # null embedding
+        (10001, [], 0),                                    # empty array
+        (10002, [0.0] * dim, 1),                           # zero vector
+        (10003, [1e30] * dim, 1),                          # huge magnitude
+        (10004, [1e-30] * dim, 2),                         # tiny magnitude
+        (10005, [-x for x in v0], 2),                      # negated copy of vec 0
+        (10006, v0, 0),                                    # exact dup of vec 0
+        (10007, v0[:8] + [2.0] * (dim - 8), None),         # null label
+        (10008, [0.5] * dim, -5),                          # negative label
+        (10009, [0.25] * dim, 9999),                       # singleton label
+        (10010, [None] + v0[1:], 3),                       # null element inside
+        (10011, [1.0, 2.0, 3.0], 3),                       # wrong dimension
+        (10012, [NAN] * dim, 4),                           # NaN elements
+        (10013, [INF] + [1.0] * (dim - 1), 4),             # +Inf element
+        (10014, [-INF] + [1.0] * (dim - 1), 4),            # -Inf element
+    ]
+    return rows
+
+
+def events_rows():
+    """Adversarial events rows; event_ids from 100000, ts inside the
+    shipped 2024-01 window so session/window logic sees them as peers."""
+    import datetime as dt
+
+    def ts(day, h, m, s, us=0):
+        return dt.datetime(2024, 1, day, h, m, s, us)
+
+    return [
+        (100000, ts(5, 0, 0, 0), None, "click", 10.0, '{"k": 1}'),      # null user
+        (100001, ts(5, 0, 1, 0), 13, None, 11.0, '{"k": 2}'),           # null type
+        (100002, ts(5, 0, 2, 0), 13, "click", None, '{"k": 3}'),        # null value
+        (100003, None, 13, "click", 12.0, '{"k": 4}'),                  # null ts
+        (100004, ts(5, 0, 3, 0), 13, "click", NAN, '{"k": 5}'),         # NaN value
+        (100005, ts(5, 0, 4, 0), 13, "click", INF, '{"k": 6}'),         # +Inf
+        (100006, ts(5, 0, 5, 0), 13, "click", -INF, '{"k": 7}'),        # -Inf
+        (100007, ts(5, 0, 6, 0), 13, "click", -42.5, '{"k": 8}'),       # negative
+        (100008, ts(5, 0, 7, 0), 14, "click", 1.0, None),               # null props
+        (100009, ts(5, 0, 8, 0), 14, "click", 2.0, "not json {"),       # bad props
+        (100010, ts(5, 0, 9, 0), 14, "click", 3.0, "{}"),               # empty obj
+        (100011, ts(5, 0, 9, 0), 14, "click", 4.0, '{"k": 9}'),         # dup (user,ts)
+        (100012, ts(5, 0, 9, 0), 14, "purchase", 5.0, '{"k": 10}'),     # same ts, other type
+        (100013, ts(5, 0, 10, 0), -7, "click", 6.0, '{"k": 11}'),       # negative user
+        (100014, ts(5, 0, 11, 0), 999999, "ghost_type", 7.0, '{"k": 12}'),  # unseen type
+        (100015, ts(5, 0, 11, 1), 999999, "ghost_type", 7.0, '{"k": 12}'),  # ghost peer
+        (None, ts(5, 0, 12, 0), 14, "click", 8.0, '{"k": 13}'),         # null event_id
+        (100017, ts(5, 0, 13, 123456), 14, "click", 0.0, '{"k": 14}'),  # zero value
+    ]
+
+
+def main(src, dst):
+    src, dst = Path(src), Path(dst)
+    dst.mkdir(parents=True, exist_ok=True)
+    for p in src.glob("*.parquet"):
+        shutil.copy(p, dst / p.name)
+
+    con = duckdb.connect()
+    base_docs = con.execute(f"SELECT * FROM '{src}/documents.parquet' ORDER BY doc_id").fetchall()
+    docs = base_docs + docs_rows(base_docs)
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs], pa.string()),
+            "lang": pa.array([r[2] for r in docs], pa.string()),
+            "source": pa.array([r[3] for r in docs], pa.string()),
+            "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, dst / "documents.parquet")
+
+    base_emb = con.execute(f"SELECT * FROM '{src}/embeddings.parquet' ORDER BY vec_id").fetchall()
+    embs = base_emb + emb_rows(base_emb)
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in embs], pa.int64()),
+            "embedding": pa.array([list(r[1]) if r[1] is not None else None for r in embs], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in embs], pa.int32()),
+        }
+    )
+    pq.write_table(t, dst / "embeddings.parquet")
+
+    base_ev = con.execute(f"SELECT * FROM '{src}/events.parquet' ORDER BY event_id").fetchall()
+    evs = base_ev + events_rows()
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in evs], pa.int64()),
+            "ts": pa.array([r[1] for r in evs], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in evs], pa.int64()),
+            "event_type": pa.array([r[3] for r in evs], pa.string()),
+            "value": pa.array([r[4] for r in evs], pa.float64()),
+            "props": pa.array([r[5] for r in evs], pa.string()),
+        }
+    )
+    pq.write_table(t, dst / "events.parquet")
+    print(
+        f"wrote {dst}: documents {len(docs)} rows, embeddings {len(embs)} rows, "
+        f"events {len(evs)} rows"
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
