@@ -106,10 +106,15 @@ object GenData {
     write(replicate("orders", Map("o_orderkey" -> ordS, "o_custkey" -> custS)), "orders", 32)
     write(replicate("lineitem",
       Map("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)), "lineitem", 32)
-    // events.ts stays BIGINT nanoseconds (layout set above); +copy µs
-    // keeps event identity unique without moving any window boundary.
+    // events.ts: +copy µs keeps event identity unique without moving any
+    // window boundary. The source has shipped ts both as BIGINT nanos
+    // (nanosAsLong layout set above) and as plain TIMESTAMP(MICROS) —
+    // shift in the scanned type's own unit.
     write(replicate("events", Map("event_id" -> evS, "user_id" -> userS),
-      _.withColumn("ts", col("ts") + col("cp") * 1000L)), "events", 32)
+      df => df.withColumn("ts", df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") + col("cp") * 1000L
+        case _ => expr("timestampadd(MICROSECOND, cp, ts)")
+      })), "events", 32)
 
     // --- documents: fresh corpus at the measured recipe -------------------
     val srcDocs = read("documents").count()

@@ -32,13 +32,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events.parquet with `ts` as a proper TimestampType (µs, truncated from
-    * the source's nanoseconds — identical to DuckDB `CAST(ts AS TIMESTAMP)`).
+  /** events.parquet with `ts` as a proper TimestampType in microseconds.
+    *
+    * The generated data has shipped `ts` both as parquet TIMESTAMP(NANOS)
+    * (unreadable natively by Spark — surfaced as a long via
+    * `spark.sql.legacy.parquet.nanosAsLong` and truncated to µs, matching
+    * DuckDB's `CAST(ts AS TIMESTAMP)`) and as plain TIMESTAMP(MICROS)
+    * (directly a TimestampType). Branch on the type the scan actually
+    * produced so both vintages read identically.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Session timezone is pinned to UTC everywhere (Verify/Bench/specs),
+        // so NTZ → TIMESTAMP is a pure re-tag: same micros value DuckDB
+        // sees, and unix_micros()/window() accept it.
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Spread a scan across all cores when the file layout under-partitions

@@ -56,10 +56,12 @@ class GenDataSpec extends SparkTestBase {
     assert(offUnit.count() == 0, "norms must be 1 within float tolerance")
   }
 
-  test("events keep the BIGINT-nanos layout Tables.events expects") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$out/events.parquet")
-    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+  test("events keep a ts layout Tables.events can read as TimestampType") {
+    // GenData preserves the source vintage (BIGINT nanos or TIMESTAMP
+    // micros); the contract is that Tables.events normalizes either to a
+    // proper TimestampType.
+    val ev = graft.Tables.events(spark, out)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
     // the +copy-us shift keeps event identity unique
     assert(ev.select("event_id").distinct().count() == ev.count())
   }
