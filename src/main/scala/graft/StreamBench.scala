@@ -20,7 +20,11 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   *  3. The p1 file-stream pipeline (gate → dedup → chunk rollup) over the
   *     sf1 documents landing zone with maxFilesPerTrigger throttling.
   *
-  * Not driver-run — `sbt "runMain graft.StreamBench [sfDir]"`.
+  * Not driver-run — `sbt "runMain graft.StreamBench [sfDir]"`. At sf10 the
+  * MemoryStream feeds (10M collected event tuples, retained by the source
+  * for the query's lifetime) exceed the default 8g heap — run with
+  * `SPARK_DRIVER_MEM=24g` (r9: the transitions case OOMs at 8g, passes at
+  * 24g with throughput in the r8 envelope).
   *
   * The corpus `.collect()`s below are the MemoryStream FEED (rows must
   * originate driver-side to be added in waves) — bench-harness plumbing,
