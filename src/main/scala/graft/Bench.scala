@@ -65,16 +65,28 @@ object Bench {
     // arrives in multi-minute windows that inflate a whole pass at once
     // (BENCHNOTES.md), so min-of-2 still reads high whenever both passes
     // straddle one; a third pass makes that a three-way coincidence.
+    // A failed query records time-to-failure, which reads as a 10–20×
+    // SPEEDUP in round-over-round diffs (r8: a testdata vintage flip
+    // silently "sped up" all 27 e-series queries this way). Track
+    // failures explicitly: they are excluded from every total and listed
+    // in both output lines so a broken query can never masquerade as a
+    // fast one.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try force(name) catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val passes = Seq(timedPass(), timedPass(), timedPass())
-    val results = names.map(n => n -> passes.map(_(n)).min)
+    val okNames = names.filterNot(failed)
+    val results = okNames.map(n => n -> passes.map(_(n)).min)
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED and are " +
+        s"excluded from all totals: ${failed.mkString(",")}")
 
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma decimal separator would corrupt the JSON line.
@@ -85,13 +97,15 @@ object Bench {
     }
     // Debug line first (full precision + per-pass spread): human/judge
     // reading, NOT the contract line, so length is unconstrained.
-    val spread = names.map { n =>
+    val spread = okNames.map { n =>
       val ts = passes.map(_(n))
       "\"" + n + "\":[" + ts.map(t => fmt(t, 3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
     val passesLine =
       s"""{"metric":"passes","sf":"$sfName","total":${fmt(results.map(_._2).sum, 2)},""" +
+        s""""failed":$failedArr,""" +
         s""""note":"min-of-3; ambient host noise +/-25%, see BENCHNOTES.md","queries":$spread}"""
     println(passesLine)
     // BENCH_LOCAL.json is the canonical full-fidelity per-query record
@@ -134,10 +148,12 @@ object Bench {
     val top = results.sortBy(-_._2).take(25)
     val qs = top.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
+    val failNote = if (failed.isEmpty) "" else s"; ${failed.size} FAILED (excluded): " +
+      failed.take(5).mkString(",") + (if (failed.size > 5) ",..." else "")
     val line =
       s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec",""" +
-        s""""sf":"$sfName","n_queries":${names.size},""" +
-        s""""note":"min-of-3 passes; top-25 by time, slowest first; full map in BENCH_LOCAL.json",""" +
+        s""""sf":"$sfName","n_queries":${okNames.size},"n_failed":${failed.size},""" +
+        s""""note":"min-of-3 passes; top-25 by time, slowest first; full map in BENCH_LOCAL.json$failNote",""" +
         s""""queries":$qs}"""
     // Belt-and-braces: the top-25 line is ~700 chars by construction; if a
     // pathological run ever pushed it past the capture budget, fall back to
@@ -145,7 +161,7 @@ object Bench {
     println(if (line.length < 1900)
       line
     else
-      s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","sf":"$sfName","n_queries":${names.size},"queries":{}}""")
+      s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","sf":"$sfName","n_queries":${okNames.size},"n_failed":${failed.size},"queries":{}}""")
     spark.stop()
   }
 }

@@ -21,13 +21,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(e => only(e._1)).foreach { case (name, fn) =>
+    // Failures are collected and re-printed as ONE summary line at the end:
+    // in r8 a testdata vintage flip failed 28 queries whose individual
+    // stderr lines scrolled past unnoticed, and the correctness table
+    // silently shrank. The driver's row-count diff catches it; this makes
+    // the run itself say so.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    val run = SparkEntry.queries.filter(e => only(e._1))
+    run.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name -> String.valueOf(e.getMessage).linesIterator.take(1).mkString
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] SUMMARY: ${failed.size}/${run.size} queries FAILED " +
+        s"(missing from $outDir): ${failed.keys.mkString(",")}")
+      failed.foreach { case (n, m) => System.err.println(s"[verify]   $n: $m") }
+    } else
+      System.err.println(s"[verify] SUMMARY: all ${run.size} queries written")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
