@@ -34,6 +34,15 @@ object Verify {
       catch { case e: Throwable =>
         failed += name -> String.valueOf(e.getMessage).linesIterator.take(1).mkString
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failure must never leave a prior run's parquet in place: when
+        // outDir is reused (the prefix-filter arg exists for local re-runs)
+        // a stale result would let the oracle compare pass on old data
+        // while the summary claims the result is missing.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     if (failed.nonEmpty) {

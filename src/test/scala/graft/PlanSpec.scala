@@ -144,14 +144,14 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert("hashpartitioning\\(word".r.findAllIn(plan).size == 1,
       "exactly one groupBy(word) shuffle expected")
-    // The N count scan prunes to at most the validity-filter columns
-    // (doc_id, text). When the parquet marks them non-nullable the filter
-    // folds and the schema is struct<>; when nullable, the IsNotNull
-    // predicate legitimately reads them — but nothing else (no lang/
-    // source/n_chars) may survive pruning on the count branch.
-    assert(plan.linesIterator.exists { l =>
-      l.contains("ReadSchema: struct<") && !l.contains("lang") &&
-        !l.contains("source") && !l.contains("n_chars")
+    // Both t9 branches prune to at most the validity-filter columns
+    // (doc_id, text) — neither the words branch nor the N-count branch
+    // needs lang/source/n_chars, so EVERY documents ReadSchema line must
+    // exclude them. (An `exists` here would be vacuous: the words branch
+    // always yields a doc_id/text-only line regardless of count-branch
+    // pruning.)
+    assert(plan.linesIterator.filter(_.contains("ReadSchema: struct<")).forall { l =>
+      !l.contains("lang") && !l.contains("source") && !l.contains("n_chars")
     }, plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
   }
 

@@ -39,6 +39,16 @@ class TablesSpec extends SparkTestBase {
     // And it must be time-function-usable end to end, not just typed right.
     val n = ev.selectExpr("unix_micros(ts)").filter("unix_micros(ts) > 0").count()
     assert(n > 0, "unix_micros over ts must evaluate")
+    // Magnitude canary: the LongType branch of the loader assumes a bare
+    // BIGINT ts is nanoseconds. If a regen ships BIGINT micros (or millis)
+    // instead, `ts div 1000` lands centuries away from the data's epoch —
+    // typed-right but 1000x off. Pin the decoded range to plausible years
+    // so a unit-scale drift fails here, not only at the oracle compare.
+    import org.apache.spark.sql.functions.{col, min, max, year}
+    val Array(yMin, yMax) = ev.agg(min(year(col("ts"))), max(year(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Int]).toArray
+    assert(yMin >= 2000 && yMax <= 2100,
+      s"events.ts decodes to years [$yMin,$yMax] — unit-scale drift in the loader?")
   }
 
   test("expected columns exist with oracle-compatible types") {
