@@ -629,31 +629,45 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
     // Pairwise SOURCE-level overlap matrix: the dataset-curation view of
-    // d8 ("how much do my corpora share?" before mixing them). Each source
-    // reduces to its DISTINCT shingle set FIRST (the d8 membership shape —
-    // corpus-size work collapses to set-size work), then a shingle-keyed
-    // self-join counts intersections. Per-shingle fan-out is bounded by
-    // #sources² (a shingle in all k sources emits k(k-1)/2 pairs), never by
-    // corpus size; set sizes broadcast (one row per source) for the union /
-    // Jaccard arithmetic, whose single division of exact BIGINTs is
-    // IEEE-exact. At 100 TB with thousands of sources the same plan holds,
-    // but hot shingles shared by ALL sources dominate (k²) — production
-    // would drop top-DF shingles first (d5's df-cap), which tightens the
-    // estimate toward discriminative overlap anyway. INNER-join semantics:
-    // source pairs sharing zero shingles have no row (n_inter = 0 pairs
-    // carry no curation signal).
+    // d8 ("how much do my corpora share?" before mixing them), in d5's
+    // DF-capped POSTINGS form: ONE groupBy(sh) builds, per shingle, its
+    // corpus document-frequency and its distinct source set; shingles with
+    // doc-DF above the cap (boilerplate shared by everything) are dropped
+    // STRUCTURALLY before any pair arithmetic, and source pairs expand
+    // from each surviving set — no shingle-keyed self-join at all. Scale
+    // shape: the only wide stage is the postings aggregation (collect_set
+    // partial-aggregates map-side; a hot shingle is one key whose value is
+    // bounded by #sources), pair fan-out is ≤ k(k-1)/2 per shingle, and
+    // set sizes broadcast (one row per source) for the union / Jaccard
+    // arithmetic, whose single division of exact BIGINTs is IEEE-exact.
+    //
+    // RESULT CONTRACT (mirrors d5): the measure is source overlap over the
+    // doc-DF ≤ cap shingle vocabulary — sizes, intersections, and Jaccard
+    // all restricted to it, and every row names its bound in `df_cap`
+    // (conf `graft.dedup.d16DfCap`, default 50 = d5's). On this corpus the
+    // capped result equals the uncapped one (max doc-DF 25 at sf0.1), but
+    // at other DF distributions the cap intentionally tightens the
+    // estimate toward discriminative overlap — re-measure per corpus
+    // before relying on equality. INNER-join semantics: source pairs
+    // sharing zero capped shingles have no row.
     "d16_source_overlap" -> { (s, d) =>
       import s.implicits._
-      val srcSh = Tables.parallelized(Tables.validDocuments(s, d))
+      val DF_CAP = s.conf.getOption("graft.dedup.d16DfCap").map(_.toInt).getOrElse(50)
+      val postings = Tables.parallelized(Tables.validDocuments(s, d))
         .select(col("source"), col("text")).as[(String, String)]
         .mapPartitions(_.map { case (src, t) => (src, shinglesOf(t)) })
         .toDF("source", "shingles")
+        // shinglesOf de-dups within a doc, so count(*) here IS doc-DF.
         .select(col("source"), explode(col("shingles")).as("sh"))
-        .distinct()
-      val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-      val inter = srcSh.toDF("src_a", "sh")
-        .join(srcSh.toDF("src_b", "sh2"),
-          col("sh") === col("sh2") && col("src_a") < col("src_b"))
+        .groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"), collect_set(col("source")).as("srcs"))
+        .filter(col("df") <= DF_CAP)
+      val sizes = postings.select(explode(col("srcs")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val inter = postings
+        .select(explode(col("srcs")).as("src_a"), col("srcs"))
+        .select(col("src_a"), explode(col("srcs")).as("src_b"))
+        .filter(col("src_a") < col("src_b"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_inter"))
       inter
@@ -662,7 +676,7 @@ object Dedup {
         .withColumn("jaccard", col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
         .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
-          col("n_inter"), col("jaccard"))
+          col("n_inter"), col("jaccard"), lit(DF_CAP).cast("int").as("df_cap"))
         .orderBy(col("src_a"), col("src_b"))
     },
     // Survivorship: collapse each d9 duplicate cluster to ONE kept doc by
@@ -909,16 +923,23 @@ object Dedup {
         |    / CAST(count(*) AS DOUBLE) AS dup_frac
         |FROM c JOIN cnt USING (ch)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // d16: mirrors the Spark doc-DF cap (default 50) — the `keep` CTE IS
+    // the vocabulary bound, so oracle and operator stay capped in lockstep
+    // at any DF distribution (cf. d5's contract note).
     "d16_source_overlap" ->
       s"""WITH $SH_CTE,
-         |e0 AS (SELECT d.source, unnest(s.shingles) AS sh
-         |       FROM sh_docs s JOIN ${graft.Tables.validDocsSql} d USING (doc_id)),
+         |inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_docs),
+         |keep AS (SELECT sh FROM inv GROUP BY sh HAVING count(*) <= 50),
+         |e0 AS (SELECT d.source, i.sh
+         |       FROM inv i JOIN keep USING (sh)
+         |       JOIN ${graft.Tables.validDocsSql} d USING (doc_id)),
          |e AS (SELECT DISTINCT source, sh FROM e0),
          |sz AS (SELECT source, count(*) AS n_sh FROM e GROUP BY 1),
          |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
          |      FROM e a JOIN e b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
          |SELECT src_a, src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_inter,
-         |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+         |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard,
+         |  CAST(50 AS INTEGER) AS df_cap
          |FROM i JOIN sz sa ON i.src_a = sa.source JOIN sz sb ON i.src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin,
     // d9's connected-components closure verbatim, then the keep-longest argmax.

@@ -363,10 +363,15 @@ class PlanSpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
   }
 
-  test("d16 source overlap: shingle-keyed intersection join, set sizes broadcast") {
+  test("d16 source overlap: capped postings expansion, no shingle self-join, sizes broadcast") {
     val plan = planOf("d16_source_overlap")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      "the intersection join must stay keyed on the shingle")
+      "no unkeyed pair product")
+    // The DF-capped postings form generates source pairs by exploding each
+    // shingle's source set — the ONLY joins in the plan are the two
+    // broadcast attachments of the per-source sizes (one row per source).
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "pair generation must be postings expansion, not a shingle-keyed self-join")
     assert(plan.contains("BroadcastHashJoin"),
       "per-source set sizes (one row per source) must broadcast onto the pair counts")
   }
