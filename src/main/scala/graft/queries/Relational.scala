@@ -53,6 +53,33 @@ object Relational {
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
     },
+    // q2's 100 TB twin (the q7/q7_scale pairing pattern): SAME exact answer,
+    // different physical shape. The built-in multi-column countDistinct
+    // plans as a 3× Expand (one replica per distinct clause + one for the
+    // plain count) whose tripled rows all funnel through ONE
+    // (returnflag, key, gid) exchange; here each distinct column gets its
+    // own two-level pipeline — groupBy(flag, key) dedups pairs with
+    // map-side partial aggregation, then a flag-keyed count collapses —
+    // and the three 3-row results meet in broadcast joins. Three thin
+    // 2-column scans replace one 3×-expanded pipeline; each shuffle
+    // carries exactly the distinct pairs of ITS column, nothing tripled.
+    // Still linear in distinct pairs (inherent to exactness — q6's sketch
+    // is the sublinear answer when ±2% is acceptable). Measured (BENCHNOTES
+    // r10): 17% faster than the Expand plan at sf10 (16.4 vs 19.8 s) but
+    // SLOWER at sf1 (2.5 vs 1.9 s) — the three-scan overhead only pays
+    // once the tripled shuffle dominates, which is exactly the 100 TB
+    // regime this twin exists for.
+    "q2_scale" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      def nDistinct(key: String, out: String) =
+        li.select(col("l_returnflag"), col(key)).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(out))
+      nDistinct("l_partkey", "n_parts")
+        .join(nDistinct("l_orderkey", "n_orders"), "l_returnflag")
+        .join(li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows")),
+          "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    },
     "q3_rollup" -> { (s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -870,6 +897,14 @@ object Relational {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q2_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same answer as q2 by definition — the twin differs only in physical
+    // plan, so the oracle is shared verbatim.
+    "q2_scale" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_orderkey) AS n_orders,

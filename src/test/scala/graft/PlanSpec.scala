@@ -376,6 +376,20 @@ class PlanSpec extends SparkTestBase {
       "per-source set sizes (one row per source) must broadcast onto the pair counts")
   }
 
+  test("q2_scale: per-column two-level distincts, no Expand, 3-row merges broadcast") {
+    val plan = planOf("q2_scale")
+    // The whole point of the twin: the built-in multi-distinct's 3× Expand
+    // (tripling every lineitem row through one exchange) must be gone —
+    // each column dedups in its own (flag, key) partial-agg pipeline.
+    assert(!plan.contains("Expand"), "q2_scale must not plan the Expand rewrite")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      "the three 3-row per-flag results must meet in broadcast joins")
+    // And the built-in q2 DOES expand — the pairing is two physical shapes
+    // of one logical answer, not two queries.
+    assert(planOf("q2_distinct_agg").contains("Expand"),
+      "q2's built-in plan stopped expanding: re-measure whether the twin still pays")
+  }
+
   test("t18 pmi: pair generation is a narrow flatMap; df and N broadcast onto pair counts") {
     val plan = planOf("t18_pmi_cooccur")
     // Only the scalar N rides a BNLJ (t9's IdentityBroadcastMode pattern);
