@@ -185,6 +185,48 @@ class MappingFixtureSpec extends SparkTestBase {
     assert(union.getNumPoints == 16)
   }
 
+  test("geography: antimeridian (0-360 lon) adversarial fixture — as-is coords, WKB round-trip, planar union") {
+    // The reference stores coordinates AS-IS (`tables.py:26-27`) — no
+    // longitude normalization — and its only geometry fixture sits at lon
+    // 242.x, far from the seam. This message carries TWO overlapping
+    // polygon features straddling lon 180 in the 0–360 convention; in
+    // as-is planar math they genuinely overlap, so the unary union must
+    // yield ONE polygon with un-wrapped >180 longitudes — any engine that
+    // normalized to ±180 would split, wrap, or reflect it.
+    def ring(c: ((Int, Int))*) = c.map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+    def feat(r: String) =
+      s"""{"type":"Feature","properties":{},"geometry":{"type":"Polygon","coordinates":[$r]}}"""
+    val a = feat(ring((175, 10), (183, 10), (183, 20), (175, 20), (175, 10)))
+    val b = feat(ring((177, 10), (185, 10), (185, 20), (177, 20), (177, 10)))
+    val msg = s"""{"uid":"seam","gid":"AM","time":"2020-01-01T00:00:00Z",""" +
+      s""""values":{"method":"adversarial"},"geojson":{"type":"FeatureCollection","features":[$a,$b]}}"""
+    val spark0 = spark; import spark0.implicits._
+    val rows = new GenericGeography("topic")
+      .transform(Seq(("k", msg)).toDF("key", "value")).collect()
+    assert(rows.length == 1)
+    val wkt = rows(0).getAs[String]("geom")
+    assert(wkt.startsWith("POLYGON"), s"union across the seam must stay one polygon: $wkt")
+    val g = new org.locationtech.jts.io.WKTReader().read(wkt)
+    // As-is coordinates: the envelope spans 175..185 — nothing wrapped
+    // negative, nothing reflected to the ±180 convention.
+    val env = g.getEnvelopeInternal
+    assert(env.getMinX == 175.0 && env.getMaxX == 185.0, env.toString)
+    assert(g.getArea > 99.999999 && g.getArea < 100.000001, s"planar union area ${g.getArea}")
+    assert(math.abs(g.getCentroid.getX - 180.0) < 1e-9, "centroid sits ON the seam")
+    assert(math.abs(g.getCentroid.getY - 15.0) < 1e-9)
+    // WKB round-trip: the wire form a PostGIS geometry column would carry
+    // must reproduce the geometry exactly, seam coordinates included.
+    val wkb = new org.locationtech.jts.io.WKBWriter()
+    val back = new org.locationtech.jts.io.WKBReader().read(wkb.write(g))
+    assert(back.equalsExact(g), "WKB round-trip must be exact")
+    // And the fixture-golden union from the envelopes test round-trips too.
+    val envRows = run(new GenericGeography("topic"), "driftworker-envelopes.json")
+    val rdr = new org.locationtech.jts.io.WKTReader()
+    envRows.map(r => rdr.read(r.getAs[String]("geom"))).foreach { ge =>
+      assert(new org.locationtech.jts.io.WKBReader().read(wkb.write(ge)).equalsExact(ge))
+    }
+  }
+
   test("sofar: NwicFloatReportsSofar goldens") {
     val rows = run(new NwicFloatReportsSofar("sofar.data"), "sofar.json")
     assert(rows.length == 146)
