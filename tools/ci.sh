@@ -1,0 +1,65 @@
+#!/usr/bin/env bash
+# One-shot round-state replay: reproduces the driver's three gates locally
+# without the driver — (1) sbt test, (2) the full Verify dump at sf0.01 +
+# DuckDB oracle compare (tools/check_oracle.py, the strictest local
+# approximation of CORRECTNESS_r{N}.json), (3) a leak grep mirroring
+# LEAKCHECK.json's pattern families. Exit 0 iff all three gates pass.
+#
+# Usage: tools/ci.sh [sf_dir] [out_dir]
+#   sf_dir  default /root/testdata/sf0.01  (the driver's correctness SF)
+#   out_dir default target/ci-verify       (wiped per run: Verify deletes
+#                                           failed-query dirs, but a RENAMED
+#                                           query would leave stale parquet)
+set -u
+cd "$(dirname "$0")/.."
+SF_DIR="${1:-/root/testdata/sf0.01}"
+OUT_DIR="${2:-target/ci-verify}"
+FAILURES=0
+
+note() { printf '\n== %s ==\n' "$*"; }
+
+note "gate 1/3: sbt test"
+if sbt -batch test; then
+  echo "[ci] sbt test: PASS"
+else
+  echo "[ci] sbt test: FAIL"
+  FAILURES=$((FAILURES + 1))
+fi
+
+note "gate 2/3: Verify @ ${SF_DIR} + DuckDB oracle compare"
+rm -rf "$OUT_DIR"
+if sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR" \
+    && python3 tools/check_oracle.py "$OUT_DIR" "$SF_DIR"; then
+  echo "[ci] verify+oracle: PASS"
+else
+  echo "[ci] verify+oracle: FAIL"
+  FAILURES=$((FAILURES + 1))
+fi
+
+note "gate 3/3: leak grep (LEAKCHECK pattern families)"
+# Same families LEAKCHECK.json reports on; patterns target the proprietary
+# shapes the brief forbids. Scans tracked source + docs, not target/.
+LEAK_HITS=$(git ls-files '*.scala' '*.sbt' '*.md' '*.py' '*.sh' \
+  | xargs grep -nEi \
+      -e 'import (com|io)\.(anthropic|axiom)' \
+      -e 'https?://[a-z0-9.-]*\.(anthropic|axiom-internal)' \
+      -e 's3://[a-z0-9-]*(internal|anthropic)' \
+      -e 'slack\.com/archives' \
+      -e '(api|secret)[_-]?key[[:space:]]*=[[:space:]]*["'"'"'][A-Za-z0-9]{16,}' \
+      -e 'AXON_[A-Z_]+' \
+      2>/dev/null | grep -v 'tools/ci.sh')
+if [ -z "$LEAK_HITS" ]; then
+  echo "[ci] leak grep: PASS (0 hits)"
+else
+  echo "[ci] leak grep: FAIL"
+  echo "$LEAK_HITS"
+  FAILURES=$((FAILURES + 1))
+fi
+
+note "summary"
+if [ "$FAILURES" -eq 0 ]; then
+  echo "[ci] ALL GATES PASS"
+else
+  echo "[ci] $FAILURES gate(s) FAILED"
+fi
+exit "$FAILURES"
