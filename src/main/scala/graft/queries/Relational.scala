@@ -590,26 +590,34 @@ object Relational {
     //      histogram, never over the fact), broadcast it, and give every
     //      row its [b0+1, bp−1] full-bucket span with two O(1) broadcast
     //      lookups: prefix(bp−1) − prefix(b0).
-    //   3. Only the two EDGE buckets (b0, bp) pay pair work — a fine-
-    //      bucketed self-join on (status, bucket) filtered to the exact
-    //      [p−band, p] bounds: n·2w̄/K pairs instead of n·w̄.
-    // Work: n·(2w̄/K) + n·O(1) + histogram, distributed over every core;
-    // K trades broadcast size (∝K) against edge pair work (∝1/K).
+    //   3. Only the two EDGE buckets (b0, bp) need per-row membership —
+    //      resolved by MERGE, not by pairing (r10; the r7–r9 bucketed
+    //      self-join cost n·2w̄/K pair evaluations, occupancy-dependent and
+    //      the suite's worst decade ratio at 13.5×): each row drops four
+    //      zero-weight MARKER events (price p and p−band, in buckets bp and
+    //      b0) into the build-row stream; one Window per (status, bucket)
+    //      ordered by (price, kind) running-sums build counts/sums, and a
+    //      marker reads off exactly #build ≤ its position. Signed
+    //      combination (hi − lo per bucket) is each edge bucket's exact
+    //      [p−band, p] membership: n·log(occupancy) total, NO pair term.
+    // Work: one 5n-row bucket-partitioned sort + n·O(1) lookups +
+    // histogram — occupancy-INSENSITIVE, so no density-adaptive width is
+    // needed (the r8–r9 denseN rule existed to tame the pair term).
     // Exactness: bucket arithmetic is integer cents (b0 = bp − K exactly
     // because width divides band) and sums are DECIMAL(18,2) (order-free).
-    // Band MEMBERSHIP on the edge buckets, however, uses the frame's own
-    // double arithmetic (b_price >= p − band, b_price <= p): the frame and
-    // the DuckDB oracle compare doubles, and a build row sitting exactly at
-    // the cent position of p − band can be excluded by the double test when
-    // nearest(p − band) < nearest(p) − band (e.g. p=$100.01, b=$0.01,
-    // band=$100: p−band rounds to 0.010000000000005116 > 0.01). Cents-based
-    // membership would include such rows and break the hash contract on
-    // denser data. Interior (full) buckets are safe in cents space: every
-    // row there is ≥ 1 whole cent inside [p−band, p] (lower margin
-    // w − (cents mod w) ≥ 1 cent, upper margin ≥ 1 cent), and a ≥ 1-cent
-    // margin dominates both the half-cent rounding of `round(price·100)`
-    // and the sub-nanocent double error of p − band, so double and cents
-    // tests cannot disagree off the edge. Oracled with the SAME SQL as q55.
+    // Band MEMBERSHIP on the edge buckets uses the frame's own double
+    // arithmetic BY CONSTRUCTION: a marker sorts among build rows with the
+    // same double comparisons the frame (and the DuckDB oracle) applies —
+    // kind ranks (lo 0 < build 1 < hi 2) make `<= p` inclusive and
+    // `< p − band` exclusive at equal doubles, so e.g. the frame's
+    // exclusion of b=$0.01 from p=$100.01's $100 band (p−band rounds to
+    // 0.010000000000005116 > 0.01) falls out of sort order, with no
+    // cents-vs-double margin argument on ANY edge row. Interior (full)
+    // buckets are safe in cents space: every row there is ≥ 1 whole cent
+    // inside [p−band, p] (lower margin w − (cents mod w) ≥ 1 cent, upper
+    // margin ≥ 1 cent), and a ≥ 1-cent margin dominates both the half-cent
+    // rounding of `round(price·100)` and the sub-nanocent double error of
+    // p − band. Oracled with the SAME SQL as q55.
     "q55_scale" -> { (s, d) =>
       val band = s.conf.get("spark.graft.q55.band", "100.0").toDouble
       val bandCents = math.round(band * 100)
@@ -618,21 +626,21 @@ object Relational {
       // the double frame bound. Fail fast.
       require(bandCents > 0 && math.abs(band * 100 - bandCents) < 1e-6,
         s"spark.graft.q55.band must be a positive whole-cent amount, got $band")
-      // Bucket width: edge pair work ∝ width·density while the prefix
-      // table (and its broadcast) ∝ 1/width, so the optimum SHRINKS as the
-      // corpus densifies. Measured (BENCHNOTES r7+r8 sweeps): width $10 is
-      // optimal at sf0.1/sf1 (1.65/4.67 s; $1 pays the broadcast build —
-      // 4.58/5.64 s) but at sf10's 15M orders $1 wins 99.6 s vs $10's
-      // 150 s (occupancy 290/bucket has left the pair term dominant). The
-      // default therefore targets $10 below `spark.graft.q55.denseN` rows
-      // (5M — between the measured decades) and $1 above — the row count
-      // is a metadata-cheap parquet count — then snaps to the nearest band
-      // divisor in log space (ties → wider). The band itself is always a
-      // divisor, so a prime-cent band (e.g. $99.73) snaps to K=1 — all
-      // pair work on the edge join, slower but memory-bounded — instead of
-      // walking down to 1-cent buckets and a domain-sized prefix table
-      // (the r7 hazard). Setting spark.graft.q55.k overrides (width =
-      // band/K) for experiments.
+      // Bucket width: the merge rewrite (r10) removed the occupancy-
+      // dependent pair term, so width no longer needs to track density
+      // (the r8–r9 denseN rule and its parquet-count probe are gone).
+      // What remains is a weak trade: finer buckets grow the prefix
+      // table/broadcast (∝1/width) while wider buckets deepen the
+      // per-bucket merge sort (log occupancy) — both gentle. Default:
+      // snap to the band divisor nearest $10 in log space (ties → wider);
+      // measured r10 sweep at sf10 (BENCHNOTES): $10 25.9 s, $1 22.4 s,
+      // $100=K=1 23.4 s — flat within ambient noise, as predicted (the r9
+      // pair form was width-critical: 79–150 s on the same corpus). The
+      // band itself is always a
+      // divisor, so a prime-cent band (e.g. $99.73) snaps to K=1, which
+      // the four-marker merge handles exactly (interior empty, both edge
+      // buckets fully marker-tested). Setting spark.graft.q55.k overrides
+      // (width = band/K) for experiments.
       val widthCents = s.conf.getOption("spark.graft.q55.k") match {
         case Some(k) =>
           require(k.toInt > 0, s"spark.graft.q55.k must be positive, got $k")
@@ -641,12 +649,10 @@ object Relational {
             s"spark.graft.q55.k=$k does not divide the $bandCents-cent band evenly")
           wc
         case None =>
-          val denseN = s.conf.get("spark.graft.q55.denseN", "5000000").toLong
-          val target = if (Tables.orders(s, d).count() > denseN) 100.0 else 1000.0
           val divisors = (1L to math.sqrt(bandCents.toDouble).toLong + 1)
             .filter(bandCents % _ == 0)
             .flatMap(i => Seq(i, bandCents / i)).distinct
-          divisors.minBy(w => (math.abs(math.log10(w / target)), -w))
+          divisors.minBy(w => (math.abs(math.log10(w / 1000.0)), -w))
       }
       val kk = bandCents / widthCents
       // Exact FLOOR division for bucketing: `a div b` truncates toward
@@ -709,21 +715,46 @@ object Relational {
         .select(col("p_status"), col("p_bkt"),
           sum(col("cnt")).over(w).as("pref_cnt"), sum(col("sm")).over(w).as("pref_sum"))
         .localCheckpoint(true) // tiny; consumed by two broadcast joins
-      // (3) edge buckets only: pair work n·2w̄/K, spread over (status ×
-      // domain/width) keys — every core busy, no band-wide pair blowup.
-      val probe = nn.withColumn("e_bkt",
-        explode(array(col("bkt") - kk, col("bkt")))).drop("bkt")
-      val build = nn.select(col("o_orderstatus").as("b_status"),
-        col("bkt").as("b_bkt"), col("o_totalprice").as("b_price"))
-      // Membership is the frame's arithmetic verbatim — see the exactness
-      // note above; cents only route rows to buckets, never decide bounds.
-      val edges = probe.join(build.hint("shuffle_hash"),
-          col("o_orderstatus") <=> col("b_status") && col("e_bkt") === col("b_bkt") &&
-            col("b_price") >= col("o_totalprice") - lit(band) &&
-            col("b_price") <= col("o_totalprice"))
+      // (3) edge buckets by MERGE: each row posts four zero-weight markers
+      // — bounds p−band (kind 0, excluded at ties) and p (kind 2, included
+      // at ties) in BOTH edge buckets b0 = bp−K and bp — into the build
+      // stream (kind 1, cnt 1, sm = price). One (status, bucket) window
+      // ordered by (price, kind) running-sums the build weights; a marker's
+      // running value is exactly #build rows the frame's own double
+      // comparison places at-or-before it. hi − lo per bucket, summed over
+      // both buckets, is the edge membership — n·log(occupancy) work with
+      // no pair expansion, every (status, bucket) sort group independent.
+      val bounds = array(
+        struct((col("o_totalprice") - lit(band)).as("m_price"), lit(0).as("m_kind")),
+        struct(col("o_totalprice").as("m_price"), lit(2).as("m_kind")))
+      val markers = nn
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"),
+          explode(array(col("bkt") - kk, col("bkt"))).as("m_bkt"), bounds.as("bs"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"),
+          col("m_bkt"), explode(col("bs")).as("m"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"),
+          col("m_bkt"), col("m.m_price").as("m_price"), col("m.m_kind").as("m_kind"),
+          lit(0L).as("cnt"),
+          lit(BigDecimal(0).bigDecimal).cast("decimal(18,2)").as("sm"))
+      val buildEv = nn.select(
+        lit(null).cast("long").as("o_orderkey"), col("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"), lit(null).cast("long").as("cents"),
+        col("bkt").as("m_bkt"), col("o_totalprice").as("m_price"), lit(1).as("m_kind"),
+        lit(1L).as("cnt"), col("o_totalprice").cast("decimal(18,2)").as("sm"))
+      val mw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"), col("m_bkt"))
+        .orderBy(col("m_price"), col("m_kind"))
+      val edges = markers.unionByName(buildEv)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"),
+          col("m_kind"), sum(col("cnt")).over(mw).as("cum_cnt"),
+          sum(col("sm")).over(mw).as("cum_sm"))
+        .filter(col("m_kind") =!= 1)
         .groupBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"))
-        .agg(count(lit(1)).as("e_cnt"),
-          sum(col("b_price").cast("decimal(18,2)")).as("e_sum"))
+        .agg(
+          sum(when(col("m_kind") === 2, col("cum_cnt")).otherwise(-col("cum_cnt")))
+            .as("e_cnt"),
+          sum(when(col("m_kind") === 2, col("cum_sm")).otherwise(-col("cum_sm")))
+            .cast("decimal(18,2)").as("e_sum"))
       // assemble: edges + (prefix(bp−1) − prefix(b0)); every row matches
       // itself in bp, so the edge join never drops a row.
       val hi = prefix.select(col("p_status").as("hi_status"), col("p_bkt").as("hi_bkt"),

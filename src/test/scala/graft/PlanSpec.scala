@@ -485,20 +485,24 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "a value-range frame must not plan as a range self-join")
   }
 
-  test("q55_scale: histogram prefix + edge join — no fact-table Window") {
+  test("q55_scale: histogram prefix + marker merge — bucket-keyed window, no pair join") {
     val plan = planOf("q55_scale")
-    // The only Window is the running total over the domain-bound histogram
-    // (checkpointed before this plan, so the fact-side plan has none): the
-    // n·w̄-over-3-partitions frame wall must not reappear on the fact.
-    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 0,
+    // r10: edge membership rides the marker-merge Window, partitioned by
+    // (status, BUCKET) — domain/width independent sort groups, never the
+    // bare-o_orderstatus 3-partition serialization the frame suffers. The
+    // histogram prefix window sits behind a localCheckpoint, so exactly
+    // ONE Window appears here and it must carry the bucket key.
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 1,
       plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
-    // Edge-bucket pair work rides the hinted shuffle-hash join (no sort of
-    // the exploded probe); the two prefix lookups plus the null-price side
-    // path's per-status count (r8) ride broadcasts.
-    assert("\\(\\d+\\) ShuffledHashJoin".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert("windowspecdefinition\\(o_orderstatus#\\d+, m_bkt#".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("windowspecdefinition")).take(4).mkString("\n"))
+    // The r7–r9 edge-bucket pair join is GONE: the only joins left are the
+    // two prefix broadcasts plus the null/NaN side path's per-status count.
+    assert(!plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin"),
+      "edge membership must ride the merge window, not a bucketed self-join")
     assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 3, plan.take(3000))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      "band membership must ride the equi-join on (status, bucket), not a theta join")
+      "band membership must never plan as a theta join")
   }
 
   test("q7_scale: no buffered percentile aggregate, fine prefix partitioned by coarse bucket") {
