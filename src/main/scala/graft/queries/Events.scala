@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -393,8 +393,12 @@ object Events {
     // type — drift detection ("are values trending over time?") without
     // assuming normality. Computed from the classic integer identity
     // rho = (n(n²−1) − 6·Σd²) / n(n²−1) with row_number ranks (deterministic
-    // (value|ts, event_id) tiebreaks), so both operands are exact BIGINTs
-    // and the single division is IEEE-exact — hash-oracle-safe where a
+    // (value|ts, event_id) tiebreaks). Both operands are exact INTEGERS but
+    // NOT exact longs: n(n²−1) and Σd² are cubic in the per-type count, so
+    // they pass Long.MAX at n ≈ 2.1M (the r10 sf100 probe caught the
+    // overflow live at n = 10M) — they accumulate in DECIMAL(38,0) (exact
+    // to n ≈ 1e12, any real corpus) and only the final s_d2 / rho emit as
+    // DOUBLE, so the single division is IEEE-exact at oracle SF where a
     // corr()-of-doubles formulation would drift by summation order. The two
     // rank windows use different sort keys but the SAME event_type hash
     // partitioning: one shuffle, two in-partition sorts. At 100 TB the
@@ -407,12 +411,10 @@ object Events {
       Tables.events(s, d)
         .withColumn("rv", row_number().over(byVal).cast("bigint"))
         .withColumn("rt", row_number().over(byTs).cast("bigint"))
-        .withColumn("d2", (col("rv") - col("rt")) * (col("rv") - col("rt")))
+        .withColumn("d2", spearmanD2)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("d2")).as("s_d2"))
-        .withColumn("rho",
-          (col("n") * (col("n") * col("n") - 1) - lit(6L) * col("s_d2")).cast("double") /
-            (col("n") * (col("n") * col("n") - 1)).cast("double"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd"))
+        .select(spearmanCols: _*)
         .orderBy(col("event_type"))
     },
     // e22's SCALE TWIN (r8 — q7_scale's two-level playbook applied to
@@ -505,12 +507,10 @@ object Events {
         .join(broadcast(prefix("gt", "t")),
           col("event_type") <=> col("t_ty") && col("gt") <=> col("t_g"))
         .withColumn("rt", (col("t_base") + row_number().over(fineT)).cast("bigint"))
-        .withColumn("d2", (col("rv") - col("rt")) * (col("rv") - col("rt")))
+        .withColumn("d2", spearmanD2)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("d2")).as("s_d2"))
-        .withColumn("rho",
-          (col("n") * (col("n") * col("n") - 1) - lit(6L) * col("s_d2")).cast("double") /
-            (col("n") * (col("n") * col("n") - 1)).cast("double"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd"))
+        .select(spearmanCols: _*)
         .orderBy(col("event_type"))
     },
     // First-order Markov transition matrix over per-user event sequences:
@@ -620,6 +620,25 @@ object Events {
 
   // Shared by e22_spearman and its rank-twin e22_scale: both must produce
   // these rows bit-for-bit.
+  /** Spearman overflow guard, shared by e22_spearman and e22_scale (r10):
+    * Σd² and n(n²−1) are cubic in the per-type count and pass Long.MAX at
+    * n ≈ 2.1M rows per type (caught live by the sf100 probe at n = 10M),
+    * so the squares and cubics run in DECIMAL(38,0) — exact to n ≈ 1e12 —
+    * and s_d2/rho emit as DOUBLE. At oracle SF every value is < 2^53, so
+    * decimal→double (Spark, correctly rounded) and hugeint→varchar→double
+    * (DuckDB) agree bit-for-bit with the old all-BIGINT forms. */
+  private def spearmanD2: Column = {
+    val dd = (col("rv") - col("rt")).cast("decimal(19,0)")
+    dd * dd
+  }
+
+  private def spearmanCols: Seq[Column] = {
+    val nd = col("n").cast("decimal(12,0)")
+    val den = nd * (nd * nd - 1)
+    Seq(col("event_type"), col("n"), col("sd").cast("double").as("s_d2"),
+      ((den - lit(6) * col("sd")).cast("double") / den.cast("double")).as("rho"))
+  }
+
   private val e22Sql =
     """WITH r AS (
       |  SELECT event_type,
@@ -628,11 +647,17 @@ object Events {
       |  FROM events),
       |a AS (
       |  SELECT event_type, count(*) AS n,
-      |    CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS s_d2
-      |  FROM r GROUP BY 1)
-      |SELECT event_type, n, s_d2,
-      |  CAST(n * (n * n - 1) - 6 * s_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS rho
-      |FROM a ORDER BY event_type""".stripMargin
+      |    sum(CAST(rv - rt AS HUGEINT) * (rv - rt)) AS sd
+      |  FROM r GROUP BY 1),
+      |b AS (
+      |  SELECT event_type, n, sd,
+      |    CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - 1) AS den
+      |  FROM a)
+      |SELECT event_type, n,
+      |  CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS s_d2,
+      |  CAST(CAST(den - 6 * sd AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS rho
+      |FROM b ORDER BY event_type""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "e1_tumbling_window" ->
