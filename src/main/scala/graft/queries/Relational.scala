@@ -724,37 +724,45 @@ object Relational {
       // comparison places at-or-before it. hi − lo per bucket, summed over
       // both buckets, is the edge membership — n·log(occupancy) work with
       // no pair expansion, every (status, bucket) sort group independent.
+      // The union ships only six columns through the 5n-row exchange: the
+      // build weights (cnt 0/1, decimal price) are DERIVED from m_kind /
+      // m_price inside the window operator post-shuffle, and `cents` is
+      // recomputed from o_totalprice after the per-row aggregate — both
+      // would otherwise ride every shuffled row as dead weight (~35% of
+      // the row width at this stage, the operator's dominant I/O).
       val bounds = array(
         struct((col("o_totalprice") - lit(band)).as("m_price"), lit(0).as("m_kind")),
         struct(col("o_totalprice").as("m_price"), lit(2).as("m_kind")))
       val markers = nn
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"),
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           explode(array(col("bkt") - kk, col("bkt"))).as("m_bkt"), bounds.as("bs"))
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"),
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           col("m_bkt"), explode(col("bs")).as("m"))
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"),
-          col("m_bkt"), col("m.m_price").as("m_price"), col("m.m_kind").as("m_kind"),
-          lit(0L).as("cnt"),
-          lit(BigDecimal(0).bigDecimal).cast("decimal(18,2)").as("sm"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("m_bkt"), col("m.m_price").as("m_price"), col("m.m_kind").as("m_kind"))
       val buildEv = nn.select(
         lit(null).cast("long").as("o_orderkey"), col("o_orderstatus"),
-        lit(null).cast("double").as("o_totalprice"), lit(null).cast("long").as("cents"),
-        col("bkt").as("m_bkt"), col("o_totalprice").as("m_price"), lit(1).as("m_kind"),
-        lit(1L).as("cnt"), col("o_totalprice").cast("decimal(18,2)").as("sm"))
+        lit(null).cast("double").as("o_totalprice"),
+        col("bkt").as("m_bkt"), col("o_totalprice").as("m_price"), lit(1).as("m_kind"))
       val mw = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_orderstatus"), col("m_bkt"))
         .orderBy(col("m_price"), col("m_kind"))
+      val isBuild = col("m_kind") === 1
       val edges = markers.unionByName(buildEv)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"),
-          col("m_kind"), sum(col("cnt")).over(mw).as("cum_cnt"),
-          sum(col("sm")).over(mw).as("cum_sm"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("m_kind"),
+          sum(when(isBuild, 1L).otherwise(0L)).over(mw).as("cum_cnt"),
+          sum(when(isBuild, col("m_price")).otherwise(lit(null)).cast("decimal(18,2)"))
+            .over(mw).as("cum_sm"))
         .filter(col("m_kind") =!= 1)
-        .groupBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("cents"))
+        .groupBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .agg(
           sum(when(col("m_kind") === 2, col("cum_cnt")).otherwise(-col("cum_cnt")))
             .as("e_cnt"),
-          sum(when(col("m_kind") === 2, col("cum_sm")).otherwise(-col("cum_sm")))
+          sum(when(col("m_kind") === 2, coalesce(col("cum_sm"), lit(0)))
+            .otherwise(-coalesce(col("cum_sm"), lit(0))))
             .cast("decimal(18,2)").as("e_sum"))
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
       // assemble: edges + (prefix(bp−1) − prefix(b0)); every row matches
       // itself in bp, so the edge join never drops a row.
       val hi = prefix.select(col("p_status").as("hi_status"), col("p_bkt").as("hi_bkt"),
