@@ -29,16 +29,26 @@ object BenchOne {
     val warmDir = Option(new java.io.File(sfDir).getParentFile)
       .map(p => new java.io.File(p, "sf0.001"))
       .filter(_.isDirectory).map(_.getPath).getOrElse(sfDir)
-    args.foreach(n => force(n, warmDir))
+    args.foreach(n => try force(n, warmDir) catch { case _: Throwable => () })
     // SPARK_GRAFT_PASSES trims the timed passes (default 2) for very
     // long single-query runs (e.g. the q55 frame at sf10) — the pass
     // count is printed, so a 1-pass number is self-describing.
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // A failing query is NAMED and the sweep continues (Bench/Verify's r9
+    // rule): a long multi-query scale sweep must not lose its tail to one
+    // failure, and a failure must never be recorded as a timing.
     args.foreach { n =>
-      val times = (1 to nPasses).map { _ =>
-        val t0 = System.nanoTime(); force(n, sfDir); (System.nanoTime() - t0) / 1e9
+      try {
+        val times = (1 to nPasses).map { _ =>
+          val t0 = System.nanoTime(); force(n, sfDir); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[benchone] $n: ${times.min}%.2f s (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString
+          println(s"[benchone] $n: FAILED ($msg)")
       }
-      println(f"[benchone] $n: ${times.min}%.2f s (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
     }
     spark.stop()
   }

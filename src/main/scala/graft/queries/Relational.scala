@@ -344,16 +344,28 @@ object Relational {
     // yields UNKNOWN for every non-member (so zero rows survive), while
     // NOT EXISTS is a plain anti join and keeps the real complement —
     // the classic silent-wrong-answer trap in hand-written SQL. Both
-    // engines must agree on BOTH counts; Spark plans the NOT IN branch as
-    // a null-aware anti join (broadcast-only by design).
+    // engines must agree on BOTH counts. Spark can only plan a nullable
+    // NOT IN as a null-aware anti join that BROADCASTS the whole subquery
+    // — the r10 sf100 sweep killed it live on a 600M-value broadcast — so
+    // the NOT IN branch is decomposed into its own definition: if the
+    // subquery contains any NULL no row can pass (the AND-chain of <>
+    // comparisons is UNKNOWN at best), otherwise it is a plain anti join
+    // on the non-null values. A cheap count(*) − count(v) null probe plus
+    // a shuffleable anti join replace the broadcast — linear at any scale
+    // — and the DuckDB oracle still runs the LITERAL `NOT IN`, so the
+    // hash gate pins this decomposition to the engine-native semantics.
     "q46_null_semantics" -> { (s, d) =>
       Tables.part(s, d).createOrReplaceTempView("q46_part")
       Tables.lineitem(s, d).createOrReplaceTempView("q46_lineitem")
       s.sql(
-        """SELECT
-          |  (SELECT count(*) FROM q46_part p WHERE p.p_partkey NOT IN
-          |     (SELECT CASE WHEN l.l_quantity > 49 THEN l.l_partkey END
-          |      FROM q46_lineitem l)) AS n_not_in,
+        """WITH sub AS (
+          |  SELECT CASE WHEN l.l_quantity > 49 THEN l.l_partkey END AS v
+          |  FROM q46_lineitem l)
+          |SELECT
+          |  CASE WHEN (SELECT count(*) - count(v) FROM sub) > 0 THEN 0L
+          |       ELSE (SELECT count(*) FROM q46_part p WHERE NOT EXISTS
+          |               (SELECT 1 FROM sub WHERE sub.v = p.p_partkey)) END
+          |    AS n_not_in,
           |  (SELECT count(*) FROM q46_part p WHERE NOT EXISTS
           |     (SELECT 1 FROM q46_lineitem l
           |      WHERE l.l_quantity > 49 AND l.l_partkey = p.p_partkey)) AS n_not_exists
