@@ -349,22 +349,26 @@ object Relational {
     // — the r10 sf100 sweep killed it live on a 600M-value broadcast — so
     // the NOT IN branch is decomposed into its own definition: if the
     // subquery contains any NULL no row can pass (the AND-chain of <>
-    // comparisons is UNKNOWN at best), otherwise it is a plain anti join
-    // on the non-null values. A cheap count(*) − count(v) null probe plus
-    // a shuffleable anti join replace the broadcast — linear at any scale
-    // — and the DuckDB oracle still runs the LITERAL `NOT IN`, so the
-    // hash gate pins this decomposition to the engine-native semantics.
+    // comparisons is UNKNOWN at best), otherwise it is a plain anti join.
+    // The subquery first collapses to its DISTINCT value set (one
+    // map-side-combining agg — NOT IN only ever consults membership), the
+    // null probe is an EXISTS over that set, and the anti join runs
+    // against it — shuffleable, linear at any scale. NOT EXISTS stays
+    // engine-native on the raw table: that it needs NO rewrite is its
+    // half of the lesson. The DuckDB oracle still runs the LITERAL
+    // `NOT IN`, so the hash gate pins the decomposition to the
+    // engine-native semantics.
     "q46_null_semantics" -> { (s, d) =>
       Tables.part(s, d).createOrReplaceTempView("q46_part")
       Tables.lineitem(s, d).createOrReplaceTempView("q46_lineitem")
       s.sql(
-        """WITH sub AS (
-          |  SELECT CASE WHEN l.l_quantity > 49 THEN l.l_partkey END AS v
+        """WITH dsub AS (
+          |  SELECT DISTINCT CASE WHEN l.l_quantity > 49 THEN l.l_partkey END AS v
           |  FROM q46_lineitem l)
           |SELECT
-          |  CASE WHEN (SELECT count(*) - count(v) FROM sub) > 0 THEN 0L
+          |  CASE WHEN EXISTS (SELECT 1 FROM dsub WHERE v IS NULL) THEN 0L
           |       ELSE (SELECT count(*) FROM q46_part p WHERE NOT EXISTS
-          |               (SELECT 1 FROM sub WHERE sub.v = p.p_partkey)) END
+          |               (SELECT 1 FROM dsub WHERE dsub.v = p.p_partkey)) END
           |    AS n_not_in,
           |  (SELECT count(*) FROM q46_part p WHERE NOT EXISTS
           |     (SELECT 1 FROM q46_lineitem l
