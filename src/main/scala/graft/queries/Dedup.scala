@@ -483,7 +483,34 @@ object Dedup {
       // embeddings rejoin after the candidate pairs are deduplicated.
       val buckets = coded
         .select(col("vec_id"), col("label"), posexplode(col("codes")).as(Seq("t", "code")))
-      val cands = buckets.as("a").join(buckets.as("b"),
+      // Candidate-volume guard (d6's raise_error idiom, per label): with
+      // FIXED 4-bit tables, bucket occupancy grows ∝ n and the candidate
+      // set ∝ Σ occ² — at sf100 density LSH stops pruning entirely
+      // (BENCHNOTES r10: random-pair collision odds 0.5⁴ × 16 tables ≈ 1).
+      // The exact per-label Σ bn(bn−1)/2 over the domain-bound bucket-count
+      // table (≤ labels·tables·2^bits rows) is compared to the cap BEFORE
+      // any pair is generated; sums ride DECIMAL(38,0) (the e22 overflow
+      // lesson), and the count table joins back on `label` — a keyed
+      // broadcast hash join (the no-BNLJ plan pin holds), which also lets
+      // the error NAME the offending label. The default admits today's
+      // corpora (sf100 ≈ 8.2e7 per label) and fails fast around the next
+      // decade, where the honest answers are d6 under maxExactBlock label
+      // blocks or a tighter-threshold rebucket.
+      val maxCand = s.conf.getOption("graft.dedup.d7MaxCandidates")
+        .map(_.toLong).getOrElse(1000000000L)
+      val est = buckets.groupBy(col("label"), col("t"), col("code"))
+        .agg(count(lit(1)).as("bn"))
+        .groupBy(col("label"))
+        .agg(sum(expr("CAST(bn * (bn - 1) DIV 2 AS DECIMAL(38,0))")).as("__cand"))
+      val guarded = buckets.join(broadcast(est), "label")
+        .filter(when(col("__cand") > maxCand, raise_error(format_string(
+          "d7_embedding_neardup_lsh: label %s has ~%s candidate pairs > " +
+            "graft.dedup.d7MaxCandidates=%s; raise the cap, or at this density " +
+            "use d6_embedding_neardup within maxExactBlock label blocks " +
+            "(BENCHNOTES r10: 4-bit LSH no longer prunes here)",
+          col("label"), col("__cand"), lit(maxCand)))).isNull)
+        .drop("__cand")
+      val cands = guarded.as("a").join(buckets.as("b"),
           col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
             col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))

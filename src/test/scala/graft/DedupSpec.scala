@@ -48,6 +48,25 @@ class DedupSpec extends SparkTestBase {
     assert(graft.queries.Dedup.queries("d6_embedding_neardup")(spark, sf).count() > 0)
   }
 
+  test("d7 candidate-volume guard fails fast when the bucket estimate exceeds the cap") {
+    // The fixed 4-bit tables stop pruning as density grows (BENCHNOTES
+    // r10) — the guard must name the cap and the d6 fallback BEFORE pair
+    // expansion. At sf0.001 the exact Σ bn(bn−1)/2 estimate is well above
+    // 10; with the default cap the query runs to completion.
+    spark.conf.set("graft.dedup.d7MaxCandidates", "10")
+    try {
+      val ex = intercept[Exception] {
+        graft.queries.Dedup.queries("d7_embedding_neardup_lsh")(spark, sf).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(m =>
+        m.contains("d7MaxCandidates") && m.contains("d6_embedding_neardup")),
+        s"guard error must name the cap and the d6 fallback, got: ${messages(ex)}")
+    } finally spark.conf.unset("graft.dedup.d7MaxCandidates")
+    assert(graft.queries.Dedup.queries("d7_embedding_neardup_lsh")(spark, sf).count() > 0)
+  }
+
   test("d9 clusters are consistent components of the d5 pair graph") {
     val pairs = graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
