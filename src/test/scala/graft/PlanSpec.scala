@@ -505,6 +505,19 @@ class PlanSpec extends SparkTestBase {
       "band membership must never plan as a theta join")
   }
 
+  test("q46: the NOT IN branch never plans as a null-aware anti join") {
+    // Spark's NAAJ broadcasts the ENTIRE subquery (its only physical
+    // strategy for nullable NOT IN) — killed live at sf100 (r10). The
+    // decomposed form must keep the anti joins plain (shuffle-capable)
+    // and the null probe a scan-shaped aggregate.
+    val plan = planOf("q46_null_semantics")
+    assert(!plan.contains("NAAJ"),
+      "NOT IN must stay decomposed (distinct set + null probe + anti join), " +
+        "never a null-aware anti join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.filter(_.contains("Join")).take(6).mkString("\n"))
+  }
+
   test("q7_scale: no buffered percentile aggregate, fine prefix partitioned by coarse bucket") {
     val plan = planOf("q7_scale")
     assert(!plan.toLowerCase.contains("percentile"),
