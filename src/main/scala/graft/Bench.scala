@@ -74,10 +74,15 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
+      // NonFatal only (BenchOne's rule): after OutOfMemoryError etc. the
+      // JVM is suspect and every later timing is plausible-looking garbage.
       try force(name) catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FATAL (${e.getClass.getName}) — aborting")
+          throw e
       }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap

@@ -44,10 +44,16 @@ object BenchOne {
         }
         println(f"[benchone] $n: ${times.min}%.2f s (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
       } catch {
-        case e: Throwable =>
+        // NonFatal only: after an OutOfMemoryError or other VirtualMachineError
+        // the JVM's state is suspect, and later queries' timings would be
+        // plausible-looking garbage — name the failure, then rethrow.
+        case scala.util.control.NonFatal(e) =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString
           println(s"[benchone] $n: FAILED ($msg)")
+        case e: Throwable =>
+          println(s"[benchone] $n: FATAL (${e.getClass.getName}) — aborting sweep")
+          throw e
       }
     }
     spark.stop()

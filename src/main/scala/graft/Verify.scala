@@ -31,7 +31,10 @@ object Verify {
     run.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // NonFatal only (Bench's rule): after OutOfMemoryError etc. the JVM is
+      // suspect — later "successful" result dumps could be silently wrong,
+      // which is worse in a correctness gate than an aborted run.
+      catch { case e if scala.util.control.NonFatal(e) =>
         failed += name -> String.valueOf(e.getMessage).linesIterator.take(1).mkString
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // A failure must never leave a prior run's parquet in place: when

@@ -498,10 +498,16 @@ object Dedup {
       // blocks or a tighter-threshold rebucket.
       val maxCand = s.conf.getOption("graft.dedup.d7MaxCandidates")
         .map(_.toLong).getOrElse(1000000000L)
+      // Cast BEFORE multiplying: bn*(bn-1) in BIGINT wraps (non-ANSI) once a
+      // bucket holds ~3e9 rows — exactly the density regime this guard
+      // exists to catch — so both factors ride DECIMAL(38,0) and the halving
+      // is a decimal divide (the product is even, so the value is exact).
       val est = buckets.groupBy(col("label"), col("t"), col("code"))
         .agg(count(lit(1)).as("bn"))
         .groupBy(col("label"))
-        .agg(sum(expr("CAST(bn * (bn - 1) DIV 2 AS DECIMAL(38,0))")).as("__cand"))
+        .agg(sum(expr(
+          "CAST(bn AS DECIMAL(38,0)) * CAST(bn - 1 AS DECIMAL(38,0)) / 2"))
+          .as("__cand"))
       val guarded = buckets.join(broadcast(est), "label")
         .filter(when(col("__cand") > maxCand, raise_error(format_string(
           "d7_embedding_neardup_lsh: label %s has ~%s candidate pairs > " +

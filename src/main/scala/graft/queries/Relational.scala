@@ -350,30 +350,40 @@ object Relational {
     // the NOT IN branch is decomposed into its own definition: if the
     // subquery contains any NULL no row can pass (the AND-chain of <>
     // comparisons is UNKNOWN at best), otherwise it is a plain anti join.
-    // The subquery first collapses to its DISTINCT value set (one
-    // map-side-combining agg — NOT IN only ever consults membership), the
-    // null probe is an EXISTS over that set, and the anti join runs
-    // against it — shuffleable, linear at any scale. NOT EXISTS stays
+    // The null probe runs FIRST, at plan-construction time (a `limit 1`
+    // scan that short-circuits on the first NULL-producing row), and the
+    // anti-join branch is only BUILT when the probe comes back clean: the
+    // r10 CASE form evaluated both branches' uncorrelated scalar
+    // subqueries eagerly, so the common NULL-tainted case still paid a
+    // full discarded anti-join pass (ADVICE r10). When the probe does
+    // find the set null-free, the anti join runs against the DISTINCT
+    // value set (one map-side-combining agg — NOT IN only ever consults
+    // membership) — shuffleable, linear at any scale. NOT EXISTS stays
     // engine-native on the raw table: that it needs NO rewrite is its
     // half of the lesson. The DuckDB oracle still runs the LITERAL
     // `NOT IN`, so the hash gate pins the decomposition to the
     // engine-native semantics.
     "q46_null_semantics" -> { (s, d) =>
-      Tables.part(s, d).createOrReplaceTempView("q46_part")
-      Tables.lineitem(s, d).createOrReplaceTempView("q46_lineitem")
-      s.sql(
-        """WITH dsub AS (
-          |  SELECT DISTINCT CASE WHEN l.l_quantity > 49 THEN l.l_partkey END AS v
-          |  FROM q46_lineitem l)
-          |SELECT
-          |  CASE WHEN EXISTS (SELECT 1 FROM dsub WHERE v IS NULL) THEN 0L
-          |       ELSE (SELECT count(*) FROM q46_part p WHERE NOT EXISTS
-          |               (SELECT 1 FROM dsub WHERE dsub.v = p.p_partkey)) END
-          |    AS n_not_in,
-          |  (SELECT count(*) FROM q46_part p WHERE NOT EXISTS
-          |     (SELECT 1 FROM q46_lineitem l
-          |      WHERE l.l_quantity > 49 AND l.l_partkey = p.p_partkey)) AS n_not_exists
-          |""".stripMargin)
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val v = when(col("l_quantity") > 49, col("l_partkey")).as("v")
+      val subqueryHasNull = !l.select(v).filter(col("v").isNull).isEmpty
+      val nNotExists =
+        p.join(l.filter(col("l_quantity") > 49).select(col("l_partkey")),
+            col("p_partkey") === col("l_partkey"), "left_anti")
+          .agg(count(lit(1)).as("n_not_exists"))
+      if (subqueryHasNull)
+        // Three-valued logic: any NULL in the set makes every NOT IN
+        // comparison UNKNOWN-at-best — zero rows pass, no join is built.
+        nNotExists.select(lit(0L).as("n_not_in"), col("n_not_exists"))
+      else
+        // Clean set: plain anti join on the distinct values. The 1×1
+        // combine is a nested-loop join over two single-row aggregates —
+        // constant work; the anti joins themselves stay shuffleable.
+        p.join(l.select(v).filter(col("v").isNotNull).distinct(),
+            col("p_partkey") === col("v"), "left_anti")
+          .agg(count(lit(1)).as("n_not_in"))
+          .crossJoin(nNotExists)
     },
 
     // Groupwise filtering — "rows above their own group's average" — the
