@@ -584,10 +584,14 @@ object Events {
     // Pairwise type co-movement: Pearson correlation between every two
     // event types' HOURLY count series — "do errors spike with
     // purchases?" — computed from the raw-moment identity
-    // (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) over exact BIGINT count
-    // sums (q8's recipe), so the one division, two correctly-rounded
-    // sqrts and one product are engine-identical where builtin corr()'s
-    // Welford accumulation order would drift. The series align on the
+    // (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) over exact DECIMAL(38,0)
+    // sums (q8's recipe + the e22 overflow lesson: Σx² of BIGINT hourly
+    // counts wraps silently at x~1e7 over 1e5 hours — plausible 100 TB
+    // density), so the one division, two correctly-rounded sqrts and one
+    // product are engine-identical where builtin corr()'s Welford
+    // accumulation order would drift. DuckDB needs no change: its BIGINT
+    // sums already widen to HUGEINT and both casts to DOUBLE round
+    // correctly from the same exact integers. The series align on the
     // COMPLETE hour×type grid (missing cells = 0 — an inner join would
     // bias the correlation toward co-active hours). Corpus collapses in
     // the first (hour, type) aggregate; everything after runs on
@@ -604,15 +608,18 @@ object Events {
       val j = full.toDF("h", "type_a", "x")
         .join(full.toDF("h2", "type_b", "y"),
           col("h") === col("h2") && col("type_a") < col("type_b"))
+      val xd = col("x").cast("decimal(19,0)")
+      val yd = col("y").cast("decimal(19,0)")
       j.groupBy(col("type_a"), col("type_b"))
         .agg(count(lit(1)).as("n_hours"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+          sum(xd).as("sx"), sum(yd).as("sy"),
+          sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"),
+          sum(xd * yd).as("sxy"))
+        .withColumn("nh", col("n_hours").cast("decimal(19,0)"))
         .withColumn("corr",
-          (col("n_hours") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-              sqrt((col("n_hours") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          (col("nh") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("nh") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("nh") * col("syy") - col("sy") * col("sy")).cast("double"))))
         .select(col("type_a"), col("type_b"), col("n_hours"), col("corr"))
         .orderBy(col("type_a"), col("type_b"))
     }

@@ -443,8 +443,15 @@ object TextOps {
         .join(broadcast(dfc.toDF("w1", "df_a")), "w1")
         .join(broadcast(dfc.toDF("w2", "df_b")), "w2")
         .crossJoin(broadcast(n))
-        .withColumn("pmi_ratio", (col("n_xy") * col("n_docs")).cast("double") /
-          (col("df_a") * col("df_b")).cast("double"))
+        // Products ride DECIMAL (the e22 overflow lesson): n_xy·n_docs and
+        // df_a·df_b are ≤ n_docs² — BIGINT wraps silently past ~3e9 docs.
+        // The 38-digit integer products cast to DOUBLE correctly rounded,
+        // identical to the old BIGINT path wherever that didn't overflow.
+        .withColumn("pmi_ratio",
+          (col("n_xy").cast("decimal(19,0)") * col("n_docs").cast("decimal(19,0)"))
+            .cast("double") /
+          (col("df_a").cast("decimal(19,0)") * col("df_b").cast("decimal(19,0)"))
+            .cast("double"))
         .select(col("w1"), col("w2"), col("n_xy"), col("df_a"), col("df_b"),
           col("pmi_ratio"))
         .orderBy(col("w1"), col("w2"))
@@ -469,8 +476,13 @@ object TextOps {
         .orderBy(col("score").desc, col("word"))
       tf.join(broadcast(dfc), "word")
         .crossJoin(broadcast(n))
+        // tf·n_docs in DECIMAL (the e22 overflow lesson): tf is bounded by
+        // document length but n_docs is corpus-sized — the BIGINT product
+        // leaves no headroom at 100 TB; the decimal product is exact and
+        // casts to the identical correctly-rounded DOUBLE.
         .withColumn("score",
-          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+          (col("tf").cast("decimal(19,0)") * col("n_docs").cast("decimal(19,0)"))
+            .cast("double") / col("df").cast("double"))
         .withColumn("rk", row_number().over(pick))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"),
