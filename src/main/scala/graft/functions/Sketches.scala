@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches — the sublinear scale paths
+  * the exact operators point at (q2_scale's scaladoc: "q6's sketch is the
+  * sublinear answer"; d16's DF-cap: "re-measure per corpus").
+  *
+  * Both aggregates follow the mergeable-summaries discipline (Agarwal,
+  * Cormode, Huang, Phillips, Wei, Yi — PODS'12): the buffer is a bounded
+  * summary, `reduce` is amortized O(1) per row, `merge` is
+  * order-insensitive, and the shuffle carries ONLY summaries (≤ k values
+  * per partial aggregate), never rows — at 100 TB an exact
+  * `count(distinct)` shuffles every distinct pair (q2's 3×-Expand wall),
+  * while a sketch pipeline's exchange is O(partitions · k) regardless of
+  * corpus size.
+  *
+  * Exactness contract (what makes these ORACLE-able): below capacity the
+  * summaries are lossless — KMV keeps every distinct hash until it holds
+  * k of them, and the Misra–Gries map never evicts until it holds more
+  * than its capacity — so in the sub-capacity regime estimates equal the
+  * exact answers bit-for-bit and the DuckDB hash gate runs the plain
+  * `count(distinct)` / `count(*) top-k` SQL. Above capacity the error is
+  * spec-bound (SketchSpec), not oracle-bound, the same split q45/s2 use.
+  *
+  * SURVEY.md §2.4 references: the reference engine has no sketch surface
+  * (row-at-a-time, `README.md:13-15`); these extend the capability layer
+  * the same way q45 (approx percentiles) does.
+  */
+object Sketches {
+
+  /** 2^64 as a double — the sketch-space hash domain width. */
+  private val Two64 = 1.8446744073709552e19
+  /** 2^63 as a double — offset from sketch-space (signed) to unsigned. */
+  private val Two63 = 9.223372036854775808e18
+
+  // ---------------------------------------------------------------------
+  // KMV (bottom-k / theta) distinct sketch
+  // ---------------------------------------------------------------------
+
+  /** Buffer: the k smallest DISTINCT values seen, in "sketch space"
+    * (input hash XOR Long.MinValue, so SIGNED order equals unsigned hash
+    * order and Spark's `array_sort`/`array_intersect` compose downstream).
+    * Appends are O(1); sort+dedup+trim runs only when the scratch array
+    * fills, so a partition scan costs O(n log k) total. Once saturated,
+    * values at or above the current k-th smallest are rejected on arrival
+    * — acceptance probability decays to k/n, so late-scan appends are
+    * rare. */
+  final class KmvBuf(val k: Int) extends Serializable {
+    var arr: Array[Long] = new Array[Long](math.max(16, 2 * k))
+    var n: Int = 0
+    /** Saturation threshold in sketch space; MaxValue until k kept. */
+    var thr: Long = Long.MaxValue
+
+    def add(u: Long): Unit =
+      if (u < thr || (u == thr && thr == Long.MaxValue)) {
+        if (n == arr.length) compact()
+        // compact() can only fail to free space if k distinct values all
+        // beat thr — impossible, it resets thr to the new k-th smallest.
+        arr(n) = u
+        n += 1
+      }
+
+    def compact(): Unit = {
+      java.util.Arrays.sort(arr, 0, n)
+      var w = 0
+      var i = 0
+      while (i < n) {
+        if (w == 0 || arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
+        i += 1
+      }
+      n = math.min(w, k)
+      if (n == k) thr = arr(k - 1)
+    }
+  }
+
+  /** `kmv_sketch(hash)` — bottom-k sketch of a 64-bit hash column (feed it
+    * `xxhash64(key)` so the hot hashing stays whole-stage-codegen'd; the
+    * aggregate only maintains the bounded buffer). Output: the sketch as a
+    * sorted ascending array (sketch space), `size < k` ⇔ lossless. */
+  final case class KmvSketch(k: Int) extends Aggregator[Long, KmvBuf, Array[Long]] {
+    require(k >= 2, s"kmv sketch needs k >= 2, got $k")
+    def zero: KmvBuf = new KmvBuf(k)
+    def reduce(b: KmvBuf, h: Long): KmvBuf = { b.add(h ^ Long.MinValue); b }
+    def merge(a: KmvBuf, b: KmvBuf): KmvBuf = {
+      var i = 0
+      while (i < b.n) { a.add(b.arr(i)); i += 1 }
+      a
+    }
+    def finish(b: KmvBuf): Array[Long] = {
+      b.compact()
+      java.util.Arrays.copyOfRange(b.arr, 0, b.n)
+    }
+    def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Distinct-count estimate from a sketch column: exact `size` below k;
+    * at saturation the classic unbiased (k−1)/θ_k with θ_k the k-th
+    * smallest hash as a fraction of the hash domain (Beyer et al.,
+    * SIGMOD'07). σ ≈ ndv/√(k−2). */
+  def kmvNdv(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        ((element_at(sketch, k).cast("double") + Two63 + 1.0) / Two64))
+
+  /** Union sketch: bottom-k of the merged distinct hash sets — the same
+    * summary `kmv_sketch` would have built over the concatenated inputs,
+    * composed post-aggregation with array ops (no re-scan). */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Intersection-cardinality estimate for two sketches: ρ·|A∪B| where ρ
+    * is the fraction of the union's bottom-k present in BOTH sketches
+    * (Beyer et al.'s K-min-wise estimator). Below saturation both
+    * sketches are complete sets, so the branch returns the EXACT
+    * |A∩B| (bit-stable — no ρ·ndv float round-trip). */
+  def kmvIntersectNdv(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnion(a, b, k)
+    val common = size(array_intersect(array_intersect(u, a), b))
+    when(size(u) === 0, lit(0.0))
+      .when(size(u) < k, common.cast("double"))
+      .otherwise(common.cast("double") / lit(k.toDouble) * kmvNdv(u, k))
+  }
+
+  /** Union-cardinality estimate (exact below saturation). */
+  def kmvUnionNdv(a: Column, b: Column, k: Int): Column =
+    kmvNdv(kmvUnion(a, b, k), k)
+
+  // ---------------------------------------------------------------------
+  // Misra–Gries / Space-Saving heavy hitters
+  // ---------------------------------------------------------------------
+
+  /** One reported heavy hitter: estimated count underestimates the true
+    * count by at most `err` (the buffer's accumulated deduction). */
+  final case class HeavyHitter(key: Long, cnt: Long, err: Long)
+
+  /** Buffer: key → count map, at most 2·cap entries between trims.
+    * `deducted` is the total mass subtracted by trims — every surviving
+    * count underestimates its true count by AT MOST `deducted`, and any
+    * key with true count > deducted is guaranteed present (the
+    * Misra–Gries invariant: each unit of deduction is paid by ≥ cap
+    * distinct keys, so deducted ≤ n/cap). */
+  final class TopKBuf(val cap: Int) extends Serializable {
+    val m = new java.util.HashMap[Long, Array[Long]](4 * cap)
+    var deducted: Long = 0L
+
+    def add(key: Long, by: Long): Unit = {
+      val e = m.get(key)
+      if (e != null) e(0) += by
+      else {
+        m.put(key, Array(by))
+        if (m.size > 2 * cap) trim()
+      }
+    }
+
+    /** Subtract the (cap+1)-th largest count from every entry and drop the
+      * non-positive — at least half the entries go, amortizing the O(m)
+      * scan to O(1) per insert; `deducted` grows by the subtracted value. */
+    def trim(): Unit = if (m.size > cap) {
+      val counts = new Array[Long](m.size)
+      var i = 0
+      val it = m.values().iterator()
+      while (it.hasNext) { counts(i) = it.next()(0); i += 1 }
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - cap - 1) // (cap+1)-th largest
+      deducted += cut
+      val eit = m.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        e.getValue()(0) -= cut
+        if (e.getValue()(0) <= 0) eit.remove()
+      }
+    }
+  }
+
+  /** `topk_freq(key)` — mergeable per-group frequency summary with the
+    * Misra–Gries guarantee: any key with true frequency > n/cap survives,
+    * reported counts sit in [true − err, true]. Below cap distinct keys
+    * per group the summary is EXACT (err = 0). Output: entries sorted by
+    * (count desc, key asc) — a deterministic total order shared with the
+    * oracle's `ORDER BY cnt DESC, key`. */
+  final case class SpaceSavingTopK(cap: Int) extends Aggregator[Long, TopKBuf, Array[HeavyHitter]] {
+    require(cap >= 1, s"topk_freq needs cap >= 1, got $cap")
+    def zero: TopKBuf = new TopKBuf(cap)
+    def reduce(b: TopKBuf, key: Long): TopKBuf = { b.add(key, 1L); b }
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      val it = b.m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        a.add(e.getKey, e.getValue()(0))
+      }
+      a.deducted += b.deducted
+      a.trim() // mergeable-summaries rule: re-trim to cap after a merge
+      a
+    }
+    def finish(b: TopKBuf): Array[HeavyHitter] = {
+      b.trim()
+      val out = new Array[HeavyHitter](b.m.size)
+      var i = 0
+      val it = b.m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        out(i) = HeavyHitter(e.getKey, e.getValue()(0), b.deducted)
+        i += 1
+      }
+      scala.util.Sorting.stableSort(out,
+        (x: HeavyHitter, y: HeavyHitter) => x.cnt > y.cnt || (x.cnt == y.cnt && x.key < y.key))
+      out
+    }
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.kryo[TopKBuf]
+    def outputEncoder: Encoder[Array[HeavyHitter]] = ExpressionEncoder[Array[HeavyHitter]]()
+  }
+}

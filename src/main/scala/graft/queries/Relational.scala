@@ -949,6 +949,81 @@ object Relational {
                  WHERE s.s_nationkey = n.n_nationkey
                  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
         ORDER BY nation, s_acctbal DESC, s_suppkey""")
+    },
+
+    // ---- Mergeable sketches (functions/Sketches.scala) ----------------
+    // KMV bottom-k distinct sketch, per group: the SUBLINEAR answer to
+    // q2's exact-distinct wall (q2_scale's scaladoc points here). Hashing
+    // rides codegen'd xxhash64 on the scan side; the typed aggregate only
+    // maintains the bounded bottom-k buffer, so the exchange carries ≤ k
+    // longs per partial aggregate — O(partitions·k) shuffle at ANY corpus
+    // size, vs the distinct-pair-linear shuffles of q2/q2_scale. Below k
+    // distinct values the sketch is lossless and the estimate IS the
+    // exact count (the oracle regime at verify SF: ≤14,743 per flag,
+    // k = 16,384); above it the (k−1)/θ estimator applies with
+    // σ ≈ ndv/√(k−2) ≈ 0.8% — SketchSpec pins both regimes and the
+    // partition-layout invariance of the merge.
+    "q57_kmv_distinct" -> { (s, d) =>
+      val k = s.conf.get("spark.graft.sketch.k", "16384").toInt
+      val sk = udaf(graft.functions.Sketches.KmvSketch(k))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          xxhash64(col("l_partkey")).as("hp"),
+          xxhash64(col("l_orderkey")).as("ho"))
+        .groupBy(col("l_returnflag"))
+        .agg(sk(col("hp")).as("skp"), sk(col("ho")).as("sko"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          graft.functions.Sketches.kmvNdv(col("skp"), k).as("n_parts_est"),
+          graft.functions.Sketches.kmvNdv(col("sko"), k).as("n_orders_est"),
+          col("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    // Set-operation cardinalities FROM the sketches alone: per-type
+    // distinct-user sketches (|types| rows of ≤ k longs) pairwise-composed
+    // with array ops into |A∪B| / |A∩B| / Jaccard — no second corpus pass,
+    // no pair shuffle. This is d16's scale story without its DF-cap: at
+    // 100 TB the corpus collapses once into |groups| bounded summaries and
+    // every overlap question after that is O(k) driver-sized math. Exact
+    // below saturation (sub-k regime = the oracle regime; the estimators'
+    // exact-branch returns integer counts bit-identical to DuckDB's
+    // count(distinct)).
+    "q58_kmv_set_ops" -> { (s, d) =>
+      val k = s.conf.get("spark.graft.sketch.k", "16384").toInt
+      val sk = udaf(graft.functions.Sketches.KmvSketch(k))
+      val sketches = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(sk(col("h")).as("sk"))
+      val pairs = sketches.toDF("type_a", "sk_a")
+        .join(sketches.toDF("type_b", "sk_b"), col("type_a") < col("type_b"))
+      val unionNdv = graft.functions.Sketches.kmvUnionNdv(col("sk_a"), col("sk_b"), k)
+      val interNdv = graft.functions.Sketches.kmvIntersectNdv(col("sk_a"), col("sk_b"), k)
+      pairs.select(col("type_a"), col("type_b"),
+          unionNdv.as("union_ndv"), interNdv.as("inter_ndv"))
+        .withColumn("jaccard", col("inter_ndv") / col("union_ndv"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    // Misra–Gries/Space-Saving heavy hitters, per group: exact per-group
+    // top-k needs every (group, key) pair shuffled (t8's shape); the
+    // mergeable frequency summary caps the exchange at 2·cap entries per
+    // partial with the classic guarantee — any key with true share >
+    // 1/cap survives, counts underestimate by ≤ err ≤ n/cap. Below cap
+    // distinct keys per group it never evicts: err = 0, counts exact —
+    // the oracle regime (2,000 parts per flag at verify SF, cap 4,096).
+    "q59_heavy_hitters" -> { (s, d) =>
+      val cap = s.conf.get("spark.graft.sketch.topkCap", "4096").toInt
+      val hh = udaf(graft.functions.Sketches.SpaceSavingTopK(cap))
+      Tables.lineitem(s, d)
+        .filter(col("l_partkey").isNotNull)
+        .groupBy(col("l_returnflag"))
+        .agg(hh(col("l_partkey")).as("hh"))
+        .select(col("l_returnflag"), posexplode(slice(col("hh"), 1, 5)))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.key").as("l_partkey"), col("col.cnt").as("cnt"),
+          col("col.err").as("err"))
+        .orderBy(col("l_returnflag"), col("rk"))
     }
   )
 
@@ -1191,6 +1266,40 @@ object Relational {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    // Sketch oracles run in the LOSSLESS sub-capacity regime at verify SF
+    // (see the queries' scaladoc), so the exact SQL is the oracle; the
+    // saturation regimes are spec-bound (SketchSpec), the q45/s2 split.
+    "q57_kmv_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS DOUBLE) AS n_parts_est,
+        |  CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders_est,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_kmv_set_ops" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |c AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+        |i AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_inter
+        |      FROM s a JOIN s b ON a.user_id = b.user_id
+        |       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  CAST(ca.n + cb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS union_ndv,
+        |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) AS inter_ndv,
+        |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        |    / CAST(ca.n + cb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN i ON i.ta = ca.event_type AND i.tb = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q59_heavy_hitters" ->
+      """SELECT l_returnflag, rk, l_partkey, cnt, CAST(0 AS BIGINT) AS err
+        |FROM (
+        |  SELECT l_returnflag, l_partkey, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY count(*) DESC, l_partkey) AS rk
+        |  FROM lineitem WHERE l_partkey IS NOT NULL
+        |  GROUP BY 1, 2) t
+        |WHERE rk <= 5 ORDER BY l_returnflag, rk""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb
         |FROM (SELECT * FROM part WHERE p_partkey <= 40) a

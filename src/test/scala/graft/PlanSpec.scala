@@ -618,4 +618,21 @@ class PlanSpec extends SparkTestBase {
     assert(kept >= matching, "bloom must never drop a true match")
     assert(kept < total, s"bloom kept $kept of $total fact rows — no pruning happened")
   }
+
+  test("q57/q59: sketches build map-side; the exchange carries buffers, not rows") {
+    // The whole point of the sketch aggregates is the shuffle contract:
+    // partial ObjectHashAggregate BELOW the exchange (bounded buffers per
+    // partition per group cross the wire), final aggregate above, hashing
+    // codegen'd in the scan-side project — never a row-level distinct
+    // exchange (q2's Expand wall) or a sort-based fallback.
+    for (q <- Seq("q57_kmv_distinct", "q59_heavy_hitters")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_kmvsketch") || plan.contains("partial_spacesavingtopk"),
+        s"$q: sketch must aggregate partially below the exchange\n" + plan.take(1500))
+      assert("\\(\\d+\\) ObjectHashAggregate".r.findAllIn(plan).size == 2,
+        s"$q: expected partial+final ObjectHashAggregate pair\n" + plan.take(1500))
+      assert(!plan.contains("Expand"), s"$q must not fall back to the Expand plan")
+      assert(!plan.contains("SortAggregate"), s"$q: object hash agg must not sort-fall-back")
+    }
+  }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+
+/** The sketch contract (functions/Sketches.scala): lossless below
+  * capacity (the oracle regime — CORRECTNESS covers it), spec-bound error
+  * above it, and merge results independent of partition layout. */
+class SketchSpec extends SparkTestBase {
+
+  private val k = 1024
+
+  private def kmvAgg = udaf(Sketches.KmvSketch(k))
+
+  test("kmv: lossless below k and partition-layout invariant") {
+    // 700 distinct keys (< k) over 21,000 rows; the sketch must hold all
+    // 700 hashes and report the exact count under any partitioning.
+    val base = spark.range(21000).select((col("id") % 700).as("key"))
+    val est = Seq(1, 13).map { p =>
+      base.repartition(p)
+        .select(xxhash64(col("key")).as("h"))
+        .agg(kmvAgg(col("h")).as("sk"))
+        .select(Sketches.kmvNdv(col("sk"), k), size(col("sk")))
+        .collect()(0)
+    }
+    est.foreach { r =>
+      assert(r.getDouble(0) == 700.0, s"sub-k estimate must be exact, got $r")
+      assert(r.getInt(1) == 700)
+    }
+  }
+
+  test("kmv: saturated estimate within 5 sigma of the true cardinality") {
+    val n = 200000L
+    val truth = n.toDouble
+    val est = spark.range(n)
+      .select(xxhash64(col("id")).as("h"))
+      .agg(kmvAgg(col("h")).as("sk"))
+      .select(Sketches.kmvNdv(col("sk"), k))
+      .collect()(0).getDouble(0)
+    // sigma ~= ndv/sqrt(k-2) ~= 3.1% at k=1024; 5 sigma ~= 16%.
+    val relErr = math.abs(est - truth) / truth
+    assert(relErr < 0.16, s"kmv estimate $est vs $truth (relErr $relErr)")
+  }
+
+  test("kmv: union and intersection estimates from composed sketches") {
+    // A = [0, 120k), B = [60k, 180k): union 180k, intersection 60k.
+    val a = spark.range(0, 120000).select(xxhash64(col("id")).as("h"))
+      .agg(kmvAgg(col("h")).as("sk_a"))
+    val b = spark.range(60000, 180000).select(xxhash64(col("id")).as("h"))
+      .agg(kmvAgg(col("h")).as("sk_b"))
+    val r = a.crossJoin(b).select(
+      Sketches.kmvUnionNdv(col("sk_a"), col("sk_b"), k).as("u"),
+      Sketches.kmvIntersectNdv(col("sk_a"), col("sk_b"), k).as("i"))
+      .collect()(0)
+    val (u, i) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(u - 180000) / 180000.0 < 0.16, s"union est $u")
+    // Intersection stacks the union estimator's error with the binomial
+    // error of the bottom-k overlap fraction — allow a wider band.
+    assert(math.abs(i - 60000) / 60000.0 < 0.25, s"intersection est $i")
+  }
+
+  test("kmv: q57/q58 run in the lossless regime at test SF") {
+    // The oracle contract: at verify/test SF the sketches must be below
+    // saturation so the exact SQL is a valid oracle. Pin the headroom.
+    val kk = spark.conf.get("spark.graft.sketch.k", "16384").toInt
+    val maxDistinct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("c"))
+      .agg(max(col("c"))).collect()(0).getLong(0)
+    assert(maxDistinct < kk, s"q57 would saturate: $maxDistinct >= $kk")
+  }
+
+  private val cap = 256
+
+  private def hhAgg = udaf(Sketches.SpaceSavingTopK(cap))
+
+  test("topk_freq: exact below cap and partition-layout invariant") {
+    // 200 distinct keys (< cap) with frequency = key+1 — no eviction can
+    // occur, so counts are exact, err = 0, order (cnt desc, key asc).
+    val base = spark.range(200).select(col("id").as("key"))
+      .select(explode(sequence(lit(1), col("key") + 1)).as("rep"), col("key"))
+    val results = Seq(1, 13).map { p =>
+      base.repartition(p)
+        .agg(hhAgg(col("key")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key"), col("e.cnt"), col("e.err"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    assert(results(0) == results(1), "summary must not depend on partitioning")
+    assert(results(0).size == 200)
+    assert(results(0).forall { case (key, cnt, err) => cnt == key + 1 && err == 0 })
+    // sorted by cnt desc => key 199 first
+    assert(results(0).head._1 == 199L)
+  }
+
+  test("topk_freq: Misra-Gries guarantee in the evicting regime") {
+    // Key 777777 takes 3,000 of 43,000 rows (share ~7% >> 1/cap); the other
+    // 40,000 rows spread over 8,000 distinct keys. The heavy key must
+    // survive with cnt in [true - err, true] and err <= n/cap.
+    val heavy = spark.range(3000).select(lit(777777L).as("key"))
+    val tail = spark.range(40000).select((col("id") % 8000).as("key"))
+    val n = 43000L
+    val rows = heavy.union(tail).repartition(7)
+      .agg(hhAgg(col("key")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hit = rows.find(_._1 == 777777L)
+    assert(hit.isDefined, s"heavy key evicted; kept ${rows.length} entries")
+    val (_, cnt, err) = hit.get
+    assert(cnt <= 3000L, s"MG counts must underestimate, got $cnt")
+    assert(cnt + err >= 3000L, s"true count must sit within [cnt, cnt+err]: $cnt + $err")
+    assert(err <= n / cap + 1, s"deduction bound blown: $err > ${n / cap}")
+    assert(rows.length <= cap, s"summary must hold <= cap entries, got ${rows.length}")
+  }
+
+  test("topk_freq: q59 runs in the exact regime at test SF") {
+    val capConf = spark.conf.get("spark.graft.sketch.topkCap", "4096").toInt
+    val maxDistinct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("c"))
+      .agg(max(col("c"))).collect()(0).getLong(0)
+    assert(maxDistinct <= capConf, s"q59 would evict: $maxDistinct > $capConf")
+  }
+}
