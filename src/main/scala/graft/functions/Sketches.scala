@@ -107,6 +107,13 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble) /
         ((element_at(sketch, k).cast("double") + Two63 + 1.0) / Two64))
 
+  /** Scalar twin of [[kmvNdv]] over a finished sketch array (the streaming
+    * processor evaluates it per key per micro-batch) — SAME arithmetic so
+    * batch and stream estimates agree bit-for-bit on the same sketch. */
+  def ndvFromSketch(arr: Array[Long], k: Int): Double =
+    if (arr.length < k) arr.length.toDouble
+    else (k - 1).toDouble / ((arr(k - 1).toDouble + Two63 + 1.0) / Two64)
+
   /** Union sketch: bottom-k of the merged distinct hash sets — the same
     * summary `kmv_sketch` would have built over the concatenated inputs,
     * composed post-aggregation with array ops (no re-scan). */

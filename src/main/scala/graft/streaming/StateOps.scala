@@ -303,6 +303,49 @@ class TransitionProcessor[K](stateEnc: org.apache.spark.sql.Encoder[(Long, Strin
   }
 }
 
+/** Streaming distinct-count with BOUNDED state — the KMV bottom-k sketch
+  * (functions/Sketches.scala) as a `transformWithState` processor. Per key,
+  * state is the compact sketch (≤ k longs); each micro-batch folds the
+  * batch's hashes in and emits `(key, ndv_estimate, n_kept)` — the key's
+  * distinct count over the WHOLE stream so far. Contrast the exact
+  * alternatives: `dropDuplicates` keeps one state row per distinct value
+  * (unbounded — the store grows with stream cardinality forever), while
+  * this processor's store is O(keys · k) at any stream length. Below k the
+  * sketch is lossless, so the emitted estimate equals the exact running
+  * distinct count (StreamingSpec pins streamed == batch `countDistinct`
+  * across batch splits); above k it is the (k−1)/θ estimator — the SAME
+  * scalar arithmetic as the batch column (`Sketches.ndvFromSketch`), so a
+  * batch q57 over the stream's prefix and this processor agree on the
+  * same sketch bit-for-bit. Input is the pre-hashed value (xxhash64 on
+  * the stream side — keeps hashing codegen'd and the state store
+  * value-type-agnostic). */
+class KmvDistinctProcessor[K](k: Int)
+    extends StatefulProcessor[K, (K, Long), (K, Double, Int)] {
+
+  @transient private var sketch: ValueState[Array[Long]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sketch = getHandle.getValueState[Array[Long]]("kmv",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, Long)],
+      timerValues: TimerValues): Iterator[(K, Double, Int)] = {
+    val buf = new graft.functions.Sketches.KmvBuf(k)
+    if (sketch.exists()) {
+      val prev = sketch.get()
+      System.arraycopy(prev, 0, buf.arr, 0, prev.length)
+      buf.n = prev.length
+      buf.compact() // already sorted distinct — restores thr when saturated
+    }
+    rows.foreach { case (_, h) => buf.add(h ^ Long.MinValue) }
+    buf.compact()
+    val arr = java.util.Arrays.copyOfRange(buf.arr, 0, buf.n)
+    sketch.update(arr)
+    Iterator((key, graft.functions.Sketches.ndvFromSketch(arr, k), arr.length))
+  }
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

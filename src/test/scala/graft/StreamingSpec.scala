@@ -272,6 +272,68 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState KMV: streaming distinct matches batch exactly below k, bounded above") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDB {
+      // Lossless regime: per-type distinct users over the events table,
+      // streamed in two arbitrary batches — the final emission per type
+      // must equal batch countDistinct (the sketch is a lossless set
+      // below k, so batch boundaries cannot matter).
+      val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"), col("event_id"))
+        .as[(String, Long, Long)].collect().toSeq
+      val stream = MemoryStream[(String, Long)]
+      stream.addData(ev.filter(_._3 % 2 == 0).map(r => (r._1, r._2)): _*)
+      stream.addData(ev.filter(_._3 % 2 == 1).map(r => (r._1, r._2)): _*)
+      val out = stream.toDS().toDF("event_type", "user_id")
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.KmvDistinctProcessor[String](1024),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("event_type", "ndv", "n_kept")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("kmv_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      // Update mode re-emits per batch; the running estimate is monotone
+      // in the lossless regime, so max per key is the final value.
+      val got = spark.sql("SELECT event_type, max(ndv) FROM kmv_out GROUP BY 1")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val exact = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).cast("double").as("c"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(got == exact, s"streamed $got != batch $exact")
+
+      // Bounded-state regime: 5,000 distinct values through k=64 — state
+      // must cap at 64 longs and the estimate stay within the (loose)
+      // 4-sigma band. This is the contract dropDuplicates cannot offer:
+      // its state grows with stream cardinality, the sketch's does not.
+      val wide = MemoryStream[(String, Long)]
+      wide.addData((0 until 2500).map(i => ("k", i.toLong)): _*)
+      wide.addData((2500 until 5000).map(i => ("k", i.toLong)): _*)
+      val out2 = wide.toDS().toDF("key", "v")
+        .select(col("key"), xxhash64(col("v")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.KmvDistinctProcessor[String](64),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q2 = out2.toDF("key", "ndv", "n_kept")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("kmv_wide")
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(60000)
+      val last = spark.sql(
+        "SELECT max(ndv), max(n_kept) FROM kmv_wide WHERE n_kept = 64").collect()(0)
+      assert(last.getInt(1) == 64, "state must cap at k entries")
+      assert(math.abs(last.getDouble(0) - 5000) / 5000.0 < 0.5,
+        s"saturated streaming estimate ${last.getDouble(0)} vs 5000")
+    }
+  }
+
   test("transformWithState band index: streaming LSH candidates cover d3's verified pairs") {
     // The MinHash banding of d3/d10 as CONTINUOUS ingestion: docs arrive in
     // two waves; every band-bucket collision — within a wave or against
