@@ -150,12 +150,13 @@ object Sketches {
     * count underestimates its true count by AT MOST `deducted`, and any
     * key with true count > deducted is guaranteed present (the
     * Misra–Gries invariant: each unit of deduction is paid by ≥ cap
-    * distinct keys, so deducted ≤ n/cap). */
-  final class TopKBuf(val cap: Int) extends Serializable {
-    val m = new java.util.HashMap[Long, Array[Long]](4 * cap)
+    * distinct keys, so deducted ≤ n/cap). Key type is generic (Long ids,
+    * String n-grams — anything hashable); kryo serializes the map. */
+  final class TopKBuf[K](val cap: Int) extends Serializable {
+    val m = new java.util.HashMap[K, Array[Long]](4 * cap)
     var deducted: Long = 0L
 
-    def add(key: Long, by: Long): Unit = {
+    def add(key: K, by: Long): Unit = {
       val e = m.get(key)
       if (e != null) e(0) += by
       else {
@@ -190,11 +191,11 @@ object Sketches {
     * per group the summary is EXACT (err = 0). Output: entries sorted by
     * (count desc, key asc) — a deterministic total order shared with the
     * oracle's `ORDER BY cnt DESC, key`. */
-  final case class SpaceSavingTopK(cap: Int) extends Aggregator[Long, TopKBuf, Array[HeavyHitter]] {
+  final case class SpaceSavingTopK(cap: Int) extends Aggregator[Long, TopKBuf[Long], Array[HeavyHitter]] {
     require(cap >= 1, s"topk_freq needs cap >= 1, got $cap")
-    def zero: TopKBuf = new TopKBuf(cap)
-    def reduce(b: TopKBuf, key: Long): TopKBuf = { b.add(key, 1L); b }
-    def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    def zero: TopKBuf[Long] = new TopKBuf[Long](cap)
+    def reduce(b: TopKBuf[Long], key: Long): TopKBuf[Long] = { b.add(key, 1L); b }
+    def merge(a: TopKBuf[Long], b: TopKBuf[Long]): TopKBuf[Long] = {
       val it = b.m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -204,7 +205,7 @@ object Sketches {
       a.trim() // mergeable-summaries rule: re-trim to cap after a merge
       a
     }
-    def finish(b: TopKBuf): Array[HeavyHitter] = {
+    def finish(b: TopKBuf[Long]): Array[HeavyHitter] = {
       b.trim()
       val out = new Array[HeavyHitter](b.m.size)
       var i = 0
@@ -218,7 +219,47 @@ object Sketches {
         (x: HeavyHitter, y: HeavyHitter) => x.cnt > y.cnt || (x.cnt == y.cnt && x.key < y.key))
       out
     }
-    def bufferEncoder: Encoder[TopKBuf] = Encoders.kryo[TopKBuf]
+    def bufferEncoder: Encoder[TopKBuf[Long]] = Encoders.kryo[TopKBuf[Long]]
     def outputEncoder: Encoder[Array[HeavyHitter]] = ExpressionEncoder[Array[HeavyHitter]]()
+  }
+
+  /** String-keyed heavy hitter (n-gram / term frequencies). */
+  final case class HeavyHitterStr(key: String, cnt: Long, err: Long)
+
+  /** [[SpaceSavingTopK]] over String keys — same buffer, guarantee, and
+    * (cnt desc, key asc) output order; kept as a concrete class so both
+    * variants get plain `ExpressionEncoder` outputs (no generic TypeTag
+    * plumbing at the call sites). */
+  final case class SpaceSavingTopKStr(cap: Int) extends Aggregator[String, TopKBuf[String], Array[HeavyHitterStr]] {
+    require(cap >= 1, s"topk_freq needs cap >= 1, got $cap")
+    def zero: TopKBuf[String] = new TopKBuf[String](cap)
+    def reduce(b: TopKBuf[String], key: String): TopKBuf[String] = { b.add(key, 1L); b }
+    def merge(a: TopKBuf[String], b: TopKBuf[String]): TopKBuf[String] = {
+      val it = b.m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        a.add(e.getKey, e.getValue()(0))
+      }
+      a.deducted += b.deducted
+      a.trim()
+      a
+    }
+    def finish(b: TopKBuf[String]): Array[HeavyHitterStr] = {
+      b.trim()
+      val out = new Array[HeavyHitterStr](b.m.size)
+      var i = 0
+      val it = b.m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        out(i) = HeavyHitterStr(e.getKey, e.getValue()(0), b.deducted)
+        i += 1
+      }
+      scala.util.Sorting.stableSort(out,
+        (x: HeavyHitterStr, y: HeavyHitterStr) =>
+          x.cnt > y.cnt || (x.cnt == y.cnt && x.key < y.key))
+      out
+    }
+    def bufferEncoder: Encoder[TopKBuf[String]] = Encoders.kryo[TopKBuf[String]]
+    def outputEncoder: Encoder[Array[HeavyHitterStr]] = ExpressionEncoder[Array[HeavyHitterStr]]()
   }
 }

@@ -48,6 +48,10 @@ object Dedup {
   private[queries] def wordsOf(text: String): Array[String] =
     text.toLowerCase.split("\\s+", -1)
 
+  /** Test hook: the exact shingle set the operators use (SketchSpec pins
+    * the sketch twins' lossless-regime headroom against it). */
+  private[graft] def shinglesForTest(text: String): Seq[String] = shinglesOf(text)
+
   private[queries] def shinglesOf(text: String): Seq[String] = {
     val words = wordsOf(text)
     if (words.length >= 3)
@@ -712,6 +716,48 @@ object Dedup {
           col("n_inter"), col("jaccard"), lit(DF_CAP).cast("int").as("df_cap"))
         .orderBy(col("src_a"), col("src_b"))
     },
+    // d16's SCALE TWIN via KMV sketches (functions/Sketches.scala, the
+    // q58 pattern on the shingle vocabulary): one corpus pass builds a
+    // bounded bottom-k sketch per source; every pairwise overlap after
+    // that is O(k) array math on the |sources|-row sketch table — no
+    // postings aggregation, no per-shingle source-set expansion, and no
+    // DF cap needed because a sketch never pays a pair term (the cap
+    // exists in d16 to bound the boilerplate-shingle fan-out; sketches
+    // have no fan-out to bound). Semantics therefore differ deliberately:
+    // the twin measures overlap over the FULL vocabulary (d16's contract
+    // notes the capped and uncapped results coincide on this corpus) and
+    // emits ALL source pairs (at saturation a sketch cannot distinguish
+    // true-zero overlap from small overlap, so zero-rows are data, not
+    // absence). Lossless below k per source (~1.5k shingles/source at
+    // verify SF vs k = 16,384) — the exact SQL is the oracle; above k the
+    // q58 estimator bounds apply (SketchSpec).
+    "d16_scale" -> { (s, d) =>
+      import s.implicits._
+      val k = s.conf.get("spark.graft.sketch.k", "16384").toInt
+      val sk = udaf(graft.functions.Sketches.KmvSketch(k))
+      val sketches = Tables.parallelized(Tables.validDocuments(s, d))
+        .select(col("source"), col("text")).as[(String, String)]
+        .mapPartitions(_.map { case (src, t) => (src, shinglesOf(t)) })
+        .toDF("source", "shingles")
+        .select(col("source"), explode(col("shingles")).as("sh"))
+        .select(col("source"), xxhash64(col("sh")).as("h"))
+        .groupBy(col("source")).agg(sk(col("h")).as("sk"))
+        // |sources| rows of ≤ k longs; both sides of the pair join read it
+        // — without the checkpoint the self-join would re-shingle and
+        // re-sketch the whole corpus twice (e26's one-corpus-pass rule).
+        .localCheckpoint(true)
+      val pairs = sketches.toDF("src_a", "sk_a")
+        .join(sketches.toDF("src_b", "sk_b"), col("src_a") < col("src_b"))
+      pairs.select(col("src_a"), col("src_b"),
+          graft.functions.Sketches.kmvNdv(col("sk_a"), k).as("n_a_est"),
+          graft.functions.Sketches.kmvNdv(col("sk_b"), k).as("n_b_est"),
+          graft.functions.Sketches.kmvUnionNdv(col("sk_a"), col("sk_b"), k)
+            .as("union_ndv"),
+          graft.functions.Sketches.kmvIntersectNdv(col("sk_a"), col("sk_b"), k)
+            .as("inter_ndv"))
+        .withColumn("jaccard", col("inter_ndv") / col("union_ndv"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
     // Survivorship: collapse each d9 duplicate cluster to ONE kept doc by
     // an explicit policy — keep-the-longest (n_chars desc, doc_id asc
     // tiebreak), the standard canonical-record selection that turns a
@@ -974,6 +1020,25 @@ object Dedup {
          |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard,
          |  CAST(50 AS INTEGER) AS df_cap
          |FROM i JOIN sz sa ON i.src_a = sa.source JOIN sz sb ON i.src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin,
+    // Uncapped full-vocabulary overlap, every pair (the twin's contract);
+    // exact because the sketches are lossless at this SF.
+    "d16_scale" ->
+      s"""WITH $SH_CTE,
+         |inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_docs),
+         |e AS (SELECT DISTINCT d.source, i.sh
+         |      FROM inv i JOIN ${graft.Tables.validDocsSql} d USING (doc_id)),
+         |sz AS (SELECT source, count(*) AS n_sh FROM e GROUP BY 1),
+         |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+         |      FROM e a JOIN e b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+         |SELECT sa.source AS src_a, sb.source AS src_b,
+         |  CAST(sa.n_sh AS DOUBLE) AS n_a_est, CAST(sb.n_sh AS DOUBLE) AS n_b_est,
+         |  CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE) AS union_ndv,
+         |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) AS inter_ndv,
+         |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+         |FROM sz sa JOIN sz sb ON sa.source < sb.source
+         |LEFT JOIN i ON i.src_a = sa.source AND i.src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin,
     // d9's connected-components closure verbatim, then the keep-longest argmax.
     "d17_survivorship" ->

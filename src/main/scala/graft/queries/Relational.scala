@@ -996,6 +996,9 @@ object Relational {
         .select(col("event_type"), xxhash64(col("user_id")).as("h"))
         .groupBy(col("event_type"))
         .agg(sk(col("h")).as("sk"))
+        // |types| rows of ≤ k longs; checkpoint so the pair self-join does
+        // not re-scan and re-sketch the events corpus twice (e26's rule).
+        .localCheckpoint(true)
       val pairs = sketches.toDF("type_a", "sk_a")
         .join(sketches.toDF("type_b", "sk_b"), col("type_a") < col("type_b"))
       val unionNdv = graft.functions.Sketches.kmvUnionNdv(col("sk_a"), col("sk_b"), k)

@@ -166,6 +166,28 @@ object TextOps {
         .groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("sh")).limit(20)
     },
+    // t8's SCALE TWIN (the q2/q57 pairing brought to text): corpus top-20
+    // n-grams from ONE Misra–Gries summary instead of a full
+    // (shingle, count) aggregation. t8's exact plan shuffles every
+    // distinct shingle (vocabulary-linear exchange — fine until the
+    // vocabulary is corpus-sized); here each partition builds a ≤ 2·cap
+    // string→count map and the exchange carries ONE bounded summary per
+    // partition into a single merge. Below cap distinct shingles the
+    // summary is exact and t8's own oracle applies verbatim (16,245 <
+    // 32,768 at verify SF); above it, the top-20 carries the n/cap
+    // deviation bound and `err` says so (SketchSpec). Heavy-hitter
+    // guarantee fit: a corpus-frequent n-gram (share > 1/cap) can never
+    // be evicted, which is exactly the population top-20 asks about.
+    "t8_scale" -> { (s, d) =>
+      val cap = s.conf.get("spark.graft.sketch.ngramCap", "32768").toInt
+      val hh = udaf(graft.functions.Sketches.SpaceSavingTopKStr(cap))
+      Dedup.withShingles(s, d)
+        .select(explode(col("shingles")).as("sh"))
+        .agg(hh(col("sh")).as("hh"))
+        .select(explode(slice(col("hh"), 1, 20)).as("e"))
+        .select(col("e.key").as("sh"), col("e.cnt").as("df"))
+        .orderBy(col("df").desc, col("sh"))
+    },
     // Intra-document repetition (Gopher-style quality signal): the fraction
     // of duplicated word trigrams and the weight of the single most
     // repeated one — high values flag boilerplate/spam for filtering. The
@@ -629,6 +651,13 @@ object TextOps {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens) // 256 AS bin
           |FROM t ORDER BY source NULLS FIRST, doc_id""".stripMargin,
       "t8_topk_ngrams" ->
+        s"""WITH ${graft.queries.Dedup.SH_CTE}
+           |SELECT sh, count(*) AS df FROM (
+           |  SELECT doc_id, unnest(shingles) AS sh FROM sh_docs) t
+           |GROUP BY sh ORDER BY df DESC, sh LIMIT 20""".stripMargin,
+      // The twin shares t8's exact oracle: below the Misra–Gries cap the
+      // summary is lossless, so the exact SQL is the ground truth.
+      "t8_scale" ->
         s"""WITH ${graft.queries.Dedup.SH_CTE}
            |SELECT sh, count(*) AS df FROM (
            |  SELECT doc_id, unnest(shingles) AS sh FROM sh_docs) t

@@ -625,14 +625,29 @@ class PlanSpec extends SparkTestBase {
     // partition per group cross the wire), final aggregate above, hashing
     // codegen'd in the scan-side project — never a row-level distinct
     // exchange (q2's Expand wall) or a sort-based fallback.
-    for (q <- Seq("q57_kmv_distinct", "q59_heavy_hitters")) {
+    for (q <- Seq("q57_kmv_distinct", "q59_heavy_hitters", "t8_scale")) {
       val plan = planOf(q)
-      assert(plan.contains("partial_kmvsketch") || plan.contains("partial_spacesavingtopk"),
+      assert(plan.toLowerCase.contains("partial_kmvsketch") ||
+          plan.toLowerCase.contains("partial_spacesavingtopk"),
         s"$q: sketch must aggregate partially below the exchange\n" + plan.take(1500))
       assert("\\(\\d+\\) ObjectHashAggregate".r.findAllIn(plan).size == 2,
         s"$q: expected partial+final ObjectHashAggregate pair\n" + plan.take(1500))
       assert(!plan.contains("Expand"), s"$q must not fall back to the Expand plan")
       assert(!plan.contains("SortAggregate"), s"$q: object hash agg must not sort-fall-back")
+    }
+    // The pairwise queries checkpoint their sketch table first (one corpus
+    // pass — the aggregate runs inside the eager checkpoint, not in this
+    // plan), so the final plan must be a broadcast pair join over the
+    // materialized |groups|-row table: no corpus re-scan, no re-aggregate,
+    // no shuffled join.
+    for (q <- Seq("q58_kmv_set_ops", "d16_scale")) {
+      val plan = planOf(q)
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$q: pair join must read the checkpointed sketch table\n" + plan.take(1500))
+      assert(!plan.contains("ObjectHashAggregate") && !plan.contains("Scan parquet"),
+        s"$q: the self-join must not re-sketch the corpus\n" + plan.take(1500))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$q: the tiny pair join must broadcast\n" + plan.take(1500))
     }
   }
 }

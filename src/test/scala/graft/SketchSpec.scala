@@ -115,6 +115,32 @@ class SketchSpec extends SparkTestBase {
     assert(rows.length <= cap, s"summary must hold <= cap entries, got ${rows.length}")
   }
 
+  test("t8_scale/d16_scale: both text twins run in the lossless regime at test SF") {
+    // Same contract as the q57 pin: the exact SQL is only a valid oracle
+    // while the summaries are below capacity — pin the headroom so a
+    // testdata regen that inflates the vocabulary fails loudly here, not
+    // silently in a hash mismatch.
+    val ngramCap = spark.conf.get("spark.graft.sketch.ngramCap", "32768").toInt
+    val nDistinct = {
+      import spark.implicits._
+      Tables.parallelized(Tables.validDocuments(spark, sf))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (_, t) => graft.queries.Dedup.shinglesForTest(t) }
+        .distinct().count()
+    }
+    assert(nDistinct < ngramCap, s"t8_scale would evict: $nDistinct >= $ngramCap")
+    val kk = spark.conf.get("spark.graft.sketch.k", "16384").toInt
+    val maxPerSource = {
+      import spark.implicits._
+      Tables.parallelized(Tables.validDocuments(spark, sf))
+        .select(col("source"), col("text")).as[(String, String)]
+        .flatMap { case (s, t) => graft.queries.Dedup.shinglesForTest(t).map((s, _)) }
+        .distinct().groupBy("_1").count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+    }
+    assert(maxPerSource < kk, s"d16_scale would saturate: $maxPerSource >= $kk")
+  }
+
   test("topk_freq: q59 runs in the exact regime at test SF") {
     val capConf = spark.conf.get("spark.graft.sketch.topkCap", "4096").toInt
     val maxDistinct = Tables.lineitem(spark, sf)
