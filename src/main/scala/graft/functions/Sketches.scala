@@ -185,41 +185,103 @@ object Sketches {
     }
   }
 
+  /** Long-keyed Misra–Gries buffer on a PRIMITIVE open-addressing table
+    * (linear probing, fmix64 scramble, empty slot ⇔ cnt == 0): the reduce
+    * loop runs once per input ROW, and `java.util.HashMap[Long,_]` boxes
+    * every probe — measured 73 ns/row at sf100 (600M rows). Semantics are
+    * identical to [[TopKBuf]]: at most 2·cap live entries between trims,
+    * a trim subtracts the (cap+1)-th largest count and rebuilds the table
+    * (open addressing cannot delete in place without breaking probe
+    * chains), `deducted` carries the error bound. Table capacity is the
+    * power of two ≥ 4·cap+4, fixed for the buffer's lifetime: load factor
+    * stays ≤ ~0.5, and counts of 1..2·cap entries always fit. */
+  final class LongTopKBuf(val cap: Int) extends Serializable {
+    private val tableSize: Int = {
+      var c = 4
+      while (c < 4 * cap + 4) c <<= 1
+      c
+    }
+    private val mask = tableSize - 1
+    var keys: Array[Long] = new Array[Long](tableSize)
+    var cnts: Array[Long] = new Array[Long](tableSize)
+    var n: Int = 0
+    var deducted: Long = 0L
+
+    private def slot(key: Long): Int = {
+      // murmur3 fmix64 — full-avalanche scramble before masking
+      var h = key
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      (h & mask).toInt
+    }
+
+    def add(key: Long, by: Long): Unit = {
+      var i = slot(key)
+      while (true) {
+        if (cnts(i) == 0L) {
+          keys(i) = key; cnts(i) = by; n += 1
+          if (n > 2 * cap) trim()
+          return
+        } else if (keys(i) == key) {
+          cnts(i) += by
+          return
+        } else i = (i + 1) & mask
+      }
+    }
+
+    /** Subtract the (cap+1)-th largest count, drop the non-positive, and
+      * rebuild the probe table; no-op below cap occupancy. */
+    def trim(): Unit = if (n > cap) {
+      val live = new Array[Long](n)
+      var w = 0
+      var i = 0
+      while (i < tableSize) { if (cnts(i) != 0L) { live(w) = cnts(i); w += 1 }; i += 1 }
+      java.util.Arrays.sort(live)
+      val cut = live(w - cap - 1) // (cap+1)-th largest
+      deducted += cut
+      val oldKeys = keys; val oldCnts = cnts
+      keys = new Array[Long](tableSize); cnts = new Array[Long](tableSize)
+      n = 0
+      i = 0
+      while (i < tableSize) {
+        if (oldCnts(i) > cut) add(oldKeys(i), oldCnts(i) - cut)
+        i += 1
+      }
+    }
+
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < tableSize) { if (cnts(i) != 0L) f(keys(i), cnts(i)); i += 1 }
+    }
+  }
+
   /** `topk_freq(key)` — mergeable per-group frequency summary with the
     * Misra–Gries guarantee: any key with true frequency > n/cap survives,
     * reported counts sit in [true − err, true]. Below cap distinct keys
     * per group the summary is EXACT (err = 0). Output: entries sorted by
     * (count desc, key asc) — a deterministic total order shared with the
     * oracle's `ORDER BY cnt DESC, key`. */
-  final case class SpaceSavingTopK(cap: Int) extends Aggregator[Long, TopKBuf[Long], Array[HeavyHitter]] {
+  final case class SpaceSavingTopK(cap: Int) extends Aggregator[Long, LongTopKBuf, Array[HeavyHitter]] {
     require(cap >= 1, s"topk_freq needs cap >= 1, got $cap")
-    def zero: TopKBuf[Long] = new TopKBuf[Long](cap)
-    def reduce(b: TopKBuf[Long], key: Long): TopKBuf[Long] = { b.add(key, 1L); b }
-    def merge(a: TopKBuf[Long], b: TopKBuf[Long]): TopKBuf[Long] = {
-      val it = b.m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        a.add(e.getKey, e.getValue()(0))
-      }
+    def zero: LongTopKBuf = new LongTopKBuf(cap)
+    def reduce(b: LongTopKBuf, key: Long): LongTopKBuf = { b.add(key, 1L); b }
+    def merge(a: LongTopKBuf, b: LongTopKBuf): LongTopKBuf = {
+      b.foreachEntry((k, c) => a.add(k, c))
       a.deducted += b.deducted
       a.trim() // mergeable-summaries rule: re-trim to cap after a merge
       a
     }
-    def finish(b: TopKBuf[Long]): Array[HeavyHitter] = {
+    def finish(b: LongTopKBuf): Array[HeavyHitter] = {
       b.trim()
-      val out = new Array[HeavyHitter](b.m.size)
+      val out = new Array[HeavyHitter](b.n)
       var i = 0
-      val it = b.m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        out(i) = HeavyHitter(e.getKey, e.getValue()(0), b.deducted)
-        i += 1
-      }
+      b.foreachEntry { (k, c) => out(i) = HeavyHitter(k, c, b.deducted); i += 1 }
       scala.util.Sorting.stableSort(out,
         (x: HeavyHitter, y: HeavyHitter) => x.cnt > y.cnt || (x.cnt == y.cnt && x.key < y.key))
       out
     }
-    def bufferEncoder: Encoder[TopKBuf[Long]] = Encoders.kryo[TopKBuf[Long]]
+    def bufferEncoder: Encoder[LongTopKBuf] = Encoders.kryo[LongTopKBuf]
     def outputEncoder: Encoder[Array[HeavyHitter]] = ExpressionEncoder[Array[HeavyHitter]]()
   }
 
