@@ -46,10 +46,35 @@ object GraftExtensions {
       })
   )
 
-  /** Register every native function in an existing session's registry. */
-  def registerAll(spark: SparkSession): Unit =
+  /** Sketch parameters for the SQL-registered aggregates: fixed at the
+    * query-layer defaults (q57/q59) because a SQL function signature
+    * cannot thread a constructor parameter. Scala callers who need other
+    * capacities build `udaf(KmvSketch(k))` directly. */
+  val SqlSketchK = 16384
+  val SqlTopKCap = 4096
+
+  /** Register every native function in an existing session's registry.
+    *
+    * The Aggregator-backed sketches register here (session-scoped
+    * `spark.udf.register`) but NOT through the `spark.sql.extensions`
+    * injection path above: `injectFunction` takes Catalyst `Expression`
+    * builders, and wrapping a `ScalaAggregator` by hand means constructing
+    * internal API the session normally assembles — the per-session
+    * registration is the supported surface for typed UDAFs. */
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    import org.apache.spark.sql.functions.{udaf, udf}
+    spark.udf.register("kmv_sketch",
+      udaf(graft.functions.Sketches.KmvSketch(SqlSketchK)))
+    spark.udf.register("kmv_ndv",
+      udf((arr: Seq[Long]) =>
+        graft.functions.Sketches.ndvFromSketch(arr.toArray, SqlSketchK)))
+    spark.udf.register("topk_freq",
+      udaf(graft.functions.Sketches.SpaceSavingTopK(SqlTopKCap)))
+    spark.udf.register("topk_freq_str",
+      udaf(graft.functions.Sketches.SpaceSavingTopKStr(SqlTopKCap)))
+  }
 }

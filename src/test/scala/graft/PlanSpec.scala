@@ -121,6 +121,18 @@ class PlanSpec extends SparkTestBase {
         org.apache.spark.unsafe.types.UTF8String.fromString("abcdef"), 3))
     // the extension class itself installs without error (deploy-time path)
     new graft.plans.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // sketch aggregates on the SQL surface: exact in the sub-capacity
+    // regime, composable with builtin aggregation syntax
+    val sk = spark.sql(
+      """SELECT kmv_ndv(kmv_sketch(h)) AS ndv,
+        |       topk_freq(k)[0].key AS top_key, topk_freq(k)[0].cnt AS top_cnt
+        |FROM (SELECT xxhash64(id % 100) AS h, id % 7 AS k
+        |      FROM range(10000))""".stripMargin).collect()(0)
+    assert(sk.getDouble(0) == 100.0, s"kmv_ndv exact regime: ${sk.getDouble(0)}")
+    // ids 0..9999 mod 7: residues 0..3 appear 1429 times, 4..6 1428;
+    // ties break by key asc so the top entry is key 0 with 1429.
+    assert(sk.getLong(1) == 0L && sk.getLong(2) == 1429L,
+      s"topk_freq top entry: ${sk.getLong(1)} x ${sk.getLong(2)}")
   }
 
   test("e10 resample: grid side broadcast, fact agg is the single hash shuffle") {
