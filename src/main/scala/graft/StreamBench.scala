@@ -128,6 +128,34 @@ object StreamBench {
       q.stop()
     }
 
+    // ---- 2b. KmvDistinctProcessor over sf events (bounded-state distinct) --
+    {
+      val rows = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"), col("event_id"))
+        .as[(String, Long, Long)].collect()
+      val waves = 10
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.KmvDistinctProcessor[String](16384),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("event_type", "ndv", "n_kept").writeStream
+        .outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", tmpDir())
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      (0 until waves).foreach { w =>
+        stream.addData(rows.zipWithIndex.collect {
+          case ((t, h, _), i) if i % waves == w => (t, h)
+        }.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("kmv_distinct(sf events)", q, rows.length.toLong, wall)
+      q.stop()
+    }
+
     // ---- 3. p1 pipeline as a throttled file stream ------------------------
     {
       val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
