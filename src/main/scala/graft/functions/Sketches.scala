@@ -261,7 +261,15 @@ object Sketches {
     * reported counts sit in [true − err, true]. Below cap distinct keys
     * per group the summary is EXACT (err = 0). Output: entries sorted by
     * (count desc, key asc) — a deterministic total order shared with the
-    * oracle's `ORDER BY cnt DESC, key`. */
+    * oracle's `ORDER BY cnt DESC, key`.
+    *
+    * Determinism contract (vs [[KmvSketch]]): a KMV sketch is a set union —
+    * bit-identical under ANY partitioning or merge tree at any size. An MG
+    * summary above cap is NOT: trims fire at merge-tree-dependent points,
+    * so the surviving counts (though never the guarantee) can differ with
+    * partition layout. The spec therefore pins layout-invariance in the
+    * exact regime only, and the oracle runs only there; above cap, consume
+    * the [cnt, cnt+err] interval, not the point value. */
   final case class SpaceSavingTopK(cap: Int) extends Aggregator[Long, LongTopKBuf, Array[HeavyHitter]] {
     require(cap >= 1, s"topk_freq needs cap >= 1, got $cap")
     def zero: LongTopKBuf = new LongTopKBuf(cap)
