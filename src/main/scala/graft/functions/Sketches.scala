@@ -277,7 +277,14 @@ object Sketches {
     def merge(a: LongTopKBuf, b: LongTopKBuf): LongTopKBuf = {
       b.foreachEntry((k, c) => a.add(k, c))
       a.deducted += b.deducted
-      a.trim() // mergeable-summaries rule: re-trim to cap after a merge
+      // Only trim when the merged occupancy exceeds what the buffer
+      // tolerates anyway (2·cap, the reduce-phase invariant): trimming to
+      // cap on EVERY merge deducts unnecessarily — each avoidable cut
+      // inflates err and can empty a flat-distribution summary. finish()
+      // still trims to cap, so the exact regime (distinct ≤ cap) and the
+      // output bound are unchanged; the mass argument (each cut is paid
+      // by > cap entries) keeps total deduction ≤ n/(cap+1) either way.
+      if (a.n > 2 * a.cap) a.trim()
       a
     }
     def finish(b: LongTopKBuf): Array[HeavyHitter] = {
@@ -311,7 +318,7 @@ object Sketches {
         a.add(e.getKey, e.getValue()(0))
       }
       a.deducted += b.deducted
-      a.trim()
+      if (a.m.size > 2 * a.cap) a.trim() // Long variant's merge rule
       a
     }
     def finish(b: TopKBuf[String]): Array[HeavyHitterStr] = {
