@@ -331,6 +331,16 @@ class StreamingSpec extends SparkTestBase {
       assert(last.getInt(1) == 64, "state must cap at k entries")
       assert(math.abs(last.getDouble(0) - 5000) / 5000.0 < 0.5,
         s"saturated streaming estimate ${last.getDouble(0)} vs 5000")
+      // Stronger than the error band: KMV is a set union — merge-order
+      // INVARIANT — so even saturated, the streamed estimate must equal
+      // the batch aggregate over the same rows bit-for-bit.
+      val batchEst = spark.range(5000)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(udaf(graft.functions.Sketches.KmvSketch(64)).apply(col("h")).as("sk"))
+        .select(graft.functions.Sketches.kmvNdv(col("sk"), 64))
+        .collect()(0).getDouble(0)
+      assert(last.getDouble(0) == batchEst,
+        s"streamed ${last.getDouble(0)} != batch $batchEst on the same sketch")
     }
   }
 
