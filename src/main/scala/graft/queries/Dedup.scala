@@ -27,11 +27,120 @@ object Dedup {
 
   // d7 sign-LSH geometry: L tables of k hyperplane sign-bits over the
   // 64-dim embeddings (deterministic fixed-seed planes, same every run).
+  //
+  // r11: the geometry is THRESHOLD-CONDITIONED. For a pair at exactly the
+  // cosine threshold θ, per-bit sign agreement is p = 1 − acos(θ)/π
+  // (Goemans–Williamson), so an L-table/k-bit scheme collides it with
+  // probability ≥ 1 − (1 − p^k)^L. `d7Geometry` picks the LARGEST k whose
+  // analytic recall floor still meets the configured target — the most
+  // selective geometry that keeps recall, because random-pair collisions
+  // (per-bit ~0.5) fall 2× per added bit while near-pair recall falls
+  // only by factor p. The analytic floor tracks measurement: θ=0.3 →
+  // k=4 (floor 0.886, r10 measured 0.89); θ=0.8 → k=8 (floor 0.938,
+  // r10 measured 0.94, random collisions cut 16×).
+  //
+  // Production config at high density (the r10 verdict's d7 boundary):
+  // sign-LSH pays off at TIGHT thresholds — set
+  // `graft.dedup.d7Threshold=0.8` (+ d7TargetRecall=0.9) and the derived
+  // 8-bit tables keep the candidate volume 16× below the r10 fixed-4-bit
+  // geometry, passing the candidate guard at sf100 density where 4-bit
+  // tables degenerate to the full pair set. At the LOOSE default (θ=0.3,
+  // where p=0.597 makes every added bit cost 40% recall for a 2× prune),
+  // no (k, L) prunes without gutting recall — there the guard's d6
+  // fallback remains the honest answer (BENCHNOTES r10/r11).
+  //
+  // All geometries slice one fixed 256-plane pool (seed unchanged), so the
+  // default (θ=0.3, target 0.85 → k=4, L=16) reproduces r10's codes
+  // bit-for-bit and every conf choice is deterministic across runs.
   private val D7_TABLES = 16
-  private val D7_BITS = 4
+  private val D7_MAX_BITS = 16
   private[queries] lazy val d7Planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(D7_TABLES * D7_BITS, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    Array.fill(D7_TABLES * D7_MAX_BITS, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Largest bit count k ≤ [[D7_MAX_BITS]] whose analytic recall floor
+    * 1 − (1 − p^k)^tables at the threshold meets `targetRecall`
+    * (p = 1 − acos(θ)/π). Monotone: tighter thresholds admit more bits. */
+  private[graft] def d7Geometry(threshold: Double, tables: Int, targetRecall: Double): Int = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    def recallFloor(k: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(p, k.toDouble), tables.toDouble)
+    (1 to D7_MAX_BITS).takeWhile(k => recallFloor(k) >= targetRecall).lastOption.getOrElse(1)
+  }
+
+  /** The d7 sign-LSH pair kernel, shared by the d7 query (corpus
+    * embeddings) and DedupSpec's planted-cluster recall pin so the pinned
+    * path IS the production path. `emb` must carry
+    * (vec_id: Long, label: Int, embedding: Array[Float], sq: Double).
+    *
+    * Shape: sign-bit codes in a typed mapPartitions tight loop (d4/s2
+    * pattern — interpreted HOFs and 64 inline Column dots both lose), only
+    * bucket membership (vec_id, label, table, code) is exploded, embeddings
+    * rejoin after candidate-pair dedup, exact cosine verification at the
+    * threshold keeps precision 1.0.
+    *
+    * Candidate-volume guard (d6's raise_error idiom, per label): bucket
+    * occupancy grows ∝ n and the candidate set ∝ Σ occ². The exact
+    * per-label Σ bn(bn−1)/2 over the domain-bound bucket-count table
+    * (≤ labels·tables·2^bits rows) is compared to the cap BEFORE any pair
+    * is generated. Both factors ride DECIMAL(38,0) — bn*(bn-1) in BIGINT
+    * wraps (non-ANSI) once a bucket holds ~3e9 rows, exactly the density
+    * regime the guard exists to catch (the e22 overflow lesson) — and the
+    * count table joins back on `label`, a keyed broadcast hash join (the
+    * no-BNLJ plan pin holds) that also lets the error NAME the offending
+    * label. The default cap admits today's corpora (sf100 ≈ 8.2e7 per
+    * label at 4 bits) and fails fast around the next decade, where the
+    * honest answers are the tighter-threshold 8-bit geometry (16× fewer
+    * candidates) or d6 under maxExactBlock label blocks. */
+  private[graft] def signLshPairs(s: SparkSession, emb: DataFrame,
+      threshold: Double, tables: Int, bits: Int): DataFrame = {
+    import s.implicits._
+    import graft.functions.VecFunctions.vec_dot
+    val coded = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        val pl = Dedup.d7Planes
+        it.map { case (id, label, e) =>
+          (id, label, graft.functions.VecKernel.signCodes(e, pl, tables, bits))
+        }
+      }
+      .toDF("vec_id", "label", "codes")
+    val buckets = coded
+      .select(col("vec_id"), col("label"), posexplode(col("codes")).as(Seq("t", "code")))
+    val maxCand = s.conf.getOption("graft.dedup.d7MaxCandidates")
+      .map(_.toLong).getOrElse(1000000000L)
+    val est = buckets.groupBy(col("label"), col("t"), col("code"))
+      .agg(count(lit(1)).as("bn"))
+      .groupBy(col("label"))
+      .agg(sum(expr(
+        "CAST(bn AS DECIMAL(38,0)) * CAST(bn - 1 AS DECIMAL(38,0)) / 2"))
+        .as("__cand"))
+    val guarded = buckets.join(broadcast(est), "label")
+      .filter(when(col("__cand") > maxCand, raise_error(format_string(
+        "d7_embedding_neardup_lsh: label %s has ~%s candidate pairs > " +
+          "graft.dedup.d7MaxCandidates=%s; raise the cap, tighten " +
+          "graft.dedup.d7Threshold (0.8 derives 8-bit tables, 16x fewer " +
+          "candidates), or at this density use d6_embedding_neardup within " +
+          "maxExactBlock label blocks (BENCHNOTES r10: 4-bit LSH no longer " +
+          "prunes here)",
+        col("label"), col("__cand"), lit(maxCand)))).isNull)
+      .drop("__cand")
+    val cands = guarded.as("a").join(buckets.as("b"),
+        col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
+          col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("sq").as("sq_a"), col("label")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("sq").as("sq_b")), "vec_b")
+      .withColumn("cosine",
+        vec_dot(col("emb_a"), col("emb_b")) / (sqrt(col("sq_a")) * sqrt(col("sq_b"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Distinct word-3-gram shingles of lowercased text. Computed in typed
@@ -465,76 +574,21 @@ object Dedup {
     // candidate set (a block of size n yields ~L·n²/2^k candidates instead
     // of n²), exact cosine verification keeps precision at 1.0; recall vs
     // the exact d6 is pinned in DedupSpec (hash-defined buckets ⇒ rows-only
-    // under the driver contract, like s2).
+    // under the driver contract, like s2). Geometry is threshold-
+    // conditioned (see d7Geometry above): the default conf reproduces
+    // r10's fixed (4 bits, 16 tables) bit-for-bit; the high-density
+    // production config is d7Threshold=0.8 / d7TargetRecall=0.9 → 8-bit
+    // tables, recall-pinned ≥0.9 on DedupSpec's planted clusters and
+    // guard-green at sf100 density (BENCHNOTES r11).
     "d7_embedding_neardup_lsh" -> { (s, d) =>
-      import s.implicits._
       import graft.functions.VecFunctions.vec_dot
+      val threshold = s.conf.getOption("graft.dedup.d7Threshold").map(_.toDouble).getOrElse(0.3)
+      val tables = s.conf.getOption("graft.dedup.d7Tables").map(_.toInt).getOrElse(D7_TABLES)
+      val target = s.conf.getOption("graft.dedup.d7TargetRecall").map(_.toDouble).getOrElse(0.85)
       val e = Tables.parallelized(Tables.validEmbeddings(s, d)).select(col("vec_id"), col("label"),
         col("embedding"),
         vec_dot(col("embedding"), col("embedding")).as("sq"))
-      // Sign-bit codes in a typed mapPartitions tight loop (same pattern as
-      // d4/s2 — interpreted HOFs and 64 inline Column dots both lose).
-      val coded = e.select(col("vec_id"), col("label"), col("embedding"))
-        .as[(Long, Int, Array[Float])]
-        .mapPartitions { it =>
-          val pl = Dedup.d7Planes
-          it.map { case (id, label, emb) =>
-            (id, label, graft.functions.VecKernel.signCodes(emb, pl, D7_TABLES, D7_BITS))
-          }
-        }
-        .toDF("vec_id", "label", "codes")
-      // Bucket membership only (vec_id, label, table, code) is exploded —
-      // embeddings rejoin after the candidate pairs are deduplicated.
-      val buckets = coded
-        .select(col("vec_id"), col("label"), posexplode(col("codes")).as(Seq("t", "code")))
-      // Candidate-volume guard (d6's raise_error idiom, per label): with
-      // FIXED 4-bit tables, bucket occupancy grows ∝ n and the candidate
-      // set ∝ Σ occ² — at sf100 density LSH stops pruning entirely
-      // (BENCHNOTES r10: random-pair collision odds 0.5⁴ × 16 tables ≈ 1).
-      // The exact per-label Σ bn(bn−1)/2 over the domain-bound bucket-count
-      // table (≤ labels·tables·2^bits rows) is compared to the cap BEFORE
-      // any pair is generated; sums ride DECIMAL(38,0) (the e22 overflow
-      // lesson), and the count table joins back on `label` — a keyed
-      // broadcast hash join (the no-BNLJ plan pin holds), which also lets
-      // the error NAME the offending label. The default admits today's
-      // corpora (sf100 ≈ 8.2e7 per label) and fails fast around the next
-      // decade, where the honest answers are d6 under maxExactBlock label
-      // blocks or a tighter-threshold rebucket.
-      val maxCand = s.conf.getOption("graft.dedup.d7MaxCandidates")
-        .map(_.toLong).getOrElse(1000000000L)
-      // Cast BEFORE multiplying: bn*(bn-1) in BIGINT wraps (non-ANSI) once a
-      // bucket holds ~3e9 rows — exactly the density regime this guard
-      // exists to catch — so both factors ride DECIMAL(38,0) and the halving
-      // is a decimal divide (the product is even, so the value is exact).
-      val est = buckets.groupBy(col("label"), col("t"), col("code"))
-        .agg(count(lit(1)).as("bn"))
-        .groupBy(col("label"))
-        .agg(sum(expr(
-          "CAST(bn AS DECIMAL(38,0)) * CAST(bn - 1 AS DECIMAL(38,0)) / 2"))
-          .as("__cand"))
-      val guarded = buckets.join(broadcast(est), "label")
-        .filter(when(col("__cand") > maxCand, raise_error(format_string(
-          "d7_embedding_neardup_lsh: label %s has ~%s candidate pairs > " +
-            "graft.dedup.d7MaxCandidates=%s; raise the cap, or at this density " +
-            "use d6_embedding_neardup within maxExactBlock label blocks " +
-            "(BENCHNOTES r10: 4-bit LSH no longer prunes here)",
-          col("label"), col("__cand"), lit(maxCand)))).isNull)
-        .drop("__cand")
-      val cands = guarded.as("a").join(buckets.as("b"),
-          col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
-            col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
-      cands
-        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-          col("sq").as("sq_a"), col("label")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-          col("sq").as("sq_b")), "vec_b")
-        .withColumn("cosine",
-          vec_dot(col("emb_a"), col("emb_b")) / (sqrt(col("sq_a")) * sqrt(col("sq_b"))))
-        .filter(col("cosine") >= 0.3)
-        .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
-        .orderBy(col("vec_a"), col("vec_b"))
+      signLshPairs(s, e, threshold, tables, d7Geometry(threshold, tables, target))
     },
     // Semantic dedup (the SemDeDup recipe: cluster, keep one representative,
     // drop members too similar to it): per label cluster, the MEDOID is the

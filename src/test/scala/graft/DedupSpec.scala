@@ -67,6 +67,65 @@ class DedupSpec extends SparkTestBase {
     assert(graft.queries.Dedup.queries("d7_embedding_neardup_lsh")(spark, sf).count() > 0)
   }
 
+  test("d7 geometry derives from the threshold; defaults reproduce the r10 shape") {
+    import graft.queries.Dedup
+    // The default conf (θ=0.3, 16 tables, target 0.85) must reproduce
+    // r10's fixed 4-bit geometry bit-for-bit — same bits, and the plane
+    // pool's first 64 rows are the r10 planes (same seed, same fill order).
+    assert(Dedup.d7Geometry(0.3, 16, 0.85) == 4, "default geometry drifted from r10's 4 bits")
+    // The documented production high-density config: tight threshold earns
+    // 8-bit tables (16× fewer random collisions) at a ≥0.9 recall floor.
+    assert(Dedup.d7Geometry(0.8, 16, 0.9) == 8, "θ=0.8 production config must derive 8 bits")
+    // Monotone: a tighter threshold never loses selectivity.
+    val ks = Seq(0.1, 0.3, 0.5, 0.8, 0.95).map(t => Dedup.d7Geometry(t, 16, 0.9))
+    assert(ks == ks.sorted, s"bits must be monotone in threshold: $ks")
+    // Degenerate floor: an unreachable recall target still yields a legal
+    // 1-bit geometry rather than an empty slice.
+    assert(Dedup.d7Geometry(0.01, 2, 0.9999) == 1)
+  }
+
+  test("d7 production config (θ=0.8 → 8-bit tables) recall ≥ 0.9, precision 1.0 on planted clusters") {
+    // The driver corpus has no pairs above cosine 0.51 (its near-dup regime
+    // is the loose θ=0.3 one), so the tight-threshold production geometry
+    // is pinned on a planted corpus: 40 clusters × 8 members around random
+    // unit anchors, per-member noise swept so within-cluster cosines
+    // straddle the 0.8 threshold (the hardest pairs sit just above it) and
+    // cross-cluster cosines stay near 0 in 64-dim. The pinned path IS the
+    // production path: Dedup.signLshPairs, the same kernel the d7 query
+    // calls, at the conf-derived (8 bits, 16 tables).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def gauss(n: Int): Array[Double] = Array.fill(n)(rnd.nextGaussian())
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val vecs = (0 until 40).flatMap { c =>
+      val anchor = normalize(gauss(64))
+      (0 until 8).map { m =>
+        val sigma = 0.03 + 0.005 * m // cos to anchor ≈ 1/√(1+64σ²): ~0.97…0.80
+        val noise = gauss(64)
+        val v = normalize(anchor.zipWithIndex.map { case (a, i) => a + sigma * noise(i) })
+        (c * 8L + m, c, v.map(_.toFloat))
+      }
+    }
+    val exact = (for {
+      a <- vecs; b <- vecs
+      if a._2 == b._2 && a._1 < b._1
+      cos = a._3.zip(b._3).map { case (x, y) => x.toDouble * y.toDouble }.sum /
+        (math.sqrt(a._3.map(x => x.toDouble * x).sum) * math.sqrt(b._3.map(x => x.toDouble * x).sum))
+      if cos >= 0.8
+    } yield (a._1, b._1)).toSet
+    assert(exact.size > 200, s"planted corpus too sparse to pin recall: ${exact.size} pairs")
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+      .withColumn("sq", graft.functions.VecFunctions.vec_dot(col("embedding"), col("embedding")))
+    val bits = graft.queries.Dedup.d7Geometry(0.8, 16, 0.9)
+    val lsh = graft.queries.Dedup.signLshPairs(spark, emb, 0.8, 16, bits)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact verification must keep precision at 1.0")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"production-config recall $recall below 0.9 (|exact|=${exact.size})")
+  }
+
   test("d9 clusters are consistent components of the d5 pair graph") {
     val pairs = graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
