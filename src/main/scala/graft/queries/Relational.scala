@@ -30,6 +30,52 @@ object Relational {
   /** Exact decimal view of a 2-dp double column (money/quantity). */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Catalog-backed bucketed+sorted copy of `src` for the corpus at `d`,
+    * provisioned on first use (the q10_scale layout — r11).
+    *
+    * The fact⋈fact shuffle is paid ONCE here, at layout time, instead of
+    * on every join: `src` is repartitioned BY THE BUCKET HASH so each
+    * write task holds exactly one bucket's rows and emits exactly one
+    * file per bucket — the single-file-per-bucket invariant is what lets
+    * the scan report per-bucket sort order downstream and elide both the
+    * Exchange AND the Sort under a sort-merge join. Later sessions find
+    * the files on disk (same deterministic warehouse path) and re-register
+    * them as an external bucketed table — no rewrite, just DDL — so a
+    * production pipeline pays the layout cost once per corpus, not once
+    * per session. Bucket count is `graft.bucketedJoin.buckets` (default
+    * 32 = one bucket per core here; on a cluster, scale with executor
+    * count — both sides must agree, which the shared conf guarantees). */
+  private def bucketedTable(s: SparkSession, d: String, name: String, key: String)
+      (src: => DataFrame): DataFrame = {
+    // Spark ≥3.0 gates sorted-bucket scan ordering behind this legacy flag;
+    // with it on, FileSourceScanLike STILL verifies bucketsContainSingleFile
+    // (and no coalesced buckets) before claiming an ordering — verified
+    // against the 4.1.2 bytecode — so enabling it is safe session-wide and
+    // is what elides the per-side Sort under the SMJ. The aligned
+    // repartition below guarantees the single-file invariant for our
+    // tables; foreign multi-file buckets simply keep their Sort.
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val buckets = s.conf.getOption("graft.bucketedJoin.buckets").map(_.toInt).getOrElse(32)
+    val tag = d.toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val table = s"graft_b${buckets}_${name}_$tag"
+    if (!s.catalog.tableExists(table)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, table)
+      if (new java.io.File(loc, "_SUCCESS").exists()) {
+        s.sql(
+          s"""CREATE TABLE $table (${src.schema.toDDL})
+             |USING PARQUET
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+             |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+      } else {
+        src.repartition(buckets, col(key))
+          .write.bucketBy(buckets, key).sortBy(key)
+          .mode("overwrite").saveAsTable(table)
+      }
+    }
+    s.table(table)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Aggregations -------------------------------------------------
     "q1_agg" -> { (s, d) =>
@@ -236,6 +282,25 @@ object Relational {
     // ---- Joins --------------------------------------------------------
     "q10_join_agg" -> { (s, d) =>
       val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+    // Bucketed-layout twin of q10 (r11): q10 is the ~25×/decade fact⋈fact
+    // control — the one-box measurement of the shuffle wall, network-bound
+    // on a real cluster. The storage-layout answer is a CO-LOCATED join:
+    // both facts bucketed and sorted on the join key into the same bucket
+    // count, so the join runs with NO Exchange and NO Sort on either side
+    // (PlanSpec pins the join subtree Exchange-free). First run per corpus
+    // provisions the layout via `bucketedTable`; steady-state sessions
+    // reuse the files. Result is row-identical to q10 — the oracle is
+    // q10's SQL verbatim, so the hash gate proves layout ≠ semantics.
+    "q10_scale" -> { (s, d) =>
+      val o = bucketedTable(s, d, "orders", "o_orderkey")(Tables.orders(s, d))
+      val l = bucketedTable(s, d, "lineitem", "l_orderkey")(Tables.lineitem(s, d))
       o.join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
@@ -1103,6 +1168,14 @@ object Relational {
         |FROM customer c
         |ORDER BY c_custkey""".stripMargin,
     "q10_join_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q10's SQL verbatim: the bucketed layout must not change a byte of
+    // the result — the hash gate proves layout ≠ semantics.
+    "q10_scale" ->
       """SELECT o_orderpriority,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_items

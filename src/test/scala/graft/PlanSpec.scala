@@ -12,6 +12,40 @@ class PlanSpec extends SparkTestBase {
     SparkEntry.queries(name)(spark, sf).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
 
+  test("q10_scale: bucketed fact join has no Exchange and no Sort on either side") {
+    // The layout twin's whole point: the orders⋈lineitem join must read
+    // pre-bucketed, pre-sorted files — the only Exchange in the plan is
+    // the 5-group aggregation above the join. Broadcast and AQE are
+    // disabled so the planned tree is the bucketed SMJ path and the
+    // subtree check can traverse a plain physical plan.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q10_scale")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val smjs = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smjs.nonEmpty,
+        s"expected a sort-merge join over bucketed facts:\n${plan.toString.take(3000)}")
+      smjs.foreach { j =>
+        j.children.foreach { side =>
+          assert(side.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.isEmpty,
+            s"bucketed join side must not shuffle:\n${side.toString.take(2000)}")
+          assert(side.collect {
+            case so: org.apache.spark.sql.execution.SortExec => so }.isEmpty,
+            s"bucketed+sorted join side must not re-sort:\n${side.toString.take(2000)}")
+        }
+      }
+      assert(df.count() == 5)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("q11 dimension joins broadcast (no shuffle of nation/region)") {
     val plan = planOf("q11_join_dims")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
