@@ -575,4 +575,102 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getInt(1))).toMap
     assert(rows == Map("a" -> 5, "b" -> 2))
   }
+
+  test("checkpoint recovery: a mid-batch crash replays the batch; committed batches never replay") {
+    // The reference's delivery contract is at-least-once offsets +
+    // idempotent ON CONFLICT upsert (listen.py:160-165, 178-186); here the
+    // checkpoint plays the offset-commit role. This test drives a REAL
+    // failure through the REAL write path (jdbc:graftcap: capture driver):
+    //   phase 1  file part1 {A,B,C} drains clean → batch 0 committed
+    //   phase 2  file part2 {D,E,F} lands; a crash-once sink kills the
+    //            first non-empty partition write task-side BEFORE it
+    //            writes — its rows are lost, sibling partitions may have
+    //            already committed theirs (the at-least-once partial
+    //            state) → the query fails, batch 1's offset is never
+    //            committed
+    //   phase 3  restart from the SAME checkpoint with the healthy sink →
+    //            batch 1 replays in full; batch 0 must NOT replay
+    // Effectively-once at the natural-key level: A/B/C bound exactly once
+    // across the whole history (committed work is never redone), D/E/F all
+    // present after recovery, and every flush carries the same ON CONFLICT
+    // DML — the idempotence that turns the phase-2 partial prefix into a
+    // harmless overwrite instead of a duplicate row.
+    import scala.jdk.CollectionConverters._
+    GraftCapDriver.ensureRegistered()
+    val d = GraftCapDriver.reset("rec")
+    val mapping = new GenericFloat("stream.recovery")
+    val jdbc = new graft.sinks.JdbcSink("jdbc:graftcap:rec", new java.util.Properties)
+    val landing = tmpDir(); val ckpt = tmpDir()
+    def msg(uid: String) =
+      s"""{"uid":"$uid","time":"2020-01-01T00:00:00Z","lat":10.0,"lon":20.0,"values":{"speed":"1"}}"""
+    def land(file: String, uids: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$landing/$file"),
+        uids.map(msg).mkString("\n").getBytes("UTF-8"))
+    val uidIdx = mapping.encoder.schema.fieldNames.indexOf("uid")
+    def boundUids(): Seq[String] =
+      d.flushes.asScala.toSeq.flatMap(_._2).map(_(uidIdx).value.asInstanceOf[String])
+
+    // phase 1 — clean drain commits batch 0
+    land("part1.json", Seq("A", "B", "C"))
+    Pipeline.run(spark.readStream.text(landing), mapping, jdbc, ckpt).awaitTermination(60000)
+    assert(boundUids().sorted == Seq("A", "B", "C"), s"phase 1 wrote ${boundUids()}")
+
+    // phase 2 — crash mid-batch with partial committed side effects
+    land("part2.json", Seq("D", "E", "F"))
+    CrashOnceSink.arm()
+    val crashed = Pipeline.run(
+      spark.readStream.text(landing), mapping, new CrashOnceSink(jdbc), ckpt)
+    val ex = intercept[Exception] { crashed.awaitTermination(60000); crashed.stop() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("injected mid-batch crash")),
+      s"expected the injected crash, got: ${messages(ex)}")
+    assert(!CrashOnceSink.isArmed, "the crash must actually have fired")
+    val afterCrash = boundUids()
+    assert(afterCrash.count(Set("A", "B", "C")) == 3,
+      s"batch 0 must not replay on the failed attempt: $afterCrash")
+    val partial = afterCrash.filter(Set("D", "E", "F"))
+    assert(partial.size < 3,
+      s"the crash partition's rows must be LOST on the failed attempt: $afterCrash")
+
+    // phase 3 — restart from the same checkpoint with the healthy sink
+    val nBefore = boundUids().size
+    Pipeline.run(spark.readStream.text(landing), mapping, jdbc, ckpt).awaitTermination(60000)
+    val all = boundUids()
+    val replayed = all.drop(nBefore)
+    assert(replayed.sorted == Seq("D", "E", "F"),
+      s"recovery must replay exactly the uncommitted batch, got $replayed")
+    assert(all.count(_ == "A") == 1 && all.count(_ == "B") == 1 && all.count(_ == "C") == 1,
+      s"committed keys must never be rewritten across restarts: $all")
+    // Idempotence pin: every flush in the whole history is the same ON
+    // CONFLICT upsert, so the phase-2 partial state plus the phase-3
+    // replay converge to one row per natural key.
+    val dmls = d.flushes.asScala.toSeq.map(_._1).distinct
+    assert(dmls == Seq(graft.sinks.UpsertSink.upsertDml(mapping)) &&
+      dmls.head.contains("ON CONFLICT"), s"non-upsert DML in history: $dmls")
+  }
+}
+
+/** Crash-injection wrapper over the real [[graft.sinks.JdbcSink]]: the first
+  * armed, non-empty partition write dies task-side before writing its rows —
+  * they are LOST until the batch replays, while sibling partitions may
+  * already have committed theirs (the at-least-once partial state the
+  * idempotent upsert exists to absorb). Local mode shares one JVM, so the
+  * process-global arm flag reaches the task (the PartitionProbe/
+  * GraftCapDriver trick). */
+object CrashOnceSink {
+  private val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def arm(): Unit = armed.set(true)
+  def isArmed: Boolean = armed.get
+  private[graft] def fireOnce(): Boolean = armed.compareAndSet(true, false)
+}
+
+final class CrashOnceSink(delegate: graft.sinks.JdbcSink) extends graft.sinks.RowSink {
+  override def upsertPartition(mapping: graft.core.TableMapping[_ <: Product],
+      cols: Seq[String], rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+    if (rows.hasNext && CrashOnceSink.fireOnce())
+      throw new IllegalStateException("injected mid-batch crash (partition rows lost)")
+    else delegate.upsertPartition(mapping, cols, rows)
+  }
+  override def executeDdl(statements: Seq[String]): Unit = delegate.executeDdl(statements)
 }
