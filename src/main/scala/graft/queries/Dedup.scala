@@ -197,6 +197,30 @@ object Dedup {
       .toDF("doc_id", "shingles")
   }
 
+  /** 1-row (df_cap: int) frame for the shingle-family postings cap
+    * (d5/d13/d16). r11: the cap is a corpus FRACTION with an absolute
+    * floor — greatest(50, ceil(n_docs/100)) — not a constant. The sf1
+    * second-gate run proved the constant wrong one decade up: boilerplate
+    * is a fraction of a corpus, so at the 50k-doc GenData corpus a fixed
+    * 50 blocked EVERY shingle and d5's candidate set (and d9/d13/d17
+    * built on it) collapsed to zero rows while the exhaustive oracle kept
+    * finding the planted near-dups. At the driver SFs (≤5k docs) the
+    * floor reproduces the old 50 exactly, so verify-SF hashes are
+    * unchanged. Integer arithmetic on purpose — (n+99) DIV 100, mirrored
+    * verbatim in the oracles — because ceil(0.01·n) in binary floating
+    * point rounds up to 51·10ᵏ⁻² at exact powers of ten. A conf override
+    * (`graft.dedup.d5DfCap` / `d16DfCap`) still pins a static cap, and
+    * the cap rides the plan as a broadcast scalar (t9's corpus-N pattern)
+    * so no extra driver action runs. */
+  private def dfCapFrame(s: SparkSession, d: String, confKey: String): DataFrame =
+    s.conf.getOption(confKey).map(_.toInt) match {
+      case Some(v) => s.range(1).select(lit(v).cast("int").as("df_cap"))
+      case None =>
+        Tables.parallelized(Tables.validDocuments(s, d))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(greatest(lit(50L), expr("(n_docs + 99) DIV 100")).cast("int").as("df_cap"))
+    }
+
   /** Converged min-label propagation over the d5 near-dup pair graph —
     * the shared core of d9 (cluster table) and d17 (survivorship), hoisted
     * so d17 pays d9's propagation cost once and adds only its metadata
@@ -408,20 +432,21 @@ object Dedup {
     // — at other DF distributions the capped result is a recall-bounded
     // approximation, not the exact pair set.
     "d5_ngram_jaccard" -> { (s, d) =>
-      val DF_CAP = s.conf.getOption("graft.dedup.d5DfCap").map(_.toInt).getOrElse(50)
+      val cap = dfCapFrame(s, d, "graft.dedup.d5DfCap")
       val postings = withShingles(s, d)
         .select(struct(col("doc_id"),
             size(col("shingles")).cast("bigint").as("n_sh")).as("doc"),
           explode(col("shingles")).as("sh"))
         .groupBy(col("sh"))
         .agg(collect_list(col("doc")).as("ds"))
-        .filter(size(col("ds")).between(2, DF_CAP))
+        .crossJoin(broadcast(cap))
+        .filter(size(col("ds")).between(2, col("df_cap")))
       val pairs = postings
-        .select(explode(col("ds")).as("a"), col("ds"))
-        .select(col("a"), explode(col("ds")).as("b"))
+        .select(col("df_cap"), explode(col("ds")).as("a"), col("ds"))
+        .select(col("df_cap"), col("a"), explode(col("ds")).as("b"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+          col("a.n_sh").as("na"), col("b.n_sh").as("nb"), col("df_cap"))
         .agg(count(lit(1)).as("inter"))
       pairs
         .withColumn("jaccard", col("inter").cast("double") /
@@ -432,7 +457,7 @@ object Dedup {
         // a production caller (or a downstream join of results computed
         // under different caps) can see the contract without reading docs.
         .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"),
-          lit(DF_CAP).cast("int").as("df_cap"))
+          col("df_cap"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
     // Embedding-cosine near-dup, blocked by the natural `label` partition so
@@ -673,14 +698,15 @@ object Dedup {
     // corpus max DF < cap, so the capped result is bit-identical to the
     // uncapped oracle).
     "d13_containment" -> { (s, d) =>
-      val DF_CAP = s.conf.getOption("graft.dedup.d5DfCap").map(_.toInt).getOrElse(50)
       val postings = withShingles(s, d)
         .select(struct(col("doc_id"),
             size(col("shingles")).cast("bigint").as("n_sh")).as("doc"),
           explode(col("shingles")).as("sh"))
         .groupBy(col("sh"))
         .agg(collect_list(col("doc")).as("ds"))
-        .filter(size(col("ds")).between(2, DF_CAP))
+        .crossJoin(broadcast(dfCapFrame(s, d, "graft.dedup.d5DfCap")))
+        .filter(size(col("ds")).between(2, col("df_cap")))
+        .drop("df_cap")
       postings
         .select(explode(col("ds")).as("a"), col("ds"))
         .select(col("a"), explode(col("ds")).as("b"))
@@ -743,7 +769,7 @@ object Dedup {
     // sharing zero capped shingles have no row.
     "d16_source_overlap" -> { (s, d) =>
       import s.implicits._
-      val DF_CAP = s.conf.getOption("graft.dedup.d16DfCap").map(_.toInt).getOrElse(50)
+      val cap = dfCapFrame(s, d, "graft.dedup.d16DfCap")
       val postings = Tables.parallelized(Tables.validDocuments(s, d))
         .select(col("source"), col("text")).as[(String, String)]
         .mapPartitions(_.map { case (src, t) => (src, shinglesOf(t)) })
@@ -752,7 +778,9 @@ object Dedup {
         .select(col("source"), explode(col("shingles")).as("sh"))
         .groupBy(col("sh"))
         .agg(count(lit(1)).as("df"), collect_set(col("source")).as("srcs"))
-        .filter(col("df") <= DF_CAP)
+        .crossJoin(broadcast(cap))
+        .filter(col("df") <= col("df_cap"))
+        .drop("df_cap")
       val sizes = postings.select(explode(col("srcs")).as("source"))
         .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
       val inter = postings
@@ -766,8 +794,9 @@ object Dedup {
         .join(broadcast(sizes.toDF("src_b", "n_b")), "src_b")
         .withColumn("jaccard", col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .crossJoin(broadcast(cap))
         .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
-          col("n_inter"), col("jaccard"), lit(DF_CAP).cast("int").as("df_cap"))
+          col("n_inter"), col("jaccard"), col("df_cap"))
         .orderBy(col("src_a"), col("src_b"))
     },
     // d16's SCALE TWIN via KMV sketches (functions/Sketches.scala, the
@@ -852,20 +881,32 @@ object Dedup {
       |    ELSE [array_to_string(w, ' ')] END) AS shingles
       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM ${graft.Tables.validDocsSql} documents) t)""".stripMargin
 
-  // Shared scaffolding for the Jaccard-family twins (d5/d9/d10): ONE
-  // definition of the inverted index and the ordered-pair CTE, so the d5
-  // contract (shingle set, Jaccard arithmetic, threshold) cannot silently
-  // drift apart from the operators built on top of it. NOTE: like every
-  // oracle here, these pin the DEFAULT config (d5DfCap=50, J ≥ 0.3) — a
-  // caller overriding the conf changes the Spark result by design, and no
-  // static SQL twin can follow it.
+  // Shared scaffolding for the Jaccard-family twins (d5/d9/d13/d17): ONE
+  // definition of the inverted index, the cap, and the ordered-pair CTE,
+  // so the d5 contract (shingle set, DF cap, Jaccard arithmetic,
+  // threshold) cannot silently drift apart from the operators built on
+  // top of it. NOTE: like every oracle here, these pin the DEFAULT config
+  // (the fractional cap, J ≥ 0.3) — a caller overriding the conf changes
+  // the Spark result by design, and no static SQL twin can follow it.
   private[queries] val INV_CTE =
     "inv AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n, unnest(shingles) AS sh FROM sh_docs)"
+  // r11: the DF cap is mirrored in the oracle (the d16 r10 precedent,
+  // now family-wide) — greatest(50, (n_docs+99) DIV 100), the exact
+  // integer arithmetic dfCapFrame uses — so operator and oracle stay
+  // capped in lockstep at ANY corpus density. Before this, PAIRS_CTE was
+  // exhaustive and the sf1 gate caught the divergence the moment the cap
+  // started biting (d5: 0 Spark rows vs 2,530 oracle rows).
+  private[queries] val CAP_CTE =
+    "cap AS (SELECT CAST(greatest(50, (count(*) + 99) // 100) AS INTEGER) AS df_cap FROM sh_docs)"
+  private[queries] val KEEP_CTE =
+    """keep AS (SELECT sh FROM inv GROUP BY sh
+      |         HAVING count(*) >= 2 AND count(*) <= (SELECT df_cap FROM cap))""".stripMargin
   private[queries] val PAIRS_CTE =
     """pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
       |         count(*) AS inter
-      |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  FROM inv a JOIN keep k ON a.sh = k.sh
+      |             JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2, 3, 4)""".stripMargin
   private[queries] val JACCARD_SQL = "CAST(inter AS DOUBLE) / (na + nb - inter)"
 
@@ -899,10 +940,12 @@ object Dedup {
     "d5_ngram_jaccard" ->
       s"""WITH $SH_CTE,
          |$INV_CTE,
+         |$CAP_CTE,
+         |$KEEP_CTE,
          |$PAIRS_CTE
          |SELECT doc_a, doc_b, inter,
          |  $JACCARD_SQL AS jaccard,
-         |  CAST(50 AS INTEGER) AS df_cap
+         |  (SELECT df_cap FROM cap) AS df_cap
          |FROM pairs WHERE $JACCARD_SQL >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
     // d10: exhaustive cross-split Jaccard at 0.9 (see d3's recall note —
@@ -928,6 +971,8 @@ object Dedup {
     "d9_dup_clusters" ->
       s"""WITH RECURSIVE $SH_CTE,
          |$INV_CTE,
+         |$CAP_CTE,
+         |$KEEP_CTE,
          |$PAIRS_CTE,
          |p AS (SELECT doc_a, doc_b FROM pairs
          |      WHERE $JACCARD_SQL >= 0.3),
@@ -1030,10 +1075,13 @@ object Dedup {
     "d13_containment" ->
       s"""WITH $SH_CTE,
          |$INV_CTE,
+         |$CAP_CTE,
+         |$KEEP_CTE,
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na,
          |         count(*) AS inter
-         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  FROM inv a JOIN keep k ON a.sh = k.sh
+         |             JOIN inv b ON a.sh = b.sh AND a.doc_id <> b.doc_id
          |  GROUP BY 1, 2, 3)
          |SELECT doc_a, doc_b, inter,
          |  CAST(inter AS DOUBLE) / na AS containment
@@ -1062,7 +1110,9 @@ object Dedup {
     "d16_source_overlap" ->
       s"""WITH $SH_CTE,
          |inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_docs),
-         |keep AS (SELECT sh FROM inv GROUP BY sh HAVING count(*) <= 50),
+         |$CAP_CTE,
+         |keep AS (SELECT sh FROM inv GROUP BY sh
+         |         HAVING count(*) <= (SELECT df_cap FROM cap)),
          |e0 AS (SELECT d.source, i.sh
          |       FROM inv i JOIN keep USING (sh)
          |       JOIN ${graft.Tables.validDocsSql} d USING (doc_id)),
@@ -1072,7 +1122,7 @@ object Dedup {
          |      FROM e a JOIN e b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
          |SELECT src_a, src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_inter,
          |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard,
-         |  CAST(50 AS INTEGER) AS df_cap
+         |  (SELECT df_cap FROM cap) AS df_cap
          |FROM i JOIN sz sa ON i.src_a = sa.source JOIN sz sb ON i.src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin,
     // Uncapped full-vocabulary overlap, every pair (the twin's contract);
@@ -1098,6 +1148,8 @@ object Dedup {
     "d17_survivorship" ->
       s"""WITH RECURSIVE $SH_CTE,
          |$INV_CTE,
+         |$CAP_CTE,
+         |$KEEP_CTE,
          |$PAIRS_CTE,
          |p AS (SELECT doc_a, doc_b FROM pairs
          |      WHERE $JACCARD_SQL >= 0.3),

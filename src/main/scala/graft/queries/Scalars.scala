@@ -51,7 +51,14 @@ object Scalars {
           sqrt(col("l_quantity")).as("qty_sqrt"),
           (col("l_partkey") % 7).as("pk_mod"),
           round(col("l_extendedprice").cast("decimal(18,2)"), 1).cast("double").as("price_r1"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // Total order over every emitted column (r11): (orderkey,
+        // linenumber) is unique on the driver corpus but NOT on the
+        // GenData sf1 corpus, and a tie leaves row order engine-dependent
+        // — the sf1 gate caught the row-wise compare diverging. Sorting by
+        // all outputs makes equal rows interchangeable, so duplicates
+        // cannot destabilize the compare.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_floor"),
+          col("price_r1"), col("disc_dev"), col("pk_mod"), col("qty_sqrt"))
     },
     // Conditional bucketing: CASE WHEN chains.
     "sc4_case_when" -> { (s, d) =>
@@ -145,7 +152,8 @@ object Scalars {
         |  sqrt(l_quantity) AS qty_sqrt,
         |  l_partkey % 7 AS pk_mod,
         |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, price_floor, price_r1, disc_dev, pk_mod, qty_sqrt""".stripMargin,
     "sc4_case_when" ->
       """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
         |            WHEN o_totalprice < 300000 THEN 'medium'

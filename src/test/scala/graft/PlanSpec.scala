@@ -411,8 +411,15 @@ class PlanSpec extends SparkTestBase {
 
   test("d16 source overlap: capped postings expansion, no shingle self-join, sizes broadcast") {
     val plan = planOf("d16_source_overlap")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      "no unkeyed pair product")
+    assert(!plan.contains("CartesianProduct"), "no unkeyed pair product")
+    // The fractional DF cap (r11) rides the plan as a 1-row broadcast
+    // scalar (t9's corpus-N pattern) — a Cross BuildRight BNLJ of one row
+    // is that attachment, not a pair product; any OTHER BNLJ shape is
+    // still a bug.
+    // Tree section only: the formatted details repeat the node name bare.
+    val tree = plan.split("\n\n").head
+    assert("BroadcastNestedLoopJoin(?! Cross BuildRight)".r.findFirstIn(tree).isEmpty,
+      s"only the 1-row cap/size broadcast may nest-loop:\n$tree")
     // The DF-capped postings form generates source pairs by exploding each
     // shingle's source set — the ONLY joins in the plan are the two
     // broadcast attachments of the per-source sizes (one row per source).

@@ -10,6 +10,7 @@ compared bit-exactly first, then with 1e-9 relative tolerance reported
 separately). Strictest plausible interpretation of the driver's hash compare.
 """
 import json
+import os
 import math
 import sys
 
@@ -29,9 +30,13 @@ def norm(v):
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # Driver testdata ships single parquet FILES; GenData corpora
+        # (spark-warehouse/sf1+) are Spark-written DIRECTORIES of part
+        # files — glob those so the sf1 second gate runs on the same code.
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 

@@ -10,6 +10,21 @@
 #   out_dir default target/ci-verify       (wiped per run: Verify deletes
 #                                           failed-query dirs, but a RENAMED
 #                                           query would leave stale parquet)
+#
+# Second oracle gate at sf1 (r11): both r10 scale bugs (e22 BIGINT
+# overflow, q46 broadcast death) were value-domain-dependent — invisible
+# to the sf0.01 hash. Run the same gate against the GenData corpus to
+# catch that class by hash instead of by probe:
+#   SPARK_GRAFT_CONF="spark.graft.sketch.k=2097152,spark.graft.sketch.topkCap=262144" \
+#     tools/ci.sh spark-warehouse/sf1 target/ci-verify-sf1
+# The conf raises the sketch capacities past sf1's value domains
+# (1.11M distinct orderkeys/group, 200k partkeys/group) so the
+# lossless-below-capacity oracle contract keeps holding one decade up;
+# Verify reads SPARK_GRAFT_CONF like BenchOne. Measured r11 (this box,
+# 32 cores): Verify ~400 s + DuckDB compare ~540 s ≈ 16 min. First run
+# paid off immediately: it caught the absolute-DF-cap collapse of the
+# d5 family (0 rows at 10× density) and sc3's non-total ORDER BY —
+# both invisible at sf0.01 (BENCHNOTES r11).
 set -u
 cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.01}"
