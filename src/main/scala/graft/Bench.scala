@@ -108,10 +108,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
+    // Skipped queries are named IN the artifact (not only on stderr), so a
+    // record with a smaller query count self-explains (r10 verdict: the
+    // sf10 record's q7_percentiles exclusion needed BENCHNOTES to decode).
+    val skipNote = if (skip.isEmpty) "" else skip.mkString("; skipped by SPARK_GRAFT_SKIP: ", ",", "")
     val passesLine =
       s"""{"metric":"passes","sf":"$sfName","total":${fmt(results.map(_._2).sum, 2)},""" +
         s""""failed":$failedArr,""" +
-        s""""note":"min-of-3; ambient host noise +/-25%, see BENCHNOTES.md","queries":$spread}"""
+        s""""note":"min-of-3; ambient host noise +/-25%, see BENCHNOTES.md$skipNote","queries":$spread}"""
     println(passesLine)
     // BENCH_LOCAL.json is the canonical full-fidelity per-query record
     // (full names, all three pass times) — written HERE so it is current

@@ -173,8 +173,10 @@ object MappingQueries {
           col("geom"), col("payload"))
         .orderBy(col("uid"), col("time"), col("lat"), col("lon"), col("payload"))
     },
-    // Map-typed column functions over an HSTORE values column (rows-only:
-    // the oracle runs on the source tables, not on mapping output).
+    // Map-typed column functions over an HSTORE values column. Hash-green
+    // since r11: the map stays native here; the oracle re-derives the same
+    // surface by flattening the fixture JSON relationally (see the m11
+    // oracle below for the depth-4 expansion and its NULL-leaf trap).
     "m11_map_funcs" -> { (s, d) =>
       new NwicFloatReports("foo").transform(
           FileReplay.read(s, s"$fx/health_and_status.json"))
@@ -407,6 +409,44 @@ object MappingQueries {
         |  'POINT (' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS geom,
         |  payload
         |FROM pos ORDER BY uid, time, lat, lon, payload""".stripMargin,
+    // m11 (r11, previously no_oracle): DuckDB 1.0 has no map type the driver
+    // can hash and no json_each/json_tree, so the oracle re-derives the
+    // flattened-key surface itself — a chained 4-level object expansion
+    // (json_keys + unnest per level; the fixture's max depth is 4, with no
+    // arrays or embedded-JSON strings, so Kernel.flatten degenerates to
+    // pure object flattening). JSON null leaves come back as SQL NULL from
+    // `->`, so leaf filters read `coalesce(json_type(val),'NULL')` — a bare
+    // json_type(val) != 'OBJECT' silently drops every null-valued key (8
+    // of the 26 on this fixture). The Spark side stays map-native; only
+    // the emitted surface (count, sorted key list, two lookups) is
+    // re-expressed relationally.
+    "m11_map_funcs" ->
+      """WITH els AS (
+        |  SELECT row_number() OVER () AS rid, el FROM (
+        |    SELECT unnest(CAST(content AS JSON) -> '$[*]') AS el
+        |    FROM read_text('/root/reference/tests/health_and_status.json'))),
+        |e1 AS (SELECT rid, el, unnest(json_keys(el)) AS k FROM els),
+        |v1 AS (SELECT rid, el, k AS key, el -> k AS val FROM e1),
+        |e2 AS (SELECT rid, el, key, unnest(json_keys(val)) AS k, val FROM v1 WHERE json_type(val)='OBJECT'),
+        |v2 AS (SELECT rid, el, key || '_' || k AS key, val -> k AS val FROM e2),
+        |e3 AS (SELECT rid, el, key, unnest(json_keys(val)) AS k, val FROM v2 WHERE json_type(val)='OBJECT'),
+        |v3 AS (SELECT rid, el, key || '_' || k AS key, val -> k AS val FROM e3),
+        |e4 AS (SELECT rid, el, key, unnest(json_keys(val)) AS k, val FROM v3 WHERE json_type(val)='OBJECT'),
+        |v4 AS (SELECT rid, el, key || '_' || k AS key, val -> k AS val FROM e4),
+        |leaves AS (
+        |  SELECT rid, el, key, val FROM v1 WHERE coalesce(json_type(val),'NULL') != 'OBJECT'
+        |  UNION ALL SELECT rid, el, key, val FROM v2 WHERE coalesce(json_type(val),'NULL') != 'OBJECT'
+        |  UNION ALL SELECT rid, el, key, val FROM v3 WHERE coalesce(json_type(val),'NULL') != 'OBJECT'
+        |  UNION ALL SELECT rid, el, key, val FROM v4),
+        |agg AS (
+        |  SELECT rid,
+        |    any_value(el ->> '$.headers.imei') AS uid,
+        |    CAST(count(*) + 1 AS INT) AS n_values,
+        |    array_to_string(list_sort(list_append(list(key), 'location_quality')), ',') AS keys,
+        |    max(CASE WHEN key='mfr' THEN val ->> '$' END) AS mfr
+        |  FROM leaves GROUP BY rid)
+        |SELECT uid, n_values, keys, mfr, 'graft' AS engine
+        |FROM agg ORDER BY uid, n_values, keys""".stripMargin,
     // GenericFieldStatistic over the fixture: DuckDB reproduces the interval
     // rows exactly; `values` canonical JSON matches Jackson's compact form
     // (same key order: the fixture's records share one schema).

@@ -381,6 +381,11 @@ object Relational {
     // shuffle the sketch exists to avoid (measured: the column made q6
     // 12.8×/decade at sf10 — BENCHNOTES r8 — against the sketch's own
     // linear cost). Exact distincts remain available as q2_distinct_agg.
+    // r11 adjudication of the "bounded row" ask: an in-query within_bound
+    // column needs the exact count on the SPARK side too — the r8-measured
+    // regression, not an oracle limitation — so q6 stays rows-only;
+    // the hash-green sketch distinct is q57_kmv_distinct (lossless below
+    // k ⇒ exact-SQL oracle), which supersedes this as the oracled path.
     "q6_approx_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -397,6 +402,10 @@ object Relational {
     // unbounded buffer this query exists to avoid — FormatsSpec bounds the
     // error against q7's exact output instead. Sketch internals are
     // engine-specific (no cross-engine oracle) — rows-only.
+    // r11 adjudication (same shape as q6): a within_bound column requires
+    // the exact percentile buffer on the Spark side — q7's buffer OOMs at
+    // sf10, so embedding it would take q45 down with it; the error bound
+    // lives in FormatsSpec where it runs at test SF only, by design.
     "q45_approx_percentiles" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
