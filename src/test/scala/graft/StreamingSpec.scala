@@ -576,6 +576,61 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Map("a" -> 5, "b" -> 2))
   }
 
+  test("transformWithState checkpoint recovery: RocksDB state survives a restart") {
+    // The stateful complement of the crash-replay test below: stop a
+    // transformWithState query after it has absorbed one file, restart it
+    // from the same checkpoint with new data, and require the SECOND run's
+    // emission to reflect the union — possible only if the RocksDB state
+    // (one KMV sketch per key) was durably checkpointed and reloaded.
+    // Values overlap across the files on purpose: a silently-reset state
+    // would emit the second file's own distinct count (300), not the
+    // cross-restart union (500). Below k the sketch is a lossless set, so
+    // the recovered emission must be EXACTLY 500 — bit-exact continuity,
+    // not an error band.
+    val spark0 = spark
+    import spark0.implicits._
+    withRocksDB {
+      val landing = tmpDir(); val ckpt = tmpDir()
+      def land(name: String, vs: Range): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$landing/$name"),
+          vs.map(v => s"""{"key":"k","v":$v}""").mkString("\n").getBytes("UTF-8"))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("key", org.apache.spark.sql.types.StringType)
+        .add("v", org.apache.spark.sql.types.LongType)
+      // The memory sink refuses checkpoint recovery (by design — it is not
+      // fault-tolerant), so each phase drains through foreachBatch into a
+      // per-phase driver buffer: foreachBatch IS recovery-capable, and it
+      // is the production sink shape (Pipeline.run).
+      def run(): Double = {
+        val seen = new java.util.concurrent.CopyOnWriteArrayList[Double]()
+        val out = spark.readStream.schema(schema).json(landing)
+          .select(col("key"), xxhash64(col("v")).as("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.KmvDistinctProcessor[String](1024),
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        val q = out.toDF("key", "ndv", "n_kept")
+          .writeStream.outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select(col("ndv")).collect().foreach(r => seen.add(r.getDouble(0)))
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+        import scala.jdk.CollectionConverters._
+        if (seen.isEmpty) -1.0 else seen.asScala.max
+      }
+      land("a.json", 0 until 300)
+      val first = run()
+      assert(first == 300.0, s"phase 1 distinct $first != 300")
+      land("b.json", 200 until 500) // 100 overlap + 200 new
+      val second = run()
+      assert(second == 500.0,
+        s"recovered state must union across the restart: got $second " +
+          "(300 = state silently reset; 500 = sketch reloaded from RocksDB)")
+    }
+  }
+
   test("checkpoint recovery: a mid-batch crash replays the batch; committed batches never replay") {
     // The reference's delivery contract is at-least-once offsets +
     // idempotent ON CONFLICT upsert (listen.py:160-165, 178-186); here the
