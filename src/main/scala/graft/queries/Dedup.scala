@@ -221,6 +221,52 @@ object Dedup {
           .select(greatest(lit(50L), expr("(n_docs + 99) DIV 100")).cast("int").as("df_cap"))
     }
 
+  /** The d5/d13 inverted index: per-shingle doc lists under the fractional
+    * DF cap, with a CANDIDATE-VOLUME GUARD (the d6/d7 idiom, r11) in front
+    * of the pair expansion. Columns: (sh, ds: array<struct<doc_id,n_sh>>,
+    * df_cap: int).
+    *
+    * Why the guard exists: the pair expansion costs Σ_sh C(DF,2). On a
+    * vocabulary-saturated corpus (GenData: ~28k trigram TYPES regardless
+    * of size, so DF ∝ n_docs) that sum is Θ(n²) — measured 130M candidate
+    * pairs at sf1 (12.7 s) and 13.0 BILLION at sf10, which exhausted the
+    * box's scratch disk. No cap value separates recall from cost there:
+    * sf1's qualifying pairs ride shingles with DF up to ~140 while the
+    * uncapped volume explodes one decade later, and prefix-filter tricks
+    * only shave constants when most shared shingles are hot. The honest
+    * answer is the same as d6-vs-d7: exact enumeration below the guard,
+    * and the BANDED MinHash path (d3/d10 — hash-bucketed candidates,
+    * measured sublinear 7.1×/decade, hash-green) as the production
+    * operator past it. The guard computes the exact Σ C(DF,2) over the
+    * kept shingles in DECIMAL(38,0) (e22 lesson) BEFORE any pair is
+    * generated and fails fast naming d3 and the conf knobs; Catalyst
+    * reuses the postings exchange for the 1-row estimate, so the healthy
+    * path pays one broadcast, not a second shingle pass. */
+  private def cappedGuardedPostings(s: SparkSession, d: String, name: String): DataFrame = {
+    val maxCand = s.conf.getOption("graft.dedup.d5MaxCandidates")
+      .map(_.toLong).getOrElse(500000000L)
+    val postings = withShingles(s, d)
+      .select(struct(col("doc_id"),
+          size(col("shingles")).cast("bigint").as("n_sh")).as("doc"),
+        explode(col("shingles")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(collect_list(col("doc")).as("ds"))
+      .crossJoin(broadcast(dfCapFrame(s, d, "graft.dedup.d5DfCap")))
+      .filter(size(col("ds")).between(2, col("df_cap")))
+    val est = postings.agg(sum(expr(
+      "CAST(size(ds) AS DECIMAL(38,0)) * CAST(size(ds) - 1 AS DECIMAL(38,0)) / 2"))
+      .as("__cand"))
+    postings.crossJoin(broadcast(est))
+      .filter(when(col("__cand") > maxCand, raise_error(format_string(
+        s"$name: ~%s candidate pairs from the DF <= %s postings exceed " +
+          "graft.dedup.d5MaxCandidates=%s; exact n-gram pair enumeration is " +
+          "quadratic on this corpus density -- use d3_dedup_minhash/d10 " +
+          "(banded MinHash, bounded candidates) at this scale, or raise the " +
+          "cap / lower graft.dedup.d5DfCap explicitly",
+        col("__cand"), col("df_cap"), lit(maxCand)))).isNull)
+      .drop("__cand")
+  }
+
   /** Converged min-label propagation over the d5 near-dup pair graph —
     * the shared core of d9 (cluster table) and d17 (survivorship), hoisted
     * so d17 pays d9's propagation cost once and adds only its metadata
@@ -432,15 +478,7 @@ object Dedup {
     // — at other DF distributions the capped result is a recall-bounded
     // approximation, not the exact pair set.
     "d5_ngram_jaccard" -> { (s, d) =>
-      val cap = dfCapFrame(s, d, "graft.dedup.d5DfCap")
-      val postings = withShingles(s, d)
-        .select(struct(col("doc_id"),
-            size(col("shingles")).cast("bigint").as("n_sh")).as("doc"),
-          explode(col("shingles")).as("sh"))
-        .groupBy(col("sh"))
-        .agg(collect_list(col("doc")).as("ds"))
-        .crossJoin(broadcast(cap))
-        .filter(size(col("ds")).between(2, col("df_cap")))
+      val postings = cappedGuardedPostings(s, d, "d5_ngram_jaccard")
       val pairs = postings
         .select(col("df_cap"), explode(col("ds")).as("a"), col("ds"))
         .select(col("df_cap"), col("a"), explode(col("ds")).as("b"))
@@ -698,15 +736,7 @@ object Dedup {
     // corpus max DF < cap, so the capped result is bit-identical to the
     // uncapped oracle).
     "d13_containment" -> { (s, d) =>
-      val postings = withShingles(s, d)
-        .select(struct(col("doc_id"),
-            size(col("shingles")).cast("bigint").as("n_sh")).as("doc"),
-          explode(col("shingles")).as("sh"))
-        .groupBy(col("sh"))
-        .agg(collect_list(col("doc")).as("ds"))
-        .crossJoin(broadcast(dfCapFrame(s, d, "graft.dedup.d5DfCap")))
-        .filter(size(col("ds")).between(2, col("df_cap")))
-        .drop("df_cap")
+      val postings = cappedGuardedPostings(s, d, "d13_containment").drop("df_cap")
       postings
         .select(explode(col("ds")).as("a"), col("ds"))
         .select(col("a"), explode(col("ds")).as("b"))

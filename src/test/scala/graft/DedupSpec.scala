@@ -126,6 +126,26 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.9, s"production-config recall $recall below 0.9 (|exact|=${exact.size})")
   }
 
+  test("d5 candidate-volume guard fails fast naming the banded scale path") {
+    // The sf10 GenData corpus proved exact postings enumeration quadratic
+    // (13B candidate pairs — BENCHNOTES r11); the guard must convert that
+    // into a fast failure pointing at d3, BEFORE the pair explosion. At
+    // sf0.001 the kept-shingle Σ C(DF,2) is far above 10; the default cap
+    // admits the corpus.
+    spark.conf.set("graft.dedup.d5MaxCandidates", "10")
+    try {
+      val ex = intercept[Exception] {
+        graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(m =>
+        m.contains("d5MaxCandidates") && m.contains("d3_dedup_minhash")),
+        s"guard must name the cap and the banded scale path, got: ${messages(ex)}")
+    } finally spark.conf.unset("graft.dedup.d5MaxCandidates")
+    assert(graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf).count() > 0)
+  }
+
   test("d9 clusters are consistent components of the d5 pair graph") {
     val pairs = graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
