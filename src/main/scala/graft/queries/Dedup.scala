@@ -279,7 +279,12 @@ object Dedup {
     // Checkpoint the PAIR set before mirroring it: union duplicates its
     // input subtree, so unioning the lazy d5 plan would run the whole
     // shingle/postings pipeline twice in the one eager checkpoint job.
-    val pairs = queries("d5_ngram_jaccard")(s, d).select(col("doc_a"), col("doc_b"))
+    // graft.dedup.pairSource (r11): past d5's candidate-volume wall the
+    // pair graph comes from d5_scale (banded candidates, identical output
+    // on corpora where banding recall is 1.0 — the gate-pinned regime), so
+    // d9/d17 keep working at sf10+ by conf instead of dying with d5.
+    val src = s.conf.get("graft.dedup.pairSource", "d5_ngram_jaccard")
+    val pairs = queries(src)(s, d).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint(true)
@@ -321,9 +326,10 @@ object Dedup {
     * `pred` is applied BELOW the typed map (which is an optimizer barrier):
     * callers splitting the corpus (d10) push their split predicate into the
     * parquet scan and pay the shingle pass only for their slice. */
-  private def bandedSets(s: SparkSession, d: String, pred: Column): DataFrame = {
+  private def bandedSets(s: SparkSession, d: String, pred: Column,
+      bands: Int = BANDS): DataFrame = {
     import s.implicits._
-    val bandsPerDoc = NUM_HASHES / BANDS
+    val bandsPerDoc = NUM_HASHES / bands
     Tables.parallelized(Tables.validDocuments(s, d))
       .filter(pred)
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -343,13 +349,13 @@ object Dedup {
               i += 1
             }
           }
-          val bands = Array.tabulate(BANDS) { b =>
+          val bandArr = Array.tabulate(bands) { b =>
             var acc = 42L
             var j = 0
             while (j < bandsPerDoc) { acc = XXH64.hashLong(sig(b * bandsPerDoc + j), acc); j += 1 }
             acc
           }
-          (id, shingles, bands)
+          (id, shingles, bandArr)
         }
       }
       .toDF("doc_id", "shingles", "bands")
@@ -496,6 +502,69 @@ object Dedup {
         // under different caps) can see the contract without reading docs.
         .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"),
           col("df_cap"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    // The sf10+ path for the d5 FAMILY (r11): banded-MinHash candidates at
+    // a WIDE geometry — 16 bands × 2 rows from the same 32-hash signature
+    // d3 uses — then exact FULL-vocabulary Jaccard verification at the d5
+    // threshold. Candidate volume is collision-bounded (≈ true pairs +
+    // minhash noise), not Σ C(DF,2), so this survives where d5's exact
+    // postings enumeration hits its Θ(n²) wall (the guard above).
+    // Geometry: the hardest qualifying pairs on this corpus sit at
+    // J ≈ 0.889 (sf1 gate measurement); per-band match J² ≈ 0.79, so the
+    // miss-all-16 odds are 0.21¹⁶ ≈ 1.4e-11 per pair — d3's 8×4 geometry
+    // would miss ~4e-4 per pair and lose ~9 of sf10's ~25k qualifying
+    // pairs. Like d3/d16_scale, the oracle is the exact (uncapped) SQL:
+    // banding recall is 1.0 on the gate corpora (DedupSpec pins
+    // candidates ⊇ the exact pair set), and semantics are FULL-vocabulary
+    // Jaccard — no df_cap column, because a collision-bounded path has no
+    // fan-out to bound (d16_scale's argument). The banded sets are
+    // localCheckpointed once (q58's rule): three consumers — bucket
+    // join, both set rejoins — must not re-shingle the corpus.
+    // d9/d17 compose with this at scale via graft.dedup.pairSource.
+    "d5_scale" -> { (s, d) =>
+      val sets = bandedSets(s, d, lit(true), bands = 16).localCheckpoint(true)
+      val buckets = sets.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "band_sig")))
+      // Bucket-occupancy guard (the d7 idiom on MINHASH buckets): LSH
+      // assumes vocabulary grows with the corpus. When it doesn't —
+      // GenData keeps ~28k shingle types at every SF — the globally
+      // min-hashed types concentrate: every doc containing seed i's
+      // minimum-hash type shares minhash_i, so band buckets grow ∝ n and
+      // Σ C(occupancy, 2) goes quadratic (measured: fine at sf10/500k
+      // docs [43 s], filled the disk at sf100/5M). The exact candidate
+      // count is summed in DECIMAL(38,0) BEFORE the pair join and shares
+      // d5's cap conf; past it the job names the regime instead of dying
+      // on scratch disk.
+      val maxCand = s.conf.getOption("graft.dedup.d5MaxCandidates")
+        .map(_.toLong).getOrElse(500000000L)
+      val est = buckets.groupBy(col("band"), col("band_sig"))
+        .agg(count(lit(1)).as("bn"))
+        .agg(sum(expr(
+          "CAST(bn AS DECIMAL(38,0)) * CAST(bn - 1 AS DECIMAL(38,0)) / 2"))
+          .as("__cand"))
+      val guarded = buckets.crossJoin(broadcast(est))
+        .filter(when(col("__cand") > maxCand, raise_error(format_string(
+          "d5_scale: ~%s banded candidate pairs exceed " +
+            "graft.dedup.d5MaxCandidates=%s; minhash buckets degenerate when " +
+            "the shingle vocabulary does not grow with the corpus " +
+            "(BENCHNOTES r11) -- shard by source/time before pairing at this " +
+            "density, or raise the cap explicitly",
+          col("__cand"), lit(maxCand)))).isNull)
+        .drop("__cand")
+      val cands = guarded.as("a").join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
     // Embedding-cosine near-dup, blocked by the natural `label` partition so
@@ -976,6 +1045,22 @@ object Dedup {
          |SELECT doc_a, doc_b, inter,
          |  $JACCARD_SQL AS jaccard,
          |  (SELECT df_cap FROM cap) AS df_cap
+         |FROM pairs WHERE $JACCARD_SQL >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // d5_scale: the exact UNCAPPED pair SQL — full-vocabulary Jaccard, the
+    // twin's contract (no keep CTE, no df_cap). Exact because banding
+    // recall is 1.0 on the gate corpora (hardest pairs at J≈0.889, 16×2
+    // miss odds 1.4e-11/pair; candidates ⊇ exact pinned in DedupSpec).
+    "d5_scale" ->
+      s"""WITH $SH_CTE,
+         |$INV_CTE,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         |         count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, inter,
+         |  $JACCARD_SQL AS jaccard
          |FROM pairs WHERE $JACCARD_SQL >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
     // d10: exhaustive cross-split Jaccard at 0.9 (see d3's recall note —

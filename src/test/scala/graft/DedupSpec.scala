@@ -146,6 +146,30 @@ class DedupSpec extends SparkTestBase {
     assert(graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf).count() > 0)
   }
 
+  test("d5_scale banded path equals exact d5 where the cap doesn't bite; d9 composes with it") {
+    // On the test corpus the DF cap never bites, so capped d5 == uncapped
+    // exact == d5_scale must hold row-for-row (banding recall 1.0 — the
+    // claim that licenses d5_scale's exact-SQL oracle).
+    val exact = graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b", "inter", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val banded = graft.queries.Dedup.queries("d5_scale")(spark, sf)
+      .select("doc_a", "doc_b", "inter", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(banded == exact, s"banded ${banded.size} pairs != exact ${exact.size}")
+    assert(exact.nonEmpty)
+    // The pair-graph consumers must be source-agnostic: d9 over the banded
+    // pair set equals d9 over the exact one (the sf10+ composition).
+    val d9default = graft.queries.Dedup.queries("d9_dup_clusters")(spark, sf)
+      .collect().map(_.toString).sorted
+    spark.conf.set("graft.dedup.pairSource", "d5_scale")
+    try {
+      val d9banded = graft.queries.Dedup.queries("d9_dup_clusters")(spark, sf)
+        .collect().map(_.toString).sorted
+      assert(d9banded.sameElements(d9default), "d9 must be pair-source-agnostic")
+    } finally spark.conf.unset("graft.dedup.pairSource")
+  }
+
   test("d9 clusters are consistent components of the d5 pair graph") {
     val pairs = graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
