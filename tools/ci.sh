@@ -20,11 +20,13 @@
 # The conf raises the sketch capacities past sf1's value domains
 # (1.11M distinct orderkeys/group, 200k partkeys/group) so the
 # lossless-below-capacity oracle contract keeps holding one decade up;
-# Verify reads SPARK_GRAFT_CONF like BenchOne. Measured r11 (this box,
-# 32 cores): Verify ~400 s + DuckDB compare ~540 s ≈ 16 min. First run
-# paid off immediately: it caught the absolute-DF-cap collapse of the
-# d5 family (0 rows at 10× density) and sc3's non-total ORDER BY —
-# both invisible at sf0.01 (BENCHNOTES r11).
+# Verify reads SPARK_GRAFT_CONF like BenchOne. Use SPARK_GRAFT_CPUS=16
+# for the sf1 run — 32 threads × the raised sketch buffers OOM a 24g
+# heap. Measured r11 (this box, 16 threads/32g): Verify 367 s + DuckDB
+# compare 314 s ≈ 11 min, 146/146 pass. The first run paid off
+# immediately: it caught the absolute-DF-cap collapse of the d5 family
+# (0 rows at 10× density) and sc3's non-total ORDER BY — both invisible
+# at sf0.01 (BENCHNOTES r11).
 set -u
 cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.01}"
