@@ -156,6 +156,35 @@ object StreamBench {
       q.stop()
     }
 
+    // ---- 2c. PctQuantileProcessor over sf events (bounded-state quantiles) --
+    {
+      val rows = Tables.events(spark, sfDir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double"))
+        .as[(String, Double)].collect()
+      val waves = 10
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.PctQuantileProcessor[String](4096, Array(0.5, 0.99)),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("event_type", "qs", "n").writeStream
+        .outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", tmpDir())
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      (0 until waves).foreach { w =>
+        stream.addData(rows.zipWithIndex.collect {
+          case (r, i) if i % waves == w => r
+        }.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("pct_quantiles(sf events)", q, rows.length.toLong, wall)
+      q.stop()
+    }
+
     // ---- 3. p1 pipeline as a throttled file stream ------------------------
     {
       val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema

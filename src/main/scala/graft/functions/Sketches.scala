@@ -300,6 +300,208 @@ object Sketches {
     def outputEncoder: Encoder[Array[HeavyHitter]] = ExpressionEncoder[Array[HeavyHitter]]()
   }
 
+  // ---------------------------------------------------------------------
+  // MRL/KLL-style mergeable quantile sketch
+  // ---------------------------------------------------------------------
+
+  /** Finished quantile summary: values sorted ascending with aligned
+    * power-of-two weights. `sum(ws)` equals the aggregated row count
+    * EXACTLY (compactions and the odd-leftover rule preserve total
+    * weight), so rank positions computed from the summary line up with
+    * the true n — the property that makes the sub-capacity branch
+    * bit-identical to the exact percentile. */
+  final case class PctSummary(vs: Array[Double], ws: Array[Long])
+
+  /** Buffer: a compactor hierarchy (Manku–Rajagopalan–Lindsay '98 /
+    * KLL'16 with equal level capacities). Level i holds values of weight
+    * 2^i; when a level exceeds `cap` it is sorted and PAIR-compacted —
+    * every other element survives one level up at doubled weight, the
+    * alternation offset flipping per compaction so adjacent-pair rank
+    * errors cancel instead of accumulating. An odd element stays behind
+    * at its own level and weight, so no compaction ever changes total
+    * weight. Below `cap` total inputs nothing ever compacts: level 0 is
+    * simply every value seen (the LOSSLESS regime — the oracle trick the
+    * KMV/MG aggregates above use). Arrays grow geometrically from 16, so
+    * sub-capacity memory is proportional to rows actually held, not to
+    * `cap` — the sf1 gate can raise `spark.graft.sketch.pctCap` to the
+    * per-group row count without pre-allocating it per buffer. */
+  final class PctBuf(val cap: Int) extends Serializable {
+    var vals: Array[Array[Double]] = Array(new Array[Double](16))
+    var lens: Array[Int] = Array(0)
+    var flips: Array[Boolean] = Array(false)
+    var n: Long = 0L
+
+    private def ensureLevel(i: Int): Unit = if (i >= vals.length) {
+      vals = java.util.Arrays.copyOf(vals, i + 1)
+      lens = java.util.Arrays.copyOf(lens, i + 1)
+      flips = java.util.Arrays.copyOf(flips, i + 1)
+      var j = 0
+      while (j < vals.length) { if (vals(j) == null) vals(j) = new Array[Double](16); j += 1 }
+    }
+
+    /** Append without compaction (callers own the cascade check). */
+    private def push(i: Int, v: Double): Unit = {
+      if (lens(i) == vals(i).length)
+        vals(i) = java.util.Arrays.copyOf(vals(i), 2 * vals(i).length)
+      vals(i)(lens(i)) = v
+      lens(i) += 1
+    }
+
+    def add(v: Double): Unit = {
+      push(0, v)
+      n += 1
+      if (lens(0) > cap) compactLevel(0)
+    }
+
+    /** Sort level i and pair-compact it into level i+1. Survivor index
+      * alternates within each pair via the per-level flip; the odd
+      * leftover (post-sort minimum) keeps its weight in place. Cascades
+      * upward when the receiving level overflows in turn. */
+    def compactLevel(i: Int): Unit = {
+      val a = vals(i)
+      val m = lens(i)
+      java.util.Arrays.sort(a, 0, m)
+      val r = m & 1
+      val off = if (flips(i)) 1 else 0
+      flips(i) = !flips(i)
+      ensureLevel(i + 1)
+      var j = r + off
+      while (j < m) { push(i + 1, a(j)); j += 2 }
+      lens(i) = r
+      if (lens(i + 1) > cap) compactLevel(i + 1)
+    }
+
+    /** Insert an already-weighted element at its level (weight must be a
+      * power of two — summaries only ever hold those). Restores a buffer
+      * from a finished summary: each element re-enters exactly the level
+      * it left, so restore→summary round-trips are lossless — the
+      * streaming processor's state contract. */
+    def addWeighted(v: Double, w: Long): Unit = {
+      require(java.lang.Long.bitCount(w) == 1, s"weight must be a power of two, got $w")
+      val lvl = java.lang.Long.numberOfTrailingZeros(w)
+      ensureLevel(lvl)
+      push(lvl, v)
+      n += w
+      if (lens(lvl) > cap) compactLevel(lvl)
+    }
+
+    /** Level-wise append of another buffer, then one bottom-up cascade —
+      * order-insensitive up to the documented merge-tree caveat. */
+    def mergeFrom(b: PctBuf): Unit = {
+      n += b.n
+      var i = 0
+      while (i < b.lens.length) {
+        if (b.lens(i) > 0) {
+          ensureLevel(i)
+          var j = 0
+          while (j < b.lens(i)) { push(i, b.vals(i)(j)); j += 1 }
+        }
+        i += 1
+      }
+      var l = 0
+      while (l < lens.length) { // compactLevel may append a new top level
+        if (lens(l) > cap) compactLevel(l)
+        l += 1
+      }
+    }
+
+    /** Gather every (value, 2^level) pair, sorted ascending by value. */
+    def summary(): (Array[Double], Array[Long]) = {
+      var total = 0
+      var i = 0
+      while (i < lens.length) { total += lens(i); i += 1 }
+      val vs = new Array[Double](total)
+      val ws = new Array[Long](total)
+      var w = 0
+      i = 0
+      while (i < lens.length) {
+        var j = 0
+        while (j < lens(i)) { vs(w) = vals(i)(j); ws(w) = 1L << i; w += 1; j += 1 }
+        i += 1
+      }
+      val idx = Array.range(0, total).sortBy(vs(_))
+      (idx.map(vs(_)), idx.map(ws(_)))
+    }
+  }
+
+  /** `pct_sketch(value)` — mergeable rank/quantile summary. Holds at most
+    * ~`cap`·log₂(n/cap) values; the shuffle carries summaries, never rows
+    * — the bounded-memory percentile path for CONTINUOUS value domains,
+    * where q7_scale's exact counts-table trick (which needs a bounded
+    * integral domain) does not apply, and where the builtin `percentile`'s
+    * value→count map is the suite's one OOM anchor.
+    *
+    * Exactness contract: below `cap` total rows per group nothing
+    * compacts, the summary is every input value at weight 1, and
+    * [[pctFromSketch]] reproduces `Percentile.getPercentile`'s doubles
+    * bit-for-bit — the oracle regime. Above it, rank error is bounded by
+    * the compaction count (ε ≈ 1.5·log₂(n/cap)/cap of n, spec-pinned
+    * empirically in SketchSpec at 100× saturation).
+    *
+    * Determinism contract: same as [[SpaceSavingTopK]] — compactions fire
+    * at merge-tree-dependent points, so above cap the summary (never the
+    * bound) can differ with partition layout; below cap the summary is the
+    * full multiset and any layout yields the same sorted output.
+    *
+    * Null semantics: the typed input is a primitive Double — feed only
+    * non-null values (filter at the query layer, q59's pattern); an empty
+    * group finishes to an empty summary and [[pctFromSketch]] returns
+    * null, matching the builtin's all-null-group row. */
+  final case class PctSketch(cap: Int) extends Aggregator[Double, PctBuf, PctSummary] {
+    require(cap >= 8, s"pct_sketch needs cap >= 8, got $cap")
+    def zero: PctBuf = new PctBuf(cap)
+    def reduce(b: PctBuf, v: Double): PctBuf = { b.add(v); b }
+    def merge(a: PctBuf, b: PctBuf): PctBuf = { a.mergeFrom(b); a }
+    def finish(b: PctBuf): PctSummary = {
+      val (vs, ws) = b.summary()
+      PctSummary(vs, ws)
+    }
+    def bufferEncoder: Encoder[PctBuf] = Encoders.kryo[PctBuf]
+    def outputEncoder: Encoder[PctSummary] = ExpressionEncoder[PctSummary]()
+  }
+
+  /** Interpolated quantile from a finished summary — Spark
+    * `Percentile.getPercentile`'s arithmetic generalized to weighted
+    * points: element j covers sorted 0-based ranks [C_{j−1}, C_j−1]
+    * (C = cumulative weight), pos = q·(W−1), and the result is
+    * (ceil−pos)·v(floor) + (pos−floor)·v(ceil) in the same double
+    * operation order. With unit weights (the lossless regime) C_j = j and
+    * this IS the builtin's formula — the q7/q7_scale hash-match argument.
+    * Shared by the batch UDF and the streaming processor so both agree
+    * bit-for-bit on the same summary. */
+  def pctFromSketch(vs: Array[Double], ws: Array[Long], q: Double): java.lang.Double = {
+    if (vs.length == 0) return null
+    var wTot = 0L
+    var i = 0
+    while (i < ws.length) { wTot += ws(i); i += 1 }
+    val pos = q * (wTot - 1).toDouble
+    val lower = math.floor(pos).toLong
+    val higher = math.ceil(pos).toLong
+    def at(r: Long): Double = {
+      var cum = 0L
+      var j = 0
+      while (j < ws.length) {
+        cum += ws(j)
+        if (cum > r) return vs(j)
+        j += 1
+      }
+      vs(vs.length - 1)
+    }
+    val lo = at(lower)
+    if (higher == lower) lo
+    else (higher - pos) * lo + (pos - lower) * at(higher)
+  }
+
+  /** Column twin of [[pctFromSketch]] for batch queries. A Scala UDF is
+    * acceptable here by the q58 argument: it runs on |groups|-cardinality
+    * summary rows post-aggregation, never on the corpus — the hot path
+    * (per-row buffer maintenance) stays in the typed aggregate. */
+  def pctCol(sketch: Column, q: Double): Column = {
+    val f = udf((vs: Seq[Double], ws: Seq[Long], qq: Double) =>
+      pctFromSketch(vs.toArray, ws.toArray, qq))
+    f(sketch.getField("vs"), sketch.getField("ws"), lit(q))
+  }
+
   /** String-keyed heavy hitter (n-gram / term frequencies). */
   final case class HeavyHitterStr(key: String, cnt: Long, err: Long)
 

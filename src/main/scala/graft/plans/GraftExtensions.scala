@@ -52,6 +52,7 @@ object GraftExtensions {
     * capacities build `udaf(KmvSketch(k))` directly. */
   val SqlSketchK = 16384
   val SqlTopKCap = 4096
+  val SqlPctCap = 65536
 
   /** Register every native function in an existing session's registry.
     *
@@ -76,5 +77,10 @@ object GraftExtensions {
       udaf(graft.functions.Sketches.SpaceSavingTopK(SqlTopKCap)))
     spark.udf.register("topk_freq_str",
       udaf(graft.functions.Sketches.SpaceSavingTopKStr(SqlTopKCap)))
+    spark.udf.register("pct_sketch",
+      udaf(graft.functions.Sketches.PctSketch(SqlPctCap)))
+    spark.udf.register("pct_from_sketch",
+      udf((vs: Seq[Double], ws: Seq[Long], q: Double) =>
+        graft.functions.Sketches.pctFromSketch(vs.toArray, ws.toArray, q)))
   }
 }

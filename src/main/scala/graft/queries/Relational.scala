@@ -1101,6 +1101,34 @@ object Relational {
           col("col.key").as("l_partkey"), col("col.cnt").as("cnt"),
           col("col.err").as("err"))
         .orderBy(col("l_returnflag"), col("rk"))
+    },
+    // MRL/KLL quantile sketch, per group: the THIRD member of the
+    // percentile family and the one that closes its scale matrix. q7
+    // (builtin) buffers a value→count map per aggregation buffer — the
+    // suite's one OOM anchor at sf10; q7_scale is exact and domain-bound
+    // but REQUIRES a bounded integral domain for its counts table; this
+    // sketch is bounded-memory (~cap·log₂(n/cap) values per buffer, the
+    // exchange carries summaries, never rows) on ANY value domain,
+    // continuous included. Below cap rows per group the summary is the
+    // full multiset and pctFromSketch replicates Percentile.getPercentile
+    // bit-for-bit — the oracle regime at verify SF (≈20k rows per flag,
+    // cap 65,536; SketchSpec pins the headroom and the saturated error
+    // bound). Same surface as q7 so the oracle SQL is q7's verbatim.
+    "q60_pct_sketch" -> { (s, d) =>
+      val cap = s.conf.get("spark.graft.sketch.pctCap", "65536").toInt
+      val pc = udaf(graft.functions.Sketches.PctSketch(cap))
+      Tables.lineitem(s, d)
+        .filter(col("l_partkey").isNotNull && col("l_linenumber").isNotNull)
+        .select(col("l_returnflag"),
+          col("l_partkey").cast("double").as("vp"),
+          col("l_linenumber").cast("double").as("vl"))
+        .groupBy(col("l_returnflag"))
+        .agg(pc(col("vp")).as("skp"), pc(col("vl")).as("skl"))
+        .select(col("l_returnflag"),
+          graft.functions.Sketches.pctCol(col("skp"), 0.5).as("p50"),
+          graft.functions.Sketches.pctCol(col("skp"), 0.9).as("p90"),
+          graft.functions.Sketches.pctCol(col("skl"), 0.25).as("q1_line"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -1385,6 +1413,14 @@ object Relational {
         |  FROM lineitem WHERE l_partkey IS NOT NULL
         |  GROUP BY 1, 2) t
         |WHERE rk <= 5 ORDER BY l_returnflag, rk""".stripMargin,
+    // The sketch runs lossless below pctCap at verify SF, so q7's exact
+    // oracle applies verbatim (the q57-vs-q2 split, for quantiles).
+    "q60_pct_sketch" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_partkey, 0.5) AS p50,
+        |  quantile_cont(l_partkey, 0.9) AS p90,
+        |  quantile_cont(l_linenumber, 0.25) AS q1_line
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb
         |FROM (SELECT * FROM part WHERE p_partkey <= 40) a

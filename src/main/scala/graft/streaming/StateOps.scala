@@ -346,6 +346,51 @@ class KmvDistinctProcessor[K](k: Int)
   }
 }
 
+/** Streaming quantiles with BOUNDED state — the MRL/KLL pct sketch
+  * (functions/Sketches.scala) as a `transformWithState` processor,
+  * [[KmvDistinctProcessor]]'s sibling for rank statistics. Per key, state
+  * is the finished summary (≤ cap·log₂(n/cap) weighted values); each
+  * micro-batch restores the compactor by weighted reinsertion (weights
+  * are powers of two, so every element re-enters exactly the level it
+  * left — a lossless round-trip), folds the batch's values in, and emits
+  * the requested quantiles over the WHOLE stream so far plus the exact
+  * running count. Contrast the exact alternative: computing a running
+  * median exactly needs every value ever seen in state (unbounded);
+  * this store is O(keys · cap·levels) at any stream length. Below cap
+  * the state IS the full multiset, so the streamed quantile equals the
+  * batch `percentile` bit-for-bit across any batch split (StreamingSpec);
+  * above it the KLL bound applies and batch boundaries act as merge-tree
+  * steps — the same determinism caveat as the MG summary, bounds hold,
+  * point values are layout-dependent. Estimation arithmetic is
+  * `Sketches.pctFromSketch`, shared with the batch column, so batch and
+  * stream agree on the same summary. */
+class PctQuantileProcessor[K](cap: Int, qs: Array[Double])
+    extends StatefulProcessor[K, (K, Double), (K, Array[Double], Long)] {
+
+  @transient private var state: ValueState[(Array[Double], Array[Long])] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Array[Double], Array[Long])]("pct",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Array[Long])](),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, Double)],
+      timerValues: TimerValues): Iterator[(K, Array[Double], Long)] = {
+    val buf = new graft.functions.Sketches.PctBuf(cap)
+    if (state.exists()) {
+      val (vs, ws) = state.get()
+      var i = 0
+      while (i < vs.length) { buf.addWeighted(vs(i), ws(i)); i += 1 }
+    }
+    rows.foreach { case (_, v) => buf.add(v) }
+    val (vs, ws) = buf.summary()
+    state.update((vs, ws))
+    Iterator((key,
+      qs.map(q => graft.functions.Sketches.pctFromSketch(vs, ws, q).doubleValue),
+      buf.n))
+  }
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

@@ -149,4 +149,74 @@ class SketchSpec extends SparkTestBase {
       .agg(max(col("c"))).collect()(0).getLong(0)
     assert(maxDistinct <= capConf, s"q59 would evict: $maxDistinct > $capConf")
   }
+
+  private val pcap = 512
+
+  private def pctAgg = udaf(Sketches.PctSketch(pcap))
+
+  test("pct_sketch: lossless below cap — bit-identical to the builtin percentile") {
+    // 400 values (< pcap) with duplicates and a fractional interpolation
+    // position; below capacity the summary is the full multiset, so the
+    // estimate must equal Spark's exact `percentile` DOUBLE-for-DOUBLE
+    // under any partition layout.
+    val base = spark.range(400).select((col("id") % 37 * 13 % 101).cast("double").as("v"))
+    val exact = base.agg(
+      expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"))
+      .collect()(0)
+    Seq(1, 13).foreach { p =>
+      val est = base.repartition(p).agg(pctAgg(col("v")).as("sk"))
+        .select(Sketches.pctCol(col("sk"), 0.25), Sketches.pctCol(col("sk"), 0.5),
+          Sketches.pctCol(col("sk"), 0.9))
+        .collect()(0)
+      (0 until 3).foreach { i =>
+        assert(est.getDouble(i) == exact.getDouble(i),
+          s"p=$p q#$i: ${est.getDouble(i)} != exact ${exact.getDouble(i)}")
+      }
+    }
+  }
+
+  test("pct_sketch: continuous (non-integral) domain stays exact below cap") {
+    // The regime q7_scale cannot serve: arbitrary doubles. Below cap the
+    // sketch is still the full multiset, so exactness is domain-free.
+    val base = spark.range(300)
+      .select((sin(col("id").cast("double")) * 1e6).as("v"))
+    val exact = base.agg(expr("percentile(v, 0.75)")).collect()(0).getDouble(0)
+    val est = base.repartition(7).agg(pctAgg(col("v")).as("sk"))
+      .select(Sketches.pctCol(col("sk"), 0.75)).collect()(0).getDouble(0)
+    assert(est == exact, s"$est != $exact")
+  }
+
+  test("pct_sketch: saturated rank error within bound, weight conserved") {
+    // 1M uniform values at cap 512 — ~2000× saturation, ~11 compactor
+    // levels. For uniform data value error ≈ rank error; the analytic
+    // envelope ε ≈ 1.5·log₂(n/cap)/cap ≈ 3.2% — assert 4%. Total weight
+    // must equal n exactly (compactions are weight-preserving by
+    // construction), which is what anchors rank positions at ANY size.
+    val n = 1000000L
+    val base = spark.range(n).select(col("id").cast("double").as("v"))
+    Seq(base, base.repartition(13)).foreach { df =>
+      val r = df.agg(pctAgg(col("v")).as("sk"))
+        .select(Sketches.pctCol(col("sk"), 0.1).as("p10"),
+          Sketches.pctCol(col("sk"), 0.5).as("p50"),
+          Sketches.pctCol(col("sk"), 0.9).as("p90"),
+          aggregate(col("sk.ws"), lit(0L), (acc, w) => acc + w).as("w"))
+        .collect()(0)
+      assert(r.getLong(3) == n, s"weight not conserved: ${r.getLong(3)} != $n")
+      Seq(0.1, 0.5, 0.9).zipWithIndex.foreach { case (q, i) =>
+        val relErr = math.abs(r.getDouble(i) - q * n) / n
+        assert(relErr < 0.04, s"q=$q est=${r.getDouble(i)} relErr=$relErr")
+      }
+    }
+  }
+
+  test("pct_sketch: q60 runs in the lossless regime at test SF") {
+    // The oracle contract: q7's exact SQL is only a valid oracle for q60
+    // while every group is below pctCap ROWS (raw count, not distinct —
+    // quantiles weight duplicates). Pin the headroom.
+    val capConf = spark.conf.get("spark.graft.sketch.pctCap", "65536").toInt
+    val maxRows = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxRows < capConf, s"q60 would compact: $maxRows >= $capConf")
+  }
 }

@@ -344,6 +344,69 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState pct: streaming quantiles match batch exactly below cap, bounded above") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDB {
+      // Lossless regime: per-flag partkey quantiles over lineitem, streamed
+      // in two arbitrary batches — the final emission per flag must equal
+      // the batch `percentile` doubles exactly (below cap the state is the
+      // full multiset, so batch boundaries cannot matter).
+      val li = Tables.lineitem(spark, sf)
+        .select(col("l_returnflag"), col("l_partkey").cast("double"), col("l_orderkey"))
+        .as[(String, Double, Long)].collect().toSeq
+      val stream = MemoryStream[(String, Double)]
+      stream.addData(li.filter(_._3 % 2 == 0).map(r => (r._1, r._2)): _*)
+      stream.addData(li.filter(_._3 % 2 == 1).map(r => (r._1, r._2)): _*)
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.PctQuantileProcessor[String](4096, Array(0.5, 0.9)),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("flag", "qs", "n")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("pct_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      // Update mode re-emits per batch; the row with the key's max running
+      // count is the final state.
+      val got = spark.sql(
+        """SELECT flag, qs[0], qs[1] FROM pct_out o
+          |WHERE n = (SELECT max(n) FROM pct_out i WHERE i.flag = o.flag)""".stripMargin)
+        .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+      val exact = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_partkey, 0.5)").as("p50"),
+          expr("percentile(l_partkey, 0.9)").as("p90"))
+        .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+      assert(got == exact, s"streamed $got != batch $exact")
+
+      // Bounded-state regime: 5,000 uniform values through cap=64 — the
+      // stored summary must stay ~cap·log₂(n/cap), total weight must equal
+      // the exact row count (compactions preserve weight), and the
+      // estimate must hold the KLL band.
+      val wide = MemoryStream[(String, Double)]
+      wide.addData((0 until 2500).map(i => ("k", i.toDouble)): _*)
+      wide.addData((2500 until 5000).map(i => ("k", i.toDouble)): _*)
+      val out2 = wide.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.PctQuantileProcessor[String](64, Array(0.5)),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q2 = out2.toDF("key", "qs", "n")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("pct_wide")
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(60000)
+      val last = spark.sql("SELECT qs[0], n FROM pct_wide ORDER BY n DESC LIMIT 1")
+        .collect()(0)
+      assert(last.getLong(1) == 5000L, s"running count must be exact, got ${last.getLong(1)}")
+      val relErr = math.abs(last.getDouble(0) - 2500.0) / 5000.0
+      assert(relErr < 0.1, s"saturated streaming p50 ${last.getDouble(0)} relErr=$relErr")
+    }
+  }
+
   test("transformWithState band index: streaming LSH candidates cover d3's verified pairs") {
     // The MinHash banding of d3/d10 as CONTINUOUS ingestion: docs arrive in
     // two waves; every band-bucket collision — within a wave or against

@@ -15,11 +15,13 @@
 # overflow, q46 broadcast death) were value-domain-dependent — invisible
 # to the sf0.01 hash. Run the same gate against the GenData corpus to
 # catch that class by hash instead of by probe:
-#   SPARK_GRAFT_CONF="spark.graft.sketch.k=2097152,spark.graft.sketch.topkCap=262144" \
+#   SPARK_GRAFT_CONF="spark.graft.sketch.k=2097152,spark.graft.sketch.topkCap=262144,spark.graft.sketch.pctCap=4194304" \
 #     tools/ci.sh spark-warehouse/sf1 target/ci-verify-sf1
 # The conf raises the sketch capacities past sf1's value domains
-# (1.11M distinct orderkeys/group, 200k partkeys/group) so the
-# lossless-below-capacity oracle contract keeps holding one decade up;
+# (1.11M distinct orderkeys/group, 200k partkeys/group, 2.0M raw
+# rows/group for the pct sketch — quantiles weight duplicates, so its
+# cap tracks COUNT, not distinct) so the lossless-below-capacity oracle
+# contract keeps holding one decade up;
 # Verify reads SPARK_GRAFT_CONF like BenchOne. Use SPARK_GRAFT_CPUS=16
 # for the sf1 run — 32 threads × the raised sketch buffers OOM a 24g
 # heap. Measured r11 (this box, 16 threads/32g): Verify 367 s + DuckDB
