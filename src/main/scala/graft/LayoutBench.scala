@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Layout-for-scale evidence for the z-order write (operators/ZOrder.scala):
+  * times a selective two-dimensional range scan over the SAME lineitem
+  * corpus in three layouts — the corpus's natural file order (generation
+  * order: clustered on orderkey, random in partkey), a single-dim sort on
+  * l_partkey, and the z-order on (l_partkey, l_orderkey) — and reports the
+  * wall-clock plus the rows the scan node actually produced BEFORE the
+  * post-scan filter (the data-skipping signal: parquet row-group/page
+  * pruning happens below the scan, so fewer scan-output rows = footers did
+  * the work).
+  *
+  * Not driver-run — `sbt "runMain graft.LayoutBench [sfDir]"`. The layout
+  * writes are one-off (reused across runs, keyed by sf tag under
+  * spark-warehouse/) — layout cost is reported once, scans min-of-3.
+  */
+object LayoutBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("spark-warehouse/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-layout-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    // Per-dim skip factor scales as nFiles^(1/k) for a k-dim z-order (vs
+    // nFiles^1 on a single-sorted dim, 1 on every other) — override to
+    // measure the law; a 1000-executor corpus has 10^4-10^6 files.
+    val nFiles = sys.env.get("SPARK_GRAFT_LAYOUT_FILES").map(_.toInt)
+      .getOrElse(math.max(32, spark.sparkContext.defaultParallelism))
+
+    def ensure(name: String)(write: String => Unit): String = {
+      val dir = new java.io.File(wh, s"graft_layout_${name}_${tag}_f$nFiles")
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        val t0 = System.nanoTime()
+        write(dir.getAbsolutePath)
+        println(f"[layoutbench] wrote $name in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      dir.getAbsolutePath
+    }
+    val plainDir = ensure("plain") { d =>
+      li.write.mode("overwrite").parquet(d) // natural generation order
+    }
+    val sortDir = ensure("psort") { d =>
+      li.repartitionByRange(nFiles, col("l_partkey"))
+        .sortWithinPartitions("l_partkey").write.mode("overwrite").parquet(d)
+    }
+    val zDir = ensure("zorder") { d =>
+      graft.operators.ZOrder.writeZOrdered(
+        li, d, Seq("l_partkey", "l_orderkey"), nFiles)
+    }
+
+    // ~1% slab on each dimension independently (selectivity compounds on
+    // the conjunction); bounds derived from the corpus so the same code
+    // works at every SF.
+    val (pLo, pHi, oLo, oHi) = {
+      val r = li.agg(max("l_partkey"), max("l_orderkey")).collect()(0)
+      val (pm, om) = (r.getLong(0), r.getLong(1))
+      (pm / 2, pm / 2 + pm / 100, om / 2, om / 2 + om / 100)
+    }
+
+    def scan(dir: String, pred: org.apache.spark.sql.Column): (Double, Long, Long) = {
+      var best = Double.MaxValue
+      var scanRows = 0L
+      var outRows = 0L
+      (1 to 3).foreach { _ =>
+        val df = spark.read.parquet(dir).filter(pred)
+          .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)")))
+        val t0 = System.nanoTime()
+        val out = df.collect()(0)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        outRows = out.getLong(0)
+        // AQE nests the real tree inside query-stage nodes whose children
+        // lists are empty — recurse through both wrappers to the scan.
+        def scanned(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanned(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scanned(q.plan)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+          case other => other.children.map(scanned).sum
+        }
+        scanRows = scanned(df.queryExecution.executedPlan)
+      }
+      (best, scanRows, outRows)
+    }
+
+    val preds = Seq(
+      "partkey-slab" -> (col("l_partkey").between(pLo, pHi)),
+      "orderkey-slab" -> (col("l_orderkey").between(oLo, oHi)),
+      "both-dims" -> (col("l_partkey").between(pLo, pHi)
+        && col("l_orderkey").between(oLo, oHi)))
+    Seq("plain" -> plainDir, "psort" -> sortDir, "zorder" -> zDir).foreach {
+      case (lname, dir) =>
+        preds.foreach { case (pname, pred) =>
+          val (sec, scanned, kept) = scan(dir, pred)
+          println(f"[layoutbench] $lname%-6s $pname%-13s ${sec}%6.2f s  " +
+            f"scan-out rows $scanned%,12d  kept $kept%,10d")
+        }
+    }
+    spark.stop()
+  }
+}

@@ -106,6 +106,78 @@ class FormatsSpec extends SparkTestBase {
     }
   }
 
+  test("z-order layout: file stat envelopes prune on BOTH dimensions") {
+    import scala.jdk.CollectionConverters._
+    // 64 files over a 512x512 (x, y) grid where y is a hash scramble of x
+    // (independent dims). A single-dim sort gives each file the FULL y
+    // domain (no pruning on y); the z-order write must give every file a
+    // narrow envelope on x AND y — the multi-dim data-skipping contract.
+    val n = 262144L
+    val base = spark.range(n).select(
+      (col("id") % 512).as("x"),
+      (col("id") * 2654435761L % 512).as("y"))
+    val dirX = java.nio.file.Files.createTempDirectory("graft-xsort").toString
+    val dirZ = java.nio.file.Files.createTempDirectory("graft-zord").toString
+    base.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(dirX)
+    graft.operators.ZOrder.writeZOrdered(base, dirZ, Seq("x", "y"), 64)
+
+    // round-trip: the layout must not change the data
+    val back = spark.read.parquet(dirZ)
+    assert(back.count() == n)
+    assert(back.agg(sum(col("x")), sum(col("y"))).collect()(0) ==
+      base.agg(sum(col("x")), sum(col("y"))).collect()(0))
+
+    /** Per parquet file: (min, max) of `column` from the footer blocks —
+      * the stats a reader consults before touching any page. */
+    def envelopes(dir: String, column: String): Seq[(Long, Long)] = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getPath), conf))
+          try {
+            val stats = rdr.getFooter.getBlocks.asScala
+              .map(_.getColumns.asScala.find(_.getPath.toDotString == column).get.getStatistics)
+            (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+              stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+          } finally rdr.close()
+        }
+    }
+    def hitFrac(env: Seq[(Long, Long)], lo: Long, hi: Long): Double =
+      env.count { case (mn, mx) => mx >= lo && mn <= hi }.toDouble / env.length
+
+    // x-sorted layout: prunes x, but every file spans the whole y domain
+    assert(hitFrac(envelopes(dirX, "x"), 100, 110) <= 0.35)
+    assert(hitFrac(envelopes(dirX, "y"), 100, 110) >= 0.9,
+      "control: single-dim sort must NOT prune the other dim")
+    // z-order layout: a ~2% slab on EITHER dim touches only the grid row/
+    // column of files that actually contain it (8x8 z-grid at 64 files)
+    val zx = hitFrac(envelopes(dirZ, "x"), 100, 110)
+    val zy = hitFrac(envelopes(dirZ, "y"), 100, 110)
+    assert(zx <= 0.35, s"z layout must prune on x, hit fraction $zx")
+    assert(zy <= 0.35, s"z layout must prune on y, hit fraction $zy")
+  }
+
+  test("z-order interleave: 3-dim bit-gather path is a valid Morton code") {
+    // The generic path must agree with a reference bit calculation.
+    val df = spark.range(64).select(
+      (col("id") % 4).as("a"), expr("id div 4 % 4").as("b"), expr("id div 16 % 4").as("c"))
+    val z = df.select(col("a"), col("b"), col("c"),
+      graft.operators.ZOrder.interleave(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .collect()
+    z.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = (0 until 2).map { bit =>
+        (((a >> bit) & 1L) << (bit * 3)) |
+          (((b >> bit) & 1L) << (bit * 3 + 1)) |
+          (((c >> bit) & 1L) << (bit * 3 + 2))
+      }.reduce(_ | _)
+      assert(r.getLong(3) == expect, s"($a,$b,$c): ${r.getLong(3)} != $expect")
+    }
+  }
+
   test("approx_count_distinct stays within HLL++ error bound") {
     // q6 is sketch-only (r8 — the embedded exact comparison column was the
     // 12.8×/decade cost at sf10); the exact side lives HERE, at spec scale.
