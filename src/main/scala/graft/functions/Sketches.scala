@@ -460,6 +460,40 @@ object Sketches {
     def outputEncoder: Encoder[PctSummary] = ExpressionEncoder[PctSummary]()
   }
 
+  /** WEIGHTED variant: each row carries an integer weight ≥ 0 (token
+    * counts, importance tallies), and the quantile is taken over the
+    * value repeated weight times — without materializing the repeats.
+    * The weight decomposes into its binary powers, each piece entering
+    * the compactor at its own level, so per-level uniformity (the
+    * invariant every compaction relies on) is preserved and total weight
+    * stays exact. Lossless regime: below `cap` ROWS per group no level
+    * can overflow (each level holds at most one piece per row), so the
+    * summary is the exact weighted multiset and [[pctFromSketch]] equals
+    * the replicated-percentile doubles bit-for-bit — q61's oracle states
+    * the same arithmetic in SQL over a cumulative-weight window. */
+  final case class PctSketchWeighted(cap: Int) extends Aggregator[(Double, Long), PctBuf, PctSummary] {
+    require(cap >= 8, s"pct_sketch_w needs cap >= 8, got $cap")
+    def zero: PctBuf = new PctBuf(cap)
+    def reduce(b: PctBuf, vw: (Double, Long)): PctBuf = {
+      val (v, w0) = vw
+      require(w0 >= 0L, s"pct_sketch_w weight must be >= 0, got $w0")
+      var w = w0
+      while (w != 0L) {
+        val bit = java.lang.Long.lowestOneBit(w)
+        b.addWeighted(v, bit)
+        w ^= bit
+      }
+      b
+    }
+    def merge(a: PctBuf, b: PctBuf): PctBuf = { a.mergeFrom(b); a }
+    def finish(b: PctBuf): PctSummary = {
+      val (vs, ws) = b.summary()
+      PctSummary(vs, ws)
+    }
+    def bufferEncoder: Encoder[PctBuf] = Encoders.kryo[PctBuf]
+    def outputEncoder: Encoder[PctSummary] = ExpressionEncoder[PctSummary]()
+  }
+
   /** Interpolated quantile from a finished summary — Spark
     * `Percentile.getPercentile`'s arithmetic generalized to weighted
     * points: element j covers sorted 0-based ranks [C_{j−1}, C_j−1]

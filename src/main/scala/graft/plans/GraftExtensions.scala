@@ -79,6 +79,8 @@ object GraftExtensions {
       udaf(graft.functions.Sketches.SpaceSavingTopKStr(SqlTopKCap)))
     spark.udf.register("pct_sketch",
       udaf(graft.functions.Sketches.PctSketch(SqlPctCap)))
+    spark.udf.register("pct_sketch_w",
+      udaf(graft.functions.Sketches.PctSketchWeighted(SqlPctCap)))
     spark.udf.register("pct_from_sketch",
       udf((vs: Seq[Double], ws: Seq[Long], q: Double) =>
         graft.functions.Sketches.pctFromSketch(vs.toArray, ws.toArray, q)))

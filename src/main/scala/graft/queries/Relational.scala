@@ -1129,6 +1129,31 @@ object Relational {
           graft.functions.Sketches.pctCol(col("skp"), 0.9).as("p90"),
           graft.functions.Sketches.pctCol(col("skl"), 0.25).as("q1_line"))
         .orderBy(col("l_returnflag"))
+    },
+    // WEIGHTED quantiles from the same compactor (PctSketchWeighted):
+    // quantity-weighted price percentiles per flag — the "median doc
+    // length weighted by token count" shape every mixture report needs,
+    // computed WITHOUT materializing the repeats (weights decompose into
+    // binary powers, each entering the compactor at its own level; a
+    // replicated multiset of Σw rows never exists anywhere). No engine
+    // has a built-in weighted interpolated quantile, so the oracle SQL
+    // states the estimator's own arithmetic over a cumulative-weight
+    // window — exact below cap ROWS per group (each level holds at most
+    // one piece per row), so the hash gate applies at verify SF.
+    "q61_weighted_pct" -> { (s, d) =>
+      val cap = s.conf.get("spark.graft.sketch.pctCap", "65536").toInt
+      val pc = udaf(graft.functions.Sketches.PctSketchWeighted(cap))
+      Tables.lineitem(s, d)
+        .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("v"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("l_returnflag"))
+        .agg(pc(col("v"), col("w")).as("sk"))
+        .select(col("l_returnflag"),
+          graft.functions.Sketches.pctCol(col("sk"), 0.5).as("wp50"),
+          graft.functions.Sketches.pctCol(col("sk"), 0.9).as("wp90"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -1421,6 +1446,41 @@ object Relational {
         |  quantile_cont(l_partkey, 0.9) AS p90,
         |  quantile_cont(l_linenumber, 0.25) AS q1_line
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // No engine has a weighted interpolated quantile builtin, so the
+    // oracle states the estimator's arithmetic itself: cumulative-weight
+    // window, rank probes at floor/ceil of q·(W−1), the same
+    // (ceil−pos)·lo + (pos−floor)·hi combination in the same operation
+    // order (window sums CAST to BIGINT per the HUGEINT rule).
+    "q61_weighted_pct" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag) AS BIGINT) AS wt
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |p AS (
+        |  SELECT flag, v, cum,
+        |    0.5 * CAST(wt - 1 AS DOUBLE) AS pos50,
+        |    0.9 * CAST(wt - 1 AS DOUBLE) AS pos90
+        |  FROM c),
+        |a AS (
+        |  SELECT flag, max(pos50) AS pos50, max(pos90) AS pos90,
+        |    min(CASE WHEN CAST(cum AS DOUBLE) > floor(pos50) THEN v END) AS lo50,
+        |    min(CASE WHEN CAST(cum AS DOUBLE) > ceil(pos50) THEN v END) AS hi50,
+        |    min(CASE WHEN CAST(cum AS DOUBLE) > floor(pos90) THEN v END) AS lo90,
+        |    min(CASE WHEN CAST(cum AS DOUBLE) > ceil(pos90) THEN v END) AS hi90
+        |  FROM p GROUP BY 1)
+        |SELECT flag AS l_returnflag,
+        |  CASE WHEN floor(pos50) = ceil(pos50) THEN lo50
+        |       ELSE (ceil(pos50) - pos50) * lo50 + (pos50 - floor(pos50)) * hi50
+        |  END AS wp50,
+        |  CASE WHEN floor(pos90) = ceil(pos90) THEN lo90
+        |       ELSE (ceil(pos90) - pos90) * lo90 + (pos90 - floor(pos90)) * hi90
+        |  END AS wp90
+        |FROM a ORDER BY 1""".stripMargin,
     "q17_theta_join" ->
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb
         |FROM (SELECT * FROM part WHERE p_partkey <= 40) a

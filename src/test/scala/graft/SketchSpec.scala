@@ -209,10 +209,47 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
-  test("pct_sketch: q60 runs in the lossless regime at test SF") {
-    // The oracle contract: q7's exact SQL is only a valid oracle for q60
-    // while every group is below pctCap ROWS (raw count, not distinct —
-    // quantiles weight duplicates). Pin the headroom.
+  test("pct_sketch_w: weighted quantile equals percentile over replicated rows") {
+    // The weighted aggregate must produce EXACTLY what the unweighted
+    // builtin produces over the materialized repeats — without ever
+    // building them. 500 rows, weights 1..7, below cap: lossless.
+    val base = spark.range(500).select(
+      (col("id") % 97).cast("double").as("v"), (col("id") % 7 + 1).as("w"))
+    val exact = base
+      .select(col("v"), explode(sequence(lit(1), col("w"))))
+      .agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"))
+      .collect()(0)
+    val est = base.repartition(11)
+      .agg(udaf(Sketches.PctSketchWeighted(4096)).apply(col("v"), col("w")).as("sk"))
+      .select(Sketches.pctCol(col("sk"), 0.5), Sketches.pctCol(col("sk"), 0.9))
+      .collect()(0)
+    assert(est.getDouble(0) == exact.getDouble(0), s"$est vs $exact")
+    assert(est.getDouble(1) == exact.getDouble(1), s"$est vs $exact")
+  }
+
+  test("pct_sketch_w: saturated weighted regime conserves total weight") {
+    // 200k rows at cap 512 with weights 1..15 — far past capacity. The
+    // summary's total weight must equal sigma(w) exactly and the median of
+    // uniform values (weights independent of v) must hold the KLL band.
+    val base = spark.range(200000).select(
+      col("id").cast("double").as("v"), (col("id") % 15 + 1).as("w"))
+    val wTot = 200000L / 15 * (1 to 15).sum + (1 to (200000 % 15).toInt).sum
+    val r = base.repartition(13)
+      .agg(udaf(Sketches.PctSketchWeighted(pcap)).apply(col("v"), col("w")).as("sk"))
+      .select(Sketches.pctCol(col("sk"), 0.5).as("p50"),
+        aggregate(col("sk.ws"), lit(0L), (acc, x) => acc + x).as("wsum"))
+      .collect()(0)
+    assert(r.getLong(1) == wTot, s"weight not conserved: ${r.getLong(1)} != $wTot")
+    val relErr = math.abs(r.getDouble(0) - 100000.0) / 200000.0
+    assert(relErr < 0.04, s"weighted p50 ${r.getDouble(0)} relErr=$relErr")
+  }
+
+  test("pct_sketch: q60/q61 run in the lossless regime at test SF") {
+    // The oracle contract: the exact SQL is only a valid oracle for
+    // q60/q61 while every group is below pctCap ROWS (raw count, not
+    // distinct — quantiles weight duplicates; q61's weighted pieces add
+    // at most one entry per level per ROW, so the same row bound covers
+    // it at any weight magnitude). Pin the headroom.
     val capConf = spark.conf.get("spark.graft.sketch.pctCap", "65536").toInt
     val maxRows = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag")).count()
