@@ -678,10 +678,12 @@ class PlanSpec extends SparkTestBase {
     // partition per group cross the wire), final aggregate above, hashing
     // codegen'd in the scan-side project — never a row-level distinct
     // exchange (q2's Expand wall) or a sort-based fallback.
-    for (q <- Seq("q57_kmv_distinct", "q59_heavy_hitters", "t8_scale")) {
+    for (q <- Seq("q57_kmv_distinct", "q59_heavy_hitters", "t8_scale",
+        "q60_pct_sketch", "q61_weighted_pct")) {
       val plan = planOf(q)
       assert(plan.toLowerCase.contains("partial_kmvsketch") ||
-          plan.toLowerCase.contains("partial_spacesavingtopk"),
+          plan.toLowerCase.contains("partial_spacesavingtopk") ||
+          plan.toLowerCase.contains("partial_pctsketch"),
         s"$q: sketch must aggregate partially below the exchange\n" + plan.take(1500))
       assert("\\(\\d+\\) ObjectHashAggregate".r.findAllIn(plan).size == 2,
         s"$q: expected partial+final ObjectHashAggregate pair\n" + plan.take(1500))

@@ -103,6 +103,90 @@ class SketchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pct buffer: exact below cap for any merge tree; weight conserved and rank-bounded above") {
+    val pctGen: Gen[(Int, List[Double], Int, Double)] = for {
+      cap <- Gen.choose(8, 96)
+      len <- Gen.choose(0, 800)
+      // small domain => heavy duplication; negatives exercise sort order
+      vals <- Gen.listOfN(len, Gen.choose(-100, 100).map(_.toDouble))
+      splits <- Gen.choose(1, 8)
+      q <- Gen.oneOf(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    } yield (cap, vals, splits, q)
+    forAll(pctGen) { case (cap, vals, splits, q) =>
+      val agg = Sketches.PctSketch(cap)
+      def runOne(vs: Seq[Double]) = vs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+      val parts = (0 until splits).map(s =>
+        runOne(vals.zipWithIndex.collect { case (v, i) if i % splits == s => v }))
+      val sm = agg.finish(parts.reduceLeft(agg.merge))
+      val n = vals.size.toLong
+      // Weight conservation is the anchor invariant: compactions and the
+      // odd-leftover rule must preserve total weight under ANY merge tree.
+      assert(sm.ws.sum == n, s"weight not conserved: ${sm.ws.sum} != $n")
+      assert(sm.vs.sorted.toSeq == sm.vs.toSeq, "summary must be value-sorted")
+      val est = Sketches.pctFromSketch(sm.vs, sm.ws, q)
+      if (n == 0) assert(est == null, "empty sketch must estimate null")
+      else {
+        val sorted = vals.sorted
+        if (n <= cap) {
+          // Lossless regime: the builtin interpolation on the multiset,
+          // double-for-double (parts never compacted — level 0 holds all).
+          val pos = q * (n - 1).toDouble
+          val (lo, hi) = (math.floor(pos).toLong, math.ceil(pos).toLong)
+          val expect = if (lo == hi) sorted(lo.toInt)
+            else (hi - pos) * sorted(lo.toInt) + (pos - lo) * sorted(hi.toInt)
+          assert(est.doubleValue == expect, s"lossless mismatch: $est != $expect (q=$q)")
+        } else {
+          // Saturated regime: the estimate's plausible-rank window
+          // [#strictly-below, #at-or-below] must sit within eps*n of the
+          // target rank, eps from the per-level compaction count (the
+          // alternating offset keeps the constant small; 3 is generous
+          // but non-vacuous at these sizes).
+          val below = sorted.count(_ < est.doubleValue).toLong
+          val atOrBelow = sorted.count(_ <= est.doubleValue).toLong
+          val target = q * (n - 1)
+          val levels = math.max(1, math.ceil(math.log(n.toDouble / cap) / math.log(2)).toInt)
+          val eps = math.min(0.5, 3.0 * levels / cap)
+          assert(below - eps * n <= target && target <= atOrBelow + eps * n,
+            s"rank window [$below, $atOrBelow] vs target $target " +
+              s"(n=$n cap=$cap eps=$eps q=$q)")
+        }
+      }
+    }
+  }
+
+  test("weighted pct buffer: equals the replicated multiset exactly below cap rows") {
+    val wGen: Gen[(List[(Double, Long)], Int, Double)] = for {
+      len <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(len, for {
+        v <- Gen.choose(-40, 40).map(_.toDouble)
+        w <- Gen.choose(0L, 21L) // includes zero weights and multi-bit weights
+      } yield (v, w))
+      splits <- Gen.choose(1, 5)
+      q <- Gen.oneOf(0.0, 0.3, 0.5, 0.9, 1.0)
+    } yield (rows, splits, q)
+    forAll(wGen) { case (rows, splits, q) =>
+      val agg = Sketches.PctSketchWeighted(256) // 60 rows << cap: lossless
+      def runOne(rs: Seq[(Double, Long)]) =
+        rs.foldLeft(agg.zero)((b, r) => agg.reduce(b, r))
+      val parts = (0 until splits).map(s =>
+        runOne(rows.zipWithIndex.collect { case (r, i) if i % splits == s => r }))
+      val sm = agg.finish(parts.reduceLeft(agg.merge))
+      val wTot = rows.map(_._2).sum
+      assert(sm.ws.sum == wTot, s"weight not conserved: ${sm.ws.sum} != $wTot")
+      val est = Sketches.pctFromSketch(sm.vs, sm.ws, q)
+      val replicated = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+      if (replicated.isEmpty) assert(est == null)
+      else {
+        val pos = q * (replicated.size - 1).toDouble
+        val (lo, hi) = (math.floor(pos).toLong, math.ceil(pos).toLong)
+        val expect = if (lo == hi) replicated(lo.toInt)
+          else (hi - pos) * replicated(lo.toInt) + (pos - lo) * replicated(hi.toInt)
+        assert(est.doubleValue == expect,
+          s"weighted != replicated: $est vs $expect (q=$q, W=$wTot)")
+      }
+    }
+  }
+
   test("string mg buffer: exactness below cap on random words") {
     val wordsGen = for {
       len <- Gen.choose(0, 200)
