@@ -405,22 +405,51 @@ object Sketches {
       }
     }
 
-    /** Gather every (value, 2^level) pair, sorted ascending by value. */
+    /** Gather every (value, 2^level) pair, sorted ascending by value.
+      * Primitive throughout (no boxed index sort): each level gets one
+      * `Arrays.sort` and the sorted runs merge by cursor scan. The hot
+      * case is the LOSSLESS gate regime — one level, millions of raw
+      * values per group at the sf1 capacities — which reduces to a single
+      * primitive sort and a copy; the multi-level (saturated) case holds
+      * ≤ cap·levels values, small by construction. */
     def summary(): (Array[Double], Array[Long]) = {
       var total = 0
+      var live = 0
       var i = 0
-      while (i < lens.length) { total += lens(i); i += 1 }
-      val vs = new Array[Double](total)
-      val ws = new Array[Long](total)
-      var w = 0
-      i = 0
       while (i < lens.length) {
-        var j = 0
-        while (j < lens(i)) { vs(w) = vals(i)(j); ws(w) = 1L << i; w += 1; j += 1 }
+        if (lens(i) > 0) { total += lens(i); live += 1 }
         i += 1
       }
-      val idx = Array.range(0, total).sortBy(vs(_))
-      (idx.map(vs(_)), idx.map(ws(_)))
+      val vs = new Array[Double](total)
+      val ws = new Array[Long](total)
+      i = 0
+      while (i < lens.length) {
+        if (lens(i) > 0) java.util.Arrays.sort(vals(i), 0, lens(i))
+        i += 1
+      }
+      if (live == 1) {
+        i = 0
+        while (lens(i) == 0) i += 1
+        System.arraycopy(vals(i), 0, vs, 0, lens(i))
+        java.util.Arrays.fill(ws, 1L << i)
+      } else if (live > 1) {
+        val cursor = new Array[Int](lens.length)
+        var w = 0
+        while (w < total) {
+          var best = -1
+          var l = 0
+          while (l < lens.length) {
+            if (cursor(l) < lens(l) &&
+                (best == -1 || vals(l)(cursor(l)) < vals(best)(cursor(best)))) best = l
+            l += 1
+          }
+          vs(w) = vals(best)(cursor(best))
+          ws(w) = 1L << best
+          cursor(best) += 1
+          w += 1
+        }
+      }
+      (vs, ws)
     }
   }
 
@@ -443,14 +472,21 @@ object Sketches {
     * bound) can differ with partition layout; below cap the summary is the
     * full multiset and any layout yields the same sorted output.
     *
-    * Null semantics: the typed input is a primitive Double — feed only
-    * non-null values (filter at the query layer, q59's pattern); an empty
-    * group finishes to an empty summary and [[pctFromSketch]] returns
-    * null, matching the builtin's all-null-group row. */
-  final case class PctSketch(cap: Int) extends Aggregator[Double, PctBuf, PctSummary] {
+    * Null semantics match the builtin `percentile`: the input is a BOXED
+    * Double and `reduce` skips nulls, so a null value stays out of the
+    * ranks while its GROUP still emits a row — an all-null group finishes
+    * to an empty summary and [[pctFromSketch]] returns null, exactly the
+    * builtin's row for such a group (the r8 bug class q7_scale documents:
+    * a query-layer joint filter would instead drop rows from the OTHER
+    * column's sketch and lose all-null groups entirely). The one box per
+    * row is the price of one-scan null fidelity. */
+  final case class PctSketch(cap: Int) extends Aggregator[java.lang.Double, PctBuf, PctSummary] {
     require(cap >= 8, s"pct_sketch needs cap >= 8, got $cap")
     def zero: PctBuf = new PctBuf(cap)
-    def reduce(b: PctBuf, v: Double): PctBuf = { b.add(v); b }
+    def reduce(b: PctBuf, v: java.lang.Double): PctBuf = {
+      if (v != null) b.add(v.doubleValue)
+      b
+    }
     def merge(a: PctBuf, b: PctBuf): PctBuf = { a.mergeFrom(b); a }
     def finish(b: PctBuf): PctSummary = {
       val (vs, ws) = b.summary()
@@ -526,15 +562,21 @@ object Sketches {
     else (higher - pos) * lo + (pos - lower) * at(higher)
   }
 
-  /** Column twin of [[pctFromSketch]] for batch queries. A Scala UDF is
+  /** The one shared UDF over [[pctFromSketch]] — used by both [[pctCol]]
+    * and the SQL registration so the batch column and the SQL surface can
+    * never drift apart. Null-safe: a null sketch (e.g. from an outer join
+    * against a group with no summary) estimates null. A Scala UDF is
     * acceptable here by the q58 argument: it runs on |groups|-cardinality
     * summary rows post-aggregation, never on the corpus — the hot path
     * (per-row buffer maintenance) stays in the typed aggregate. */
-  def pctCol(sketch: Column, q: Double): Column = {
-    val f = udf((vs: Seq[Double], ws: Seq[Long], qq: Double) =>
-      pctFromSketch(vs.toArray, ws.toArray, qq))
-    f(sketch.getField("vs"), sketch.getField("ws"), lit(q))
-  }
+  val pctFromSketchUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((vs: Seq[Double], ws: Seq[Long], qq: Double) =>
+      if (vs == null || ws == null) null
+      else pctFromSketch(vs.toArray, ws.toArray, qq))
+
+  /** Column twin of [[pctFromSketch]] for batch queries. */
+  def pctCol(sketch: Column, q: Double): Column =
+    pctFromSketchUdf(sketch.getField("vs"), sketch.getField("ws"), lit(q))
 
   /** String-keyed heavy hitter (n-gram / term frequencies). */
   final case class HeavyHitterStr(key: String, cnt: Long, err: Long)

@@ -75,18 +75,26 @@ object ZOrder {
     }
   }
 
-  /** Append a z-value column over `dims` (numeric or date/timestamp —
-    * anything castable to double with a meaningful order), each min-max
-    * scaled to `bits` unsigned bits. The per-dim min/max come from ONE
+  /** Append a z-value column over `dims` (numeric columns — for dates or
+    * timestamps pre-project an epoch number, e.g. `unix_date`/
+    * `unix_micros`; ANSI mode rejects a direct date→double cast), each
+    * min-max scaled to `bits` unsigned bits. The per-dim min/max come from ONE
     * aggregate pass whose 2k scalars fold into plan literals — cheaper
     * than any per-row window, and the scan that computes them is the
     * same corpus pass the layout job must make anyway. */
   def withZValue(df: DataFrame, dims: Seq[String], bits: Int = 16,
       out: String = "__z"): DataFrame = {
     require(dims.nonEmpty)
+    // Stats over FINITE values only: one NaN in max() would make mx NaN,
+    // zero the scale, and silently collapse the whole dimension's codes
+    // to 0 — a layout job that "succeeds" while destroying that dim's
+    // data skipping. Non-finite and null rows instead route to code 0
+    // per-row (nulls-first in the curve) without touching the scale.
+    def finite(c: Column): Column =
+      when(!isnan(c) && abs(c) < lit(Double.PositiveInfinity), c)
     val aggs = dims.zipWithIndex.flatMap { case (d, i) =>
-      Seq(min(col(d).cast("double")).as(s"mn$i"),
-        max(col(d).cast("double")).as(s"mx$i"))
+      Seq(min(finite(col(d).cast("double"))).as(s"mn$i"),
+        max(finite(col(d).cast("double"))).as(s"mx$i"))
     }
     val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val maxCode = (1L << bits) - 1
@@ -94,10 +102,13 @@ object ZOrder {
       val mn = Option(stats.getAs[java.lang.Double](s"mn$i")).map(_.toDouble).getOrElse(0.0)
       val mx = Option(stats.getAs[java.lang.Double](s"mx$i")).map(_.toDouble).getOrElse(0.0)
       val scale = if (mx > mn) maxCode.toDouble / (mx - mn) else 0.0
-      // clamp: rows exactly at mx land on maxCode, degenerate dims on 0
-      coalesce(least(
-        ((col(d).cast("double") - lit(mn)) * lit(scale)).cast("long"),
-        lit(maxCode)), lit(0L))
+      // clamp into [0, maxCode]: rows at mx land on maxCode; values the
+      // finite stats never saw (a non-finite straggler) cannot produce a
+      // negative or oversized code that would corrupt the interleave
+      val vd = finite(col(d).cast("double"))
+      coalesce(
+        greatest(lit(0L), least(((vd - lit(mn)) * lit(scale)).cast("long"), lit(maxCode))),
+        lit(0L))
     }
     df.withColumn(out, interleave(codes, bits))
   }

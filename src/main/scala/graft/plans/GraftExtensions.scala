@@ -82,7 +82,6 @@ object GraftExtensions {
     spark.udf.register("pct_sketch_w",
       udaf(graft.functions.Sketches.PctSketchWeighted(SqlPctCap)))
     spark.udf.register("pct_from_sketch",
-      udf((vs: Seq[Double], ws: Seq[Long], q: Double) =>
-        graft.functions.Sketches.pctFromSketch(vs.toArray, ws.toArray, q)))
+      graft.functions.Sketches.pctFromSketchUdf)
   }
 }

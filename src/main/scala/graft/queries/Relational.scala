@@ -1117,8 +1117,12 @@ object Relational {
     "q60_pct_sketch" -> { (s, d) =>
       val cap = s.conf.get("spark.graft.sketch.pctCap", "65536").toInt
       val pc = udaf(graft.functions.Sketches.PctSketch(cap))
+      // No null filter: the aggregate itself skips null VALUES per column
+      // (boxed input), matching the builtin's per-column null-ignoring
+      // semantics and the filter-free oracle — a joint query-layer filter
+      // would drop a row from BOTH sketches when only one column is null
+      // and lose all-null groups entirely (the r8 q7_scale bug class).
       Tables.lineitem(s, d)
-        .filter(col("l_partkey").isNotNull && col("l_linenumber").isNotNull)
         .select(col("l_returnflag"),
           col("l_partkey").cast("double").as("vp"),
           col("l_linenumber").cast("double").as("vl"))
@@ -1450,14 +1454,18 @@ object Relational {
     // oracle states the estimator's arithmetic itself: cumulative-weight
     // window, rank probes at floor/ceil of q·(W−1), the same
     // (ceil−pos)·lo + (pos−floor)·hi combination in the same operation
-    // order (window sums CAST to BIGINT per the HUGEINT rule).
+    // order (window sums CAST to BIGINT per the HUGEINT rule). Weight
+    // conversion is trunc-toward-zero on BOTH sides: Spark's double→long
+    // cast truncates, while DuckDB's bare CAST rounds-to-nearest — the
+    // explicit trunc() pins the engines to the same integer on any
+    // fractional quantity.
     "q61_weighted_pct" ->
       """WITH c AS (
         |  SELECT l_returnflag AS flag, l_extendedprice AS v,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |    CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) OVER (
         |      PARTITION BY l_returnflag ORDER BY l_extendedprice
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+        |    CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) OVER (
         |      PARTITION BY l_returnflag) AS BIGINT) AS wt
         |  FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),

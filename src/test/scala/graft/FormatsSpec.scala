@@ -160,6 +160,35 @@ class FormatsSpec extends SparkTestBase {
     assert(zy <= 0.35, s"z layout must prune on y, hit fraction $zy")
   }
 
+  test("z-order: non-finite and null values do not collapse a dimension's codes") {
+    // One NaN in a dim would make max() NaN and zero the scale, silently
+    // flattening EVERY row's code on that dim. The stats must ignore
+    // non-finite values: clean rows keep identical z-values with or
+    // without dirty rows present, and the dirty rows land on valid
+    // (non-negative, in-range) codes instead of corrupting the interleave.
+    val spark0 = spark
+    import spark0.implicits._
+    val clean = spark.range(4096).select(col("id"),
+      (col("id") % 64).cast("double").as("x"),
+      (col("id") * 2654435761L % 64).cast("double").as("y"))
+    val dirty = Seq[(Long, java.lang.Double, java.lang.Double)](
+      (100000L, Double.NaN, 1.0),
+      (100001L, Double.PositiveInfinity, 2.0),
+      (100002L, 3.0, Double.NegativeInfinity),
+      (100003L, null, 5.0)).toDF("id", "x", "y")
+    val a = graft.operators.ZOrder.withZValue(clean, Seq("x", "y"), 8)
+      .select(col("id"), col("__z").as("za"))
+    val b = graft.operators.ZOrder.withZValue(clean.unionByName(dirty), Seq("x", "y"), 8)
+      .select(col("id"), col("__z").as("zb"))
+    assert(a.join(b, "id").filter(col("za") =!= col("zb")).count() == 0,
+      "dirty rows must not change clean rows' z-values")
+    val maxZ = (1L << 16) - 1 // 2 dims x 8 bits
+    b.filter(col("id") >= 100000L).collect().foreach { r =>
+      val z = r.getLong(1)
+      assert(z >= 0 && z <= maxZ, s"dirty row ${r.getLong(0)} got invalid z $z")
+    }
+  }
+
   test("z-order interleave: 3-dim bit-gather path is a valid Morton code") {
     // The generic path must agree with a reference bit calculation.
     val df = spark.range(64).select(

@@ -244,6 +244,22 @@ class SketchSpec extends SparkTestBase {
     assert(relErr < 0.04, s"weighted p50 ${r.getDouble(0)} relErr=$relErr")
   }
 
+  test("pct_sketch: nulls ignored per value, all-null groups emit null — builtin parity") {
+    // Group "a" has values with interleaved nulls, group "b" is all-null.
+    // The aggregate must reproduce the builtin EXACTLY: null values stay
+    // out of the ranks, but both groups emit a row ("b" with null) — the
+    // semantics a query-layer joint filter would silently break.
+    val df = spark.range(100).select(
+      when(col("id") % 2 === 0, lit("a")).otherwise(lit("b")).as("g"),
+      when(col("id") % 2 === 0 && col("id") % 10 =!= 0, col("id").cast("double")).as("v"))
+    val exact = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("p"))
+      .orderBy("g").collect().map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    val est = df.groupBy("g").agg(pctAgg(col("v")).as("sk"))
+      .select(col("g"), Sketches.pctCol(col("sk"), 0.5).as("p"))
+      .orderBy("g").collect().map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    assert(est == exact, s"null semantics diverged: $est vs $exact")
+  }
+
   test("pct_sketch: q60/q61 run in the lossless regime at test SF") {
     // The oracle contract: the exact SQL is only a valid oracle for
     // q60/q61 while every group is below pctCap ROWS (raw count, not
