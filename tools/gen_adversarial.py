@@ -13,6 +13,13 @@ Usage: python3 tools/gen_adversarial.py <src_sf_dir> <dst_dir>
 
 Then:  sbt "runMain graft.Verify <dst_dir> /tmp/adv_out d,t,s,mm"
        python3 tools/check_oracle.py /tmp/adv_out <dst_dir>
+
+r11-continued adds lineitem rows (nulls per column, an all-null group,
+fractional quantities) targeting the percentile family's null and
+weight-conversion contracts: `Verify <dst> /tmp/adv_out q60,q61,q7`
+passes 4/4 with the all-null group emitting null percentiles on both
+engines — the audit that would have caught the two latent divergences
+the r11 review found before they were fixed.
 """
 import shutil
 import sys
@@ -111,7 +118,7 @@ def events_rows():
         (100014, ts(5, 0, 11, 0), 999999, "ghost_type", 7.0, '{"k": 12}'),  # unseen type
         (100015, ts(5, 0, 11, 1), 999999, "ghost_type", 7.0, '{"k": 12}'),  # ghost peer
         (None, ts(5, 0, 12, 0), 14, "click", 8.0, '{"k": 13}'),         # null event_id
-        (100017, ts(5, 0, 13, 123456), 14, "click", 0.0, '{"k": 14}'),  # zero value
+        (100017, ts(5, 0, 13, 0, 123456), 14, "click", 0.0, '{"k": 14}'),  # zero value
     ]
 
 
@@ -159,9 +166,48 @@ def main(src, dst):
         }
     )
     pq.write_table(t, dst / "events.parquet")
+
+    # lineitem adversarial rows (r11-continued): the quantile family's null
+    # semantics (q7/q60: null VALUES leave the ranks but the group still
+    # emits; all-null groups emit null percentiles) and q61's
+    # trunc-toward-zero weight contract on FRACTIONAL quantities were both
+    # invisible on the uniformly clean corpus — this is the domain where
+    # the r11 review found two latent oracle divergences. Orderkeys from
+    # 10_000_000 keep keys unique; flag "Z" forms an all-null group.
+    base_li = con.execute(
+        f"SELECT * FROM '{src}/lineitem.parquet' ORDER BY l_orderkey, l_linenumber"
+    ).fetchall()
+    ts0 = base_li[0][10]
+    lis = base_li + [
+        # (okey, pkey, skey, lineno, qty, price, disc, tax, flag, status, ts)
+        (10000000, None, 1, 1, 2.0, 100.0, 0.0, 0.0, "A", "O", ts0),   # null partkey only
+        (10000001, 5, 1, None, 3.0, 200.0, 0.0, 0.0, "A", "O", ts0),   # null linenumber only
+        (10000002, None, 1, None, 1.0, 300.0, 0.0, 0.0, "N", "O", ts0),  # both null
+        (10000003, 7, 1, 2, 2.7, 400.0, 0.0, 0.0, "R", "F", ts0),      # fractional qty (trunc=2)
+        (10000004, 8, 1, 3, 0.7, 500.0, 0.0, 0.0, "R", "F", ts0),      # qty truncs to 0 (no weight)
+        (10000005, 9, 1, 4, None, 600.0, 0.0, 0.0, "N", "O", ts0),     # null qty
+        (10000006, 10, 1, 5, 4.0, None, 0.0, 0.0, "N", "O", ts0),      # null price
+        (10000007, None, 1, None, None, None, None, None, "Z", "O", ts0),  # all-null group
+    ]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in lis], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in lis], pa.int64()),
+            "l_suppkey": pa.array([r[2] for r in lis], pa.int64()),
+            "l_linenumber": pa.array([r[3] for r in lis], pa.int32()),
+            "l_quantity": pa.array([r[4] for r in lis], pa.float64()),
+            "l_extendedprice": pa.array([r[5] for r in lis], pa.float64()),
+            "l_discount": pa.array([r[6] for r in lis], pa.float64()),
+            "l_tax": pa.array([r[7] for r in lis], pa.float64()),
+            "l_returnflag": pa.array([r[8] for r in lis], pa.string()),
+            "l_linestatus": pa.array([r[9] for r in lis], pa.string()),
+            "l_shipdate": pa.array([r[10] for r in lis], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, dst / "lineitem.parquet")
     print(
         f"wrote {dst}: documents {len(docs)} rows, embeddings {len(embs)} rows, "
-        f"events {len(evs)} rows"
+        f"events {len(evs)} rows, lineitem {len(lis)} rows"
     )
 
 
