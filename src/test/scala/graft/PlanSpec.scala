@@ -167,6 +167,20 @@ class PlanSpec extends SparkTestBase {
     // ties break by key asc so the top entry is key 0 with 1429.
     assert(sk.getLong(1) == 0L && sk.getLong(2) == 1429L,
       s"topk_freq top entry: ${sk.getLong(1)} x ${sk.getLong(2)}")
+    // quantile sketches on the SQL surface: the struct output composes
+    // with pct_from_sketch, exact below cap (0..9999 → p50 = 4999.5),
+    // and the weighted form reproduces the replicated multiset (values
+    // 0..99 each with weight = value → p50 of sum(w)=4950 repeats).
+    val pq = spark.sql(
+      """SELECT pct_from_sketch(s.vs, s.ws, 0.5D) AS p50,
+        |       pct_from_sketch(w.vs, w.ws, 0.5D) AS wp50
+        |FROM (SELECT pct_sketch(CAST(id AS DOUBLE)) AS s FROM range(10000)),
+        |     (SELECT pct_sketch_w(CAST(id AS DOUBLE), id) AS w FROM range(100))""".stripMargin)
+      .collect()(0)
+    assert(pq.getDouble(0) == 4999.5, s"pct_sketch SQL p50: ${pq.getDouble(0)}")
+    // replicated multiset of 4950 values; rank 2474.5 falls inside the
+    // run of 70s (cumulative through 69 is 2415, through 70 is 2485)
+    assert(pq.getDouble(1) == 70.0, s"pct_sketch_w SQL p50: ${pq.getDouble(1)}")
   }
 
   test("e10 resample: grid side broadcast, fact agg is the single hash shuffle") {
