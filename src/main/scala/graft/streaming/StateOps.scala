@@ -391,6 +391,54 @@ class PctQuantileProcessor[K](cap: Int, qs: Array[Double])
   }
 }
 
+/** Weighted sibling of [[PctQuantileProcessor]]: rows arrive as
+  * (key, value, integer weight) — token counts, importance tallies — and
+  * the emitted quantiles are over the value repeated weight times,
+  * without the repeats ever existing (q61's binary weight decomposition,
+  * each piece entering the compactor at its own level). State and
+  * restore path are identical to the unweighted processor (the summary's
+  * weights are powers of two either way); the running count emitted is
+  * the exact total WEIGHT, conserved by construction. Below cap ROWS per
+  * key the state is the exact weighted multiset, so the streamed
+  * quantile equals batch q61 bit-for-bit across any batch split. */
+class PctQuantileWeightedProcessor[K](cap: Int, qs: Array[Double])
+    extends StatefulProcessor[K, (K, Double, Long), (K, Array[Double], Long)] {
+
+  @transient private var state: ValueState[(Array[Double], Array[Long])] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Array[Double], Array[Long])]("pctw",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Array[Long])](),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, Double, Long)],
+      timerValues: TimerValues): Iterator[(K, Array[Double], Long)] = {
+    val buf = new graft.functions.Sketches.PctBuf(cap)
+    if (state.exists()) {
+      val (vs, ws) = state.get()
+      var i = 0
+      while (i < vs.length) { buf.addWeighted(vs(i), ws(i)); i += 1 }
+    }
+    rows.foreach { case (_, v, w0) =>
+      require(w0 >= 0L, s"weight must be >= 0, got $w0")
+      var w = w0
+      while (w != 0L) {
+        val bit = java.lang.Long.lowestOneBit(w)
+        buf.addWeighted(v, bit)
+        w ^= bit
+      }
+    }
+    val (vs, ws) = buf.summary()
+    state.update((vs, ws))
+    // all-zero-weight batches leave an empty multiset: keep state, emit
+    // nothing (no quantile is defined over zero total weight yet)
+    if (buf.n == 0L) Iterator.empty
+    else Iterator((key,
+      qs.map(q => graft.functions.Sketches.pctFromSketch(vs, ws, q).doubleValue),
+      buf.n))
+  }
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

@@ -404,6 +404,42 @@ class StreamingSpec extends SparkTestBase {
       assert(last.getLong(1) == 5000L, s"running count must be exact, got ${last.getLong(1)}")
       val relErr = math.abs(last.getDouble(0) - 2500.0) / 5000.0
       assert(relErr < 0.1, s"saturated streaming p50 ${last.getDouble(0)} relErr=$relErr")
+
+      // WEIGHTED twin: quantity-weighted price quantiles per flag (q61's
+      // surface) streamed in two batches — final emission must equal the
+      // batch aggregate bit-for-bit (lossless below cap rows), and the
+      // running count must equal total WEIGHT exactly. A zero-weight row
+      // rides along to pin that it contributes nothing.
+      val liw = Tables.lineitem(spark, sf)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double"),
+          col("l_quantity").cast("long"), col("l_orderkey"))
+        .as[(String, Double, Long, Long)].collect().toSeq
+      val wstream = MemoryStream[(String, Double, Long)]
+      wstream.addData(liw.filter(_._4 % 2 == 0).map(r => (r._1, r._2, r._3)) :+ (("A", 9e9, 0L)): _*)
+      wstream.addData(liw.filter(_._4 % 2 == 1).map(r => (r._1, r._2, r._3)): _*)
+      val wout = wstream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.PctQuantileWeightedProcessor[String](8192, Array(0.5, 0.9)),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val qw = wout.toDF("flag", "qs", "n")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("pctw_out")
+        .trigger(Trigger.AvailableNow()).start()
+      qw.awaitTermination(60000)
+      val gotW = spark.sql(
+        """SELECT flag, qs[0], qs[1], n FROM pctw_out o
+          |WHERE n = (SELECT max(n) FROM pctw_out i WHERE i.flag = o.flag)""".stripMargin)
+        .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+      val exactW = SparkEntry.queries("q61_weighted_pct")(spark, sf)
+        .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+      val wTotals = liw.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      exactW.foreach { case (flag, (wp50, wp90)) =>
+        val (s50, s90, sn) = gotW(flag)
+        assert(s50 == wp50 && s90 == wp90,
+          s"streamed weighted quantiles diverged for $flag: ($s50,$s90) vs ($wp50,$wp90)")
+        assert(sn == wTotals(flag), s"running weight for $flag: $sn != ${wTotals(flag)}")
+      }
     }
   }
 
