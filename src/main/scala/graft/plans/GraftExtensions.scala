@@ -70,9 +70,14 @@ object GraftExtensions {
     import org.apache.spark.sql.functions.{udaf, udf}
     spark.udf.register("kmv_sketch",
       udaf(graft.functions.Sketches.KmvSketch(SqlSketchK)))
+    // Null-safe like pct_from_sketch: an outer join against a group with
+    // no sketch hands the estimator a null array — propagate null, don't
+    // NPE (r11 advice).
     spark.udf.register("kmv_ndv",
       udf((arr: Seq[Long]) =>
-        graft.functions.Sketches.ndvFromSketch(arr.toArray, SqlSketchK)))
+        if (arr == null) null
+        else java.lang.Double.valueOf(
+          graft.functions.Sketches.ndvFromSketch(arr.toArray, SqlSketchK))))
     spark.udf.register("topk_freq",
       udaf(graft.functions.Sketches.SpaceSavingTopK(SqlTopKCap)))
     spark.udf.register("topk_freq_str",

@@ -69,6 +69,47 @@ object Dedup {
     (1 to D7_MAX_BITS).takeWhile(k => recallFloor(k) >= targetRecall).lastOption.getOrElse(1)
   }
 
+  /** d5_scale's MinHash banding geometry, threshold-conditioned (the d7
+    * playbook applied to Jaccard banding — r12). For a pair at Jaccard θ
+    * a band of r rows matches with probability θ^r, so b bands recall it
+    * with ≥ 1 − (1 − θ^r)^b. Given (θ, target recall ρ) this picks the
+    * LARGEST rows-per-band r whose minimal band count
+    * b = ⌈ln(1−ρ)/ln(1−θ^r)⌉ fits the signature budget b·r ≤ maxHashes —
+    * the most selective geometry that keeps recall, because random-pair
+    * band collisions fall as J_noise^r (superlinearly in r) while
+    * near-pair recall falls only by factor θ per added row. This is what
+    * kills the degenerate-vocabulary flood (BENCHNOTES r11): with r = 2
+    * a band collides whenever two docs share the two globally-min-hashed
+    * shingle TYPES — bucket occupancy ∝ n·p² with p the heavy types'
+    * doc-fraction — while r = 4 cuts the same occupancy to n·p⁴
+    * (measured: 1.86e9 banded candidates at sf100 under 16×2 vs 3.95e6
+    * under the derived 16×4 — a 470× cut, guard-green).
+    *
+    * Defaults (θ = 0.85, ρ = 0.99999) derive (16 bands × 4 rows, a
+    * 64-hash signature): analytic recall floor 1 − (1−0.85⁴)¹⁶ ≈
+    * 1 − 7e-6 at the threshold, ≈ 1 − 1.6e-7 at the J ≈ 0.889 where this
+    * corpus family's qualifying pairs actually sit — the regime in which
+    * banded == exact and the exact-SQL oracle stays licensed. θ is the
+    * recall GUARANTEE line, deliberately below the measured 0.889 so the
+    * guarantee covers corpus drift; pairs with J in [0.3, θ) may be
+    * missed (at J = 0.5, floor ≈ 0.64) — callers needing loose-threshold
+    * completeness are below d5's exact-enumeration wall anyway. */
+  private[graft] def d5ScaleGeometry(threshold: Double, targetRecall: Double,
+      maxHashes: Int = 64): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0 && targetRecall > 0.0 && targetRecall < 1.0)
+    val pick = (maxHashes to 1 by -1).iterator.map { r =>
+      val miss = 1.0 - math.pow(threshold, r.toDouble)
+      // band count in Long: at loose θ and deep r the minimal b explodes
+      // (ln(miss) → 0⁻) far past Int range — clamp-free Long math keeps
+      // the budget comparison exact instead of overflowing into "fits"
+      val b = if (miss <= 0.0) 1L
+        else math.max(1L, math.ceil(math.log(1.0 - targetRecall) / math.log(miss)).toLong)
+      (b, r)
+    }.find { case (b, r) => b * r <= maxHashes }
+    pick.map { case (b, r) => (b.toInt, r) }
+      .getOrElse((maxHashes, 1)) // θ→0 degenerate: plain minhash buckets
+  }
+
   /** The d7 sign-LSH pair kernel, shared by the d7 query (corpus
     * embeddings) and DedupSpec's planted-cluster recall pin so the pinned
     * path IS the production path. `emb` must carry
@@ -275,7 +316,8 @@ object Dedup {
     * checkpointed (doc_id, cluster_id) fixpoint — each round is already
     * an eager localCheckpoint, so the caller composes on O(1)-deep
     * lineage. Algorithm + scale notes at the d9 entry. */
-  private def convergedLabels(s: SparkSession, d: String): DataFrame = {
+  private def convergedLabels(s: SparkSession, d: String,
+      srcOverride: Option[String] = None): DataFrame = {
     // Checkpoint the PAIR set before mirroring it: union duplicates its
     // input subtree, so unioning the lazy d5 plan would run the whole
     // shingle/postings pipeline twice in the one eager checkpoint job.
@@ -283,7 +325,10 @@ object Dedup {
     // pair graph comes from d5_scale (banded candidates, identical output
     // on corpora where banding recall is 1.0 — the gate-pinned regime), so
     // d9/d17 keep working at sf10+ by conf instead of dying with d5.
-    val src = s.conf.get("graft.dedup.pairSource", "d5_ngram_jaccard")
+    // r12: d9_scale/d17_scale pass the source EXPLICITLY (first-class
+    // oracled entries for the composition, not just a conf knob).
+    val src = srcOverride.getOrElse(
+      s.conf.get("graft.dedup.pairSource", "d5_ngram_jaccard"))
     val pairs = queries(src)(s, d).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
@@ -327,23 +372,27 @@ object Dedup {
     * callers splitting the corpus (d10) push their split predicate into the
     * parquet scan and pay the shingle pass only for their slice. */
   private def bandedSets(s: SparkSession, d: String, pred: Column,
-      bands: Int = BANDS): DataFrame = {
+      bands: Int = BANDS, numHashes: Int = NUM_HASHES): DataFrame = {
     import s.implicits._
-    val bandsPerDoc = NUM_HASHES / bands
+    require(numHashes % bands == 0, s"$numHashes hashes do not band into $bands")
+    val bandsPerDoc = numHashes / bands
     Tables.parallelized(Tables.validDocuments(s, d))
       .filter(pred)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         import org.apache.spark.sql.catalyst.expressions.XXH64
         import org.apache.spark.unsafe.types.UTF8String
-        val seeds = Array.tabulate(NUM_HASHES)(i => XXH64.hashInt(i, 42L))
+        // Seed i is a pure function of the INDEX, so signature prefix
+        // [0, 32) is bit-identical across every geometry (d3's 8×4 codes
+        // are unchanged by d5_scale asking for a longer signature).
+        val seeds = Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
         it.map { case (id, text) =>
           val shingles = shinglesOf(text)
-          val sig = Array.fill(NUM_HASHES)(Long.MaxValue)
+          val sig = Array.fill(numHashes)(Long.MaxValue)
           shingles.foreach { sh =>
             val u = UTF8String.fromString(sh)
             var i = 0
-            while (i < NUM_HASHES) {
+            while (i < numHashes) {
               val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seeds(i))
               if (h < sig(i)) sig(i) = h
               i += 1
@@ -504,26 +553,42 @@ object Dedup {
           col("df_cap"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    // The sf10+ path for the d5 FAMILY (r11): banded-MinHash candidates at
-    // a WIDE geometry — 16 bands × 2 rows from the same 32-hash signature
-    // d3 uses — then exact FULL-vocabulary Jaccard verification at the d5
-    // threshold. Candidate volume is collision-bounded (≈ true pairs +
-    // minhash noise), not Σ C(DF,2), so this survives where d5's exact
-    // postings enumeration hits its Θ(n²) wall (the guard above).
-    // Geometry: the hardest qualifying pairs on this corpus sit at
-    // J ≈ 0.889 (sf1 gate measurement); per-band match J² ≈ 0.79, so the
-    // miss-all-16 odds are 0.21¹⁶ ≈ 1.4e-11 per pair — d3's 8×4 geometry
-    // would miss ~4e-4 per pair and lose ~9 of sf10's ~25k qualifying
-    // pairs. Like d3/d16_scale, the oracle is the exact (uncapped) SQL:
-    // banding recall is 1.0 on the gate corpora (DedupSpec pins
-    // candidates ⊇ the exact pair set), and semantics are FULL-vocabulary
+    // The sf10+ path for the d5 FAMILY: banded-MinHash candidates, then
+    // exact FULL-vocabulary Jaccard verification at the d5 threshold.
+    // Candidate volume is collision-bounded (≈ true pairs + minhash
+    // noise), not Σ C(DF,2), so this survives where d5's exact postings
+    // enumeration hits its Θ(n²) wall (the guard above).
+    //
+    // Geometry (r12): THRESHOLD-CONDITIONED via [[d5ScaleGeometry]] — the
+    // d7 playbook. r11's fixed 16 bands × 2 rows had recall-overkill
+    // (miss odds 1.4e-11 per qualifying pair) and paid for it one decade
+    // past its bench point: with a vocabulary that does not grow with the
+    // corpus, r = 2 band buckets fill ∝ n·p² on the globally-min-hashed
+    // shingle types and the guard tripped at sf100 with 1.86e9 banded
+    // candidates. The derived default (θ = 0.85, target 0.99999 →
+    // 16 bands × 4 rows over a 64-hash signature) trades un-needed recall
+    // slack for a p² → p⁴ occupancy cut: measured 3.95e6 candidates at
+    // sf100 density (58.9 s, guard-green), recall floor ≈ 1 − 1.6e-7 at the
+    // J ≈ 0.889 where this family's qualifying pairs sit (DedupSpec pins
+    // banded == exact at verify SF and the derivation itself). Conf:
+    // `graft.dedup.d5ScaleThreshold` / `d5ScaleRecall`.
+    //
+    // Like d3/d16_scale, the oracle is the exact (uncapped) SQL: banding
+    // recall is 1.0 on the gate corpora, and semantics are FULL-vocabulary
     // Jaccard — no df_cap column, because a collision-bounded path has no
     // fan-out to bound (d16_scale's argument). The banded sets are
     // localCheckpointed once (q58's rule): three consumers — bucket
     // join, both set rejoins — must not re-shingle the corpus.
-    // d9/d17 compose with this at scale via graft.dedup.pairSource.
+    // d9/d17 compose with this at scale via graft.dedup.pairSource, or
+    // first-class as d9_scale/d17_scale below.
     "d5_scale" -> { (s, d) =>
-      val sets = bandedSets(s, d, lit(true), bands = 16).localCheckpoint(true)
+      val theta = s.conf.getOption("graft.dedup.d5ScaleThreshold")
+        .map(_.toDouble).getOrElse(0.85)
+      val target = s.conf.getOption("graft.dedup.d5ScaleRecall")
+        .map(_.toDouble).getOrElse(0.99999)
+      val (nb, nr) = d5ScaleGeometry(theta, target)
+      val sets = bandedSets(s, d, lit(true), bands = nb, numHashes = nb * nr)
+        .localCheckpoint(true)
       val buckets = sets.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "band_sig")))
       // Bucket-occupancy guard (the d7 idiom on MINHASH buckets): LSH
@@ -658,14 +723,17 @@ object Dedup {
     // RDD is unreachable (Dataset.unpersist does not apply to RDD-level
     // checkpoints), so steady-state memory is one edge set + two label
     // snapshots.
-    "d9_dup_clusters" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      convergedLabels(s, d)
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-        .withColumn("is_rep", col("doc_id") === col("cluster_id"))
-        .orderBy(col("doc_id"))
-    },
+    "d9_dup_clusters" -> { (s, d) => d9Presentation(convergedLabels(s, d)) },
+    // d9's 100 TB composition as a FIRST-CLASS entry (r12): the pair graph
+    // comes from d5_scale's collision-bounded banded candidates instead of
+    // d5's Θ(n²) exact postings enumeration — the exact family is
+    // guard-walled at sf10 density while this runs (BENCHNOTES). Oracled
+    // with d9's closure SQL over the UNCAPPED pair set (d5_scale's
+    // contract): banded == exact on the gate corpora, so the composed
+    // pipeline rides the same recursive-CTE oracle. The conf knob
+    // `graft.dedup.pairSource` still retargets plain d9; this entry pins
+    // the composition driver-visibly.
+    "d9_scale" -> { (s, d) => d9Presentation(convergedLabels(s, d, Some("d5_scale"))) },
     // INCREMENTAL dedup: an incoming batch (here: every 5th doc_id, the
     // same bounded-query-set convention as s1) checked against the
     // existing corpus — the shape of continuous ingestion, where re-running
@@ -952,23 +1020,42 @@ object Dedup {
     // checkpointed fixpoint feeds the join without d9's cluster_size window
     // + global sort, which this query never reads — d17's cost is d9's core
     // plus a cluster-sized argmax, not d9's presentation layer too.
-    "d17_survivorship" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val clusters = convergedLabels(s, d)
-      val meta = Tables.validDocuments(s, d).select(col("doc_id"), col("n_chars"))
-      val pick = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      clusters.join(meta, "doc_id")
-        .withColumn("n_members",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("bigint"))
-        .withColumn("rn", row_number().over(pick))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("kept_doc"),
-          col("n_chars").as("kept_chars"), col("n_members"),
-          (col("n_members") - 1).as("n_dropped"))
-        .orderBy(col("cluster_id"))
-    }
+    "d17_survivorship" -> { (s, d) => d17Presentation(s, d, convergedLabels(s, d)) },
+    // d17's scale composition, first-class like d9_scale (same pair
+    // source, same oracle argument).
+    "d17_scale" -> { (s, d) => d17Presentation(s, d, convergedLabels(s, d, Some("d5_scale"))) }
   )
+
+  /** d9's presentation layer over the converged (doc_id, cluster_id)
+    * fixpoint — cluster size window + representative flag. Shared by
+    * d9_dup_clusters and d9_scale so the two entries differ ONLY in the
+    * pair-graph source. */
+  private def d9Presentation(labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_rep", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d17's survivorship layer (longest-doc-wins pick + drop accounting)
+    * over the converged fixpoint; shared by d17_survivorship/d17_scale. */
+  private def d17Presentation(s: SparkSession, d: String, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = Tables.validDocuments(s, d).select(col("doc_id"), col("n_chars"))
+    val pick = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters.join(meta, "doc_id")
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("bigint"))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+        col("n_chars").as("kept_chars"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
 
   // DuckDB twin of the shingle builder (list_zip over shifted slices).
   // Shared with TextOps' t8 oracle (same shingle definition by construction).
@@ -1008,6 +1095,27 @@ object Dedup {
       |             JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2, 3, 4)""".stripMargin
   private[queries] val JACCARD_SQL = "CAST(inter AS DOUBLE) / (na + nb - inter)"
+  // The UNCAPPED pair CTE — d5_scale's contract (full-vocabulary Jaccard,
+  // no keep/df_cap), shared by the scale twins' oracles (d5/d9/d17_scale).
+  private[queries] val UNCAPPED_PAIRS_CTE =
+    """pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+      |         count(*) AS inter
+      |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+  // Transitive-closure scaffold over whichever `pairs` CTE precedes it
+  // (capped for d9/d17, uncapped for the _scale twins): min-label
+  // connected components via a recursive CTE, the DuckDB twin of
+  // convergedLabels' fixpoint.
+  private[queries] val CLOSURE_CTES =
+    s"""p AS (SELECT doc_a, doc_b FROM pairs
+      |      WHERE $JACCARD_SQL >= 0.3),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(u, l) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
+      |cc AS (SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -1049,16 +1157,13 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     // d5_scale: the exact UNCAPPED pair SQL — full-vocabulary Jaccard, the
     // twin's contract (no keep CTE, no df_cap). Exact because banding
-    // recall is 1.0 on the gate corpora (hardest pairs at J≈0.889, 16×2
-    // miss odds 1.4e-11/pair; candidates ⊇ exact pinned in DedupSpec).
+    // recall is 1.0 on the gate corpora (hardest pairs at J≈0.889; the
+    // derived 16×4 geometry's analytic miss odds there are ~1.6e-7/pair,
+    // and candidates ⊇ exact is pinned in DedupSpec).
     "d5_scale" ->
       s"""WITH $SH_CTE,
          |$INV_CTE,
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-         |         count(*) AS inter
-         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4)
+         |$UNCAPPED_PAIRS_CTE
          |SELECT doc_a, doc_b, inter,
          |  $JACCARD_SQL AS jaccard
          |FROM pairs WHERE $JACCARD_SQL >= 0.3
@@ -1089,14 +1194,21 @@ object Dedup {
          |$CAP_CTE,
          |$KEEP_CTE,
          |$PAIRS_CTE,
-         |p AS (SELECT doc_a, doc_b FROM pairs
-         |      WHERE $JACCARD_SQL >= 0.3),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
-         |reach(u, l) AS (
-         |  SELECT DISTINCT u, u FROM edges
-         |  UNION
-         |  SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
-         |cc AS (SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u),
+         |$CLOSURE_CTES,
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+         |  cc.doc_id = cc.cluster_id AS is_rep
+         |FROM cc JOIN sz USING (cluster_id)
+         |ORDER BY cc.doc_id""".stripMargin,
+    // d9_scale/d17_scale: the closure over d5_scale's UNCAPPED pair set
+    // (banded == exact on the gate corpora, d5_scale's oracle argument
+    // lifted through the component closure — recall 1.0 on the pair set
+    // implies identical components).
+    "d9_scale" ->
+      s"""WITH RECURSIVE $SH_CTE,
+         |$INV_CTE,
+         |$UNCAPPED_PAIRS_CTE,
+         |$CLOSURE_CTES,
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
          |SELECT cc.doc_id, cc.cluster_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
          |  cc.doc_id = cc.cluster_id AS is_rep
@@ -1266,24 +1378,31 @@ object Dedup {
          |$CAP_CTE,
          |$KEEP_CTE,
          |$PAIRS_CTE,
-         |p AS (SELECT doc_a, doc_b FROM pairs
-         |      WHERE $JACCARD_SQL >= 0.3),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
-         |reach(u, l) AS (
-         |  SELECT DISTINCT u, u FROM edges
-         |  UNION
-         |  SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
-         |cc AS (SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u),
-         |m AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
-         |      FROM cc JOIN ${graft.Tables.validDocsSql} d USING (doc_id)),
-         |r AS (SELECT *,
-         |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
-         |    row_number() OVER (PARTITION BY cluster_id
-         |      ORDER BY n_chars DESC, doc_id) AS rn
-         |  FROM m)
-         |SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars,
-         |  CAST(n_members AS BIGINT) AS n_members,
-         |  CAST(n_members - 1 AS BIGINT) AS n_dropped
-         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+         |$CLOSURE_CTES,
+         |$SURVIVOR_CTES
+         |$SURVIVOR_SELECT""".stripMargin,
+    "d17_scale" ->
+      s"""WITH RECURSIVE $SH_CTE,
+         |$INV_CTE,
+         |$UNCAPPED_PAIRS_CTE,
+         |$CLOSURE_CTES,
+         |$SURVIVOR_CTES
+         |$SURVIVOR_SELECT""".stripMargin
   )
+
+  // d17's survivorship presentation over the `cc` closure — one
+  // definition for the capped and scale oracles.
+  private[queries] val SURVIVOR_CTES =
+    s"""m AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+      |      FROM cc JOIN ${graft.Tables.validDocsSql} d USING (doc_id)),
+      |r AS (SELECT *,
+      |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM m)""".stripMargin
+  private[queries] val SURVIVOR_SELECT =
+    """SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars,
+      |  CAST(n_members AS BIGINT) AS n_members,
+      |  CAST(n_members - 1 AS BIGINT) AS n_dropped
+      |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 }

@@ -1062,6 +1062,16 @@ object Relational {
     // below saturation (sub-k regime = the oracle regime; the estimators'
     // exact-branch returns integer counts bit-identical to DuckDB's
     // count(distinct)).
+    //
+    // BOUNDARY (the honest-limit convention): the pair MATRIX itself is
+    // |groups|² — independent of corpus size, but not of group
+    // cardinality. The sketch pass removed the corpus from the quadratic
+    // term, not the quadratic term itself: at |groups| = 10³ the matrix
+    // is ~5·10⁵ O(k) comparisons (fine); at 10⁵ groups it is 5·10⁹ —
+    // there, rank groups first (top-N by sketch NDV, one sort of
+    // |groups| rows) or bucket the sketch table and emit per-bucket
+    // top-k overlaps instead of the full matrix. Same applies to
+    // d16_scale, which shares this shape.
     "q58_kmv_set_ops" -> { (s, d) =>
       val k = s.conf.get("spark.graft.sketch.k", "16384").toInt
       val sk = udaf(graft.functions.Sketches.KmvSketch(k))

@@ -170,6 +170,40 @@ class DedupSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.dedup.pairSource")
   }
 
+  test("d5_scale geometry is threshold-conditioned (d7 playbook, r12)") {
+    // Defaults θ=0.85 / ρ=0.99999 derive 16 bands × 4 rows — the 64-hash
+    // signature whose r=4 bands cut the degenerate-vocabulary bucket
+    // occupancy from n·p² to n·p⁴ (the sf100 flood fix) while the
+    // analytic recall floor stays ≥ ρ at the threshold.
+    assert(graft.queries.Dedup.d5ScaleGeometry(0.85, 0.99999) == ((16, 4)))
+    // Monotone in the threshold: tighter θ affords MORE rows per band
+    // (more selective buckets) within the same signature budget.
+    val (b95, r95) = graft.queries.Dedup.d5ScaleGeometry(0.95, 0.99999)
+    assert(r95 > 4, s"tighter threshold should deepen bands, got ${(b95, r95)}")
+    // Loose thresholds degrade gracefully toward plain minhash buckets
+    // rather than blowing the hash budget.
+    val (bl, rl) = graft.queries.Dedup.d5ScaleGeometry(0.5, 0.99999)
+    assert(rl >= 1 && bl * rl <= 64)
+    // Every derivation honors the analytic recall floor at its threshold.
+    for ((th, tgt) <- Seq((0.85, 0.99999), (0.9, 0.9999), (0.95, 0.99), (0.7, 0.999))) {
+      val (b, r) = graft.queries.Dedup.d5ScaleGeometry(th, tgt)
+      val floor = 1.0 - math.pow(1.0 - math.pow(th, r.toDouble), b.toDouble)
+      assert(floor >= tgt, s"($th,$tgt) -> ($b,$r) floor $floor below target")
+      assert(b * r <= 64, s"($th,$tgt) -> ($b,$r) exceeds the signature budget")
+    }
+  }
+
+  test("d9_scale/d17_scale equal their exact twins at verify SF") {
+    // The first-class composition entries (pair graph from d5_scale) must
+    // reproduce d9/d17 exactly in the banded==exact regime — the claim
+    // that licenses their recursive-CTE oracles.
+    for ((a, b) <- Seq(("d9_dup_clusters", "d9_scale"), ("d17_survivorship", "d17_scale"))) {
+      val exact = graft.queries.Dedup.queries(a)(spark, sf).collect().map(_.toString).sorted
+      val scale = graft.queries.Dedup.queries(b)(spark, sf).collect().map(_.toString).sorted
+      assert(scale.sameElements(exact), s"$b diverges from $a")
+    }
+  }
+
   test("d9 clusters are consistent components of the d5 pair graph") {
     val pairs = graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -178,6 +178,13 @@ class PlanSpec extends SparkTestBase {
         |     (SELECT pct_sketch_w(CAST(id AS DOUBLE), id) AS w FROM range(100))""".stripMargin)
       .collect()(0)
     assert(pq.getDouble(0) == 4999.5, s"pct_sketch SQL p50: ${pq.getDouble(0)}")
+    // null sketches (an outer join against a sketch-less group) propagate
+    // null through BOTH estimators instead of NPEing (r11 advice).
+    val nn = spark.sql(
+      "SELECT kmv_ndv(CAST(NULL AS ARRAY<BIGINT>)) AS a, " +
+        "pct_from_sketch(CAST(NULL AS ARRAY<DOUBLE>), CAST(NULL AS ARRAY<BIGINT>), 0.5D) AS b")
+      .collect()(0)
+    assert(nn.isNullAt(0) && nn.isNullAt(1), s"null-sketch estimators: $nn")
     // replicated multiset of 4950 values; rank 2474.5 falls inside the
     // run of 70s (cumulative through 69 is 2415, through 70 is 2485)
     assert(pq.getDouble(1) == 70.0, s"pct_sketch_w SQL p50: ${pq.getDouble(1)}")
