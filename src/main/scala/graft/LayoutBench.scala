@@ -97,11 +97,19 @@ object LayoutBench {
       (best, scanRows, outRows)
     }
 
+    // corner-slab = q62_zorder_scan's predicate shape (<= max/50 on both
+    // dims, integer bounds so the filters push) — measured here so the
+    // driver-visible query's skip ratio has a per-SF record.
+    val (cp, co) = {
+      val r = li.agg(max("l_partkey"), max("l_orderkey")).collect()(0)
+      (r.getLong(0) / 50, r.getLong(1) / 50)
+    }
     val preds = Seq(
       "partkey-slab" -> (col("l_partkey").between(pLo, pHi)),
       "orderkey-slab" -> (col("l_orderkey").between(oLo, oHi)),
       "both-dims" -> (col("l_partkey").between(pLo, pHi)
-        && col("l_orderkey").between(oLo, oHi)))
+        && col("l_orderkey").between(oLo, oHi)),
+      "corner-q62" -> (col("l_partkey") <= cp && col("l_orderkey") <= co))
     Seq("plain" -> plainDir, "psort" -> sortDir, "zorder" -> zDir).foreach {
       case (lname, dir) =>
         preds.foreach { case (pname, pred) =>

@@ -185,6 +185,35 @@ object StreamBench {
       q.stop()
     }
 
+    // ---- 2d. TopKProcessor over sf events (bounded-state heavy hitters) --
+    {
+      val rows = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"))
+        .as[(String, Long)].collect()
+      val waves = 10
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.TopKProcessor[String](4096),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("event_type", "hh", "n").writeStream
+        .outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", tmpDir())
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      (0 until waves).foreach { w =>
+        stream.addData(rows.zipWithIndex.collect {
+          case (r, i) if i % waves == w => r
+        }.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("topk_heavy_hitters(sf events)", q, rows.length.toLong, wall)
+      q.stop()
+    }
+
     // ---- 3. p1 pipeline as a throttled file stream ------------------------
     {
       val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema

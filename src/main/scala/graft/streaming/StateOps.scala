@@ -439,6 +439,69 @@ class PctQuantileWeightedProcessor[K](cap: Int, qs: Array[Double])
   }
 }
 
+/** Streaming heavy hitters with BOUNDED state — the Misra–Gries summary
+  * (`functions/Sketches.LongTopKBuf`, q59's buffer) as a
+  * `transformWithState` processor, completing the sketch-processor family
+  * (KMV distinct / LSH band index / MRL quantiles / this). Per key, state
+  * is one trimmed summary (≤ cap entries + the cumulative deduction) plus
+  * the exact row count; each micro-batch restores the probe table from
+  * the stored entries, folds the batch's keys in with the SAME add/trim
+  * arithmetic the batch aggregate uses, and emits the full
+  * (cnt desc, key asc)-sorted entry list with the shared guarantee: any
+  * key with true share > 1/cap survives, counts sit in [true − err, true].
+  * Below cap distinct keys per stream key no trim ever fires, so the
+  * streamed summary equals batch q59 bit-for-bit across ANY batch split
+  * (StreamingSpec pins it); above cap, batch boundaries act as merge-tree
+  * steps — bounds hold, point values are layout-dependent (the
+  * documented MG caveat). State is O(keys · cap) at any stream length;
+  * the exact alternative needs every distinct key ever seen.
+  *
+  * Reference scope: the reference engine has no streaming aggregation at
+  * all (`listen.py` handles messages row-at-a-time); this extends the
+  * SURVEY §2.4 streaming-state row the same way the other processors do. */
+class TopKProcessor[K](cap: Int)
+    extends StatefulProcessor[
+      K, (K, Long), (K, Array[graft.functions.Sketches.HeavyHitter], Long)] {
+
+  @transient private var state: ValueState[(Array[Long], Array[Long], Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Array[Long], Array[Long], Long, Long)]("topk",
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Array[Long], Array[Long], Long, Long)](),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, Long)],
+      timerValues: TimerValues):
+      Iterator[(K, Array[graft.functions.Sketches.HeavyHitter], Long)] = {
+    val buf = new graft.functions.Sketches.LongTopKBuf(cap)
+    var nRows = 0L
+    if (state.exists()) {
+      val (ks, cs, ded, n0) = state.get()
+      var i = 0
+      while (i < ks.length) { buf.add(ks(i), cs(i)); i += 1 }
+      buf.deducted = ded
+      nRows = n0
+    }
+    rows.foreach { case (_, k) => buf.add(k, 1L); nRows += 1 }
+    // the batch finish(): trim to ≤ cap entries — a no-op in the exact
+    // regime, so storing the post-trim summary loses nothing there
+    buf.trim()
+    val ks = new Array[Long](buf.n); val cs = new Array[Long](buf.n)
+    var w = 0
+    buf.foreachEntry { (k, c) => ks(w) = k; cs(w) = c; w += 1 }
+    state.update((ks, cs, buf.deducted, nRows))
+    val out = new Array[graft.functions.Sketches.HeavyHitter](buf.n)
+    var i = 0
+    buf.foreachEntry { (k, c) =>
+      out(i) = graft.functions.Sketches.HeavyHitter(k, c, buf.deducted); i += 1 }
+    scala.util.Sorting.stableSort(out,
+      (x: graft.functions.Sketches.HeavyHitter, y: graft.functions.Sketches.HeavyHitter) =>
+        x.cnt > y.cnt || (x.cnt == y.cnt && x.key < y.key))
+    Iterator((key, out, nRows))
+  }
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

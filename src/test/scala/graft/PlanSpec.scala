@@ -12,6 +12,48 @@ class PlanSpec extends SparkTestBase {
     SparkEntry.queries(name)(spark, sf).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
 
+  test("q62: z-ordered scan prunes most of the corpus on a 2-dim corner slab") {
+    // The layout's observable effect at the SCAN, not just in footers
+    // (FormatsSpec pins those): execute q62 and read the parquet scan's
+    // emitted-row metric — rows surviving footer/row-group pruning under
+    // the two pushed range filters. On the z-ordered layout the 2%-per-dim
+    // corner slab must prune away at least half the corpus at the scan
+    // (measured ~3% emitted at this SF; the bound is slack for stat-
+    // granule variance), and the filters must actually reach parquet
+    // (PushedFilters shows both LessThanOrEqual) — without pushdown the
+    // metric would count every row and the layout would be decorative.
+    val df = SparkEntry.queries("q62_zorder_scan")(spark, sf)
+    val out = df.collect()
+    def scanned(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanned(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scanned(q.plan)
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      case other => other.children.map(scanned).sum
+    }
+    val scanRows = scanned(df.queryExecution.executedPlan)
+    val li = graft.Tables.lineitem(spark, sf)
+    val corpus = li.count()
+    // the layout is lossless: the slab's row count agrees with the PLAIN
+    // layout (the oracle's side of the gate, re-derived here)
+    val r = li.agg(org.apache.spark.sql.functions.max(col("l_partkey")),
+      org.apache.spark.sql.functions.max(col("l_orderkey"))).collect()(0)
+    val expect = li.filter(col("l_partkey") <= r.getLong(0) / 50 &&
+      col("l_orderkey") <= r.getLong(1) / 50).count()
+    assert(out.map(_.getLong(1)).sum == expect,
+      s"z-layout slab rows ${out.map(_.getLong(1)).sum} != plain $expect")
+    // the skip: the 2%-per-dim corner prunes at least half the corpus at
+    // the scan (scanRows can legitimately be 0 when every row group's
+    // envelope misses the corner — perfect pruning, not a missing metric)
+    assert(scanRows * 2 < corpus,
+      s"z-ordered corner scan emitted $scanRows of $corpus rows - no skip")
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("LessThanOrEqual(l_partkey") &&
+      plan.contains("LessThanOrEqual(l_orderkey"),
+      s"range filters must push into the parquet scan:\n${plan.take(3000)}")
+  }
+
   test("q10_scale: bucketed fact join has no Exchange and no Sort on either side") {
     // The layout twin's whole point: the orders⋈lineitem join must read
     // pre-bucketed, pre-sorted files — the only Exchange in the plan is

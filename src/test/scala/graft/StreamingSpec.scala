@@ -443,6 +443,73 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState topk: streaming heavy hitters match batch q59 exactly below cap") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDB {
+      // Exact regime: per-flag partkey frequencies streamed in two
+      // arbitrary batches — the final summary's top-5 must equal batch
+      // q59 row-for-row (below cap no trim fires, so batch boundaries
+      // cannot matter and err = 0 everywhere).
+      val li = Tables.lineitem(spark, sf)
+        .filter(col("l_partkey").isNotNull)
+        .select(col("l_returnflag"), col("l_partkey"), col("l_orderkey"))
+        .as[(String, Long, Long)].collect().toSeq
+      val stream = MemoryStream[(String, Long)]
+      stream.addData(li.filter(_._3 % 2 == 0).map(r => (r._1, r._2)): _*)
+      stream.addData(li.filter(_._3 % 2 == 1).map(r => (r._1, r._2)): _*)
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.TopKProcessor[String](4096),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("flag", "hh", "n")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("topk_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val got = spark.sql(
+        """SELECT flag, posexplode(slice(hh, 1, 5)) AS (pos, e) FROM topk_out o
+          |WHERE n = (SELECT max(n) FROM topk_out i WHERE i.flag = o.flag)""".stripMargin)
+        .selectExpr("flag", "pos + 1 AS rk", "e.key", "e.cnt", "e.err")
+        .collect().map(_.toString).sorted
+      val batch = SparkEntry.queries("q59_heavy_hitters")(spark, sf)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(batch), s"streamed top-5 != batch q59")
+      assert(got.nonEmpty)
+
+      // Bounded regime: 30 distinct keys through cap=8, zipf-ish counts
+      // (key i appears 2^(i%5)+i times). The heavy key must survive with
+      // its count in [true - err, true], state ≤ cap entries.
+      val wide = MemoryStream[(String, Long)]
+      val rows = (0 until 30).flatMap(i => Seq.fill((1 << (i % 5)) + i)(("k", i.toLong)))
+      val (wa, wb) = rows.splitAt(rows.length / 3)
+      wide.addData(wa: _*); wide.addData(wb: _*)
+      val out2 = wide.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.TopKProcessor[String](8),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q2 = out2.toDF("key", "hh", "n")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("topk_wide")
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(60000)
+      val fin = spark.sql("SELECT hh, n FROM topk_wide ORDER BY n DESC LIMIT 1").collect()(0)
+      assert(fin.getLong(1) == rows.length.toLong, "running count must be exact")
+      val hh = fin.getSeq[org.apache.spark.sql.Row](0)
+      assert(hh.length <= 8, s"state must stay <= cap entries, got ${hh.length}")
+      val trueTop = rows.groupBy(_._2).view.mapValues(_.size.toLong).maxBy(_._2)
+      val top = hh.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .find(_._1 == trueTop._1)
+      assert(top.isDefined, s"true heaviest key ${trueTop._1} must survive")
+      val (_, cnt, err) = top.get
+      assert(cnt <= trueTop._2 && cnt + err >= trueTop._2,
+        s"count $cnt (err $err) must bracket true ${trueTop._2}")
+    }
+  }
+
   test("transformWithState band index: streaming LSH candidates cover d3's verified pairs") {
     // The MinHash banding of d3/d10 as CONTINUOUS ingestion: docs arrive in
     // two waves; every band-bucket collision — within a wave or against
