@@ -193,6 +193,35 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("materialized shingle table (graft.dedup.shingleDir) changes no bits") {
+    // The shared-shingle prep (r12): with the conf on, the d-family reads
+    // a provisioned (doc_id, shingles) parquet instead of re-tokenizing
+    // text per query. Results must be IDENTICAL — stored sets are the
+    // same shinglesOf output, and bandSignature is a pure function of
+    // the set.
+    val direct5 = graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf)
+      .collect().map(_.toString).sorted
+    val direct3 = graft.queries.Dedup.queries("d3_dedup_minhash")(spark, sf)
+      .collect().map(_.toString).sorted
+    val direct10 = graft.queries.Dedup.queries("d10_incremental_dedup")(spark, sf)
+      .collect().map(_.toString).sorted
+    spark.conf.set("graft.dedup.shingleDir", "auto")
+    try {
+      for ((name, want) <- Seq("d5_ngram_jaccard" -> direct5,
+          "d3_dedup_minhash" -> direct3, "d10_incremental_dedup" -> direct10)) {
+        val got = graft.queries.Dedup.queries(name)(spark, sf)
+          .collect().map(_.toString).sorted
+        assert(got.sameElements(want), s"$name diverges under shingleDir=auto")
+      }
+      // and the table actually exists on disk (provision-on-first-use)
+      val tag = sf.toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"graft_shingles_$tag")
+      assert(new java.io.File(loc, "_SUCCESS").exists(), s"no shingle table at $loc")
+    } finally spark.conf.unset("graft.dedup.shingleDir")
+  }
+
   test("d9_scale/d17_scale equal their exact twins at verify SF") {
     // The first-class composition entries (pair graph from d5_scale) must
     // reproduce d9/d17 exactly in the banded==exact regime — the claim
