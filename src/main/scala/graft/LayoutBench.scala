@@ -97,12 +97,12 @@ object LayoutBench {
       (best, scanRows, outRows)
     }
 
-    // corner-slab = q62_zorder_scan's predicate shape (<= max/50 on both
+    // corner-slab = q62_zorder_scan's predicate shape (<= max/20 on both
     // dims, integer bounds so the filters push) — measured here so the
     // driver-visible query's skip ratio has a per-SF record.
     val (cp, co) = {
       val r = li.agg(max("l_partkey"), max("l_orderkey")).collect()(0)
-      (r.getLong(0) / 50, r.getLong(1) / 50)
+      (r.getLong(0) / 20, r.getLong(1) / 20)
     }
     val preds = Seq(
       "partkey-slab" -> (col("l_partkey").between(pLo, pHi)),

@@ -338,7 +338,8 @@ object Relational {
     // files and row groups on the conjunction (FormatsSpec pins envelopes
     // from actual footers; LayoutBench measures scan-emitted rows at
     // sf0.1-sf10 — plain reads 100%, z-order ~1.7% on this slab shape).
-    // The ~2%-per-dim bounds are corpus-derived LONG literals: a 2-column
+    // The ~5%-per-dim bounds (max/20 — small enough to skip, populated at
+    // every gate SF incl. sf0.001) are corpus-derived LONG literals: a 2-column
     // min/max agg whose two scalars fold into the pushed filter (the
     // ZOrder.withZValue stats idiom — literals are what parquet pushdown
     // needs; a broadcast-joined bound column would defeat the footer
@@ -350,7 +351,7 @@ object Relational {
     "q62_zorder_scan" -> { (s, d) =>
       val z = zOrderedLineitem(s, d)
       val r = z.agg(max(col("l_partkey")), max(col("l_orderkey"))).collect()(0)
-      val (pHi, oHi) = (r.getLong(0) / 50, r.getLong(1) / 50)
+      val (pHi, oHi) = (r.getLong(0) / 20, r.getLong(1) / 20)
       z.filter(col("l_partkey") <= pHi && col("l_orderkey") <= oHi)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
@@ -1308,15 +1309,15 @@ object Relational {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q62: the PLAIN layout — hash equality proves the z-order rewrite is
-    // lossless. Bounds by scalar subquery = the same max/50 literals the
+    // lossless. Bounds by scalar subquery = the same max/20 literals the
     // Spark side folds in.
     "q62_zorder_scan" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem
-        |WHERE l_partkey <= (SELECT max(l_partkey) // 50 FROM lineitem)
-        |  AND l_orderkey <= (SELECT max(l_orderkey) // 50 FROM lineitem)
+        |WHERE l_partkey <= (SELECT max(l_partkey) // 20 FROM lineitem)
+        |  AND l_orderkey <= (SELECT max(l_orderkey) // 20 FROM lineitem)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q11_join_dims" ->
       """SELECT r_name, count(*) AS n_cust,

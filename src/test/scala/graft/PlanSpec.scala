@@ -16,7 +16,7 @@ class PlanSpec extends SparkTestBase {
     // The layout's observable effect at the SCAN, not just in footers
     // (FormatsSpec pins those): execute q62 and read the parquet scan's
     // emitted-row metric — rows surviving footer/row-group pruning under
-    // the two pushed range filters. On the z-ordered layout the 2%-per-dim
+    // the two pushed range filters. On the z-ordered layout the 5%-per-dim
     // corner slab must prune away at least half the corpus at the scan
     // (measured ~3% emitted at this SF; the bound is slack for stat-
     // granule variance), and the filters must actually reach parquet
@@ -39,11 +39,11 @@ class PlanSpec extends SparkTestBase {
     // layout (the oracle's side of the gate, re-derived here)
     val r = li.agg(org.apache.spark.sql.functions.max(col("l_partkey")),
       org.apache.spark.sql.functions.max(col("l_orderkey"))).collect()(0)
-    val expect = li.filter(col("l_partkey") <= r.getLong(0) / 50 &&
-      col("l_orderkey") <= r.getLong(1) / 50).count()
+    val expect = li.filter(col("l_partkey") <= r.getLong(0) / 20 &&
+      col("l_orderkey") <= r.getLong(1) / 20).count()
     assert(out.map(_.getLong(1)).sum == expect,
       s"z-layout slab rows ${out.map(_.getLong(1)).sum} != plain $expect")
-    // the skip: the 2%-per-dim corner prunes at least half the corpus at
+    // the skip: the 5%-per-dim corner prunes at least half the corpus at
     // the scan (scanRows can legitimately be 0 when every row group's
     // envelope misses the corner — perfect pruning, not a missing metric)
     assert(scanRows * 2 < corpus,
