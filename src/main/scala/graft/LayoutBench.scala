@@ -64,10 +64,12 @@ object LayoutBench {
     // ~1% slab on each dimension independently (selectivity compounds on
     // the conjunction); bounds derived from the corpus so the same code
     // works at every SF.
-    val (pLo, pHi, oLo, oHi) = {
+    // corner bounds (cp, co) = q62_zorder_scan's max/20 predicate, from
+    // the same single stats pass as the slab bounds
+    val (pLo, pHi, oLo, oHi, cp, co) = {
       val r = li.agg(max("l_partkey"), max("l_orderkey")).collect()(0)
       val (pm, om) = (r.getLong(0), r.getLong(1))
-      (pm / 2, pm / 2 + pm / 100, om / 2, om / 2 + om / 100)
+      (pm / 2, pm / 2 + pm / 100, om / 2, om / 2 + om / 100, pm / 20, om / 20)
     }
 
     def scan(dir: String, pred: org.apache.spark.sql.Column): (Double, Long, Long) = {
@@ -97,13 +99,6 @@ object LayoutBench {
       (best, scanRows, outRows)
     }
 
-    // corner-slab = q62_zorder_scan's predicate shape (<= max/20 on both
-    // dims, integer bounds so the filters push) — measured here so the
-    // driver-visible query's skip ratio has a per-SF record.
-    val (cp, co) = {
-      val r = li.agg(max("l_partkey"), max("l_orderkey")).collect()(0)
-      (r.getLong(0) / 20, r.getLong(1) / 20)
-    }
     val preds = Seq(
       "partkey-slab" -> (col("l_partkey").between(pLo, pHi)),
       "orderkey-slab" -> (col("l_orderkey").between(oLo, oHi)),

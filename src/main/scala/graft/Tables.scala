@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * scan (verify with `.explain`: PushedFilters / ReadSchema).
   */
 object Tables {
+  /** Deterministic warehouse-safe tag for a corpus dir — ONE definition
+    * shared by every provision-on-first-use layout (bucketed tables,
+    * z-order copies, shingle tables) and the specs that locate them, so
+    * the naming protocol cannot desynchronize across sites. */
+  def corpusTag(d: String): String =
+    d.toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("^_+|_+$", "")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -97,14 +97,20 @@ object Dedup {
   private[graft] def d5ScaleGeometry(threshold: Double, targetRecall: Double,
       maxHashes: Int = 64): (Int, Int) = {
     require(threshold > 0.0 && threshold < 1.0 && targetRecall > 0.0 && targetRecall < 1.0)
-    val pick = (maxHashes to 1 by -1).iterator.map { r =>
+    val pick = (maxHashes to 1 by -1).iterator.flatMap { r =>
       val miss = 1.0 - math.pow(threshold, r.toDouble)
-      // band count in Long: at loose θ and deep r the minimal b explodes
-      // (ln(miss) → 0⁻) far past Int range — clamp-free Long math keeps
-      // the budget comparison exact instead of overflowing into "fits"
-      val b = if (miss <= 0.0) 1L
-        else math.max(1L, math.ceil(math.log(1.0 - targetRecall) / math.log(miss)).toLong)
-      (b, r)
+      // Two numeric traps guard this loop (review-caught): (a) when θ^r
+      // underflows below double epsilon, miss rounds to EXACTLY 1.0 and
+      // ln(miss) = 0 — the naive b = ceil(x/0) would return a tiny band
+      // count for a geometry whose true recall floor is ~0, so miss ≥ 1
+      // means "r is infeasible at this threshold", not "1 band suffices";
+      // (b) at loose θ the minimal b explodes far past Int range — Long
+      // math keeps the budget comparison exact instead of overflowing
+      // into "fits".
+      if (miss >= 1.0) None
+      else if (miss <= 0.0) Some((1L, r))
+      else Some((math.max(1L,
+        math.ceil(math.log(1.0 - targetRecall) / math.log(miss)).toLong), r))
     }.find { case (b, r) => b * r <= maxHashes }
     pick.map { case (b, r) => (b.toInt, r) }
       .getOrElse((maxHashes, 1)) // θ→0 degenerate: plain minhash buckets
@@ -240,9 +246,9 @@ object Dedup {
 
   /** The d-family's shingle source: the per-query typed map by default;
     * with `graft.dedup.shingleDir` set, a MATERIALIZED (doc_id, shingles)
-    * parquet table — provisioned on first use under the warehouse when
-    * the conf is `auto` (the bucketedTable idiom), or read from the given
-    * path. Rationale (r12): every d-family member re-shingles the corpus
+    * parquet table — provisioned on first use under a corpus-tagged
+    * subdirectory of the given base directory (`auto` = the warehouse,
+    * the bucketedTable idiom). Rationale (r12): every d-family member re-shingles the corpus
     * from text; a production pipeline shingles 100 TB ONCE and every
     * dedup/containment/cluster pass reads the materialized table —
     * tokenization is the family's shared scan-time cost, not a per-query
@@ -254,12 +260,16 @@ object Dedup {
     s.conf.getOption("graft.dedup.shingleDir").filter(_.nonEmpty) match {
       case None => computedShingles(s, d)
       case Some(cfg) =>
-        val path = if (cfg == "auto") {
-          val tag = d.toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("^_+|_+$", "")
-          new java.io.File(
-            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-            s"graft_shingles_$tag").getAbsolutePath
-        } else cfg
+        // The conf names a BASE directory ("auto" = the warehouse); the
+        // corpus tag is always appended, so one session touching two
+        // corpora can never be served the wrong corpus's shingles
+        // (review-caught: an untagged explicit path passed its _SUCCESS
+        // check for EVERY dataset after the first).
+        val base = if (cfg == "auto")
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        else cfg
+        val tag = Tables.corpusTag(d)
+        val path = new java.io.File(base, s"graft_shingles_$tag").getAbsolutePath
         if (!new java.io.File(path, "_SUCCESS").exists())
           computedShingles(s, d).write.mode("overwrite").parquet(path)
         s.read.parquet(path)

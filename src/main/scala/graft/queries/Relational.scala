@@ -56,7 +56,7 @@ object Relational {
     // tables; foreign multi-file buckets simply keep their Sort.
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val buckets = s.conf.getOption("graft.bucketedJoin.buckets").map(_.toInt).getOrElse(32)
-    val tag = d.toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val tag = Tables.corpusTag(d)
     val table = s"graft_b${buckets}_${name}_$tag"
     if (!s.catalog.tableExists(table)) {
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -87,7 +87,7 @@ object Relational {
     * count, BENCHNOTES r11). */
   private def zOrderedLineitem(s: SparkSession, d: String): DataFrame = {
     val files = s.conf.getOption("graft.zorder.files").map(_.toInt).getOrElse(32)
-    val tag = d.toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val tag = Tables.corpusTag(d)
     val loc = new java.io.File(
       s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
       s"graft_z${files}_lineitem_$tag")

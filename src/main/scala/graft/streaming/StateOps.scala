@@ -484,21 +484,17 @@ class TopKProcessor[K](cap: Int)
       nRows = n0
     }
     rows.foreach { case (_, k) => buf.add(k, 1L); nRows += 1 }
-    // the batch finish(): trim to ≤ cap entries — a no-op in the exact
-    // regime, so storing the post-trim summary loses nothing there
+    // trim to ≤ cap entries (a no-op in the exact regime) and store the
+    // post-trim summary; the emission is the BATCH aggregate's finish()
+    // verbatim — one definition of the (cnt desc, key asc) output
+    // contract, so batch q59 and this stream cannot drift (its internal
+    // re-trim is a no-op after ours)
     buf.trim()
     val ks = new Array[Long](buf.n); val cs = new Array[Long](buf.n)
     var w = 0
     buf.foreachEntry { (k, c) => ks(w) = k; cs(w) = c; w += 1 }
     state.update((ks, cs, buf.deducted, nRows))
-    val out = new Array[graft.functions.Sketches.HeavyHitter](buf.n)
-    var i = 0
-    buf.foreachEntry { (k, c) =>
-      out(i) = graft.functions.Sketches.HeavyHitter(k, c, buf.deducted); i += 1 }
-    scala.util.Sorting.stableSort(out,
-      (x: graft.functions.Sketches.HeavyHitter, y: graft.functions.Sketches.HeavyHitter) =>
-        x.cnt > y.cnt || (x.cnt == y.cnt && x.key < y.key))
-    Iterator((key, out, nRows))
+    Iterator((key, graft.functions.Sketches.SpaceSavingTopK(cap).finish(buf), nRows))
   }
 }
 

@@ -181,11 +181,16 @@ class DedupSpec extends SparkTestBase {
     val (b95, r95) = graft.queries.Dedup.d5ScaleGeometry(0.95, 0.99999)
     assert(r95 > 4, s"tighter threshold should deepen bands, got ${(b95, r95)}")
     // Loose thresholds degrade gracefully toward plain minhash buckets
-    // rather than blowing the hash budget.
+    // rather than blowing the hash budget — AND must still honor the
+    // floor (review-caught: θ^r underflow made miss round to exactly 1.0,
+    // ln(miss)=0, and the naive arithmetic returned a 1-band × 64-row
+    // geometry with recall ~0 that "fit" the budget).
     val (bl, rl) = graft.queries.Dedup.d5ScaleGeometry(0.5, 0.99999)
     assert(rl >= 1 && bl * rl <= 64)
-    // Every derivation honors the analytic recall floor at its threshold.
-    for ((th, tgt) <- Seq((0.85, 0.99999), (0.9, 0.9999), (0.95, 0.99), (0.7, 0.999))) {
+    // Every derivation honors the analytic recall floor at its threshold
+    // (incl. the underflow-prone loose ones).
+    for ((th, tgt) <- Seq((0.85, 0.99999), (0.9, 0.9999), (0.95, 0.99), (0.7, 0.999),
+        (0.5, 0.99999), (0.3, 0.99), (0.2, 0.9))) {
       val (b, r) = graft.queries.Dedup.d5ScaleGeometry(th, tgt)
       val floor = 1.0 - math.pow(1.0 - math.pow(th, r.toDouble), b.toDouble)
       assert(floor >= tgt, s"($th,$tgt) -> ($b,$r) floor $floor below target")
@@ -214,7 +219,7 @@ class DedupSpec extends SparkTestBase {
         assert(got.sameElements(want), s"$name diverges under shingleDir=auto")
       }
       // and the table actually exists on disk (provision-on-first-use)
-      val tag = sf.toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val tag = graft.Tables.corpusTag(sf)
       val loc = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
         s"graft_shingles_$tag")

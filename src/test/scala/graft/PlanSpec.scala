@@ -24,15 +24,21 @@ class PlanSpec extends SparkTestBase {
     // metric would count every row and the layout would be decorative.
     val df = SparkEntry.queries("q62_zorder_scan")(spark, sf)
     val out = df.collect()
-    def scanned(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+    // returns one entry per parquet scan node found — an EMPTY list means
+    // the metric hookup broke (DSv2 node, renamed metric), which must
+    // FAIL, not read as perfect pruning (review-caught vacuous pass)
+    def scanned(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         scanned(a.executedPlan)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scanned(q.plan)
       case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
-        sc.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
-      case other => other.children.map(scanned).sum
+        sc.metrics.get("numOutputRows").map(_.value).toSeq
+      case other => other.children.flatMap(scanned)
     }
-    val scanRows = scanned(df.queryExecution.executedPlan)
+    val scans = scanned(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty,
+      "no FileSourceScanExec numOutputRows metric found - scan hookup broke")
+    val scanRows = scans.sum
     val li = graft.Tables.lineitem(spark, sf)
     val corpus = li.count()
     // the layout is lossless: the slab's row count agrees with the PLAIN
