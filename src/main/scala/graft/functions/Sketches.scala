@@ -584,7 +584,11 @@ object Sketches {
   /** [[SpaceSavingTopK]] over String keys — same buffer, guarantee, and
     * (cnt desc, key asc) output order; kept as a concrete class so both
     * variants get plain `ExpressionEncoder` outputs (no generic TypeTag
-    * plumbing at the call sites). */
+    * plumbing at the call sites). The key tie-break compares UTF-8 bytes,
+    * not Java chars: Spark's orderBy and the DuckDB oracle both order
+    * strings by UTF-8 binary, and UTF-16 code units disagree with that
+    * for supplementary-plane characters, which would pick different keys
+    * at a count-tied top-k slice boundary. */
   final case class SpaceSavingTopKStr(cap: Int) extends Aggregator[String, TopKBuf[String], Array[HeavyHitterStr]] {
     require(cap >= 1, s"topk_freq needs cap >= 1, got $cap")
     def zero: TopKBuf[String] = new TopKBuf[String](cap)
@@ -611,7 +615,10 @@ object Sketches {
       }
       scala.util.Sorting.stableSort(out,
         (x: HeavyHitterStr, y: HeavyHitterStr) =>
-          x.cnt > y.cnt || (x.cnt == y.cnt && x.key < y.key))
+          x.cnt > y.cnt || (x.cnt == y.cnt &&
+            java.util.Arrays.compareUnsigned(
+              x.key.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              y.key.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0))
       out
     }
     def bufferEncoder: Encoder[TopKBuf[String]] = Encoders.kryo[TopKBuf[String]]

@@ -142,6 +142,14 @@ object Dedup {
     * candidates) or d6 under maxExactBlock label blocks. */
   private[graft] def signLshPairs(s: SparkSession, emb: DataFrame,
       threshold: Double, tables: Int, bits: Int): DataFrame = {
+    // Geometry must slice inside the fixed plane pool: conf knobs
+    // (graft.dedup.d7Tables × the threshold-derived bit count) can
+    // otherwise index past it and die as an opaque
+    // ArrayIndexOutOfBoundsException inside a task.
+    require(tables * bits <= d7Planes.length,
+      s"sign-LSH geometry $tables tables x $bits bits needs ${tables * bits} " +
+        s"planes > the fixed pool of ${d7Planes.length}; lower " +
+        "graft.dedup.d7Tables or raise graft.dedup.d7Threshold")
     import s.implicits._
     import graft.functions.VecFunctions.vec_dot
     val coded = emb.select(col("vec_id"), col("label"), col("embedding"))

@@ -59,14 +59,19 @@ object Relational {
     val tag = Tables.corpusTag(d)
     val table = s"graft_b${buckets}_${name}_$tag"
     if (!s.catalog.tableExists(table)) {
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = new java.io.File(wh, table)
-      if (new java.io.File(loc, "_SUCCESS").exists()) {
+      // Resolve under the warehouse via the session's Hadoop FileSystem,
+      // not java.io.File: spark.sql.warehouse.dir may be a non-local URI
+      // (hdfs://, s3a://) and string-stripping the scheme would silently
+      // re-pay the layout write or mis-register the LOCATION.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
         s.sql(
           s"""CREATE TABLE $table (${src.schema.toDDL})
              |USING PARQUET
              |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
-             |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+             |LOCATION '${fs.makeQualified(loc).toString}'""".stripMargin)
       } else {
         src.repartition(buckets, col(key))
           .write.bucketBy(buckets, key).sortBy(key)
@@ -88,13 +93,16 @@ object Relational {
   private def zOrderedLineitem(s: SparkSession, d: String): DataFrame = {
     val files = s.conf.getOption("graft.zorder.files").map(_.toInt).getOrElse(32)
     val tag = Tables.corpusTag(d)
-    val loc = new java.io.File(
-      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      s"graft_z${files}_lineitem_$tag")
-    if (!new java.io.File(loc, "_SUCCESS").exists())
+    // Hadoop Path, not java.io.File — same non-local-warehouse argument
+    // as bucketedTable above.
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_z${files}_lineitem_$tag")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(loc).toString
+    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
       graft.operators.ZOrder.writeZOrdered(Tables.lineitem(s, d),
-        loc.getAbsolutePath, Seq("l_partkey", "l_orderkey"), files)
-    s.read.parquet(loc.getAbsolutePath)
+        qualified, Seq("l_partkey", "l_orderkey"), files)
+    s.read.parquet(qualified)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

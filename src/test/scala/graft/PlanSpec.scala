@@ -94,6 +94,62 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("legacy bucketedTableScan.outputOrdering still guards multi-file buckets (SPARK-24528)") {
+    // bucketedTable() flips spark.sql.legacy.bucketedTableScan.outputOrdering
+    // on session-wide. That is safe on 4.1.2 ONLY because FileSourceScan
+    // still verifies every bucket holds exactly one file before claiming a
+    // sort order (verified against the bytecode) — a Spark upgrade that
+    // drops the guard would silently reintroduce the SPARK-24528
+    // wrong-results class for any OTHER multi-file bucketed table read in
+    // the same session. Pin the guard: a deliberately multi-file-per-bucket
+    // table joined on its bucket key must STILL get a Sort on each side
+    // even with the legacy conf on. If this test ever fails after a Spark
+    // bump, scope the conf to q10_scale's execution instead.
+    val tbl = "graft_multifile_bucket_pin"
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevO = spark.conf.getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      // 4 writer tasks x 2 buckets -> up to 4 files per bucket.
+      spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+        .repartition(4)
+        .write.bucketBy(2, "k").sortBy("k").mode("overwrite").saveAsTable(tbl)
+      val filesPerBucket = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(filesPerBucket > 2, s"fixture must be multi-file ($filesPerBucket files, 2 buckets)")
+      val a = spark.table(tbl)
+      val b = spark.table(tbl).withColumnRenamed("v", "v2")
+      val plan = a.join(b, "k").queryExecution.executedPlan
+      val smjs = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected SMJ:\n${plan.toString.take(2000)}")
+      smjs.foreach { j =>
+        j.children.foreach { side =>
+          assert(side.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.isEmpty,
+            s"bucketed side must still avoid the shuffle:\n${side.toString.take(1500)}")
+          assert(side.collect {
+            case so: org.apache.spark.sql.execution.SortExec => so }.nonEmpty,
+            "multi-file buckets claimed a sort order under the legacy conf — " +
+              "the SPARK-24528 guard is gone; scope the conf to q10_scale:\n" +
+              side.toString.take(1500))
+        }
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      prevO match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
+        case None => spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      }
+    }
+  }
+
   test("q11 dimension joins broadcast (no shuffle of nation/region)") {
     val plan = planOf("q11_join_dims")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
