@@ -98,6 +98,27 @@ object Sketches {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** [[KmvSketch]] with a BOXED input that SKIPS nulls — the PctSketch
+    * null-handling pattern applied to distinct counting. Needed wherever
+    * per-column null exclusion must happen INSIDE one shared aggregate
+    * pass (q63's one-scan profiler): a query-level `isNotNull` filter
+    * would drop the whole ROW from every column's sketch when only one
+    * column is null, and the oracle's `count(distinct col)` excludes
+    * nulls per column, not per row. Feed it
+    * `when(col.isNotNull, xxhash64(col))` so hashing stays codegen'd and
+    * the null indicator rides the boxed input. */
+  final case class KmvSketchOpt(k: Int)
+      extends Aggregator[java.lang.Long, KmvBuf, Array[Long]] {
+    private val inner = KmvSketch(k)
+    def zero: KmvBuf = inner.zero
+    def reduce(b: KmvBuf, h: java.lang.Long): KmvBuf =
+      if (h == null) b else inner.reduce(b, h.longValue)
+    def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
+    def finish(b: KmvBuf): Array[Long] = inner.finish(b)
+    def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** Distinct-count estimate from a sketch column: exact `size` below k;
     * at saturation the classic unbiased (k−1)/θ_k with θ_k the k-th
     * smallest hash as a fraction of the hash domain (Beyer et al.,

@@ -78,6 +78,64 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Native Catalyst expression for the INTEGER-vector dot product — the hot
+  * loop of quantized (int8 scalar-quantization) similarity search (s12).
+  *
+  * Accumulates in LONG, so the result is EXACT (64 dims × 127² per term
+  * stays far below 2⁶³): unlike the float dot, there is no fold-order
+  * sensitivity at all — any engine computing the same products gets the
+  * same integer, which is what makes the quantized ANN ranking
+  * hash-oracle-safe. Same codegen shape as [[FloatVecDot]].
+  */
+case class IntVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ivec_dot expects array<int> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getInt(i).toLong * y.getInt(i).toLong; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntVecDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "ivec_dot"
+}
+
 /** Shared per-row kernels for the sign-LSH operators (s2 ANN, d7 near-dup):
   * one implementation so the two can never drift in fold order or
   * dimension handling. */
@@ -117,4 +175,9 @@ object VecFunctions {
   def vec_dot(a: Column, b: Column): Column =
     ColumnShim.column(
       FloatVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Exact integer dot(a, b) (LONG accumulator) for quantized vectors. */
+  def ivec_dot(a: Column, b: Column): Column =
+    ColumnShim.column(
+      IntVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

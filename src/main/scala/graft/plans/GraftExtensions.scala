@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, PolyHash, RollingMinHash}
+import graft.functions.{FloatVecDot, IntVecDot, PolyHash, RollingMinHash}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -31,6 +31,9 @@ object GraftExtensions {
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - dot product of float/double arrays"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))),
+    ("ivec_dot",
+      info("ivec_dot", "ivec_dot(a, b) - exact integer dot product of int arrays (long accumulator)"),
+      (exprs: Seq[Expression]) => IntVecDot(exprs(0), exprs(1))),
     ("poly_hash",
       info("poly_hash", "poly_hash(text) - polynomial rolling hash of the whole string"),
       (exprs: Seq[Expression]) => PolyHash(exprs(0))),

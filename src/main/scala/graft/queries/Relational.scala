@@ -367,6 +367,64 @@ object Relational {
           sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
         .orderBy(col("l_returnflag"))
     },
+    // One-pass table profiler — ANALYZE at 100 TB: per-column null counts,
+    // distinct counts, and value ranges for the whole table from a SINGLE
+    // corpus scan. NDV rides the null-skipping KMV sketch (KmvSketchOpt:
+    // per-COLUMN null exclusion inside the shared pass — a query-level
+    // filter would drop whole rows), so the exchange carries one bounded
+    // summary per column per partition, never values: O(cols · k ·
+    // partitions) regardless of corpus size, where the exact
+    // count(distinct) per column would each be its own corpus-sized
+    // shuffle (q2's Expand wall, times ten). min/max/counts are ordinary
+    // map-side partials. Exact below capacity (the oracle regime — every
+    // profiled column's domain is value-bounded or key-scaled, which is
+    // WHY l_extendedprice, near-unique at any SF, is out of the declared
+    // set: its exact NDV is corpus-sized and belongs to the estimator
+    // regime, q6's adjudicated territory). Strings profile counts+NDV
+    // only (their min/max is not a DOUBLE; the uniform schema keeps the
+    // unpivot one struct array).
+    "q63_table_stats" -> { (s, d) =>
+      val k = s.conf.get("spark.graft.sketch.k", "16384").toInt
+      val sk = udaf(graft.functions.Sketches.KmvSketchOpt(k))
+      val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      val tsCols = Seq("l_shipdate")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val all = numCols ++ tsCols ++ strCols
+      val aggs: Seq[Column] =
+        Seq(count(lit(1)).as("n_rows")) ++
+        all.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+            sk(when(col(c).isNotNull, xxhash64(col(c)))).as(s"${c}__sk")) ++
+          (if (strCols.contains(c)) Seq.empty[Column]
+           else {
+             // The parquet vintage reads l_shipdate as TIMESTAMP_NTZ, which
+             // has no direct double cast; route through TimestampType (the
+             // session timezone is pinned UTC everywhere, so the hop is the
+             // identity) → epoch seconds, DuckDB's epoch() twin.
+             val v = if (tsCols.contains(c))
+               col(c).cast("timestamp") else col(c)
+             Seq(
+               min(v).cast("double").as(s"${c}__mn"),
+               max(v).cast("double").as(s"${c}__mx"))
+           })
+        }
+      val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = all.map { c =>
+        val (mn, mx) =
+          if (strCols.contains(c))
+            (lit(null).cast("double"), lit(null).cast("double"))
+          else (col(s"${c}__mn"), col(s"${c}__mx"))
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"${c}__nn").as("n_null"),
+          graft.functions.Sketches.kmvNdv(col(s"${c}__sk"), k).as("ndv"),
+          mn.as("min_val"), mx.as("max_val"))
+      }
+      one.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.*"))
+        .orderBy(col("col_name"))
+    },
     "q11_join_dims" -> { (s, d) =>
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d); val r = Tables.region(s, d)
@@ -1327,6 +1385,40 @@ object Relational {
         |WHERE l_partkey <= (SELECT max(l_partkey) // 20 FROM lineitem)
         |  AND l_orderkey <= (SELECT max(l_orderkey) // 20 FROM lineitem)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63: exact per-column statistics, one UNION branch per profiled
+    // column. The Spark side is ONE scan with per-column KMV sketches
+    // (exact below k at verify SF — SketchSpec pins the headroom);
+    // timestamps compare on epoch seconds (Spark's ts→double cast =
+    // DuckDB's epoch(): the same micros/1e6 IEEE division).
+    "q63_table_stats" -> {
+      val num = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      val branches =
+        num.map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
+             |  CAST(min($c) AS DOUBLE) AS min_val,
+             |  CAST(max($c) AS DOUBLE) AS max_val
+             |FROM lineitem""".stripMargin
+        } ++ Seq(
+          """SELECT 'l_shipdate' AS col_name, count(*) AS n_rows,
+            |  CAST(count(*) - count(l_shipdate) AS BIGINT) AS n_null,
+            |  CAST(count(DISTINCT l_shipdate) AS DOUBLE) AS ndv,
+            |  epoch(min(l_shipdate)) AS min_val,
+            |  epoch(max(l_shipdate)) AS max_val
+            |FROM lineitem""".stripMargin) ++
+        Seq("l_returnflag", "l_linestatus").map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
+             |  CAST(NULL AS DOUBLE) AS min_val,
+             |  CAST(NULL AS DOUBLE) AS max_val
+             |FROM lineitem""".stripMargin
+        }
+      branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY col_name")
+    },
     "q11_join_dims" ->
       """SELECT r_name, count(*) AS n_cust,
         |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_bal

@@ -92,7 +92,7 @@ object Similarity {
       .take(probe).map(_._2)
   }
 
-  import graft.functions.VecFunctions.vec_dot
+  import graft.functions.VecFunctions.{ivec_dot, vec_dot}
 
   // All s-family ops consume the validated embedding domain (Tables
   // .validEmbeddings: key+label present, declared dim, finite elements,
@@ -111,11 +111,17 @@ object Similarity {
     * and `raise_error` fails the job with a pointer to the scale paths
     * (s2/s4) instead of silently OOMing the driver. Cap configurable via
     * `graft.ann.maxQuerySet`. */
-  private def guardedQuerySet(s: SparkSession, e: DataFrame, op: String): DataFrame = {
+  private def guardedQuerySet(s: SparkSession, e: DataFrame, op: String): DataFrame =
+    guardedBounded(s,
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("sq").as("q_sq")), op)
+
+  /** The count guard alone, for query frames with non-default projections
+    * (s12 carries quantized columns): lazy distributed count joined in,
+    * `raise_error` when the broadcast side exceeds the cap. */
+  private def guardedBounded(s: SparkSession, q0: DataFrame, op: String): DataFrame = {
     val maxQ = s.conf.getOption("graft.ann.maxQuerySet").map(_.toInt).getOrElse(10000)
-    val q0 = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("embedding").as("q_emb"), col("sq").as("q_sq"))
     val qn = q0.agg(count(lit(1)).as("__q_n"))
     q0.crossJoin(broadcast(qn))
       .filter(when(col("__q_n") > maxQ, raise_error(format_string(
@@ -152,6 +158,33 @@ object Similarity {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
         st => st.getField("sx").cast("double").cast("float")).as("cvec"))
+
+  /** Per-dimension max-|x| over the valid corpus, as ONE row holding a
+    * pos-ordered float array — the symmetric int8 quantizer's scale table
+    * (s11/s12). Float max is exact (no summation), so the stats — and
+    * everything quantized with them — are order-free and hash-oracle-safe.
+    * Scale: posexplode feeds a map-side partial MAX, the exchange carries
+    * (dim × partitions) partials, and the result is a single dim-length
+    * row broadcast back (ZOrder's stats-pass shape). */
+  private[queries] def dimMaxAbs(s: SparkSession, d: String): DataFrame =
+    Tables.parallelized(Tables.validEmbeddings(s, d))
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(max(abs(col("x"))).as("m"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        st => st.getField("m")).as("maxabs"))
+
+  /** Symmetric per-dimension int8 quantization: q = ⌊x·127/m + 0.5⌋ ∈
+    * [−127, 127] (round-half-up via floor — floor is bit-identical across
+    * engines, unlike the two engines' round() conventions). A zero-range
+    * dimension (m = 0 ⇒ every x = 0) quantizes to 0 explicitly: ANSI mode
+    * would otherwise fault the division. */
+  private def sq8(emb: Column, maxabs: Column): Column =
+    zip_with(emb, maxabs, (x, m) =>
+      when(m === lit(0.0f), lit(0))
+        .otherwise(floor(x.cast("double") * lit(127.0) / m.cast("double") + lit(0.5))
+          .cast("int")))
 
   // Native codegen'd dot product (FloatVecDot) — same sequential fold order
   // as the SQL higher-order formulation, so oracle parity is preserved.
@@ -438,6 +471,74 @@ object Similarity {
           when(col("cnorm") =!= 0.0, vec_dot(col("va"), col("vb")) / col("cnorm")))
         .select(col("label_a"), col("label_b"), col("cosine"))
         .orderBy(col("label_a"), col("label_b"))
+    },
+    // Symmetric int8 scalar quantization of the embedding corpus — the
+    // index-compression layer every 100 TB ANN deployment runs: float32
+    // vectors are 256 B each; the int8 twin is 64 B (4×; 16× vs float64),
+    // dot products become exact integer SIMD ops (ivec_dot, LONG
+    // accumulator), and the per-dim scale table is ONE dim-length row.
+    // The query emits the quantized corpus plus the per-vector worst-case
+    // reconstruction error — the audit row you inspect before swapping
+    // the index. Every step is IEEE-deterministic (float max stats, one
+    // double mul/div chain, floor), so the whole output hash-matches the
+    // oracle — no "approximately equal" escape hatch.
+    // Scale: the stats pass is a dim-sized partial-max agg (ZOrder's
+    // shape); the encode is a narrow map under a 1-row broadcast. Nothing
+    // else shuffles.
+    "s11_sq8_quantize" -> { (s, d) =>
+      val e = Tables.parallelized(Tables.validEmbeddings(s, d))
+        .select(col("vec_id"), col("embedding"))
+      e.crossJoin(broadcast(dimMaxAbs(s, d)))
+        .withColumn("qvec", sq8(col("embedding"), col("maxabs")))
+        // recon = q·m/127 — divides by the constant, so no zero guard;
+        // a zero-range dim has q = 0 and m = 0 ⇒ recon = 0 = x exactly.
+        .withColumn("max_abs_err",
+          array_max(zip_with(col("embedding"),
+            zip_with(col("qvec"), col("maxabs"),
+              (q, m) => q.cast("double") * m.cast("double") / lit(127.0)),
+            (x, r) => abs(x.cast("double") - r))))
+        .select(col("vec_id"), col("qvec"), col("max_abs_err"))
+        .orderBy(col("vec_id"))
+    },
+    // Recall of the QUANTIZED index against the exact one, measured
+    // in-engine — s8's accuracy idea applied to s11's compression: every
+    // guarded query ranks the corpus twice in ONE candidate pass (exact
+    // float cosine vs integer-dot cosine on the int8 twins) and reports
+    // |top-5 ∩ top-5|. This is the acceptance gate you run on a corpus
+    // sample before switching the fleet's index to int8. One corpus scan,
+    // one broadcast join, one q_id exchange shared by both rank windows;
+    // the integer dots are EXACT (no fold-order hazard), so ranking —
+    // and the oracle hash — is deterministic with the (cosine, vec_id)
+    // tie-break.
+    "s12_sq8_recall" -> { (s, d) =>
+      val coded = normed(s, d).crossJoin(broadcast(dimMaxAbs(s, d)))
+        .withColumn("qvec", sq8(col("embedding"), col("maxabs")))
+        .withColumn("qsq", ivec_dot(col("qvec"), col("qvec")))
+        .drop("maxabs")
+      val q = guardedBounded(s,
+        coded.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("sq").as("q_sq"), col("qvec").as("q_qvec"),
+            col("qsq").as("q_qsq")), "s12_sq8_recall")
+      val scored = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos_e",
+          dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+        // A valid vector CAN quantize to all-zero (every |x| < m/254) —
+        // s5's zero-norm guard: NULL cosine (DuckDB x/0 semantics),
+        // ranked last on both engines.
+        .withColumn("qnorm", sqrt(col("q_qsq").cast("double")) * sqrt(col("qsq").cast("double")))
+        .withColumn("cos_q", when(col("qnorm") =!= 0.0,
+          ivec_dot(col("q_qvec"), col("qvec")).cast("double") / col("qnorm")))
+      val we = Window.partitionBy(col("q_id")).orderBy(col("cos_e").desc, col("vec_id"))
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_q").desc_nulls_last, col("vec_id"))
+      scored
+        .withColumn("rk_e", row_number().over(we))
+        .withColumn("rk_q", row_number().over(wq))
+        .groupBy(col("q_id"))
+        .agg(sum(when(col("rk_e") <= TOPK && col("rk_q") <= TOPK, 1L).otherwise(0L))
+          .as("n_common"))
+        .withColumn("recall_at_5", col("n_common").cast("double") / lit(TOPK.toDouble))
+        .orderBy(col("q_id"))
     }
   )
 
@@ -599,6 +700,74 @@ object Similarity {
         |  / (sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(a.cvec) u(x)))
         |     * sqrt((SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(b.cvec) u(x)))) AS cosine
         |FROM cvecs a JOIN cvecs b ON a.label < b.label
-        |ORDER BY label_a, label_b""".stripMargin
+        |ORDER BY label_a, label_b""".stripMargin,
+    // Mirrors s11 step for step: per-dim float max-abs stats (exact, no
+    // summation), the same mul-then-div double chain, floor-half-up, and
+    // the q·m/127 reconstruction — every op IEEE-deterministic on both
+    // engines.
+    "s11_sq8_quantize" ->
+      s"""WITH comp AS (
+        |  SELECT s.pos, s.ax
+        |  FROM (SELECT unnest(list_transform(embedding,
+        |          (x, i) -> struct_pack(pos := i, ax := abs(x)))) AS s
+        |        FROM ${graft.Tables.validEmbSql} embeddings)),
+        |dim AS (SELECT pos, max(ax) AS m FROM comp GROUP BY 1),
+        |stats AS (SELECT list(m ORDER BY pos) AS maxabs FROM dim),
+        |quant AS (
+        |  SELECT e.vec_id, e.embedding, st.maxabs,
+        |    list_transform(list_zip(e.embedding, st.maxabs),
+        |      z -> CASE WHEN z[2] = 0 THEN 0
+        |           ELSE CAST(floor(CAST(z[1] AS DOUBLE) * 127.0 / CAST(z[2] AS DOUBLE) + 0.5) AS INTEGER) END) AS qvec
+        |  FROM ${graft.Tables.validEmbSql} e CROSS JOIN stats st)
+        |SELECT vec_id, qvec,
+        |  list_max(list_transform(list_zip(embedding, qvec, maxabs),
+        |    z -> abs(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) * CAST(z[3] AS DOUBLE) / 127.0))) AS max_abs_err
+        |FROM quant ORDER BY vec_id""".stripMargin,
+    // s1's exact scored CTE and s11's quantized twin ranked side by side;
+    // the integer dots are exact, so both rankings are deterministic under
+    // the (cosine, vec_id) tie-break. cos_q's zero-norm division yields
+    // NULL natively here (DuckDB x/0), matching the Spark when() guard.
+    "s12_sq8_recall" ->
+      s"""WITH comp AS (
+        |  SELECT s.pos, s.ax
+        |  FROM (SELECT unnest(list_transform(embedding,
+        |          (x, i) -> struct_pack(pos := i, ax := abs(x)))) AS s
+        |        FROM ${graft.Tables.validEmbSql} embeddings)),
+        |dim AS (SELECT pos, max(ax) AS m FROM comp GROUP BY 1),
+        |stats AS (SELECT list(m ORDER BY pos) AS maxabs FROM dim),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
+        |  FROM ${graft.Tables.validEmbSql} embeddings),
+        |coded AS (
+        |  SELECT e.vec_id, e.embedding, e.sq,
+        |    list_transform(list_zip(e.embedding, st.maxabs),
+        |      z -> CASE WHEN z[2] = 0 THEN 0
+        |           ELSE CAST(floor(CAST(z[1] AS DOUBLE) * 127.0 / CAST(z[2] AS DOUBLE) + 0.5) AS INTEGER) END) AS qvec
+        |  FROM e CROSS JOIN stats st),
+        |coded2 AS (
+        |  SELECT *, (SELECT CAST(sum(CAST(u.q AS BIGINT) * CAST(u.q AS BIGINT)) AS BIGINT)
+        |             FROM unnest(qvec) u(q)) AS qsq
+        |  FROM coded),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(q.embedding, c.embedding),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |      / (sqrt(q.sq) * sqrt(c.sq)) AS cos_e,
+        |    CAST((SELECT CAST(sum(CAST(p.v AS BIGINT)) AS BIGINT) FROM unnest(
+        |       list_transform(list_zip(q.qvec, c.qvec),
+        |                      z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) p(v)) AS DOUBLE)
+        |      / (sqrt(CAST(q.qsq AS DOUBLE)) * sqrt(CAST(c.qsq AS DOUBLE))) AS cos_q
+        |  FROM coded2 q JOIN coded2 c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_e DESC, vec_id) AS rk_e,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_q DESC NULLS LAST, vec_id) AS rk_q
+        |  FROM scored)
+        |SELECT q_id,
+        |  CAST(sum(CASE WHEN rk_e <= 5 AND rk_q <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  CAST(sum(CASE WHEN rk_e <= 5 AND rk_q <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -551,6 +551,31 @@ object TextOps {
         .withColumn("doc_share",
           col("n_docs").cast("double") / col("src_docs").cast("double"))
         .orderBy(col("source"), col("lang"))
+    },
+    // Token-PROPORTIONAL (weighted Bernoulli) sampling — the fourth member
+    // of the sampling family (t10 fixed rate, t11 per-source quota, t12
+    // token budget): each doc is admitted with probability ∝ its token
+    // count, the standard importance-sampling shape when the downstream
+    // unit is tokens, not documents. Reproducibility contract: NO float
+    // randomness anywhere — the per-doc uniform is the first 32 md5 bits
+    // (h32 ∈ [0, 2³²)) and the admit test  h32·wmax·4 < n_tokens·2³²  is
+    // EXACT BIGINT arithmetic (admit prob = w/(4·wmax); overflow needs
+    // wmax > 2²⁹ tokens/doc — not a document). Same doc ⇒ same verdict on
+    // every run, executor count, and engine. Scale: narrow scan + one
+    // 1-row broadcast stat (wmax); no shuffle at all.
+    "t22_weighted_sample" -> { (s, d) =>
+      val docs = Tables.validDocuments(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+      val wmax = docs.agg(max(col("n_tokens")).as("wmax"))
+      docs.crossJoin(broadcast(wmax))
+        .withColumn("h32",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10).cast("long"))
+        .filter(col("h32") * col("wmax") * lit(4L) <
+          col("n_tokens") * lit(4294967296L))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -841,7 +866,20 @@ object TextOps {
           |  CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS src_docs,
           |  CAST(n_docs AS DOUBLE)
           |    / CAST(CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS DOUBLE) AS doc_share
-          |FROM c ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
+          |FROM c ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+      // t22: the same exact-BIGINT admit test; the md5-derived h32 parses
+      // via DuckDB's hex-literal cast ('0x' || 8 hex chars → BIGINT).
+      "t22_weighted_sample" ->
+        s"""WITH d AS (
+          |  SELECT doc_id, source,
+          |    CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens
+          |  FROM ${graft.Tables.validDocsSql} documents),
+          |w AS (SELECT max(n_tokens) AS wmax FROM d)
+          |SELECT doc_id, source, n_tokens
+          |FROM d CROSS JOIN w
+          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * wmax * 4
+          |      < n_tokens * 4294967296
+          |ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -192,6 +192,19 @@ class PlanSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("ivec_dot stays inside whole-stage codegen and is exactly the integer fold") {
+    import graft.functions.VecFunctions.ivec_dot
+    val df = spark.range(3).selectExpr(
+        "array(cast(id AS int), cast(id + 1 AS int), 127) AS a",
+        "array(2, cast(-id AS int), 127) AS b")
+      .select(ivec_dot(col("a"), col("b")).as("d"))
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("*(1) Project [ivec_dot"), plan)
+    val got = df.collect().map(_.getLong(0)).toSeq
+    // id=0: 0+0+16129; id=1: 2-2+16129; id=2: 4-6+16129
+    assert(got == Seq(16129L, 16129L, 16127L), got)
+  }
+
   test("q1_agg aggregation is partial+final hash aggregate") {
     val plan = planOf("q1_agg")
     assert(plan.contains("HashAggregate"))
@@ -248,13 +261,15 @@ class PlanSpec extends SparkTestBase {
     graft.plans.GraftExtensions.registerAll(spark)
     val r = spark.sql(
       """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       ivec_dot(array(1, 2), array(3, 4)) AS di,
         |       poly_hash('abc') AS ph,
         |       rolling_min_hash('abcdef', 3) AS rmh""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 11.0)
-    assert(r.getLong(1) ==
+    assert(r.getLong(1) == 11L)
+    assert(r.getLong(2) ==
       graft.functions.RollingHashKernel.fullHash(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
-    assert(r.getLong(2) ==
+    assert(r.getLong(3) ==
       graft.functions.RollingHashKernel.minWindowHash(
         org.apache.spark.unsafe.types.UTF8String.fromString("abcdef"), 3))
     // the extension class itself installs without error (deploy-time path)
@@ -604,6 +619,17 @@ class PlanSpec extends SparkTestBase {
       plan.take(3000))
   }
 
+  test("s12 sq8 recall: stats + query set broadcast, no corpus self-shuffle") {
+    val plan = planOf("s12_sq8_recall")
+    // The 1-row stats frame and the guarded quantized query set both ride
+    // broadcasts (s1/s8's shape); the corpus never sort-merge-joins or
+    // cartesians against itself. The only exchange is the q_id window.
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the guarded query set must broadcast against the corpus scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+  }
+
   test("q53 equidepth: boundaries reduce+broadcast — no global-sort ntile single reducer") {
     val plan = planOf("q53_equidepth")
     // The windowless formulation: no Window at all, boundaries ride a
@@ -654,6 +680,18 @@ class PlanSpec extends SparkTestBase {
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("n_chars"),
       s"scan must prune n_chars: $readSchema")
+  }
+
+  test("q63 profiler: one corpus scan, one agg exchange, no joins") {
+    val plan = planOf("q63_table_stats")
+    // Ten columns' stats from ONE pass: a single global aggregate whose
+    // exchange carries bounded sketch buffers + scalar partials. The
+    // unpivot is a literal struct-array explode over the 1-row result.
+    assert(!plan.contains("Join"), "profiler must not join")
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"profiler must shuffle once (partial->final agg): ${plan.take(3000)}")
+    assert(plan.contains("ObjectHashAggregate"),
+      "sketch aggregates must build map-side (partial ObjectHashAggregate)")
   }
 
   test("q55 numeric range frame: both frame aggregates share one o_orderstatus exchange") {

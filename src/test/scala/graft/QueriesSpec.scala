@@ -13,6 +13,28 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("t22 weighted sample: deterministic admit set, admits long docs at a higher rate") {
+    import org.apache.spark.sql.functions._
+    def admitSet() = SparkEntry.queries("t22_weighted_sample")(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val admitted = admitSet()
+    assert(admitted.nonEmpty)
+    // The admit test is pure integer arithmetic on md5 bits: a re-run (any
+    // partitioning, any engine) must admit the IDENTICAL set.
+    assert(admitted == admitSet())
+    // Weighting: admit probability ∝ n_tokens, so the admitted docs' mean
+    // token count must exceed the corpus mean (size-biased sampling).
+    val all = graft.Tables.validDocuments(spark, sf)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    val admittedMean =
+      all.filter(t => admitted(t._1)).map(_._2).sum.toDouble / admitted.size
+    assert(admittedMean > corpusMean,
+      s"size-biased sample mean $admittedMean must exceed corpus mean $corpusMean")
+  }
+
   // The frame-free scale twin must be row-for-row identical to the frame
   // query — same rows, same order (both end in ORDER BY o_orderkey), same
   // doubles bit-for-bit (the decimal sums are order-free).

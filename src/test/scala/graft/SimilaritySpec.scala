@@ -59,4 +59,35 @@ class SimilaritySpec extends SparkTestBase {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("s11 int8 quantization: codes bounded, worst-case error within the step bound") {
+    val rows = graft.queries.Similarity.queries("s11_sq8_quantize")(spark, sf)
+      .select(col("qvec"), col("max_abs_err")).collect()
+    assert(rows.nonEmpty)
+    // Codes are symmetric int8: q = ⌊x·127/m + 0.5⌋ with |x| ≤ m per dim.
+    assert(rows.forall(_.getSeq[Int](0).forall(q => q >= -127 && q <= 127)))
+    // Reconstruction bound: |x − q·m/127| ≤ m/254 per dim (half a step),
+    // so the per-vector max is ≤ (global max-|x|)/254. Tiny slack for the
+    // double arithmetic.
+    val globalMax = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(max(array_max(transform(col("embedding"), x => abs(x)))))
+      .collect()(0).getFloat(0).toDouble
+    val bound = globalMax / 254.0 + 1e-12
+    assert(rows.forall(_.getDouble(1) <= bound),
+      s"max_abs_err exceeds the quantization step bound $bound")
+  }
+
+  test("s12 quantized-index recall is measured and sane") {
+    val rows = graft.queries.Similarity.queries("s12_sq8_recall")(spark, sf)
+      .select(col("n_common"), col("recall_at_5")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 5))
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    // Quality floor: int8 keeps MOST of the exact top-5 even on this
+    // isotropic synthetic corpus, whose top-5 margins are noise-level
+    // (the hardest case for any quantizer — real clustered embedding
+    // corpora rank higher). Loose on purpose at the tiny test SF.
+    val mean = rows.map(_.getDouble(1)).sum / rows.length
+    assert(mean >= 0.2, s"mean recall@5 $mean below 0.2")
+  }
 }

@@ -30,6 +30,26 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("kmv: boxed variant skips nulls per value — filtered-input parity") {
+    // KmvSketchOpt(null-skipping boxed input) over a column with nulls
+    // must equal KmvSketch over the pre-filtered column: per-COLUMN null
+    // exclusion inside one shared pass (q63's one-scan profiler contract).
+    val optAgg = udaf(Sketches.KmvSketchOpt(k))
+    val base = spark.range(9000)
+      .select(when(col("id") % 3 =!= 0, col("id") % 500).as("key"))
+    val viaOpt = base
+      .select(when(col("key").isNotNull, xxhash64(col("key"))).as("h"))
+      .agg(optAgg(col("h")).as("sk"))
+      .select(Sketches.kmvNdv(col("sk"), k)).collect()(0).getDouble(0)
+    val viaFiltered = base.filter(col("key").isNotNull)
+      .select(xxhash64(col("key")).as("h"))
+      .agg(kmvAgg(col("h")).as("sk"))
+      .select(Sketches.kmvNdv(col("sk"), k)).collect()(0).getDouble(0)
+    assert(viaOpt == viaFiltered)
+    // exact in the sub-k regime: ids with id % 3 != 0 cover all 500 residues
+    assert(viaOpt == 500.0)
+  }
+
   test("kmv: saturated estimate within 5 sigma of the true cardinality") {
     val n = 200000L
     val truth = n.toDouble
@@ -69,6 +89,25 @@ class SketchSpec extends SparkTestBase {
       .agg(countDistinct(col("l_orderkey")).as("c"))
       .agg(max(col("c"))).collect()(0).getLong(0)
     assert(maxDistinct < kk, s"q57 would saturate: $maxDistinct >= $kk")
+  }
+
+  test("kmv: q63's profiled columns stay in the lossless regime at the driver's verify SF") {
+    // q63's oracle is exact count(distinct) per column, valid only while
+    // every profiled column's NDV sits below k AT THE DRIVER'S VERIFY SF
+    // (sf0.01 — the binding gate, unlike q57's per-group test-SF pin).
+    // On a testdata regen that inflates a domain past capacity, THIS spec
+    // is the failure you want to see, not the hash gate.
+    val kk = spark.conf.get("spark.graft.sketch.k", "16384").toInt
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_discount", "l_tax", "l_shipdate",
+      "l_returnflag", "l_linestatus")
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val row = li.agg(countDistinct(col(cols.head)),
+      cols.tail.map(c => countDistinct(col(c))): _*).collect()(0)
+    cols.zipWithIndex.foreach { case (c, i) =>
+      assert(row.getLong(i) < kk,
+        s"q63 profile column $c would saturate at verify SF: ${row.getLong(i)} >= $kk")
+    }
   }
 
   private val cap = 256
