@@ -539,6 +539,59 @@ object Similarity {
           .as("n_common"))
         .withColumn("recall_at_5", col("n_common").cast("double") / lit(TOPK.toDouble))
         .orderBy(col("q_id"))
+    },
+    // IVF × int8 — the production ANN composition at 100 TB: s4's coarse
+    // quantizer bounds the SCAN (corpus/NLIST·NPROBE candidates per
+    // query) while s11's symmetric int8 codes bound the BYTES (the cell
+    // inverted lists store 64 B codes, not 256 B floats — the floats are
+    // only touched once, at ingest, for cell assignment and encoding).
+    // Candidate scoring is ivec_dot integer cosine — exact integer
+    // arithmetic, SIMD-friendly, no fold-order hazard. Rows-only under
+    // the driver contract (cell assignment is training-defined, s4's
+    // class); quality is pinned in SimilaritySpec as recall vs exact s1
+    // alongside the s12 quantization-only and s4 IVF-only baselines —
+    // the three factor the recall loss into its scan and quantization
+    // components.
+    "s13_knn_ivf_sq8" -> { (s, d) =>
+      import s.implicits._
+      val e = normed(s, d).crossJoin(broadcast(dimMaxAbs(s, d)))
+        .withColumn("qvec", sq8(col("embedding"), col("maxabs")))
+        .withColumn("qsq", ivec_dot(col("qvec"), col("qvec")))
+        .select(col("vec_id"), col("embedding"), col("qvec"), col("qsq"))
+      val cents = Similarity.trainCentroids(
+        e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+          .orderBy(col("vec_id")).limit(SAMPLE).collect().map(_._2))
+      val bc = s.sparkContext.broadcast(cents)
+      val assigned = e.as[(Long, Array[Float], Array[Int], Long)]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, emb, qv, qq) =>
+            (id, qv, qq, Similarity.nearestCells(emb, cs, 1)(0))
+          }
+        }
+        .toDF("vec_id", "qvec", "qsq", "cell")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .as[(Long, Array[Float], Array[Int], Long)]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (id, emb, qv, qq) =>
+            Similarity.nearestCells(emb, cs, NPROBE).map(c => (id, qv, qq, c))
+          }
+        }
+        .toDF("q_id", "q_qvec", "q_qsq", "cell")
+      // One cell per corpus vector + distinct probe cells per query ⇒ a
+      // (q, vec) pair joins at most once (s4's no-dedup argument).
+      val cands = assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("qnorm",
+          sqrt(col("q_qsq").cast("double")) * sqrt(col("qsq").cast("double")))
+        .withColumn("cosine", when(col("qnorm") =!= 0.0,
+          ivec_dot(col("q_qvec"), col("qvec")).cast("double") / col("qnorm")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc_nulls_last, col("vec_id"))
+      cands.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TOPK)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
+        .orderBy(col("q_id"), col("rk"))
     }
   )
 

@@ -34,6 +34,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"IVF recall@5 $recall below 0.3")
   }
 
+  test("s13_knn_ivf_sq8 recall@5 vs exact brute force is usable") {
+    val exact = topk("s1_knn_brute")
+    val approx = topk("s13_knn_ivf_sq8")
+    assert(exact.nonEmpty)
+    val recall = exact.map { case (q, nbrs) =>
+      nbrs.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / nbrs.size
+    }.sum / exact.size
+    // IVF alone pins >= 0.3 (s4); int8 scoring on top loses a little more
+    // on this margin-free isotropic corpus — the composition still has to
+    // clear a usability floor.
+    assert(recall >= 0.2, s"IVF+SQ8 recall@5 $recall below 0.2")
+  }
+
   test("s1 query-set guard fails fast when the query set exceeds the bound") {
     // At sf0.001 the every-50th query set is far larger than 1, so the
     // guard must fire; with the default bound the query runs to completion.
