@@ -50,16 +50,41 @@ object Sketches {
     * — acceptance probability decays to k/n, so late-scan appends are
     * rare. */
   final class KmvBuf(val k: Int) extends Serializable {
-    var arr: Array[Long] = new Array[Long](math.max(16, 2 * k))
+    /** Scratch-array hard cap: at this size a compact() always frees at
+      * least half the slots (n ≤ k after trim), so growth can stop. */
+    private def cap: Int = math.max(16, 2 * k)
+    // The scratch array grows GEOMETRICALLY toward `cap` instead of
+    // eagerly allocating 2k slots: a buffer only ever holds (and — the
+    // part that bit at sf1 — kryo-SERIALIZES) memory proportional to the
+    // distinct data it actually saw. With the raised ci.sh capacities
+    // (k = 2M ⇒ 32 MB at cap) the eager layout shipped a 32 MB array for
+    // EVERY partial of every column — a 9-distinct-value column's
+    // partials cost the same as a 1.5M-distinct one's, and q63/q64's
+    // 10-column profile × 16 partitions OOM'd a 32 GB heap on empty
+    // space. Right-sized buffers make partial size track content.
+    var arr: Array[Long] = new Array[Long](math.min(1024, cap))
     var n: Int = 0
     /** Saturation threshold in sketch space; MaxValue until k kept. */
     var thr: Long = Long.MaxValue
 
     def add(u: Long): Unit =
       if (u < thr || (u == thr && thr == Long.MaxValue)) {
-        if (n == arr.length) compact()
-        // compact() can only fail to free space if k distinct values all
-        // beat thr — impossible, it resets thr to the new k-th smallest.
+        if (n == arr.length) {
+          if (arr.length == cap) {
+            // At cap, compact() always frees space: it trims to n ≤ k and
+            // can only fail if k distinct values all beat thr —
+            // impossible, it resets thr to the new k-th smallest.
+            compact()
+          } else {
+            // Below cap: dedup first (mostly-duplicate streams never
+            // grow), then grow only if the survivors keep the array
+            // more than half full (amortized O(n log k) total).
+            compact()
+            if (n > arr.length / 2)
+              arr = java.util.Arrays.copyOf(arr,
+                math.min(cap.toLong, arr.length * 2L).toInt)
+          }
+        }
         arr(n) = u
         n += 1
       }

@@ -105,6 +105,96 @@ object Relational {
     s.read.parquet(qualified)
   }
 
+  // ---- q63/q64 one-pass profiler -----------------------------------------
+  // The declared profile set: every column whose NDV is value-domain-bound
+  // or key-scaled, so the KMV stays lossless at both oracle gates (default
+  // k at sf0.01, the raised ci.sh conf at sf1 — SketchSpec pins the
+  // headroom). Near-unique measure columns (l_extendedprice) are OUT by
+  // design: their exact NDV is corpus-sized (q6's estimator regime).
+  private val ProfNum = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_discount", "l_tax")
+  private val ProfTs = Seq("l_shipdate")
+  private val ProfStr = Seq("l_returnflag", "l_linestatus")
+  private def profCols: Seq[String] = ProfNum ++ ProfTs ++ ProfStr
+
+  /** ONE aggregate pass over `df`: a single row holding, per profiled
+    * column, the null count, a null-skipping KMV sketch (per-column null
+    * exclusion INSIDE the shared pass — see KmvSketchOpt), and min/max as
+    * epoch-seconds doubles for the non-string columns. Mergeable by
+    * construction: counts add, ranges least/greatest, sketches union
+    * (q64 exercises exactly that). */
+  private def profileRow(df: DataFrame, k: Int): DataFrame = {
+    val sk = udaf(graft.functions.Sketches.KmvSketchOpt(k))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++
+      profCols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          sk(when(col(c).isNotNull, xxhash64(col(c)))).as(s"${c}__sk")) ++
+        (if (ProfStr.contains(c)) Seq.empty[Column]
+         else {
+           // The parquet vintage reads l_shipdate as TIMESTAMP_NTZ, which
+           // has no direct double cast; route through TimestampType (the
+           // session timezone is pinned UTC everywhere, so the hop is the
+           // identity) → epoch seconds, DuckDB's epoch() twin.
+           val v = if (ProfTs.contains(c)) col(c).cast("timestamp") else col(c)
+           Seq(
+             min(v).cast("double").as(s"${c}__mn"),
+             max(v).cast("double").as(s"${c}__mx"))
+         })
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Unpivot the 1-row summary into one (col_name, n_rows, n_null, ndv,
+    * min_val, max_val) row per profiled column — a literal struct-array
+    * explode, no shuffle. */
+  private def profileUnpivot(one: DataFrame, k: Int): DataFrame = {
+    val rows = profCols.map { c =>
+      val (mn, mx) =
+        if (ProfStr.contains(c))
+          (lit(null).cast("double"), lit(null).cast("double"))
+        else (col(s"${c}__mn"), col(s"${c}__mx"))
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}__nn").as("n_null"),
+        graft.functions.Sketches.kmvNdv(col(s"${c}__sk"), k).as("ndv"),
+        mn.as("min_val"), mx.as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** q63's and q64's shared exact oracle — per-column statistics over the
+    * whole table, one UNION branch per profiled column. */
+  private lazy val profilerOracle: String = {
+    val branches =
+      ProfNum.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
+           |  CAST(min($c) AS DOUBLE) AS min_val,
+           |  CAST(max($c) AS DOUBLE) AS max_val
+           |FROM lineitem""".stripMargin
+      } ++ ProfTs.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
+           |  epoch(min($c)) AS min_val,
+           |  epoch(max($c)) AS max_val
+           |FROM lineitem""".stripMargin
+      } ++ ProfStr.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
+           |  CAST(NULL AS DOUBLE) AS min_val,
+           |  CAST(NULL AS DOUBLE) AS max_val
+           |FROM lineitem""".stripMargin
+      }
+    branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY col_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Aggregations -------------------------------------------------
     "q1_agg" -> { (s, d) =>
@@ -385,45 +475,38 @@ object Relational {
     // unpivot one struct array).
     "q63_table_stats" -> { (s, d) =>
       val k = s.conf.get("spark.graft.sketch.k", "16384").toInt
-      val sk = udaf(graft.functions.Sketches.KmvSketchOpt(k))
-      val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
-        "l_linenumber", "l_quantity", "l_discount", "l_tax")
-      val tsCols = Seq("l_shipdate")
-      val strCols = Seq("l_returnflag", "l_linestatus")
-      val all = numCols ++ tsCols ++ strCols
-      val aggs: Seq[Column] =
-        Seq(count(lit(1)).as("n_rows")) ++
-        all.flatMap { c =>
+      profileUnpivot(profileRow(Tables.lineitem(s, d), k), k)
+    },
+    // Incremental profiler maintenance — the reason q63's summaries are
+    // MERGEABLE: profile two disjoint halves of the corpus separately,
+    // then merge the 1-row summaries with pure column ops (counts add,
+    // ranges least/greatest, KMV sketches union via sorted array ops —
+    // q58's composition) and unpivot the SAME stats schema. The oracle is
+    // q63's exact SQL VERBATIM, so the hash gate itself proves
+    // profile(A ∪ B) == merge(profile(A), profile(B)) cell-for-cell. At
+    // 100 TB this is how stats stay fresh: profile ONLY the newly landed
+    // partition and merge it into yesterday's summary — no rescan of the
+    // other 99.9 TB.
+    "q64_stats_merge" -> { (s, d) =>
+      val k = s.conf.get("spark.graft.sketch.k", "16384").toInt
+      val li = Tables.lineitem(s, d)
+      val a = profileRow(li.filter(col("l_orderkey") % 2 === 0), k)
+      val b0 = profileRow(li.filter(col("l_orderkey") % 2 =!= 0), k)
+      val b = b0.select(b0.columns.toSeq.map(c => col(c).as(c + "@b")): _*)
+      val merged = a.crossJoin(b).select(
+        (col("n_rows") + col("n_rows@b")).as("n_rows") +:
+        profCols.flatMap { c =>
           Seq(
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-            sk(when(col(c).isNotNull, xxhash64(col(c)))).as(s"${c}__sk")) ++
-          (if (strCols.contains(c)) Seq.empty[Column]
-           else {
-             // The parquet vintage reads l_shipdate as TIMESTAMP_NTZ, which
-             // has no direct double cast; route through TimestampType (the
-             // session timezone is pinned UTC everywhere, so the hop is the
-             // identity) → epoch seconds, DuckDB's epoch() twin.
-             val v = if (tsCols.contains(c))
-               col(c).cast("timestamp") else col(c)
-             Seq(
-               min(v).cast("double").as(s"${c}__mn"),
-               max(v).cast("double").as(s"${c}__mx"))
-           })
-        }
-      val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-      val rows = all.map { c =>
-        val (mn, mx) =
-          if (strCols.contains(c))
-            (lit(null).cast("double"), lit(null).cast("double"))
-          else (col(s"${c}__mn"), col(s"${c}__mx"))
-        struct(lit(c).as("col_name"), col("n_rows"),
-          col(s"${c}__nn").as("n_null"),
-          graft.functions.Sketches.kmvNdv(col(s"${c}__sk"), k).as("ndv"),
-          mn.as("min_val"), mx.as("max_val"))
-      }
-      one.select(explode(array(rows: _*)).as("r"))
-        .select(col("r.*"))
-        .orderBy(col("col_name"))
+            (col(s"${c}__nn") + col(s"${c}__nn@b")).as(s"${c}__nn"),
+            graft.functions.Sketches
+              .kmvUnion(col(s"${c}__sk"), col(s"${c}__sk@b"), k)
+              .as(s"${c}__sk")) ++
+          (if (ProfStr.contains(c)) Seq.empty[Column]
+           else Seq(
+             least(col(s"${c}__mn"), col(s"${c}__mn@b")).as(s"${c}__mn"),
+             greatest(col(s"${c}__mx"), col(s"${c}__mx@b")).as(s"${c}__mx")))
+        }: _*)
+      profileUnpivot(merged, k)
     },
     "q11_join_dims" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -1385,40 +1468,14 @@ object Relational {
         |WHERE l_partkey <= (SELECT max(l_partkey) // 20 FROM lineitem)
         |  AND l_orderkey <= (SELECT max(l_orderkey) // 20 FROM lineitem)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q63: exact per-column statistics, one UNION branch per profiled
-    // column. The Spark side is ONE scan with per-column KMV sketches
-    // (exact below k at verify SF — SketchSpec pins the headroom);
-    // timestamps compare on epoch seconds (Spark's ts→double cast =
-    // DuckDB's epoch(): the same micros/1e6 IEEE division).
-    "q63_table_stats" -> {
-      val num = Seq("l_orderkey", "l_partkey", "l_suppkey",
-        "l_linenumber", "l_quantity", "l_discount", "l_tax")
-      val branches =
-        num.map { c =>
-          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-             |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
-             |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
-             |  CAST(min($c) AS DOUBLE) AS min_val,
-             |  CAST(max($c) AS DOUBLE) AS max_val
-             |FROM lineitem""".stripMargin
-        } ++ Seq(
-          """SELECT 'l_shipdate' AS col_name, count(*) AS n_rows,
-            |  CAST(count(*) - count(l_shipdate) AS BIGINT) AS n_null,
-            |  CAST(count(DISTINCT l_shipdate) AS DOUBLE) AS ndv,
-            |  epoch(min(l_shipdate)) AS min_val,
-            |  epoch(max(l_shipdate)) AS max_val
-            |FROM lineitem""".stripMargin) ++
-        Seq("l_returnflag", "l_linestatus").map { c =>
-          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-             |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
-             |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
-             |  CAST(NULL AS DOUBLE) AS min_val,
-             |  CAST(NULL AS DOUBLE) AS max_val
-             |FROM lineitem""".stripMargin
-        }
-      branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
-        "\n) ORDER BY col_name")
-    },
+    // q63/q64: exact per-column statistics, one UNION branch per profiled
+    // column. The Spark sides are ONE scan with per-column KMV sketches
+    // (q63) and a split-profile-then-merge (q64) — the SAME oracle SQL
+    // for both is the mergeability proof. Timestamps compare on epoch
+    // seconds (Spark's ts→double cast = DuckDB's epoch(): the same
+    // micros/1e6 IEEE division).
+    "q63_table_stats" -> profilerOracle,
+    "q64_stats_merge" -> profilerOracle,
     "q11_join_dims" ->
       """SELECT r_name, count(*) AS n_cust,
         |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_bal

@@ -694,6 +694,16 @@ class PlanSpec extends SparkTestBase {
       "sketch aggregates must build map-side (partial ObjectHashAggregate)")
   }
 
+  test("q64 stats merge: two partition profiles, 1-row broadcast merge, no heavy join") {
+    val plan = planOf("q64_stats_merge")
+    // Two filtered half-scans each collapse in their own partial->final
+    // aggregate; the merge is a 1-row x 1-row broadcast product of
+    // summaries. No sort-merge machinery anywhere.
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      s"merge must not add exchanges beyond the two profile aggs: ${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q55 numeric range frame: both frame aggregates share one o_orderstatus exchange") {
     val plan = planOf("q55_num_range_frame")
     assert("hashpartitioning\\(o_orderstatus".r.findAllIn(plan).size == 1,

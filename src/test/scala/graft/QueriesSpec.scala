@@ -13,6 +13,17 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q64 merged profile equals q63's one-pass profile exactly") {
+    // The mergeability contract, asserted directly: splitting the corpus,
+    // profiling the halves and merging the summaries must reproduce the
+    // single-pass profile CELL-FOR-CELL (counts add, ranges compose, KMV
+    // unions stay exact below k).
+    val one = SparkEntry.queries("q63_table_stats")(spark, sf).collect()
+    val merged = SparkEntry.queries("q64_stats_merge")(spark, sf).collect()
+    assert(one.nonEmpty)
+    assert(one.toSeq == merged.toSeq)
+  }
+
   test("t22 weighted sample: deterministic admit set, admits long docs at a higher rate") {
     import org.apache.spark.sql.functions._
     def admitSet() = SparkEntry.queries("t22_weighted_sample")(spark, sf)
