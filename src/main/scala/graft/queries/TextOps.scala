@@ -563,6 +563,14 @@ object TextOps {
     // wmax > 2²⁹ tokens/doc — not a document). Same doc ⇒ same verdict on
     // every run, executor count, and engine. Scale: narrow scan + one
     // 1-row broadcast stat (wmax); no shuffle at all.
+    // BOUNDARY (adversarial-audit finding, hash-green on both engines but
+    // worth knowing): max-normalization is outlier-sensitive — ONE
+    // 10,000-token doc in the audit corpus shrank everyone else's admit
+    // probability ~200× and the sample to a single doc. A robust
+    // deployment caps the weight at a domain constant or a quantile
+    // (q60's sketch gives p99 in the same pass) instead of max; max is
+    // declared here because it keeps the admit test exact-integer and the
+    // oracle regime unconditional.
     "t22_weighted_sample" -> { (s, d) =>
       val docs = Tables.validDocuments(s, d)
         .select(col("doc_id"), col("source"),

@@ -334,8 +334,12 @@ class KmvDistinctProcessor[K](k: Int)
     val buf = new graft.functions.Sketches.KmvBuf(k)
     if (sketch.exists()) {
       val prev = sketch.get()
-      System.arraycopy(prev, 0, buf.arr, 0, prev.length)
-      buf.n = prev.length
+      // Feed through add(), NOT a raw arraycopy: the scratch array now
+      // starts small and grows geometrically (r12 right-sizing), so a
+      // restored sketch can be larger than the initial allocation. add()
+      // grows as needed; values are already in sketch space.
+      var i = 0
+      while (i < prev.length) { buf.add(prev(i)); i += 1 }
       buf.compact() // already sorted distinct — restores thr when saturated
     }
     rows.foreach { case (_, h) => buf.add(h ^ Long.MinValue) }
@@ -343,6 +347,64 @@ class KmvDistinctProcessor[K](k: Int)
     val arr = java.util.Arrays.copyOfRange(buf.arr, 0, buf.n)
     sketch.update(arr)
     Iterator((key, graft.functions.Sketches.ndvFromSketch(arr, k), arr.length))
+  }
+}
+
+/** Streaming column-profile maintenance — q63/q64's mergeable summary as
+  * a `transformWithState` processor: per key, state is (n_rows, n_null,
+  * min, max, KMV sketch) and each micro-batch folds its rows in and
+  * emits the RUNNING profile of the whole stream so far. This closes the
+  * profiler story the way q64 closed it for batch: ANALYZE that never
+  * rescans — stats stay continuously fresh as data lands, with O(keys·k)
+  * state at any stream length. Input rows carry the value twice:
+  * `Option[Double]` for counting/range (None = SQL null, counted in
+  * n_null and excluded from everything else — the per-column null
+  * semantics of the batch profiler) and the pre-computed `Option[Long]`
+  * xxhash64 for the sketch (hashing stays codegen'd on the stream side).
+  * Below k the emitted NDV is the exact running distinct count, so
+  * streamed == a batch profile over the stream's prefix across ANY batch
+  * split (StreamingSpec); min/max/counts are exact at any size. NaN is
+  * out of the declared domain (IEEE comparisons would make the running
+  * min order-dependent — filter or normalize upstream). */
+class ProfileProcessor[K](k: Int)
+    extends StatefulProcessor[K, (K, Option[Double], Option[Long]),
+      (K, Long, Long, Double, Option[Double], Option[Double])] {
+
+  @transient private var state:
+    ValueState[(Long, Long, Option[Double], Option[Double], Array[Long])] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long, Option[Double], Option[Double], Array[Long])](
+      "profile",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        (Long, Long, Option[Double], Option[Double], Array[Long])](),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: K,
+      rows: Iterator[(K, Option[Double], Option[Long])],
+      timerValues: TimerValues): Iterator[(K, Long, Long, Double, Option[Double], Option[Double])] = {
+    var (nRows, nNull, mn, mx, prev) =
+      if (state.exists()) state.get()
+      else (0L, 0L, Option.empty[Double], Option.empty[Double], Array.empty[Long])
+    val buf = new graft.functions.Sketches.KmvBuf(k)
+    var i = 0
+    while (i < prev.length) { buf.add(prev(i)); i += 1 }
+    buf.compact()
+    rows.foreach { case (_, v, h) =>
+      nRows += 1
+      v match {
+        case Some(x) =>
+          if (mn.forall(x < _)) mn = Some(x)
+          if (mx.forall(x > _)) mx = Some(x)
+        case None => nNull += 1
+      }
+      h.foreach(hv => buf.add(hv ^ Long.MinValue))
+    }
+    buf.compact()
+    val arr = java.util.Arrays.copyOfRange(buf.arr, 0, buf.n)
+    state.update((nRows, nNull, mn, mx, arr))
+    Iterator((key, nRows, nNull,
+      graft.functions.Sketches.ndvFromSketch(arr, k), mn, mx))
   }
 }
 

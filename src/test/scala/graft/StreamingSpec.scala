@@ -341,6 +341,76 @@ class StreamingSpec extends SparkTestBase {
         .collect()(0).getDouble(0)
       assert(last.getDouble(0) == batchEst,
         s"streamed ${last.getDouble(0)} != batch $batchEst on the same sketch")
+
+      // Regression (r12 buffer right-sizing): a restored state LARGER than
+      // the initial scratch allocation (1024) must grow, not overflow —
+      // 3,000 distinct keys land in batch 1, so batch 2's restore replays
+      // a 3,000-entry sketch into a fresh 1,024-slot buffer. Below
+      // k=16384 the final estimate stays exact.
+      val big = MemoryStream[(String, Long)]
+      big.addData((0 until 3000).map(i => ("k", i.toLong)): _*)
+      big.addData((3000 until 3500).map(i => ("k", i.toLong)): _*)
+      val out3 = big.toDS().toDF("key", "v")
+        .select(col("key"), xxhash64(col("v")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.KmvDistinctProcessor[String](16384),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q3 = out3.toDF("key", "ndv", "n_kept")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("kmv_big")
+        .trigger(Trigger.AvailableNow()).start()
+      q3.awaitTermination(60000)
+      val big2 = spark.sql("SELECT max(ndv) FROM kmv_big").collect()(0).getDouble(0)
+      assert(big2 == 3500.0, s"restored-state streaming distinct $big2 != 3500")
+    }
+  }
+
+  test("transformWithState profile: streaming column stats match batch exactly below k") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDB {
+      // q63's summary maintained continuously: per-flag count/nulls/range/
+      // NDV over a nullable l_partkey projection, streamed in two
+      // arbitrary batches — the final emission must equal the batch
+      // profile of the same rows (counts/min/max exact at any size, NDV
+      // exact below k). Nulls are injected deterministically so the
+      // per-column null path is exercised.
+      val src = Tables.lineitem(spark, sf)
+        .withColumn("v",
+          when(col("l_linenumber") % 3 =!= 0, col("l_partkey").cast("double")))
+        .select(col("l_returnflag"), col("v"),
+          when(col("v").isNotNull, xxhash64(col("v"))).as("h"), col("l_orderkey"))
+      val data = src.as[(String, Option[Double], Option[Long], Long)].collect().toSeq
+      val stream = MemoryStream[(String, Option[Double], Option[Long])]
+      stream.addData(data.filter(_._4 % 2 == 0).map(t => (t._1, t._2, t._3)): _*)
+      stream.addData(data.filter(_._4 % 2 == 1).map(t => (t._1, t._2, t._3)): _*)
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.ProfileProcessor[String](16384),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("flag", "n_rows", "n_null", "ndv", "mn", "mx")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("profile_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      // Update mode emits a running profile per batch; n_rows is strictly
+      // increasing, so the final state per key is its max-n_rows row.
+      val got = spark.sql(
+        """SELECT flag, max_by(n_null, n_rows), max(n_rows), max_by(ndv, n_rows),
+          |       max_by(mn, n_rows), max_by(mx, n_rows)
+          |FROM profile_out GROUP BY 1""".stripMargin)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+      val exact = src.groupBy(col("l_returnflag"))
+        .agg(sum(when(col("v").isNull, 1L).otherwise(0L)).as("nn"),
+          count(lit(1)).as("n"),
+          countDistinct(col("v")).cast("double").as("ndv"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+      assert(got == exact, s"streamed profile $got != batch $exact")
     }
   }
 
