@@ -214,6 +214,35 @@ object StreamBench {
       q.stop()
     }
 
+    // ---- 2e. ProfileProcessor over sf lineitem (continuous column stats) --
+    {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col("l_partkey").cast("double").as("v"),
+          when(col("l_partkey").isNotNull, xxhash64(col("l_partkey"))).as("h"))
+        .as[(String, Option[Double], Option[Long])].collect()
+      val waves = 10
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Option[Double], Option[Long])]
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.ProfileProcessor[String](16384),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("key", "n_rows", "n_null", "ndv", "mn", "mx").writeStream
+        .outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", tmpDir())
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      (0 until waves).foreach { w =>
+        stream.addData(rows.zipWithIndex.collect {
+          case (r, i) if i % waves == w => r
+        }.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("profile(sf lineitem)", q, rows.length.toLong, wall)
+      q.stop()
+    }
+
     // ---- 3. p1 pipeline as a throttled file stream ------------------------
     {
       val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema

@@ -592,6 +592,32 @@ object Similarity {
         .filter(col("rk") <= TOPK)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
         .orderBy(col("q_id"), col("rk"))
+    },
+    // Retrieval end-to-end (the RAG serving shape): ANN top-k over the
+    // vector side, then a KEY join back to the DOCUMENT store to return
+    // the payload the caller actually wants (lang/source here; text in
+    // production). The plan shape is the part that matters at 100 TB:
+    // the hit set is (|queries| × k) ids — broadcast it against the doc
+    // store scan, so documents are filtered in place and NEVER shuffle
+    // (PlanSpec pins no SortMergeJoin). Exact s1 ranking here so the
+    // whole query is hash-oracled; at scale swap the ranking stage for
+    // s2/s4/s13 — the join-back shape is identical. Inner join by
+    // design: a hit whose document fails validity is dropped (rk gaps
+    // stay visible — the caller should know a hit was unservable).
+    "s14_rag_retrieve" -> { (s, d) =>
+      val e = normed(s, d)
+      val scored = e.join(broadcast(guardedQuerySet(s, e, "s14_rag_retrieve")),
+        col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      val hits = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rk"), col("cosine"))
+      Tables.validDocuments(s, d)
+        .join(broadcast(hits), Seq("doc_id"))
+        .select(col("q_id"), col("rk"), col("doc_id"), col("lang"),
+          col("source"), col("cosine"))
+        .orderBy(col("q_id"), col("rk"))
     }
   )
 
@@ -821,6 +847,28 @@ object Similarity {
         |SELECT q_id,
         |  CAST(sum(CASE WHEN rk_e <= 5 AND rk_q <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
         |  CAST(sum(CASE WHEN rk_e <= 5 AND rk_q <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall_at_5
-        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s1's scored/ranked CTEs at rk ≤ 3, joined back to the validated
+    // document store on the shared id space.
+    "s14_rag_retrieve" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
+        |  FROM ${graft.Tables.validEmbSql} embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(q.embedding, c.embedding),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |      / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |hits AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, doc_id) AS rk
+        |    FROM scored) t
+        |  WHERE rk <= 3)
+        |SELECT h.q_id, h.rk, h.doc_id, d.lang, d.source, h.cosine
+        |FROM hits h JOIN ${graft.Tables.validDocsSql} d ON h.doc_id = d.doc_id
+        |ORDER BY h.q_id, h.rk""".stripMargin
   )
 }

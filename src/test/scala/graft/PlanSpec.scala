@@ -694,6 +694,14 @@ class PlanSpec extends SparkTestBase {
       "sketch aggregates must build map-side (partial ObjectHashAggregate)")
   }
 
+  test("s14 rag retrieve: hit set broadcast onto the doc store — documents never shuffle") {
+    val plan = planOf("s14_rag_retrieve")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the (queries x k) hit set must broadcast against the document scan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the doc store must not shuffle for a hit-set join: ${plan.take(3000)}")
+  }
+
   test("q64 stats merge: two partition profiles, 1-row broadcast merge, no heavy join") {
     val plan = planOf("q64_stats_merge")
     // Two filtered half-scans each collapse in their own partial->final
