@@ -129,7 +129,9 @@ object Relational {
       Seq(count(lit(1)).as("n_rows")) ++
       profCols.flatMap { c =>
         Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+          // coalesce: sum over ZERO rows is null, and a null null-count
+          // poisons q64's `a + b` merge if a split half comes up empty.
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__nn"),
           sk(when(col(c).isNotNull, xxhash64(col(c)))).as(s"${c}__sk")) ++
         (if (ProfStr.contains(c)) Seq.empty[Column]
          else {
@@ -490,8 +492,14 @@ object Relational {
     "q64_stats_merge" -> { (s, d) =>
       val k = s.conf.get("spark.graft.sketch.k", "16384").toInt
       val li = Tables.lineitem(s, d)
-      val a = profileRow(li.filter(col("l_orderkey") % 2 === 0), k)
-      val b0 = profileRow(li.filter(col("l_orderkey") % 2 =!= 0), k)
+      // Null-SAFE split: a plain `% 2 === 0` / `=!= 0` pair evaluates to
+      // null on a null key and drops the row from BOTH halves — the merge
+      // would silently undercount vs q63's whole-table oracle (caught by
+      // the adversarial corpus's null-orderkey row). Nulls go to half A.
+      val a = profileRow(li.filter(
+        col("l_orderkey").isNull || col("l_orderkey") % 2 === 0), k)
+      val b0 = profileRow(li.filter(
+        col("l_orderkey").isNotNull && col("l_orderkey") % 2 =!= 0), k)
       val b = b0.select(b0.columns.toSeq.map(c => col(c).as(c + "@b")): _*)
       val merged = a.crossJoin(b).select(
         (col("n_rows") + col("n_rows@b")).as("n_rows") +:

@@ -188,6 +188,12 @@ def main(src, dst):
         (10000005, 9, 1, 4, None, 600.0, 0.0, 0.0, "N", "O", ts0),     # null qty
         (10000006, 10, 1, 5, 4.0, None, 0.0, 0.0, "N", "O", ts0),      # null price
         (10000007, None, 1, None, None, None, None, None, "Z", "O", ts0),  # all-null group
+        # r12 (profiler family): null ORDERKEY exercises q64's null-safe
+        # split (a naive `% 2` pair drops the row from both halves) and
+        # q63's key-column null count; null shipdate covers the timestamp
+        # column's null path. Flag stays non-null so no new group appears
+        # in the quantile-family audits.
+        (None, 11, 1, 6, 1.0, 700.0, 0.0, 0.0, "A", "O", None),
     ]
     t = pa.table(
         {
