@@ -533,6 +533,31 @@ object Events {
         .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
         .orderBy(col("prev_type"), col("event_type"))
     },
+    // CDC changelog materialization — the BATCH twin of the K2 upsert
+    // sink, with the one semantic none of e7/e8 (keep-first/last) or d17
+    // (survivorship) covers: TOMBSTONES. The event stream is read as a
+    // changelog over user_id (op mapped from event_type — 'purchase'
+    // closes the account here; a real feed ships the op column) and the
+    // result is the LIVE snapshot: last-wins per key in the total
+    // (ts, event_id) order, keys whose FINAL op is a delete are absent,
+    // and a later upsert legitimately resurrects a deleted key. Both
+    // windows share one user_id exchange. At 100 TB this is how a
+    // snapshot materializes from a log in one pass — no sort-merge
+    // against yesterday's table, no per-key driver loop.
+    "e27_cdc_apply" -> { (s, d) =>
+      val byKey = Window.partitionBy(col("user_id"))
+      val latest = byKey.orderBy(col("ts").desc_nulls_last, col("event_id").desc)
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .withColumn("op",
+          when(col("event_type") === "purchase", lit("delete")).otherwise(lit("upsert")))
+        .withColumn("rk", row_number().over(latest))
+        .withColumn("n_changes", count(lit(1)).over(byKey).cast("bigint"))
+        .filter(col("rk") === 1 && col("op") =!= "delete")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("n_changes"))
+        .orderBy(col("user_id"))
+    },
     // Robust (median/MAD) outliers — e15's 3-sigma twin for heavy-tailed
     // data, where mean/stddev are themselves dragged by the outliers.
     // Exactness recipe: values quantize to integer MICROS (round(v·1e6),
@@ -925,6 +950,16 @@ object Events {
         |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
         |  CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE) AS p
         |FROM c ORDER BY prev_type, event_type""".stripMargin,
+    "e27_cdc_apply" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'upsert' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC NULLS LAST, event_id DESC) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, event_type AS last_type, value AS last_value, n_changes
+        |FROM c WHERE rk = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
     "e24_mad_outliers" ->
       """WITH e AS (
         |  SELECT event_id, event_type, value,

@@ -694,6 +694,13 @@ class PlanSpec extends SparkTestBase {
       "sketch aggregates must build map-side (partial ObjectHashAggregate)")
   }
 
+  test("e27 cdc apply: rank and change-count windows share one user_id exchange") {
+    val plan = planOf("e27_cdc_apply")
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"the two key windows must share a single user_id exchange: ${plan.take(3000)}")
+    assert(!plan.contains("Join"), "snapshot materialization must not join")
+  }
+
   test("s14 rag retrieve: hit set broadcast onto the doc store — documents never shuffle") {
     val plan = planOf("s14_rag_retrieve")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
