@@ -69,7 +69,7 @@ object TextOps {
     // Quality scoring: length / word stats / stopword ratio → composite.
     "t2_quality" -> { (s, d) =>
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
-      val words = split(trim(lower(col("text"))), "\\s+")
+      val words = wsTokens(lower(col("text")))
       val nWords = size(words).cast("bigint")
       val nChars = length(col("text")).cast("bigint")
       val nStop = langScore(padded, Seq(" the ", " a ", " of ", " and "))
@@ -93,7 +93,7 @@ object TextOps {
       Tables.validDocuments(s, d)
         .select(
           col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+          size(wsTokens(col("text"))).as("ws_tokens"),
           size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
             .as("re_tokens"))
         .orderBy(col("doc_id"))
@@ -134,7 +134,8 @@ object TextOps {
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, int((size(w)-1)/24)), i -> array_join(slice(w, i*24+1, 32), ' '))"))
           .as(Seq("chunk_idx", "chunk")))
-        .withColumn("n_tokens", size(split(col("chunk"), " ")))
+        .withColumn("n_tokens",
+          when(col("chunk") === "", 0).otherwise(size(split(col("chunk"), " "))))
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
     // Sequence packing: assign documents (in doc_id order, per source) to
@@ -150,7 +151,7 @@ object TextOps {
           org.apache.spark.sql.expressions.Window.currentRow)
       Tables.validDocuments(s, d)
         .select(col("doc_id"), col("source"),
-          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+          size(wsTokens(col("text"))).cast("bigint").as("n_tokens"))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .withColumn("bin",
           floor((col("cum_tokens") - col("n_tokens")) / lit(budget)).cast("bigint"))
@@ -262,7 +263,7 @@ object TextOps {
     // monotone in the ratio anyway.
     "t9_vocab_idf" -> { (s, d) =>
       val words = Tables.validDocuments(s, d)
-        .select(explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("word"))
+        .select(explode(array_distinct(wsTokens(lower(col("text"))))).as("word"))
       val dfc = words.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = Tables.validDocuments(s, d).agg(count(lit(1)).as("n_docs"))
       dfc.crossJoin(broadcast(n))
@@ -318,7 +319,7 @@ object TextOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.validDocuments(s, d)
         .select(col("doc_id"), col("source"),
-          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+          size(wsTokens(col("text"))).cast("bigint").as("n_tokens"))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= BUDGET)
         // doc_id tiebreak: zero-token docs tie on cum_tokens, and an
@@ -336,7 +337,7 @@ object TextOps {
     "t15_blocklist_scrub" -> { (s, d) =>
       val pat = "\\b(customer|vector|spark)\\b"
       val nMasked = size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("bigint")
-      val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
+      val nWords = size(wsTokens(col("text"))).cast("bigint")
       Tables.validDocuments(s, d)
         .select(
           col("doc_id"),
@@ -386,7 +387,7 @@ object TextOps {
     // threshold comparisons sit on IEEE divisions both engines compute
     // identically, so the booleans can never disagree at the boundary.
     "t17_quality_gate" -> { (s, d) =>
-      val words = split(trim(lower(col("text"))), "\\s+")
+      val words = wsTokens(lower(col("text")))
       val nWords = size(words).cast("bigint")
       val nDistinct = size(array_distinct(words)).cast("bigint")
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
@@ -451,7 +452,7 @@ object TextOps {
     "t18_pmi_cooccur" -> { (s, d) =>
       val withWords = Tables.validDocuments(s, d)
         .select(col("doc_id"),
-          array_sort(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("ws"))
+          array_sort(array_distinct(wsTokens(lower(col("text"))))).as("ws"))
       val pairs = withWords.select(explode(expr(
           "flatten(transform(ws, (x, i) -> " +
             "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS w1, y AS w2))))"))
@@ -490,7 +491,7 @@ object TextOps {
     "t19_tfidf_terms" -> { (s, d) =>
       val tf = Tables.validDocuments(s, d)
         .select(col("doc_id"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+          explode(wsTokens(lower(col("text")))).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = Tables.validDocuments(s, d).agg(count(lit(1)).as("n_docs"))
@@ -540,7 +541,7 @@ object TextOps {
     // over that tiny table; token counts are exact BIGINT sums and the
     // share is one exact-integer division.
     "t20_source_composition" -> { (s, d) =>
-      val nTokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
+      val nTokens = size(wsTokens(col("text"))).cast("bigint")
       Tables.validDocuments(s, d)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
@@ -574,7 +575,7 @@ object TextOps {
     "t22_weighted_sample" -> { (s, d) =>
       val docs = Tables.validDocuments(s, d)
         .select(col("doc_id"), col("source"),
-          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+          size(wsTokens(col("text"))).cast("bigint").as("n_tokens"))
       val wmax = docs.agg(max(col("n_tokens")).as("wmax"))
       docs.crossJoin(broadcast(wmax))
         .withColumn("h32",
