@@ -722,6 +722,10 @@ object Relational {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "measure", "val")
+        // SQL-standard UNPIVOT (and the DuckDB oracle) EXCLUDES null
+        // measure values; Spark's unpivot keeps them (adversarial-audit
+        // divergence on null-measure rows). Pin the SQL convention.
+        .filter(col("val").isNotNull)
         .groupBy(col("measure"))
         .agg(count(lit(1)).as("n"),
           sum(col("val").cast("decimal(18,2)")).cast("double").as("total"))
