@@ -19,6 +19,16 @@ import graft.Tables
   */
 object Events {
 
+  /** Finite-domain predicate (null ⇒ null, so `when(finite(c), x)` yields
+    * null for null input too). The e-family's hostile-domain contract
+    * (r13, adversarial audit): non-finite values are treated as MISSING —
+    * they can't be quantized to integers or exact decimals, and Spark's
+    * decimal cast already nulls them, so every site that would otherwise
+    * crash (ANSI NaN→BIGINT cast) or silently saturate routes through
+    * this guard; the oracles mirror it with `isfinite`. */
+  private def finite(c: Column): Column =
+    !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window aggregation (streaming `window(ts, "1 hour")`
     // batch twin; window start surfaced as a plain timestamp column).
@@ -239,10 +249,15 @@ object Events {
           (col("sum_x") / col("n")).as("mean"),
           sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1))
             .as("stddev"))
+      // stddev = 0 with a row still passing the 3-sigma filter is
+      // reachable (a +Inf value over an otherwise-constant group):
+      // ANSI division would kill the job — the zero-divisor contract is
+      // NULL z (DuckDB's native x/0), r13 audit.
       Tables.events(s, d).join(broadcast(stats), "event_type")
         .filter(abs(col("value") - col("mean")) > lit(3) * col("stddev"))
         .select(col("event_id"), col("event_type"), col("value"),
-          ((col("value") - col("mean")) / col("stddev")).as("z"))
+          when(col("stddev") =!= 0.0,
+            (col("value") - col("mean")) / col("stddev")).as("z"))
         .orderBy(col("event_id"))
     },
     // Gap-filled resample + forward fill: hourly grid per event_type over
@@ -333,7 +348,11 @@ object Events {
     // is engine-specific and can flip a boundary value by an ulp). One
     // aggregation shuffle on (type, bucket).
     "e20_value_histogram" -> { (s, d) =>
-      val bucket = floor(col("value") / 5.0).cast("bigint")
+      // Non-finite values land in the NULL bucket (the missing-value
+      // convention — see `finite`): an unguarded floor would silently
+      // send NaN to bucket 0 and ±Inf to saturated Long buckets, three
+      // different engine-specific placements for "not a number".
+      val bucket = when(finite(col("value")), floor(col("value") / 5.0).cast("bigint"))
       Tables.events(s, d)
         .groupBy(col("event_type"), bucket.as("bucket"))
         .agg(count(lit(1)).as("n"),
@@ -352,14 +371,22 @@ object Events {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
         .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
-        .filter(col("next_ts").isNotNull)
         .withColumn("dt_us", unix_micros(col("next_ts")) - unix_micros(col("ts")))
+        // Filter on the WEIGHT being defined, not just the successor
+        // existing: a null-ts observation has a successor but no
+        // measurable duration — it carries no weight and must not count
+        // toward n_obs (matches the oracle's `WHERE dt_us IS NOT NULL`;
+        // identical on null-free corpora).
+        .filter(col("dt_us").isNotNull)
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_obs"),
           sum(col("dt_us")).as("obs_us"),
-          (sum(col("value").cast("decimal(18,2)") * col("dt_us")).cast("double") /
-            sum(col("dt_us")).cast("double")).as("twap"))
+          // An all-duplicate-ts user sums zero observed time: twap is
+          // undefined — NULL (DuckDB x/0), not an ANSI job-kill.
+          when(sum(col("dt_us")) > 0,
+            sum(col("value").cast("decimal(18,2)") * col("dt_us")).cast("double") /
+              sum(col("dt_us")).cast("double")).as("twap"))
         .orderBy(col("user_id"))
     },
     // Gaps-and-islands streak detection: per user, runs of identical
@@ -573,7 +600,13 @@ object Events {
     // passes (med, then MAD of deviations), both scan-shaped.
     "e24_mad_outliers" -> { (s, d) =>
       val ev = Tables.events(s, d)
-        .withColumn("mu", round(col("value") * 1e6).cast("bigint"))
+        // Non-finite values can't quantize to micros (ANSI NaN→BIGINT
+        // cast is a job-killer at any scale) — they get a null mu and
+        // flow out exactly like null values: excluded from both medians,
+        // never emitted as outliers (see `finite`; oracle mirrors with
+        // isfinite).
+        .withColumn("mu",
+          when(finite(col("value")), round(col("value") * 1e6).cast("bigint")))
       val med = ev.groupBy(col("event_type"))
         .agg(expr("percentile(mu, 0.5)").as("med"))
         .localCheckpoint(true)
@@ -582,8 +615,12 @@ object Events {
       val mad = dev.groupBy(col("event_type"))
         .agg(expr("percentile(dev, 0.5)").as("mad"))
         .localCheckpoint(true)
+      // mad = 0 (over half the group at the median) makes every row's z
+      // a division by zero under ANSI — the robust-z is undefined there:
+      // NULL z, row not an outlier (DuckDB's x/0 NULL agrees).
       dev.join(broadcast(mad), "event_type")
-        .withColumn("z", (col("mu") - col("med")) / (lit(1.4826) * col("mad")))
+        .withColumn("z", when(col("mad") =!= 0.0,
+          (col("mu") - col("med")) / (lit(1.4826) * col("mad"))))
         .filter(abs(col("z")) > 3.5)
         .select(col("event_id"), col("event_type"), col("value"), col("z"))
         .orderBy(col("event_id"))
@@ -641,10 +678,14 @@ object Events {
           sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"),
           sum(xd * yd).as("sxy"))
         .withColumn("nh", col("n_hours").cast("decimal(19,0)"))
+        // A constant count series has zero variance: correlation is
+        // undefined — NULL (matching DuckDB's x/0), not an ANSI job-kill.
+        .withColumn("den",
+          sqrt((col("nh") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("nh") * col("syy") - col("sy") * col("sy")).cast("double")))
         .withColumn("corr",
-          (col("nh") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("nh") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-              sqrt((col("nh") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          when(col("den") =!= 0.0,
+            (col("nh") * col("sxy") - col("sx") * col("sy")).cast("double") / col("den")))
         .select(col("type_a"), col("type_b"), col("n_hours"), col("corr"))
         .orderBy(col("type_a"), col("type_b"))
     }
@@ -667,15 +708,28 @@ object Events {
   private def spearmanCols: Seq[Column] = {
     val nd = col("n").cast("decimal(12,0)")
     val den = nd * (nd * nd - 1)
+    // n = 1 ⇒ den = 0 ⇒ rho is undefined (a single observation has no
+    // rank correlation): emit NULL instead of letting ANSI division by
+    // zero kill the job (r13 adversarial audit — a 1-row event_type
+    // group is perfectly reachable in production). Oracle mirrors with
+    // CASE den = 0.
     Seq(col("event_type"), col("n"), col("sd").cast("double").as("s_d2"),
-      ((den - lit(6) * col("sd")).cast("double") / den.cast("double")).as("rho"))
+      when(den =!= 0,
+        (den - lit(6) * col("sd")).cast("double") / den.cast("double")).as("rho"))
   }
 
+  // NULLS FIRST pins (r13): Spark's ASC sort puts nulls first while
+  // DuckDB's default puts them last — every nullable ASC sort key in the
+  // e-family oracles is pinned to the engine's convention (a no-op on the
+  // null-free driver corpora, decisive on the adversarial one). The
+  // CASE den = 0 mirrors the engine's n = 1 ⇒ rho NULL guard.
   private val e22Sql =
     """WITH r AS (
       |  SELECT event_type,
-      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rv,
-      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS rt
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value NULLS FIRST, event_id NULLS FIRST) AS BIGINT) AS rv,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST) AS BIGINT) AS rt
       |  FROM events),
       |a AS (
       |  SELECT event_type, count(*) AS n,
@@ -687,85 +741,106 @@ object Events {
       |  FROM a)
       |SELECT event_type, n,
       |  CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS s_d2,
-      |  CAST(CAST(den - 6 * sd AS VARCHAR) AS DOUBLE)
-      |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS rho
-      |FROM b ORDER BY event_type""".stripMargin
+      |  CASE WHEN den = 0 THEN NULL
+      |       ELSE CAST(CAST(den - 6 * sd AS VARCHAR) AS DOUBLE)
+      |            / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS rho
+      |FROM b ORDER BY event_type NULLS FIRST""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // `WHERE ts IS NOT NULL` mirrors Spark's window(): an event with no
+    // event time belongs to no window (the TimeWindowing rule filters it).
+    // The isfinite CASE mirrors Spark's NaN/±Inf→DECIMAL cast yielding
+    // NULL (sum skips) — the decimal-exact aggregates treat non-finite as
+    // missing.
     "e1_tumbling_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
         |  count(*) AS n,
-        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |  CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""".stripMargin,
     "e2_sliding_window" ->
       """WITH buckets AS (
-        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart FROM events
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart
+        |  FROM events WHERE ts IS NOT NULL
         |  UNION ALL
-        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events)
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+        |  FROM events WHERE ts IS NOT NULL)
         |SELECT wstart, count(*) AS n FROM buckets GROUP BY 1 ORDER BY 1""".stripMargin,
+    // A null-ts event sorts FIRST in its user's stream (Spark nulls-first)
+    // and opens session 1 (its gap to any neighbor is unknowable); the
+    // first timed event then opens session 2.
     "e3_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST)),
         |sess AS (
         |  SELECT user_id, ts,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts NULLS FIRST, event_id NULLS FIRST
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
-        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM sess GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""".stripMargin,
     "e4_asof_join" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |  (SELECT max(CAST(s.ts AS TIMESTAMP)) FROM events s
         |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
         |     AND CAST(s.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS signup_ts
-        |FROM events e WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+        |FROM events e WHERE event_type = 'purchase' ORDER BY event_id NULLS FIRST""".stripMargin,
     "e5_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
         | AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
         | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    // The CASE json_valid guard mirrors Spark's PERMISSIVE JSON path
+    // (get_json_object → NULL on malformed input) where DuckDB's ->>
+    // would raise; NULLS FIRST pins Spark's ASC null order.
     "e6_json_extract" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
-        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH x AS (
+        |  SELECT event_type,
+        |    CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k,
+        |  max(k) AS max_k
+        |FROM x GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "e7_dedup_first" ->
       """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
         |  SELECT user_id, event_type, event_id, ts,
         |    row_number() OVER (PARTITION BY user_id, event_type
-        |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |                       ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST) AS rn
         |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+        |WHERE rn = 1 ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
     "e8_first_last" ->
       """SELECT user_id,
         |  arg_min(value, CAST(ts AS TIMESTAMP)) AS first_value,
         |  arg_max(value, CAST(ts AS TIMESTAMP)) AS last_value,
         |  count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "e9_lag_lead" ->
       """SELECT event_id, user_id,
         |  lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts,
         |  lead(CAST(ts AS TIMESTAMP)) OVER w AS next_ts,
         |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-        |ORDER BY event_id""".stripMargin,
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST)
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
     "e11_range_frame" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |  count(*) OVER w AS n_1h,
-        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h
+        |  CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,2)) END) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
     "e12_rolling_distinct" ->
       """WITH hu AS (
         |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, user_id FROM events),
@@ -773,20 +848,20 @@ object Events {
         |  SELECT h + r.o * INTERVAL 1 HOUR AS wend, user_id
         |  FROM hu CROSS JOIN range(0, 3) r(o))
         |SELECT wend, count(DISTINCT user_id) AS n_users
-        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM x GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "e13_gap_stats" ->
       """WITH g AS (
         |  SELECT user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) -
         |      lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
-        |        (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        |        (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST) AS gap_us
         |  FROM events)
         |SELECT user_id, count(*) AS n_gaps,
         |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
         |  CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_gap_us,
         |  quantile_cont(gap_us, 0.5) AS p50_gap_us
         |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     // DuckDB's arg_min takes no struct ordering key (skill-noted limit), so
     // open/close come from row_number windows over the same total order.
     "e16_ohlc" ->
@@ -796,20 +871,22 @@ object Events {
         |  FROM events),
         |r AS (
         |  SELECT *,
-        |    row_number() OVER (PARTITION BY event_type, slot ORDER BY t, event_id) AS rn_a,
-        |    row_number() OVER (PARTITION BY event_type, slot ORDER BY t DESC, event_id DESC) AS rn_d
+        |    row_number() OVER (PARTITION BY event_type, slot
+        |      ORDER BY t NULLS FIRST, event_id NULLS FIRST) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, slot
+        |      ORDER BY t DESC NULLS LAST, event_id DESC NULLS LAST) AS rn_d
         |  FROM e)
         |SELECT event_type, slot,
         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
         |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
         |  max(value) AS high, min(value) AS low, count(*) AS n,
-        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS volume
-        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |  CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS volume
+        |FROM r GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "e15_value_outliers" ->
       """WITH s AS (
         |  SELECT event_type, count(*) AS n,
-        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_x,
-        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_xx
+        |    CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sum_x,
+        |    CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sum_xx
         |  FROM events GROUP BY 1),
         |st AS (
         |  SELECT event_type, sum_x / n AS mean,
@@ -819,7 +896,7 @@ object Events {
         |  (e.value - st.mean) / st.stddev AS z
         |FROM events e JOIN st USING (event_type)
         |WHERE abs(e.value - st.mean) > 3 * st.stddev
-        |ORDER BY e.event_id""".stripMargin,
+        |ORDER BY e.event_id NULLS FIRST""".stripMargin,
     "e14_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS view_ts
@@ -836,13 +913,13 @@ object Events {
         |  GROUP BY 1)
         |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-        |ORDER BY v.user_id""".stripMargin,
+        |ORDER BY v.user_id NULLS FIRST""".stripMargin,
     "e10_resample_ffill" ->
       """WITH agg AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS slot, event_type,
         |    count(*) AS n,
-        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
-        |  FROM events GROUP BY 1, 2),
+        |    CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sum_value
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
         |grid AS (
         |  SELECT t.event_type, r.range AS slot
         |  FROM (SELECT DISTINCT event_type FROM events) t
@@ -852,7 +929,7 @@ object Events {
         |    PARTITION BY g.event_type ORDER BY g.slot
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.slot = g.slot
-        |ORDER BY g.event_type, g.slot""".stripMargin,
+        |ORDER BY g.event_type NULLS FIRST, g.slot""".stripMargin,
     // date_trunc('week', ts) returns DATE in DuckDB (TIMESTAMP in Spark) —
     // cast back so the schema gate agrees.
     "e17_retention" ->
@@ -869,17 +946,19 @@ object Events {
         |  count(DISTINCT act.user_id) AS n_active, any_value(cs.cohort_n) AS cohort_n,
         |  CAST(count(DISTINCT act.user_id) AS DOUBLE) / CAST(any_value(cs.cohort_n) AS DOUBLE) AS retention
         |FROM act JOIN fs USING (user_id) JOIN cs USING (cohort_week)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""".stripMargin,
     "e18_interval_union" ->
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST)),
         |sess AS (
         |  SELECT user_id, ts,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts NULLS FIRST, event_id NULLS FIRST
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM marked),
         |ivl AS (
@@ -892,32 +971,38 @@ object Events {
         |       THEN CAST(CAST(sum(epoch_us(ivl_end) - epoch_us(ivl_start)) AS BIGINT) AS DOUBLE)
         |            / CAST(max(epoch_us(ivl_end)) - min(epoch_us(ivl_start)) AS DOUBLE)
         |       ELSE 0.0 END AS coverage
-        |FROM ivl GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM ivl GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    // Non-finite values land in the NULL bucket (engine's missing-value
+    // convention); lo/hi within that bucket still see the raw ±Inf/NaN.
     "e20_value_histogram" ->
-      """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+      """SELECT event_type,
+        |  CASE WHEN isfinite(value) THEN CAST(floor(value / 5.0) AS BIGINT) END AS bucket,
         |  count(*) AS n, min(value) AS lo, max(value) AS hi
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "e19_twap" ->
       """WITH w AS (
         |  SELECT user_id, value,
         |    epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER win) - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
         |  FROM events
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST))
         |SELECT user_id, count(*) AS n_obs,
         |  CAST(sum(dt_us) AS BIGINT) AS obs_us,
-        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * dt_us) AS VARCHAR) AS DOUBLE)
+        |  CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,2)) * dt_us END) AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(sum(dt_us) AS BIGINT) AS DOUBLE) AS twap
         |FROM w WHERE dt_us IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "e21_streaks" ->
       """WITH marked AS (
         |  SELECT user_id, event_type, ts, event_id,
         |    CASE WHEN lag(event_type) OVER w IS NULL
         |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST)),
         |runs AS (
         |  SELECT user_id,
-        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    CAST(sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id,
         |    event_type
         |  FROM marked),
@@ -928,10 +1013,10 @@ object Events {
         |  SELECT user_id, event_type, len,
         |    count(*) OVER (PARTITION BY user_id) AS n_runs,
         |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY len DESC, event_type, run_id) AS rn
+        |      ORDER BY len DESC, event_type NULLS FIRST, run_id) AS rn
         |  FROM agg)
         |SELECT user_id, n_runs, len AS longest, event_type AS top_type
-        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+        |FROM ranked WHERE rn = 1 ORDER BY user_id NULLS FIRST""".stripMargin,
     "e22_spearman" -> e22Sql,
     // The scale twin computes identical ranks without a full-fact
     // per-type window, so its oracle IS e22's SQL: any divergence between
@@ -941,7 +1026,7 @@ object Events {
       """WITH t AS (
         |  SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |      ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST) AS prev_type
         |  FROM events),
         |c AS (
         |  SELECT prev_type, event_type, count(*) AS n
@@ -949,7 +1034,7 @@ object Events {
         |SELECT prev_type, event_type, n,
         |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
         |  CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE) AS p
-        |FROM c ORDER BY prev_type, event_type""".stripMargin,
+        |FROM c ORDER BY prev_type, event_type NULLS FIRST""".stripMargin,
     "e27_cdc_apply" ->
       """WITH c AS (
         |  SELECT user_id, event_type, value,
@@ -960,10 +1045,12 @@ object Events {
         |  FROM events WHERE user_id IS NOT NULL)
         |SELECT user_id, event_type AS last_type, value AS last_value, n_changes
         |FROM c WHERE rk = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+    // CASE isfinite mirrors the engine's null-mu guard: non-finite values
+    // are missing — excluded from both medians, never emitted.
     "e24_mad_outliers" ->
       """WITH e AS (
         |  SELECT event_id, event_type, value,
-        |    CAST(round(value * 1e6) AS BIGINT) AS mu
+        |    CASE WHEN isfinite(value) THEN CAST(round(value * 1e6) AS BIGINT) END AS mu
         |  FROM events),
         |med AS (SELECT event_type, quantile_cont(mu, 0.5) AS med FROM e GROUP BY 1),
         |d AS (SELECT e.*, med, abs(mu - med) AS dev FROM e JOIN med USING (event_type)),
@@ -972,7 +1059,7 @@ object Events {
         |  (mu - med) / (1.4826 * mad) AS z
         |FROM d JOIN mad USING (event_type)
         |WHERE abs((mu - med) / (1.4826 * mad)) > 3.5
-        |ORDER BY event_id""".stripMargin,
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
     "e25_seasonality" ->
       """WITH c AS (
         |  SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hod, count(*) AS n
@@ -981,7 +1068,7 @@ object Events {
         |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_type,
         |  CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE) AS share,
         |  CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE) * 24.0 AS lift
-        |FROM c ORDER BY event_type, hod""".stripMargin,
+        |FROM c ORDER BY event_type NULLS FIRST, hod NULLS FIRST""".stripMargin,
     "e26_type_correlation" ->
       """WITH hc AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type, count(*) AS c

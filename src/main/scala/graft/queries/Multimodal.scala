@@ -115,6 +115,18 @@ object Multimodal {
     },
     // Frame sampling: fixed-size binary windows every `stride` bytes
     // (video-frame analogue), via binary slicing — no UDF.
+    // r13 adjudication of the hostile-corpus divergence (3471 vs 2627
+    // rows): the old oracle capped frames at range(0, 16) — a silent
+    // assumption that no blob exceeds 1024 bytes, which a 55 kB payload
+    // breaks — and md5'd CHARACTER substrings where the engine windows
+    // BYTES (divergent on any multibyte payload). The contract is pinned
+    // to the engine's byte semantics: frames are fixed BYTE windows over
+    // the blob, uncapped, and the fingerprint is the frame's hex (64 hex
+    // chars = 32 bytes), which both engines can compute byte-exactly
+    // (this DuckDB build has no md5(BLOB)). A zero-length blob emits one
+    // empty frame (sequence(0, int((0-1)/64)) = [0] — int() truncates
+    // toward zero; the oracle mirrors with greatest(..., 0) since
+    // DuckDB's // floors).
     "mm3_frame_sample" -> { (s, d) =>
       mediaTable(s, d)
         .select(col("doc_id"), col("media"), length(col("media")).as("len"))
@@ -122,8 +134,8 @@ object Multimodal {
           posexplode(expr(
             "transform(sequence(0, int((len - 1) / 64)), i -> substring(media, i * 64 + 1, 32))"))
             .as(Seq("frame_idx", "frame")))
-        .withColumn("frame_digest", md5(col("frame")))
-        .select(col("doc_id"), col("frame_idx"), col("frame_digest"))
+        .withColumn("frame_hex", hex(col("frame")))
+        .select(col("doc_id"), col("frame_idx"), col("frame_hex"))
         .orderBy(col("doc_id"), col("frame_idx"))
     },
     // Content-addressed blob dedup — the media pass that runs BEFORE any
@@ -211,13 +223,13 @@ object Multimodal {
     // is mirrored with VARCHAR substring (DuckDB 1.0 has no md5(BLOB)).
     // range() takes constants only: 16 frames covers max len 577 ≪ 16·64.
     "mm3_frame_sample" ->
-      s"""WITH m AS (SELECT doc_id, text,
+      s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
         |                  octet_length(encode(text)) AS len FROM ${graft.Tables.validDocsSql} documents),
-        |f AS (SELECT doc_id, i AS frame_idx,
-        |             md5(substring(text, CAST(i * 64 + 1 AS INT), 32)) AS frame_digest
-        |      FROM m CROSS JOIN range(0, 16) t(i)
-        |      WHERE i <= (len - 1) // 64)
-        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, frame_digest
+        |f AS (SELECT doc_id,
+        |             unnest(generate_series(0, greatest((len - 1) // 64, 0))) AS frame_idx,
+        |             h FROM m)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  substring(h, CAST(frame_idx * 128 + 1 AS BIGINT), 64) AS frame_hex
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "mm5_blob_dedup" ->
       s"""SELECT md5(text) AS digest, min(doc_id) AS canonical_id,

@@ -238,9 +238,12 @@ object Relational {
     // regime this twin exists for.
     "q2_scale" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
+      // count(col) not count(*): the deduped pair set keeps one
+      // (flag, NULL) row per flag, and SQL COUNT(DISTINCT key) excludes
+      // nulls — counting the key column skips that row (r13 audit).
       def nDistinct(key: String, out: String) =
         li.select(col("l_returnflag"), col(key)).distinct()
-          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(out))
+          .groupBy(col("l_returnflag")).agg(count(col(key)).as(out))
       nDistinct("l_partkey", "n_parts")
         .join(nDistinct("l_orderkey", "n_orders"), "l_returnflag")
         .join(li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows")),
@@ -1251,11 +1254,16 @@ object Relational {
     // partition-layout invariance of the merge.
     "q57_kmv_distinct" -> { (s, d) =>
       val k = s.conf.get("spark.graft.sketch.k", "16384").toInt
-      val sk = udaf(graft.functions.Sketches.KmvSketch(k))
+      // The null-skipping sketch + when-guarded hash: xxhash64(NULL)
+      // returns the seed, which an unguarded sketch would count as one
+      // phantom distinct value per null-bearing column — COUNT(DISTINCT)
+      // excludes nulls, so must the estimator (r13 audit; q63's
+      // KmvSketchOpt pattern).
+      val sk = udaf(graft.functions.Sketches.KmvSketchOpt(k))
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
-          xxhash64(col("l_partkey")).as("hp"),
-          xxhash64(col("l_orderkey")).as("ho"))
+          when(col("l_partkey").isNotNull, xxhash64(col("l_partkey"))).as("hp"),
+          when(col("l_orderkey").isNotNull, xxhash64(col("l_orderkey"))).as("ho"))
         .groupBy(col("l_returnflag"))
         .agg(sk(col("hp")).as("skp"), sk(col("ho")).as("sko"),
           count(lit(1)).as("n_rows"))

@@ -153,7 +153,8 @@ object Scalars {
         |  l_partkey % 7 AS pk_mod,
         |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, price_floor, price_r1, disc_dev, pk_mod, qty_sqrt""".stripMargin,
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, price_floor NULLS FIRST,
+        |  price_r1 NULLS FIRST, disc_dev NULLS FIRST, pk_mod NULLS FIRST, qty_sqrt NULLS FIRST""".stripMargin,
     "sc4_case_when" ->
       """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
         |            WHEN o_totalprice < 300000 THEN 'medium'
@@ -185,11 +186,13 @@ object Scalars {
         |       ELSE (SELECT coalesce(sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)), 0.0)
         |             FROM unnest(embedding) u(x)) END AS sq_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // json_valid guard = Spark's PERMISSIVE from_json (malformed input
+    // parses to an all-null struct, never an error).
     "sc8_from_json" ->
       """SELECT event_id,
-        |  CAST(props->>'$.k' AS BIGINT) AS k,
-        |  CAST(props->>'$.missing' AS VARCHAR) AS missing,
-        |  CAST(props->>'$.k' AS BIGINT) * 2 AS k2
-        |FROM events ORDER BY event_id""".stripMargin
+        |  CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END AS BIGINT) AS k,
+        |  CAST(CASE WHEN json_valid(props) THEN props->>'$.missing' END AS VARCHAR) AS missing,
+        |  CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END AS BIGINT) * 2 AS k2
+        |FROM events ORDER BY event_id NULLS FIRST""".stripMargin
   )
 }

@@ -120,6 +120,66 @@ object Similarity {
   /** The count guard alone, for query frames with non-default projections
     * (s12 carries quantized columns): lazy distributed count joined in,
     * `raise_error` when the broadcast side exceeds the cap. */
+  /** IVF × int8 — the production ANN composition at 100 TB: s4's coarse
+    * quantizer bounds the SCAN (corpus/NLIST·nprobe candidates per query)
+    * while s11's symmetric int8 codes bound the BYTES (the cell inverted
+    * lists store 64 B codes, not 256 B floats — the floats are only
+    * touched once, at ingest, for cell assignment and encoding).
+    * Candidate scoring is ivec_dot integer cosine — exact integer
+    * arithmetic, SIMD-friendly, no fold-order hazard. At nprobe = NLIST
+    * the scan is exhaustive and the result equals int8-exact brute force
+    * (each vector lives in exactly one cell and every cell is probed), so
+    * the s13_exhaustive entry is hash-oracled; the production
+    * nprobe = NPROBE entry is rows-only (cell assignment is
+    * training-defined, s4's class) with quality pinned in SimilaritySpec
+    * as recall vs exact s1 alongside the s12 quantization-only and s4
+    * IVF-only baselines — the three factor the recall loss into its scan
+    * and quantization components. */
+  private def ivfSq8Knn(s: SparkSession, d: String, nprobe: Int, op: String): DataFrame = {
+    import s.implicits._
+    val e = normed(s, d).crossJoin(broadcast(dimMaxAbs(s, d)))
+      .withColumn("qvec", sq8(col("embedding"), col("maxabs")))
+      .withColumn("qsq", ivec_dot(col("qvec"), col("qvec")))
+      .select(col("vec_id"), col("embedding"), col("qvec"), col("qsq"))
+    val cents = Similarity.trainCentroids(
+      e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .orderBy(col("vec_id")).limit(SAMPLE).collect().map(_._2))
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = e.as[(Long, Array[Float], Array[Int], Long)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, emb, qv, qq) =>
+          (id, qv, qq, Similarity.nearestCells(emb, cs, 1)(0))
+        }
+      }
+      .toDF("vec_id", "qvec", "qsq", "cell")
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .as[(Long, Array[Float], Array[Int], Long)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, emb, qv, qq) =>
+          Similarity.nearestCells(emb, cs, nprobe).map(c => (id, qv, qq, c))
+        }
+      }
+      .toDF("q_id", "q_qvec", "q_qsq", "cell")
+    // One cell per corpus vector + distinct probe cells per query ⇒ a
+    // (q, vec) pair joins at most once (s4's no-dedup argument). The
+    // probe set is broadcast, so it gets the same size guard as s12/s14:
+    // a corpus-proportional query set must fail fast with the
+    // raise_error pointer, not OOM the driver (ADVICE r12).
+    val cands = assigned.join(broadcast(guardedBounded(s, q, op)), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qnorm",
+        sqrt(col("q_qsq").cast("double")) * sqrt(col("qsq").cast("double")))
+      .withColumn("cosine", when(col("qnorm") =!= 0.0,
+        ivec_dot(col("q_qvec"), col("qvec")).cast("double") / col("qnorm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc_nulls_last, col("vec_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOPK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   private def guardedBounded(s: SparkSession, q0: DataFrame, op: String): DataFrame = {
     val maxQ = s.conf.getOption("graft.ann.maxQuerySet").map(_.toInt).getOrElse(10000)
     val qn = q0.agg(count(lit(1)).as("__q_n"))
@@ -497,7 +557,13 @@ object Similarity {
             zip_with(col("qvec"), col("maxabs"),
               (q, m) => q.cast("double") * m.cast("double") / lit(127.0)),
             (x, r) => abs(x.cast("double") - r))))
-        .select(col("vec_id"), col("qvec"), col("max_abs_err"))
+        // qvec ships CSV-encoded: the driver's pandas-based oracle harness
+        // cannot sort/hash list columns (lexsort TypeError, r12's one hard
+        // err) — a scalar encoding keeps the hash contract byte-exact
+        // (integer formatting is identical on both engines) without
+        // weakening it. array_join == DuckDB array_to_string.
+        .select(col("vec_id"), array_join(col("qvec"), ",").as("qvec_csv"),
+          col("max_abs_err"))
         .orderBy(col("vec_id"))
     },
     // Recall of the QUANTIZED index against the exact one, measured
@@ -540,59 +606,17 @@ object Similarity {
         .withColumn("recall_at_5", col("n_common").cast("double") / lit(TOPK.toDouble))
         .orderBy(col("q_id"))
     },
-    // IVF × int8 — the production ANN composition at 100 TB: s4's coarse
-    // quantizer bounds the SCAN (corpus/NLIST·NPROBE candidates per
-    // query) while s11's symmetric int8 codes bound the BYTES (the cell
-    // inverted lists store 64 B codes, not 256 B floats — the floats are
-    // only touched once, at ingest, for cell assignment and encoding).
-    // Candidate scoring is ivec_dot integer cosine — exact integer
-    // arithmetic, SIMD-friendly, no fold-order hazard. Rows-only under
-    // the driver contract (cell assignment is training-defined, s4's
-    // class); quality is pinned in SimilaritySpec as recall vs exact s1
-    // alongside the s12 quantization-only and s4 IVF-only baselines —
-    // the three factor the recall loss into its scan and quantization
-    // components.
-    "s13_knn_ivf_sq8" -> { (s, d) =>
-      import s.implicits._
-      val e = normed(s, d).crossJoin(broadcast(dimMaxAbs(s, d)))
-        .withColumn("qvec", sq8(col("embedding"), col("maxabs")))
-        .withColumn("qsq", ivec_dot(col("qvec"), col("qvec")))
-        .select(col("vec_id"), col("embedding"), col("qvec"), col("qsq"))
-      val cents = Similarity.trainCentroids(
-        e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-          .orderBy(col("vec_id")).limit(SAMPLE).collect().map(_._2))
-      val bc = s.sparkContext.broadcast(cents)
-      val assigned = e.as[(Long, Array[Float], Array[Int], Long)]
-        .mapPartitions { it =>
-          val cs = bc.value
-          it.map { case (id, emb, qv, qq) =>
-            (id, qv, qq, Similarity.nearestCells(emb, cs, 1)(0))
-          }
-        }
-        .toDF("vec_id", "qvec", "qsq", "cell")
-      val q = e.filter(col("vec_id") % 50 === 0)
-        .as[(Long, Array[Float], Array[Int], Long)]
-        .mapPartitions { it =>
-          val cs = bc.value
-          it.flatMap { case (id, emb, qv, qq) =>
-            Similarity.nearestCells(emb, cs, NPROBE).map(c => (id, qv, qq, c))
-          }
-        }
-        .toDF("q_id", "q_qvec", "q_qsq", "cell")
-      // One cell per corpus vector + distinct probe cells per query ⇒ a
-      // (q, vec) pair joins at most once (s4's no-dedup argument).
-      val cands = assigned.join(broadcast(q), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("qnorm",
-          sqrt(col("q_qsq").cast("double")) * sqrt(col("qsq").cast("double")))
-        .withColumn("cosine", when(col("qnorm") =!= 0.0,
-          ivec_dot(col("q_qvec"), col("qvec")).cast("double") / col("qnorm")))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc_nulls_last, col("vec_id"))
-      cands.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= TOPK)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
-        .orderBy(col("q_id"), col("rk"))
-    },
+    "s13_knn_ivf_sq8" -> ((s, d) => ivfSq8Knn(s, d, NPROBE, "s13_knn_ivf_sq8")),
+    // The SAME IVF×int8 machinery with NPROBE = NLIST: every query probes
+    // every cell, so each (q, vec) pair is scored exactly once and the
+    // result equals int8-exact brute force — the cell assignment cancels
+    // out of the answer entirely. That turns the composition's
+    // correctness into a hash contract (the s12 pattern: quantization is
+    // deterministic): the exhaustive twin hash-matches the pure
+    // integer-cosine oracle, proving the join/rank plumbing of s13
+    // introduces NO error beyond the documented NPROBE<NLIST scan cut,
+    // which stays recall-pinned on the production entry above.
+    "s13_exhaustive" -> ((s, d) => ivfSq8Knn(s, d, NLIST, "s13_exhaustive")),
     // Retrieval end-to-end (the RAG serving shape): ANN top-k over the
     // vector side, then a KEY join back to the DOCUMENT store to return
     // the payload the caller actually wants (lang/source here; text in
@@ -798,7 +822,7 @@ object Similarity {
         |      z -> CASE WHEN z[2] = 0 THEN 0
         |           ELSE CAST(floor(CAST(z[1] AS DOUBLE) * 127.0 / CAST(z[2] AS DOUBLE) + 0.5) AS INTEGER) END) AS qvec
         |  FROM ${graft.Tables.validEmbSql} e CROSS JOIN stats st)
-        |SELECT vec_id, qvec,
+        |SELECT vec_id, array_to_string(qvec, ',') AS qvec_csv,
         |  list_max(list_transform(list_zip(embedding, qvec, maxabs),
         |    z -> abs(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) * CAST(z[3] AS DOUBLE) / 127.0))) AS max_abs_err
         |FROM quant ORDER BY vec_id""".stripMargin,
@@ -848,6 +872,42 @@ object Similarity {
         |  CAST(sum(CASE WHEN rk_e <= 5 AND rk_q <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
         |  CAST(sum(CASE WHEN rk_e <= 5 AND rk_q <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall_at_5
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The exhaustive-probe twin of s13: with every cell probed, IVF×int8
+    // collapses to int8-exact brute force, so the oracle is s12's
+    // quantized scoring ranked on its own — integer dots are exact, the
+    // double norm chain is IEEE-identical on both engines, and the
+    // (cosine DESC NULLS LAST, vec_id) tie-break totalizes the order.
+    "s13_exhaustive" ->
+      s"""WITH comp AS (
+        |  SELECT s.pos, s.ax
+        |  FROM (SELECT unnest(list_transform(embedding,
+        |          (x, i) -> struct_pack(pos := i, ax := abs(x)))) AS s
+        |        FROM ${graft.Tables.validEmbSql} embeddings)),
+        |dim AS (SELECT pos, max(ax) AS m FROM comp GROUP BY 1),
+        |stats AS (SELECT list(m ORDER BY pos) AS maxabs FROM dim),
+        |coded AS (
+        |  SELECT e.vec_id,
+        |    list_transform(list_zip(e.embedding, st.maxabs),
+        |      z -> CASE WHEN z[2] = 0 THEN 0
+        |           ELSE CAST(floor(CAST(z[1] AS DOUBLE) * 127.0 / CAST(z[2] AS DOUBLE) + 0.5) AS INTEGER) END) AS qvec
+        |  FROM ${graft.Tables.validEmbSql} e CROSS JOIN stats st),
+        |coded2 AS (
+        |  SELECT *, (SELECT CAST(sum(CAST(u.q AS BIGINT) * CAST(u.q AS BIGINT)) AS BIGINT)
+        |             FROM unnest(qvec) u(q)) AS qsq
+        |  FROM coded),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(CAST(q.qsq AS DOUBLE)) * sqrt(CAST(c.qsq AS DOUBLE)) <> 0 THEN
+        |      CAST((SELECT CAST(sum(CAST(p.v AS BIGINT)) AS BIGINT) FROM unnest(
+        |         list_transform(list_zip(q.qvec, c.qvec),
+        |                        z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))) p(v)) AS DOUBLE)
+        |        / (sqrt(CAST(q.qsq AS DOUBLE)) * sqrt(CAST(c.qsq AS DOUBLE))) END AS cosine
+        |  FROM coded2 q JOIN coded2 c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, rk, cosine FROM ranked
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     // s1's scored/ranked CTEs at rk ≤ 3, joined back to the validated
     // document store on the shared id space.
     "s14_rag_retrieve" ->

@@ -578,6 +578,17 @@ object TextOps {
           size(wsTokens(col("text"))).cast("bigint").as("n_tokens"))
       val wmax = docs.agg(max(col("n_tokens")).as("wmax"))
       docs.crossJoin(broadcast(wmax))
+        // Domain guard (ADVICE r12): the exact-integer admit test
+        // h32·wmax·4 needs wmax ≤ 2²⁹ or the Long product wraps — Spark
+        // (non-ANSI multiply path) would wrap SILENTLY while DuckDB
+        // raises on BIGINT overflow, a silent cross-engine divergence.
+        // Fail loudly on both engines instead (oracle mirrors with
+        // error()); no real document has 5·10⁸ tokens, so tripping this
+        // means the weight column needs capping, not a bigger integer.
+        .filter(when(col("wmax") > lit(1L << 29), raise_error(format_string(
+          "t22_weighted_sample: wmax=%s tokens exceeds the exact-integer " +
+            "admit-test domain (2^29); cap document weights before sampling",
+          col("wmax")))).isNull)
         .withColumn("h32",
           conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
             16, 10).cast("long"))
@@ -883,7 +894,9 @@ object TextOps {
           |  SELECT doc_id, source,
           |    CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens
           |  FROM ${graft.Tables.validDocsSql} documents),
-          |w AS (SELECT max(n_tokens) AS wmax FROM d)
+          |w AS (SELECT CASE WHEN max(n_tokens) > 536870912
+          |                  THEN error('t22_weighted_sample: wmax exceeds the exact-integer admit-test domain (2^29)')
+          |                  ELSE max(n_tokens) END AS wmax FROM d)
           |SELECT doc_id, source, n_tokens
           |FROM d CROSS JOIN w
           |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * wmax * 4

@@ -75,7 +75,8 @@ class SimilaritySpec extends SparkTestBase {
 
   test("s11 int8 quantization: codes bounded, worst-case error within the step bound") {
     val rows = graft.queries.Similarity.queries("s11_sq8_quantize")(spark, sf)
-      .select(col("qvec"), col("max_abs_err")).collect()
+      .select(split(col("qvec_csv"), ",").cast("array<int>"), col("max_abs_err"))
+      .collect()
     assert(rows.nonEmpty)
     // Codes are symmetric int8: q = ⌊x·127/m + 0.5⌋ with |x| ≤ m per dim.
     assert(rows.forall(_.getSeq[Int](0).forall(q => q >= -127 && q <= 127)))

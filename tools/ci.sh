@@ -1,9 +1,11 @@
 #!/usr/bin/env bash
-# One-shot round-state replay: reproduces the driver's three gates locally
+# One-shot round-state replay: reproduces the driver's gates locally
 # without the driver — (1) sbt test, (2) the full Verify dump at sf0.01 +
 # DuckDB oracle compare (tools/check_oracle.py, the strictest local
-# approximation of CORRECTNESS_r{N}.json), (3) a leak grep mirroring
-# LEAKCHECK.json's pattern families. Exit 0 iff all three gates pass.
+# approximation of CORRECTNESS_r{N}.json), (3) the FULL-SWEEP adversarial
+# differential audit (r13 — every query against the hostile corpus), and
+# (4) a leak grep mirroring LEAKCHECK.json's pattern families. Exit 0 iff
+# all four gates pass.
 #
 # Usage: tools/ci.sh [sf_dir] [out_dir]
 #   sf_dir  default /root/testdata/sf0.01  (the driver's correctness SF)
@@ -37,7 +39,7 @@ FAILURES=0
 
 note() { printf '\n== %s ==\n' "$*"; }
 
-note "gate 1/3: sbt test"
+note "gate 1/4: sbt test"
 if sbt -batch test; then
   echo "[ci] sbt test: PASS"
 else
@@ -45,7 +47,7 @@ else
   FAILURES=$((FAILURES + 1))
 fi
 
-note "gate 2/3: Verify @ ${SF_DIR} + DuckDB oracle compare"
+note "gate 2/4: Verify @ ${SF_DIR} + DuckDB oracle compare"
 rm -rf "$OUT_DIR"
 if sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR" \
     && python3 tools/check_oracle.py "$OUT_DIR" "$SF_DIR"; then
@@ -55,7 +57,30 @@ else
   FAILURES=$((FAILURES + 1))
 fi
 
-note "gate 3/3: leak grep (LEAKCHECK pattern families)"
+note "gate 3/4: full-sweep adversarial differential audit"
+# r12's lesson: scoped audits rot — 11 t-family queries regressed to the
+# raw split formula because later-added call sites never re-ran the
+# scoped audit. The audit scope must match the claim scope AUTOMATICALLY:
+# regenerate the hostile corpus from the gate SF and run the ENTIRE query
+# surface against it. Skippable only explicitly (CI_SKIP_ADV=1, e.g. when
+# iterating on one family with a scoped run instead).
+if [ "${CI_SKIP_ADV:-0}" = "1" ]; then
+  echo "[ci] adversarial audit: SKIPPED (CI_SKIP_ADV=1)"
+else
+  ADV_CORPUS="${ADV_CORPUS:-target/ci-adv-corpus}"
+  ADV_OUT="${ADV_OUT:-target/ci-adv-out}"
+  rm -rf "$ADV_OUT"
+  if python3 tools/gen_adversarial.py "$SF_DIR" "$ADV_CORPUS" \
+      && sbt -batch "runMain graft.Verify $ADV_CORPUS $ADV_OUT" \
+      && python3 tools/check_oracle.py "$ADV_OUT" "$ADV_CORPUS"; then
+    echo "[ci] adversarial audit: PASS"
+  else
+    echo "[ci] adversarial audit: FAIL"
+    FAILURES=$((FAILURES + 1))
+  fi
+fi
+
+note "gate 4/4: leak grep (LEAKCHECK pattern families)"
 # Same families LEAKCHECK.json reports on; patterns target the proprietary
 # shapes the brief forbids. Scans tracked source + docs, not target/.
 LEAK_HITS=$(git ls-files '*.scala' '*.sbt' '*.md' '*.py' '*.sh' \

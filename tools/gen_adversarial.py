@@ -122,14 +122,30 @@ def events_rows():
     ]
 
 
+def rd(src, table):
+    """Parquet path for DuckDB: driver corpora ship single FILES,
+    GenData corpora (spark-warehouse/sf1+) are Spark-written DIRECTORIES
+    of part files — glob those (check_oracle's convention)."""
+    p = Path(src) / f"{table}.parquet"
+    return f"{p}/*.parquet" if p.is_dir() else str(p)
+
+
 def main(src, dst):
     src, dst = Path(src), Path(dst)
     dst.mkdir(parents=True, exist_ok=True)
-    for p in src.glob("*.parquet"):
-        shutil.copy(p, dst / p.name)
-
     con = duckdb.connect()
-    base_docs = con.execute(f"SELECT * FROM '{src}/documents.parquet' ORDER BY doc_id").fetchall()
+    for p in src.glob("*.parquet"):
+        if p.is_dir():
+            # Flatten directory tables to one file so the hostile corpus
+            # is uniform regardless of the source layout.
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{p}/*.parquet')) TO "
+                f"'{dst / p.name}' (FORMAT PARQUET)"
+            )
+        else:
+            shutil.copy(p, dst / p.name)
+
+    base_docs = con.execute(f"SELECT * FROM read_parquet('{rd(src, 'documents')}') ORDER BY doc_id").fetchall()
     docs = base_docs + docs_rows(base_docs)
     t = pa.table(
         {
@@ -142,7 +158,7 @@ def main(src, dst):
     )
     pq.write_table(t, dst / "documents.parquet")
 
-    base_emb = con.execute(f"SELECT * FROM '{src}/embeddings.parquet' ORDER BY vec_id").fetchall()
+    base_emb = con.execute(f"SELECT * FROM read_parquet('{rd(src, 'embeddings')}') ORDER BY vec_id").fetchall()
     embs = base_emb + emb_rows(base_emb)
     t = pa.table(
         {
@@ -153,7 +169,7 @@ def main(src, dst):
     )
     pq.write_table(t, dst / "embeddings.parquet")
 
-    base_ev = con.execute(f"SELECT * FROM '{src}/events.parquet' ORDER BY event_id").fetchall()
+    base_ev = con.execute(f"SELECT * FROM read_parquet('{rd(src, 'events')}') ORDER BY event_id").fetchall()
     evs = base_ev + events_rows()
     t = pa.table(
         {
@@ -175,7 +191,8 @@ def main(src, dst):
     # the r11 review found two latent oracle divergences. Orderkeys from
     # 10_000_000 keep keys unique; flag "Z" forms an all-null group.
     base_li = con.execute(
-        f"SELECT * FROM '{src}/lineitem.parquet' ORDER BY l_orderkey, l_linenumber"
+        f"SELECT * FROM read_parquet('{rd(src, 'lineitem')}') "
+        "ORDER BY l_orderkey, l_linenumber"
     ).fetchall()
     ts0 = base_li[0][10]
     lis = base_li + [
