@@ -26,6 +26,57 @@ object Tables {
   def corpusTag(d: String): String =
     d.toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("^_+|_+$", "")
 
+  /** Content fingerprint of source tables under `d` — the FRESHNESS key
+    * for every provision-on-first-use layout (bucketed copies, z-order
+    * copies, shingle tables). The corpus tag alone keys on the PATH, so a
+    * corpus regenerated in place kept serving stale derived layouts — the
+    * r13 adversarial audit caught q10_scale answering from a bucketed
+    * copy of the previous corpus vintage (a silent ±1; in production,
+    * "upstream fixed the table, every derived layout kept the bug").
+    * Metadata-only and O(files): (name, length, mtime) of each part file,
+    * md5'd — no data read, and object-store rewrites bump mtime. */
+  def sourceFingerprint(s: SparkSession, d: String, names: String*): String = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val parts = names.sorted.flatMap { n =>
+      val p = new Path(s"$d/$n.parquet")
+      val fs = p.getFileSystem(conf)
+      def ls(q: Path): Seq[FileStatus] = {
+        val st = fs.getFileStatus(q)
+        if (st.isDirectory)
+          fs.listStatus(q).toSeq.sortBy(_.getPath.getName).flatMap(c => ls(c.getPath))
+        else Seq(st)
+      }
+      ls(p).map(st => s"$n/${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Marker protocol for [[sourceFingerprint]]: a layout directory is
+    * fresh iff its `_GRAFT_SRC_FP` marker holds the CURRENT source
+    * fingerprint. Returns true when fresh; callers re-provision (and then
+    * [[writeFingerprint]]) otherwise. */
+  def layoutFresh(s: SparkSession, loc: org.apache.hadoop.fs.Path, fp: String): Boolean = {
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(loc, "_GRAFT_SRC_FP")
+    fs.exists(m) && {
+      val in = fs.open(m)
+      try {
+        val b = new Array[Byte](64)
+        val n = in.read(b)
+        n > 0 && new String(b, 0, n, "UTF-8").trim == fp
+      } finally in.close()
+    }
+  }
+
+  def writeFingerprint(s: SparkSession, loc: org.apache.hadoop.fs.Path, fp: String): Unit = {
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, "_GRAFT_SRC_FP"), true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -278,8 +278,16 @@ object Dedup {
         else cfg
         val tag = Tables.corpusTag(d)
         val path = new java.io.File(base, s"graft_shingles_$tag").getAbsolutePath
-        if (!new java.io.File(path, "_SUCCESS").exists())
+        // Freshness = tag (path) + source fingerprint (content): a corpus
+        // regenerated in place must re-shingle (r13 stale-layout class —
+        // same protocol as bucketedTable/zOrderedLineitem).
+        val fp = Tables.sourceFingerprint(s, d, "documents")
+        val loc = new org.apache.hadoop.fs.Path(path)
+        if (!new java.io.File(path, "_SUCCESS").exists()
+            || !Tables.layoutFresh(s, loc, fp)) {
           computedShingles(s, d).write.mode("overwrite").parquet(path)
+          Tables.writeFingerprint(s, loc, fp)
+        }
         s.read.parquet(path)
     }
 

@@ -247,7 +247,14 @@ object Events {
           sum(x * x).cast("double").as("sum_xx"))
         .select(col("event_type"),
           (col("sum_x") / col("n")).as("mean"),
-          sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1))
+          // n = 1 ⇒ stddev undefined ⇒ NULL (the filter below then drops
+          // the group's rows on both engines; DuckDB reaches the same
+          // NULL via x/0). Without the guard a single-row type is an
+          // ANSI divide-by-zero job-kill — invisible on this corpus only
+          // because the inner join's null-filter prunes the one 1-row
+          // group (null event_type) before the stats project runs.
+          when(col("n") > 1,
+            sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1)))
             .as("stddev"))
       // stddev = 0 with a row still passing the 3-sigma filter is
       // reachable (a +Inf value over an otherwise-constant group):

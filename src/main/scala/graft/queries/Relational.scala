@@ -58,24 +58,37 @@ object Relational {
     val buckets = s.conf.getOption("graft.bucketedJoin.buckets").map(_.toInt).getOrElse(32)
     val tag = Tables.corpusTag(d)
     val table = s"graft_b${buckets}_${name}_$tag"
+    // Freshness = path tag AND source-content fingerprint (r13): a corpus
+    // regenerated IN PLACE must invalidate the layout, or every later
+    // session keeps answering from the previous vintage — the audit
+    // caught exactly that as a silent ±1 on q10_scale.
+    val fp = Tables.sourceFingerprint(s, d, name)
+    // Resolve under the warehouse via the session's Hadoop FileSystem,
+    // not java.io.File: spark.sql.warehouse.dir may be a non-local URI
+    // (hdfs://, s3a://) and string-stripping the scheme would silently
+    // re-pay the layout write or mis-register the LOCATION.
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fresh = Tables.layoutFresh(s, loc, fp)
+    if (s.catalog.tableExists(table) && !fresh) s.sql(s"DROP TABLE $table")
     if (!s.catalog.tableExists(table)) {
-      // Resolve under the warehouse via the session's Hadoop FileSystem,
-      // not java.io.File: spark.sql.warehouse.dir may be a non-local URI
-      // (hdfs://, s3a://) and string-stripping the scheme would silently
-      // re-pay the layout write or mis-register the LOCATION.
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), table)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      if (fresh && fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
         s.sql(
           s"""CREATE TABLE $table (${src.schema.toDDL})
              |USING PARQUET
              |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
              |LOCATION '${fs.makeQualified(loc).toString}'""".stripMargin)
       } else {
+        // A stale layout dir must go before saveAsTable — Spark refuses
+        // a managed-table location that already exists (the in-memory
+        // catalog forgets the table between sessions, so mode-overwrite
+        // alone can't reclaim it).
+        if (fs.exists(loc)) fs.delete(loc, true)
         src.repartition(buckets, col(key))
           .write.bucketBy(buckets, key).sortBy(key)
           .mode("overwrite").saveAsTable(table)
+        Tables.writeFingerprint(s, loc, fp)
       }
     }
     s.table(table)
@@ -99,9 +112,15 @@ object Relational {
       s.conf.get("spark.sql.warehouse.dir"), s"graft_z${files}_lineitem_$tag")
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     val qualified = fs.makeQualified(loc).toString
-    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
+    // Same freshness protocol as bucketedTable: tag keys the path, the
+    // fingerprint keys the CONTENT (r13 stale-layout audit finding).
+    val fp = Tables.sourceFingerprint(s, d, "lineitem")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+        || !Tables.layoutFresh(s, loc, fp)) {
       graft.operators.ZOrder.writeZOrdered(Tables.lineitem(s, d),
         qualified, Seq("l_partkey", "l_orderkey"), files)
+      Tables.writeFingerprint(s, loc, fp)
+    }
     s.read.parquet(qualified)
   }
 
@@ -379,8 +398,14 @@ object Relational {
         .select(
           col("o_orderstatus"), col("n"),
           (col("sum_x") / col("n")).as("mean"),
-          ((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1)).as("variance"),
-          sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1)).as("stddev"))
+          // n = 1 ⇒ sample variance is undefined: NULL (DuckDB's x/0),
+          // not an ANSI divide-by-zero job-kill (r13 audit class).
+          when(col("n") > 1,
+            (col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1))
+            .as("variance"),
+          when(col("n") > 1,
+            sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1)))
+            .as("stddev"))
         .orderBy(col("o_orderstatus"))
     },
     // Pivot: wide aggregation by category value.

@@ -119,6 +119,11 @@ def events_rows():
         (100015, ts(5, 0, 11, 1), 999999, "ghost_type", 7.0, '{"k": 12}'),  # ghost peer
         (None, ts(5, 0, 12, 0), 14, "click", 8.0, '{"k": 13}'),         # null event_id
         (100017, ts(5, 0, 13, 0, 123456), 14, "click", 0.0, '{"k": 14}'),  # zero value
+        # r13: a 1-row NON-NULL type — the n = 1 ANSI divide-by-zero class
+        # (e15 stddev, e22 rho, e24 mad). The earlier null-type 1-row group
+        # was silently pruned by Catalyst's inner-join null filter before
+        # the stats projection ran, so it never exercised these paths.
+        (100018, ts(5, 0, 14, 0), 15, "solo_type", 3.3, '{"k": 15}'),
     ]
 
 
@@ -190,6 +195,28 @@ def main(src, dst):
     # invisible on the uniformly clean corpus — this is the domain where
     # the r11 review found two latent oracle divergences. Orderkeys from
     # 10_000_000 keep keys unique; flag "Z" forms an all-null group.
+    # orders adversarial row (r13): one sane row with a UNIQUE status so
+    # q8_moments sees an n = 1 group — its sample-variance (n-1) division
+    # is the same ANSI divide-by-zero class the events corpus pins.
+    base_or = con.execute(
+        f"SELECT * FROM read_parquet('{rd(src, 'orders')}') ORDER BY o_orderkey"
+    ).fetchall()
+    od0 = base_or[0][4]
+    ors = base_or + [
+        (10000000, 899, "Q", 50000.0, od0, "1-URGENT"),
+    ]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in ors], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in ors], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in ors], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in ors], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in ors], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[5] for r in ors], pa.string()),
+        }
+    )
+    pq.write_table(t, dst / "orders.parquet")
+
     base_li = con.execute(
         f"SELECT * FROM read_parquet('{rd(src, 'lineitem')}') "
         "ORDER BY l_orderkey, l_linenumber"
@@ -230,7 +257,7 @@ def main(src, dst):
     pq.write_table(t, dst / "lineitem.parquet")
     print(
         f"wrote {dst}: documents {len(docs)} rows, embeddings {len(embs)} rows, "
-        f"events {len(evs)} rows, lineitem {len(lis)} rows"
+        f"events {len(evs)} rows, lineitem {len(lis)} rows, orders {len(ors)} rows"
     )
 
 
