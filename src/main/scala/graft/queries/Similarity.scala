@@ -120,6 +120,63 @@ object Similarity {
   /** The count guard alone, for query frames with non-default projections
     * (s12 carries quantized columns): lazy distributed count joined in,
     * `raise_error` when the broadcast side exceeds the cap. */
+  /** IVF (inverted-file) ANN over float cosine — the second scale path
+    * beside sign-LSH: a coarse quantizer (k-means centroids trained on a
+    * deterministic sample) partitions the corpus into NLIST cells; each
+    * vector is assigned to its nearest centroid once (narrow map, no
+    * shuffle), and a query probes only its nprobe nearest cells — the
+    * candidate scan is corpus/NLIST·nprobe instead of the full corpus.
+    * At 100 TB the centroids are trained on a driver-side sample (the
+    * first SAMPLE vectors by vec_id — deterministic) and broadcast.
+    * At nprobe = NLIST the scan is exhaustive and the result equals
+    * exact brute force — s4_exhaustive hash-oracles that regime against
+    * s1's SQL; the production nprobe = NPROBE entry is recall-pinned in
+    * SimilaritySpec (cell assignment is training-defined, like s2).
+    * The probe set is broadcast, so it rides the same guardedBounded
+    * size guard as s1/s12/s13/s14 (ADVICE r12 class). */
+  private def ivfKnn(s: SparkSession, d: String, nprobe: Int, op: String): DataFrame = {
+    import s.implicits._
+    val e = normed(s, d)
+    val cents = Similarity.trainCentroids(
+      e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .orderBy(col("vec_id")).limit(SAMPLE).collect().map(_._2))
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = e.select(col("vec_id"), col("embedding"), col("sq"))
+      .as[(Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, emb, sq) => (id, emb, sq, Similarity.nearestCells(emb, cs, 1)(0)) }
+      }
+      .toDF("vec_id", "embedding", "sq", "cell")
+    // Guard the QUERY set before probe expansion (s1's semantics — the
+    // cap counts queries, not probe rows): the expanded broadcast is at
+    // most NLIST× the guarded count, a known constant. Guarding after
+    // expansion made the exhaustive twin trip at 1/NLIST of s1's query
+    // count (caught live at the sf10 bench).
+    val q = guardedBounded(s,
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id"), col("embedding"), col("sq")), op)
+      .as[(Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, emb, sq) =>
+          Similarity.nearestCells(emb, cs, nprobe).map(c => (id, emb, sq, c))
+        }
+      }
+      .toDF("q_id", "q_emb", "q_sq", "cell")
+    // No dedup needed (unlike s2): each corpus vector lives in exactly
+    // one cell and a query's probe cells are distinct, so a (q, vec)
+    // pair can join at most once.
+    val cands = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOPK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** IVF × int8 — the production ANN composition at 100 TB: s4's coarse
     * quantizer bounds the SCAN (corpus/NLIST·nprobe candidates per query)
     * while s11's symmetric int8 codes bound the BYTES (the cell inverted
@@ -153,7 +210,11 @@ object Similarity {
         }
       }
       .toDF("vec_id", "qvec", "qsq", "cell")
-    val q = e.filter(col("vec_id") % 50 === 0)
+    // Guard the QUERY set before probe expansion (s1's semantics — the
+    // cap counts queries; the expanded broadcast is ≤ NLIST× that, a
+    // known constant): a corpus-proportional query set must fail fast
+    // with the raise_error pointer, not OOM the driver (ADVICE r12).
+    val q = guardedBounded(s, e.filter(col("vec_id") % 50 === 0), op)
       .as[(Long, Array[Float], Array[Int], Long)]
       .mapPartitions { it =>
         val cs = bc.value
@@ -163,11 +224,8 @@ object Similarity {
       }
       .toDF("q_id", "q_qvec", "q_qsq", "cell")
     // One cell per corpus vector + distinct probe cells per query ⇒ a
-    // (q, vec) pair joins at most once (s4's no-dedup argument). The
-    // probe set is broadcast, so it gets the same size guard as s12/s14:
-    // a corpus-proportional query set must fail fast with the
-    // raise_error pointer, not OOM the driver (ADVICE r12).
-    val cands = assigned.join(broadcast(guardedBounded(s, q, op)), Seq("cell"))
+    // (q, vec) pair joins at most once (s4's no-dedup argument).
+    val cands = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("qnorm",
         sqrt(col("q_qsq").cast("double")) * sqrt(col("qsq").cast("double")))
@@ -317,42 +375,14 @@ object Similarity {
     // SAMPLE vectors by vec_id — deterministic) and broadcast; recall vs
     // exact s1 is pinned in SimilaritySpec (cell assignment is
     // training-defined ⇒ rows-only under the driver contract, like s2).
-    "s4_knn_ivf" -> { (s, d) =>
-      import s.implicits._
-      val e = normed(s, d)
-      val cents = Similarity.trainCentroids(
-        e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-          .orderBy(col("vec_id")).limit(SAMPLE).collect().map(_._2))
-      val bc = s.sparkContext.broadcast(cents)
-      val assigned = e.select(col("vec_id"), col("embedding"), col("sq"))
-        .as[(Long, Array[Float], Double)]
-        .mapPartitions { it =>
-          val cs = bc.value
-          it.map { case (id, emb, sq) => (id, emb, sq, Similarity.nearestCells(emb, cs, 1)(0)) }
-        }
-        .toDF("vec_id", "embedding", "sq", "cell")
-      val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id"), col("embedding"), col("sq"))
-        .as[(Long, Array[Float], Double)]
-        .mapPartitions { it =>
-          val cs = bc.value
-          it.flatMap { case (id, emb, sq) =>
-            Similarity.nearestCells(emb, cs, NPROBE).map(c => (id, emb, sq, c))
-          }
-        }
-        .toDF("q_id", "q_emb", "q_sq", "cell")
-      // No dedup needed (unlike s2): each corpus vector lives in exactly
-      // one cell and a query's probe cells are distinct, so a (q, vec)
-      // pair can join at most once.
-      val cands = assigned.join(broadcast(q), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      cands.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= TOPK)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
-        .orderBy(col("q_id"), col("rk"))
-    },
+    "s4_knn_ivf" -> ((s, d) => ivfKnn(s, d, NPROBE, "s4_knn_ivf")),
+    // s4 at NPROBE = NLIST: every cell probed ⇒ the float-cosine IVF
+    // equals exact brute force (each vector lives in exactly one cell),
+    // so s1's SQL IS the oracle and the cell-assignment/join/rank
+    // plumbing gets a hash gate — the s13_exhaustive pattern applied to
+    // the float path. The production NPROBE entry above stays
+    // recall-pinned (cell assignment is training-defined).
+    "s4_exhaustive" -> ((s, d) => ivfKnn(s, d, NLIST, "s4_exhaustive")),
     // Typed custom aggregation (Aggregator[IN,BUF,OUT]) over the embedding
     // norms: exact per-label median — partial/final hash aggregate like any
     // built-in, shuffling only buffers; order-insensitive, so exact-
@@ -666,6 +696,26 @@ object Similarity {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
         |FROM embeddings""".stripMargin,
     "s1_knn_brute" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
+        |  FROM ${graft.Tables.validEmbSql} embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(q.embedding, c.embedding),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |      / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, rk, cosine FROM ranked
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // s4 at NPROBE = NLIST equals exact brute force over the same query
+    // set and the same double expression tree — s1's SQL verbatim is the
+    // oracle (the s13_exhaustive pattern on the float path).
+    "s4_exhaustive" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding,
         |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq

@@ -33,97 +33,99 @@ NAN = float("nan")
 INF = float("inf")
 
 
-def docs_rows(base_rows):
-    """Adversarial documents rows; doc_ids from 10000 keep keys unique."""
+def docs_rows(base_rows, base=10000):
+    """Adversarial documents rows; ids start past max(doc_id) so they stay
+    unique at ANY corpus SF (fixed 10000 collided with sf1's 50k docs)."""
     dup_text = base_rows[0][1]  # exact duplicate of doc 0
     near = base_rows[1][1].split()
     near[len(near) // 2] = "CHANGED"
     near_text = " ".join(near)
     long_text = "spark data query join " * 2500  # ~55k chars
     rows = [
-        (10000, None, "en", "srcA", 0),                      # null text
-        (10001, "", "en", "srcA", 0),                        # empty text
-        (10002, "   \t\n  ", "en", "srcA", 7),               # whitespace only
-        (10003, "naïve café \U0001f600\U0001f600 中文文本 العربية mixed", "zh", "srcB", 30),
-        (10004, "éclair combininǵ marks", "fr", "srcB", 22),
-        (10005, "a", "en", "srcA", 1),                       # single char
-        (10006, "!!! ??? ... ;;; ---", "en", "srcC", 19),    # punctuation only
-        (10007, "line1\nline2\t\"quoted\" \\backslash\\ 'single'", "en", "srcC", 41),
-        (10008, long_text, "en", "srcD", len(long_text)),    # very long
-        (10009, dup_text, "es", "srcE", len(dup_text)),      # exact dup of doc 0
-        (10010, near_text, "zh", "srcE", len(near_text)),    # near-dup of doc 1
-        (10011, "plain words here", None, "srcA", 16),       # null lang
-        (10012, "other words here", "en", None, 16),         # null source
-        (10013, "third words here", "en", "srcA", None),     # null n_chars
-        (10014, "short", "en", "srcA", 999),                 # n_chars lies
-        (10015, "orphan words", None, None, None),           # all meta null
-        (10016, ("dup " * 100).strip(), "en", "srcF", 399),  # one word repeated
-        (10017, "tiny doc", "en", "srcF", 8),                # shorter than shingle k
+        (base + 0, None, "en", "srcA", 0),                      # null text
+        (base + 1, "", "en", "srcA", 0),                        # empty text
+        (base + 2, "   \t\n  ", "en", "srcA", 7),               # whitespace only
+        (base + 3, "naïve café \U0001f600\U0001f600 中文文本 العربية mixed", "zh", "srcB", 30),
+        (base + 4, "éclair combininǵ marks", "fr", "srcB", 22),
+        (base + 5, "a", "en", "srcA", 1),                       # single char
+        (base + 6, "!!! ??? ... ;;; ---", "en", "srcC", 19),    # punctuation only
+        (base + 7, "line1\nline2\t\"quoted\" \\backslash\\ 'single'", "en", "srcC", 41),
+        (base + 8, long_text, "en", "srcD", len(long_text)),    # very long
+        (base + 9, dup_text, "es", "srcE", len(dup_text)),      # exact dup of doc 0
+        (base + 10, near_text, "zh", "srcE", len(near_text)),    # near-dup of doc 1
+        (base + 11, "plain words here", None, "srcA", 16),       # null lang
+        (base + 12, "other words here", "en", None, 16),         # null source
+        (base + 13, "third words here", "en", "srcA", None),     # null n_chars
+        (base + 14, "short", "en", "srcA", 999),                 # n_chars lies
+        (base + 15, "orphan words", None, None, None),           # all meta null
+        (base + 16, ("dup " * 100).strip(), "en", "srcF", 399),  # one word repeated
+        (base + 17, "tiny doc", "en", "srcF", 8),                # shorter than shingle k
         (None, "null id document text", "en", "srcF", 21),   # null doc_id
-        (10019, "  padded text  ", "en", "srcA", 15),
-        (10020, "SPARK Data QUERY Mixed CASE", "en", "srcA", 27),
-        (10021, "123 456 7.89 $100 100%", "en", "srcA", 22),
-        (10022, "crlf\r\nline endings\r\n", "en", "srcA", 20),
-        (10023, "nbsp and​zero width", "en", "srcA", 19),
+        (base + 19, "  padded text  ", "en", "srcA", 15),
+        (base + 20, "SPARK Data QUERY Mixed CASE", "en", "srcA", 27),
+        (base + 21, "123 456 7.89 $100 100%", "en", "srcA", 22),
+        (base + 22, "crlf\r\nline endings\r\n", "en", "srcA", 20),
+        (base + 23, "nbsp and​zero width", "en", "srcA", 19),
     ]
     return rows
 
 
-def emb_rows(base_rows):
+def emb_rows(base_rows, base=10000):
     dim = len(base_rows[0][1])
     v0 = list(base_rows[0][1])
     rows = [
-        (10000, None, 0),                                  # null embedding
-        (10001, [], 0),                                    # empty array
-        (10002, [0.0] * dim, 1),                           # zero vector
-        (10003, [1e30] * dim, 1),                          # huge magnitude
-        (10004, [1e-30] * dim, 2),                         # tiny magnitude
-        (10005, [-x for x in v0], 2),                      # negated copy of vec 0
-        (10006, v0, 0),                                    # exact dup of vec 0
-        (10007, v0[:8] + [2.0] * (dim - 8), None),         # null label
-        (10008, [0.5] * dim, -5),                          # negative label
-        (10009, [0.25] * dim, 9999),                       # singleton label
-        (10010, [None] + v0[1:], 3),                       # null element inside
-        (10011, [1.0, 2.0, 3.0], 3),                       # wrong dimension
-        (10012, [NAN] * dim, 4),                           # NaN elements
-        (10013, [INF] + [1.0] * (dim - 1), 4),             # +Inf element
-        (10014, [-INF] + [1.0] * (dim - 1), 4),            # -Inf element
+        (base + 0, None, 0),                                  # null embedding
+        (base + 1, [], 0),                                    # empty array
+        (base + 2, [0.0] * dim, 1),                           # zero vector
+        (base + 3, [1e30] * dim, 1),                          # huge magnitude
+        (base + 4, [1e-30] * dim, 2),                         # tiny magnitude
+        (base + 5, [-x for x in v0], 2),                      # negated copy of vec 0
+        (base + 6, v0, 0),                                    # exact dup of vec 0
+        (base + 7, v0[:8] + [2.0] * (dim - 8), None),         # null label
+        (base + 8, [0.5] * dim, -5),                          # negative label
+        (base + 9, [0.25] * dim, 9999),                       # singleton label
+        (base + 10, [None] + v0[1:], 3),                       # null element inside
+        (base + 11, [1.0, 2.0, 3.0], 3),                       # wrong dimension
+        (base + 12, [NAN] * dim, 4),                           # NaN elements
+        (base + 13, [INF] + [1.0] * (dim - 1), 4),             # +Inf element
+        (base + 14, [-INF] + [1.0] * (dim - 1), 4),            # -Inf element
     ]
     return rows
 
 
-def events_rows():
-    """Adversarial events rows; event_ids from 100000, ts inside the
-    shipped 2024-01 window so session/window logic sees them as peers."""
+def events_rows(base=100000):
+    """Adversarial events rows; ids start past max(event_id) (collision-
+    safe at any SF), ts inside the shipped 2024-01 window so
+    session/window logic sees them as peers."""
     import datetime as dt
 
     def ts(day, h, m, s, us=0):
         return dt.datetime(2024, 1, day, h, m, s, us)
 
     return [
-        (100000, ts(5, 0, 0, 0), None, "click", 10.0, '{"k": 1}'),      # null user
-        (100001, ts(5, 0, 1, 0), 13, None, 11.0, '{"k": 2}'),           # null type
-        (100002, ts(5, 0, 2, 0), 13, "click", None, '{"k": 3}'),        # null value
-        (100003, None, 13, "click", 12.0, '{"k": 4}'),                  # null ts
-        (100004, ts(5, 0, 3, 0), 13, "click", NAN, '{"k": 5}'),         # NaN value
-        (100005, ts(5, 0, 4, 0), 13, "click", INF, '{"k": 6}'),         # +Inf
-        (100006, ts(5, 0, 5, 0), 13, "click", -INF, '{"k": 7}'),        # -Inf
-        (100007, ts(5, 0, 6, 0), 13, "click", -42.5, '{"k": 8}'),       # negative
-        (100008, ts(5, 0, 7, 0), 14, "click", 1.0, None),               # null props
-        (100009, ts(5, 0, 8, 0), 14, "click", 2.0, "not json {"),       # bad props
-        (100010, ts(5, 0, 9, 0), 14, "click", 3.0, "{}"),               # empty obj
-        (100011, ts(5, 0, 9, 0), 14, "click", 4.0, '{"k": 9}'),         # dup (user,ts)
-        (100012, ts(5, 0, 9, 0), 14, "purchase", 5.0, '{"k": 10}'),     # same ts, other type
-        (100013, ts(5, 0, 10, 0), -7, "click", 6.0, '{"k": 11}'),       # negative user
-        (100014, ts(5, 0, 11, 0), 999999, "ghost_type", 7.0, '{"k": 12}'),  # unseen type
-        (100015, ts(5, 0, 11, 1), 999999, "ghost_type", 7.0, '{"k": 12}'),  # ghost peer
+        (base + 0, ts(5, 0, 0, 0), None, "click", 10.0, '{"k": 1}'),      # null user
+        (base + 1, ts(5, 0, 1, 0), 13, None, 11.0, '{"k": 2}'),           # null type
+        (base + 2, ts(5, 0, 2, 0), 13, "click", None, '{"k": 3}'),        # null value
+        (base + 3, None, 13, "click", 12.0, '{"k": 4}'),                  # null ts
+        (base + 4, ts(5, 0, 3, 0), 13, "click", NAN, '{"k": 5}'),         # NaN value
+        (base + 5, ts(5, 0, 4, 0), 13, "click", INF, '{"k": 6}'),         # +Inf
+        (base + 6, ts(5, 0, 5, 0), 13, "click", -INF, '{"k": 7}'),        # -Inf
+        (base + 7, ts(5, 0, 6, 0), 13, "click", -42.5, '{"k": 8}'),       # negative
+        (base + 8, ts(5, 0, 7, 0), 14, "click", 1.0, None),               # null props
+        (base + 9, ts(5, 0, 8, 0), 14, "click", 2.0, "not json {"),       # bad props
+        (base + 10, ts(5, 0, 9, 0), 14, "click", 3.0, "{}"),               # empty obj
+        (base + 11, ts(5, 0, 9, 0), 14, "click", 4.0, '{"k": 9}'),         # dup (user,ts)
+        (base + 12, ts(5, 0, 9, 0), 14, "purchase", 5.0, '{"k": 10}'),     # same ts, other type
+        (base + 13, ts(5, 0, 10, 0), -7, "click", 6.0, '{"k": 11}'),       # negative user
+        (base + 14, ts(5, 0, 11, 0), 999999, "ghost_type", 7.0, '{"k": 12}'),  # unseen type
+        (base + 15, ts(5, 0, 11, 1), 999999, "ghost_type", 7.0, '{"k": 12}'),  # ghost peer
         (None, ts(5, 0, 12, 0), 14, "click", 8.0, '{"k": 13}'),         # null event_id
-        (100017, ts(5, 0, 13, 0, 123456), 14, "click", 0.0, '{"k": 14}'),  # zero value
+        (base + 17, ts(5, 0, 13, 0, 123456), 14, "click", 0.0, '{"k": 14}'),  # zero value
         # r13: a 1-row NON-NULL type — the n = 1 ANSI divide-by-zero class
         # (e15 stddev, e22 rho, e24 mad). The earlier null-type 1-row group
         # was silently pruned by Catalyst's inner-join null filter before
         # the stats projection ran, so it never exercised these paths.
-        (100018, ts(5, 0, 14, 0), 15, "solo_type", 3.3, '{"k": 15}'),
+        (base + 18, ts(5, 0, 14, 0), 15, "solo_type", 3.3, '{"k": 15}'),
     ]
 
 
@@ -151,7 +153,8 @@ def main(src, dst):
             shutil.copy(p, dst / p.name)
 
     base_docs = con.execute(f"SELECT * FROM read_parquet('{rd(src, 'documents')}') ORDER BY doc_id").fetchall()
-    docs = base_docs + docs_rows(base_docs)
+    doc_base = max((r[0] for r in base_docs if r[0] is not None), default=0) + 1
+    docs = base_docs + docs_rows(base_docs, doc_base)
     t = pa.table(
         {
             "doc_id": pa.array([r[0] for r in docs], pa.int64()),
@@ -164,7 +167,8 @@ def main(src, dst):
     pq.write_table(t, dst / "documents.parquet")
 
     base_emb = con.execute(f"SELECT * FROM read_parquet('{rd(src, 'embeddings')}') ORDER BY vec_id").fetchall()
-    embs = base_emb + emb_rows(base_emb)
+    emb_base = max((r[0] for r in base_emb if r[0] is not None), default=0) + 1
+    embs = base_emb + emb_rows(base_emb, emb_base)
     t = pa.table(
         {
             "vec_id": pa.array([r[0] for r in embs], pa.int64()),
@@ -175,7 +179,8 @@ def main(src, dst):
     pq.write_table(t, dst / "embeddings.parquet")
 
     base_ev = con.execute(f"SELECT * FROM read_parquet('{rd(src, 'events')}') ORDER BY event_id").fetchall()
-    evs = base_ev + events_rows()
+    ev_base = max((r[0] for r in base_ev if r[0] is not None), default=0) + 1
+    evs = base_ev + events_rows(ev_base)
     t = pa.table(
         {
             "event_id": pa.array([r[0] for r in evs], pa.int64()),
