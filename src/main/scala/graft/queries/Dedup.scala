@@ -507,6 +507,63 @@ object Dedup {
       .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
   }
 
+  /** Banded SimHash pair join shared by d4 (xxh64 bits) and d4_oracled
+    * (md5 bits): Hamming ≤ 3 over 4 chunks of 16 bits ⇒ at least one chunk
+    * equal (pigeonhole), so candidates come from 4 chunk-equality buckets
+    * instead of an all-pairs product. Input: (doc_id, simhash: long). */
+  private def simhashPairs(sk: DataFrame): DataFrame = {
+    val chunked = sk.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(simhash, cast(c * 16 AS int)) & 65535L)"))
+        .as(Seq("chunk", "chunk_val")))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3) // before distinct: shrink the shuffle
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash signatures with MD5-derived bits, the d4_oracled hash
+    * family: bit k of a shingle's hash is bit (k % 4) of hex nibble
+    * (k / 4) of md5(shingle) — the NIBBLE-ORDER definition, chosen because
+    * the SQL twin can mirror it with substr/strpos arithmetic on the hex
+    * string, no 64-bit unsigned parsing (DuckDB BIGINT is signed and the
+    * top hex digit of an md5 prefix overflows it). */
+  private def md5SimhashSketches(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withShingles(s, d)
+      .select(col("doc_id"), col("shingles")).as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, shingles) =>
+          val counts = new Array[Int](64)
+          shingles.foreach { sh =>
+            val dig = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var j = 0
+            while (j < 16) { // hex char j = high (even j) or low nibble of byte j/2
+              val b = dig(j >> 1) & 0xff
+              val v = if ((j & 1) == 0) b >>> 4 else b & 0xf
+              var t = 0
+              while (t < 4) {
+                if (((v >>> t) & 1) == 1) counts(4 * j + t) += 1
+                else counts(4 * j + t) -= 1
+                t += 1
+              }
+              j += 1
+            }
+          }
+          var sim = 0L
+          var k = 0
+          while (k < 64) { if (counts(k) > 0) sim |= 1L << k; k += 1 }
+          (id, sim)
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on the full text.
     "d1_dedup_exact" -> { (s, d) =>
@@ -582,20 +639,17 @@ object Dedup {
           (id, sim)
         })
         .toDF("doc_id", "simhash")
-      // Hamming ≤ 3 over 4 chunks of 16 bits ⇒ at least one chunk equal.
-      val chunked = sk.select(col("doc_id"), col("simhash"),
-        posexplode(expr(
-          "transform(sequence(0, 3), c -> shiftright(simhash, cast(c * 16 AS int)) & 65535L)"))
-          .as(Seq("chunk", "chunk_val")))
-      chunked.as("a").join(chunked.as("b"),
-          col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-        .filter(col("hamming") <= 3) // before distinct: shrink the shuffle
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+      simhashPairs(sk)
     },
+    // d4's ORACLE TWIN: the identical SimHash pipeline (64-bit signature,
+    // 4×16-bit chunk banding, Hamming ≤ 3) with the hash family swapped
+    // from xxh64 to md5 — a hash BOTH engines compute bit-identically —
+    // so the banding + verification plumbing that d4's hash-defined output
+    // cannot oracle becomes a hash contract here (the s13_exhaustive
+    // pattern applied to the SimHash family). d4 itself stays the
+    // production entry (xxh64 is ~20× cheaper than MD5 per shingle); this
+    // twin certifies the shared pair machinery.
+    "d4_oracled" -> { (s, d) => simhashPairs(md5SimhashSketches(s, d)) },
     // n-gram (word-3-gram) Jaccard over the DF-capped shingle vocabulary,
     // postings-list form: ONE shingle pass, groupBy(shingle) → bounded doc
     // list, pairs expanded from each list. The document-frequency cap is structural — a posting list
@@ -1199,7 +1253,47 @@ object Dedup {
       |  SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
       |cc AS (SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u)""".stripMargin
 
+  // d4_oracled's 64 signature bits, nibble-order (bit k = bit k%4 of hex
+  // nibble k/4 of md5(shingle)) — generated so the Scala kernel's bit
+  // layout and the SQL's arithmetic cannot drift by hand-editing one side.
+  private val D4_VOTE_COLS: String = (0 until 64).map { k =>
+    val j = k / 4; val pw = 1 << (k % 4)
+    s"sum(CASE WHEN (nib[${j + 1}] // $pw) % 2 = 1 THEN 1 ELSE -1 END) AS v$k"
+  }.mkString(",\n|    ")
+  private val D4_SIG_EXPR: String =
+    (0 until 64).map(k => s"CASE WHEN v$k > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
   def oracle: Map[String, String] = Map(
+    // d4_oracled: md5-bit SimHash — per-shingle nibble votes, sign-bit
+    // signature as a 64-char bit string (char i+1 = bit i, matching the
+    // Scala kernel's 1L << k layout chunked by shiftright(simhash, 16c)),
+    // pigeonhole chunk join, exact string Hamming ≤ 3.
+    "d4_oracled" ->
+      s"""WITH $SH_CTE,
+         |inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_docs),
+         |hx AS (SELECT doc_id,
+         |    list_transform(range(1, 17),
+         |      i -> strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1) AS nib
+         |  FROM inv),
+         |votes AS (SELECT doc_id,
+         |    $D4_VOTE_COLS
+         |  FROM hx GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, $D4_SIG_EXPR AS sig FROM votes),
+         |chunks AS (
+         |  SELECT doc_id, sig, c.c AS chunk, substr(sig, 1 + 16 * c.c, 16) AS cv
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS c) c),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.sig AS sa, b.sig AS sb
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(range(1, 65),
+         |    i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS INTEGER) AS hamming
+         |FROM cand
+         |WHERE len(list_filter(range(1, 65),
+         |    i -> substr(sa, i, 1) <> substr(sb, i, 1))) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d1_dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM ${graft.Tables.validDocsSql} documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -15,6 +15,37 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == exact, s"LSH pairs $lsh != exact pairs $exact")
   }
 
+  test("d4_oracled equals brute-force md5-SimHash Hamming ≤ 3 (pigeonhole recall 1.0)") {
+    // Independent double-entry: recompute the md5-bit signatures here
+    // (nibble-order bit layout, the d4_oracled contract) and scan ALL
+    // pairs O(n²); the banded query must return exactly the Hamming ≤ 3
+    // set — 4×16-bit chunking is exact for radius 3 by pigeonhole.
+    val docs = Tables.validDocuments(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sig(text: String): Long = {
+      val counts = new Array[Int](64)
+      graft.queries.Dedup.shinglesForTest(text).foreach { sh =>
+        val dig = md.digest(sh.getBytes("UTF-8"))
+        for (j <- 0 until 16; t <- 0 until 4) {
+          val b = dig(j >> 1) & 0xff
+          val v = if ((j & 1) == 0) b >>> 4 else b & 0xf
+          if (((v >>> t) & 1) == 1) counts(4 * j + t) += 1 else counts(4 * j + t) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, k) => if (counts(k) > 0) acc | (1L << k) else acc)
+    }
+    val sigs = docs.map { case (id, t) => (id, sig(t)) }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    val got = graft.queries.Dedup.queries("d4_oracled")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expected.nonEmpty, "spec corpus must contain at least one near-dup pair")
+    assert(got == expected, s"banded pairs $got != brute-force pairs $expected")
+  }
+
   test("d1 exact dedup partitions the corpus") {
     val total = Tables.documents(spark, sf).count()
     val sum = graft.queries.Dedup.queries("d1_dedup_exact")(spark, sf)
