@@ -695,6 +695,50 @@ object Events {
             (col("nh") * col("sxy") - col("sx") * col("sy")).cast("double") / col("den")))
         .select(col("type_a"), col("type_b"), col("n_hours"), col("corr"))
         .orderBy(col("type_a"), col("type_b"))
+    },
+    // Linear gap interpolation on the hourly grid — e10's sibling with the
+    // other classic resample fill. A slot is OBSERVED iff its finite-sum is
+    // non-null (an hour whose every value is NaN/Inf counts as missing, the
+    // e-family's non-finite-is-missing contract); interior gaps fill with
+    // prev + (next − prev) · Δh/Δ_span, edges (before first / after last
+    // observation) stay NULL — linear interpolation has no extrapolation.
+    // Scale shape: one agg shuffle on (slot, type), one window exchange on
+    // type; both window frames (backward last, forward first) share the
+    // same partitioning + ascending sort, so Catalyst plans ONE sort. The
+    // Δh/Δ_span division is guarded (ANSI: x/0 throws even for DOUBLE) —
+    // unreachable when un-observed (prev_slot < slot < next_slot strictly)
+    // but the guard documents the domain.
+    "e28_interp_linear" -> { (s, d) =>
+      val agg = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(sum(when(finite(col("value")), col("value").cast("decimal(18,2)")))
+          .cast("double").as("sum_value"))
+        .select(col("w.start").as("slot"), col("event_type"), col("sum_value"))
+      val grid = Tables.events(s, d).select(col("event_type")).distinct()
+        .crossJoin(s.sql(
+          """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+            |  timestamp'2024-01-31 23:00:00', interval 1 hour)) AS slot""".stripMargin))
+      val back = Window.partitionBy(col("event_type")).orderBy(col("slot"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(col("event_type")).orderBy(col("slot"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obs = col("sum_value").isNotNull
+      val hrs = (a: Column, b: Column) =>
+        ((unix_timestamp(a) - unix_timestamp(b)) / 3600L).cast("double")
+      grid.join(agg, Seq("event_type", "slot"), "left")
+        .withColumn("pv", last(when(obs, col("sum_value")), ignoreNulls = true).over(back))
+        .withColumn("ps", last(when(obs, col("slot")), ignoreNulls = true).over(back))
+        .withColumn("nv", first(when(obs, col("sum_value")), ignoreNulls = true).over(fwd))
+        .withColumn("ns", first(when(obs, col("slot")), ignoreNulls = true).over(fwd))
+        .withColumn("interp",
+          when(obs, col("sum_value"))
+            .when(col("pv").isNotNull && col("nv").isNotNull &&
+                hrs(col("ns"), col("ps")) =!= 0.0,
+              col("pv") + (col("nv") - col("pv")) *
+                hrs(col("slot"), col("ps")) / hrs(col("ns"), col("ps"))))
+        .select(col("event_type"), col("slot"), col("sum_value"), col("interp"))
+        .orderBy(col("event_type"), col("slot"))
     }
   )
 
@@ -1099,6 +1143,38 @@ object Events {
         |  CAST(n_hours * sxy - sx * sy AS DOUBLE) /
         |    (sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE))
         |     * sqrt(CAST(n_hours * syy - sy * sy AS DOUBLE))) AS corr
-        |FROM m ORDER BY type_a, type_b""".stripMargin
+        |FROM m ORDER BY type_a, type_b""".stripMargin,
+    // e28: e10's grid + finite-guarded hourly sum; interp mirrors the
+    // Spark expression tree exactly — pv + ((nv−pv)·Δh)/Δspan in DOUBLE,
+    // hour deltas as exact integers cast to DOUBLE, so the one division
+    // is the only rounding step on both engines. DuckDB x/0 is NULL
+    // natively; the Spark side guards the (unreachable) Δspan=0 case.
+    "e28_interp_linear" ->
+      """WITH agg AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS slot, event_type,
+        |    CAST(CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sum_value
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, r.range AS slot
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', INTERVAL 1 HOUR) r),
+        |j AS (
+        |  SELECT g.event_type, g.slot, a.sum_value,
+        |    last_value(a.sum_value IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN a.sum_value IS NOT NULL THEN g.slot END IGNORE NULLS) OVER wb AS ps,
+        |    first_value(a.sum_value IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN a.sum_value IS NOT NULL THEN g.slot END IGNORE NULLS) OVER wf AS ns
+        |  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.slot = g.slot
+        |  WINDOW wb AS (PARTITION BY g.event_type ORDER BY g.slot
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY g.event_type ORDER BY g.slot
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, slot, sum_value,
+        |  CASE WHEN sum_value IS NOT NULL THEN sum_value
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         pv + (nv - pv) * CAST(date_diff('hour', ps, slot) AS DOUBLE)
+        |                        / CAST(date_diff('hour', ps, ns) AS DOUBLE)
+        |  END AS interp
+        |FROM j ORDER BY event_type NULLS FIRST, slot""".stripMargin
   )
 }

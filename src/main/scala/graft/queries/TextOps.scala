@@ -596,8 +596,55 @@ object TextOps {
           col("n_tokens") * lit(4294967296L))
         .select(col("doc_id"), col("source"), col("n_tokens"))
         .orderBy(col("doc_id"))
+    },
+    // PII scrub: sequential regex redaction — credit card → SSN → phone →
+    // IPv4 → email, most-specific first, each category COUNTED on the text
+    // state it actually sees (count-then-replace is the contract; a dotted
+    // phone is a phone, not three IP octets, because phone scrubs first).
+    // The document text is AUGMENTED with a deterministic doc_id-derived
+    // PII suffix so every row exercises every pattern class regardless of
+    // corpus content. Pure codegen'd regexp_replace/regexp_count — at
+    // 100 TB an embarrassingly parallel scan+project, no shuffle (the
+    // orderBy is presentation-only). Patterns are deliberately RE2 ∩ Java
+    // (no backreferences, no lookaround) so the DuckDB twin runs them
+    // VERBATIM; DuckDB needs the 'g' flag (its regexp_replace defaults to
+    // first-match-only where Spark's is global).
+    "t23_pii_scrub" -> { (s, d) =>
+      val id = col("doc_id")
+      val suffix = concat(
+        lit(" reach me at user"), id.cast("string"),
+        lit("@example.com or 555-"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((id % 10000).cast("string"), 4, "0"),
+        lit(" host 10."), (id % 256).cast("string"), lit("."),
+        expr("CAST((doc_id div 256) % 256 AS STRING)"),
+        lit(".1 ssn 123-45-"),
+        lpad(((id * 3) % 10000).cast("string"), 4, "0"),
+        lit(" card 4111-1111-1111-"),
+        lpad(((id * 7) % 10000).cast("string"), 4, "0"))
+      val scrubbed = PII_ORDER.zipWithIndex.foldLeft(
+        Tables.validDocuments(s, d).withColumn("t0", concat(col("text"), suffix))) {
+        case (df, ((cat, re, tok), i)) =>
+          df.withColumn(s"n_$cat", regexp_count(col(s"t$i"), lit(re)).cast("bigint"))
+            .withColumn(s"t${i + 1}", regexp_replace(col(s"t$i"), re, tok))
+      }
+      scrubbed.select(
+          col("doc_id") +: PII_ORDER.map { case (cat, _, _) => col(s"n_$cat") } :+
+            length(col(s"t${PII_ORDER.size}")).cast("bigint").as("scrub_len") :+
+            md5(col(s"t${PII_ORDER.size}").cast("binary")).as("scrub_md5"): _*)
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** t23's redaction classes, scrub order, and regexes — ONE definition
+    * interpolated verbatim into both the Spark query and the DuckDB twin
+    * so the two sides cannot drift. Order is most-specific first. */
+  private[queries] val PII_ORDER: Seq[(String, String, String)] = Seq(
+    ("cc", "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "<CC>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"))
 
   /** DuckDB twin of `rolling_min_hash(text, 32)` — the minimal 32-byte
     * rolling-window hash. Expects a CTE `t(doc_id, text, n, hx)` in scope
@@ -901,7 +948,40 @@ object TextOps {
           |FROM d CROSS JOIN w
           |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * wmax * 4
           |      < n_tokens * 4294967296
-          |ORDER BY doc_id""".stripMargin
+          |ORDER BY doc_id""".stripMargin,
+      "t23_pii_scrub" -> t23Sql
     )
+  }
+
+  /** t23's DuckDB twin, generated from [[PII_ORDER]] so the patterns, the
+    * scrub order, and the count-then-replace staging are byte-identical to
+    * the Spark side. Each CTE stage counts category i on the text state
+    * t_i, then rewrites to t_{i+1}; DuckDB's regexp_replace needs the 'g'
+    * flag to match Spark's global-replace semantics. */
+  private def t23Sql: String = {
+    val s0 =
+      s"""s0 AS (
+         |  SELECT doc_id, text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |    || CAST((doc_id // 256) % 256 AS VARCHAR)
+         |    || '.1 ssn 123-45-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+         |    || ' card 4111-1111-1111-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS t0
+         |  FROM ${graft.Tables.validDocsSql} documents)""".stripMargin
+    val stages = PII_ORDER.zipWithIndex.map { case ((cat, re, tok), i) =>
+      val prev = PII_ORDER.take(i).map { case (c, _, _) => s"n_$c, " }.mkString
+      s"""s${i + 1} AS (SELECT doc_id, $prev
+         |  CAST(len(regexp_extract_all(t$i, '$re')) AS BIGINT) AS n_$cat,
+         |  regexp_replace(t$i, '$re', '$tok', 'g') AS t${i + 1} FROM s$i)""".stripMargin
+    }
+    val n = PII_ORDER.size
+    val counts = PII_ORDER.map { case (c, _, _) => s"n_$c" }.mkString(", ")
+    // NO outer stripMargin: the fragments are already margin-stripped, and
+    // a second pass would eat one pipe of every `||` continuation line.
+    s"WITH $s0,\n" + stages.mkString(",\n") +
+      s"\nSELECT doc_id, $counts,\n" +
+      s"  CAST(length(t$n) AS BIGINT) AS scrub_len, md5(t$n) AS scrub_md5\n" +
+      s"FROM s$n ORDER BY doc_id"
   }
 }
