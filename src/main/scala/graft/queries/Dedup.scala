@@ -1010,13 +1010,24 @@ object Dedup {
     // uncapped oracle).
     "d13_containment" -> { (s, d) =>
       val postings = cappedGuardedPostings(s, d, "d13_containment").drop("df_cap")
-      postings
+      // Containment is directional (inter/na), but the intersection itself
+      // is symmetric — so expand each posting list to UNDIRECTED pairs
+      // (a < b, half the exploded rows and half the groupBy shuffle of the
+      // naive a ≠ b form), carry BOTH set sizes through the aggregate, and
+      // emit the two orientations afterwards from the pair-level rows
+      // (a cheap map-side union, no second shuffle). Same result set,
+      // ~2× less pair traffic — the dominant cost of the exact family.
+      val pairs = postings
         .select(explode(col("ds")).as("a"), col("ds"))
         .select(col("a"), explode(col("ds")).as("b"))
-        .filter(col("a.doc_id") =!= col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n_sh").as("na"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+          col("a.n_sh").as("nsa"), col("b.n_sh").as("nsb"))
         .agg(count(lit(1)).as("inter"))
+      pairs.select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+          col("nsa").as("na"), col("inter"))
+        .unionAll(pairs.select(col("idb").as("doc_a"), col("ida").as("doc_b"),
+          col("nsb").as("na"), col("inter")))
         .withColumn("containment",
           col("inter").cast("double") / col("na").cast("double"))
         .filter(col("containment") >= 0.8)

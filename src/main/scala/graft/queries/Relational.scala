@@ -188,32 +188,66 @@ object Relational {
 
   /** q63's and q64's shared exact oracle — per-column statistics over the
     * whole table, one UNION branch per profiled column. */
-  private lazy val profilerOracle: String = {
-    val branches =
-      ProfNum.map { c =>
-        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
-           |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
-           |  CAST(min($c) AS DOUBLE) AS min_val,
-           |  CAST(max($c) AS DOUBLE) AS max_val
-           |FROM lineitem""".stripMargin
-      } ++ ProfTs.map { c =>
-        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
-           |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
-           |  epoch(min($c)) AS min_val,
-           |  epoch(max($c)) AS max_val
-           |FROM lineitem""".stripMargin
-      } ++ ProfStr.map { c =>
-        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
-           |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
-           |  CAST(NULL AS DOUBLE) AS min_val,
-           |  CAST(NULL AS DOUBLE) AS max_val
-           |FROM lineitem""".stripMargin
-      }
-    branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+  /** The per-column exact-stats UNION branches, optionally filtered —
+    * shared by q63/q64 (whole table) and q65 (per-vintage split). */
+  private def profilerBranches(where: String): Seq[String] = {
+    val w = if (where.isEmpty) "" else s"\nWHERE $where"
+    ProfNum.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
+         |  CAST(min($c) AS DOUBLE) AS min_val,
+         |  CAST(max($c) AS DOUBLE) AS max_val
+         |FROM lineitem$w""".stripMargin
+    } ++ ProfTs.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
+         |  epoch(min($c)) AS min_val,
+         |  epoch(max($c)) AS max_val
+         |FROM lineitem$w""".stripMargin
+    } ++ ProfStr.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS DOUBLE) AS ndv,
+         |  CAST(NULL AS DOUBLE) AS min_val,
+         |  CAST(NULL AS DOUBLE) AS max_val
+         |FROM lineitem$w""".stripMargin
+    }
+  }
+
+  private lazy val profilerOracle: String =
+    profilerBranches("").mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) ORDER BY col_name")
+
+  // q65's vintage split — q64's null-safe halves reinterpreted as "old"
+  // (A) vs "newly landed" (B) partitions of the table.
+  private val SplitA = "l_orderkey IS NULL OR l_orderkey % 2 = 0"
+  private val SplitB = "l_orderkey IS NOT NULL AND l_orderkey % 2 <> 0"
+
+  private lazy val driftOracle: String = {
+    def prof(where: String) =
+      profilerBranches(where).mkString("(\n", "\nUNION ALL\n", "\n)")
+    s"""WITH pa AS ${prof(SplitA)},
+       |pb AS ${prof(SplitB)}
+       |SELECT pa.col_name,
+       |  pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+       |  CASE WHEN pa.n_rows > 0
+       |       THEN CAST(pa.n_null AS DOUBLE) / CAST(pa.n_rows AS DOUBLE) END AS null_frac_a,
+       |  CASE WHEN pb.n_rows > 0
+       |       THEN CAST(pb.n_null AS DOUBLE) / CAST(pb.n_rows AS DOUBLE) END AS null_frac_b,
+       |  pa.ndv AS ndv_a, pb.ndv AS ndv_b,
+       |  CASE WHEN pa.ndv > 0 THEN pb.ndv / pa.ndv END AS ndv_ratio,
+       |  pb.min_val < pa.min_val OR pb.max_val > pa.max_val AS range_widened,
+       |  coalesce(abs(CASE WHEN pb.n_rows > 0
+       |                 THEN CAST(pb.n_null AS DOUBLE) / CAST(pb.n_rows AS DOUBLE) END
+       |             - CASE WHEN pa.n_rows > 0
+       |                 THEN CAST(pa.n_null AS DOUBLE) / CAST(pa.n_rows AS DOUBLE) END) > 0.01, FALSE)
+       |  OR coalesce(CASE WHEN pa.ndv > 0 THEN pb.ndv / pa.ndv END < 0.5
+       |           OR CASE WHEN pa.ndv > 0 THEN pb.ndv / pa.ndv END > 2.0, FALSE)
+       |  OR coalesce(pb.min_val < pa.min_val OR pb.max_val > pa.max_val, FALSE) AS drift
+       |FROM pa JOIN pb USING (col_name)
+       |ORDER BY col_name""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -543,6 +577,47 @@ object Relational {
              greatest(col(s"${c}__mx"), col(s"${c}__mx@b")).as(s"${c}__mx")))
         }: _*)
       profileUnpivot(merged, k)
+    },
+    // Profile DRIFT report — the data-quality regression check a 100 TB
+    // pipeline runs when a new vintage lands: profile the "old" (A) and
+    // "new" (B) partitions independently (q64's null-safe split), join the
+    // two 10-row summaries on col_name, and emit per-column drift metrics
+    // (null-fraction delta, NDV ratio, range widening) plus one boolean
+    // verdict per column. The per-split profile is q63's ONE-pass shape,
+    // so the whole report costs two narrow scans and a 10-row join; at
+    // scale the A side comes from yesterday's PERSISTED summary (q64's
+    // merge keeps it fresh) and only B is actually scanned. Thresholds
+    // (|Δnull_frac| > 0.01, ndv_ratio ∉ [0.5, 2], range widened) are the
+    // report's contract, computed identically in the oracle.
+    "q65_profile_drift" -> { (s, d) =>
+      val k = s.conf.get("spark.graft.sketch.k", "16384").toInt
+      val li = Tables.lineitem(s, d)
+      val pa = profileUnpivot(profileRow(li.filter(
+        col("l_orderkey").isNull || col("l_orderkey") % 2 === 0), k), k)
+      val pb = profileUnpivot(profileRow(li.filter(
+        col("l_orderkey").isNotNull && col("l_orderkey") % 2 =!= 0), k), k)
+      val a = pa.select(col("col_name"), col("n_rows").as("n_rows_a"),
+        col("n_null").as("n_null_a"), col("ndv").as("ndv_a"),
+        col("min_val").as("min_a"), col("max_val").as("max_a"))
+      val b = pb.select(col("col_name"), col("n_rows").as("n_rows_b"),
+        col("n_null").as("n_null_b"), col("ndv").as("ndv_b"),
+        col("min_val").as("min_b"), col("max_val").as("max_b"))
+      a.join(b, "col_name")
+        .withColumn("null_frac_a", when(col("n_rows_a") > 0,
+          col("n_null_a").cast("double") / col("n_rows_a").cast("double")))
+        .withColumn("null_frac_b", when(col("n_rows_b") > 0,
+          col("n_null_b").cast("double") / col("n_rows_b").cast("double")))
+        .withColumn("ndv_ratio", when(col("ndv_a") > 0, col("ndv_b") / col("ndv_a")))
+        .withColumn("range_widened",
+          col("min_b") < col("min_a") || col("max_b") > col("max_a"))
+        .withColumn("drift",
+          coalesce(abs(col("null_frac_b") - col("null_frac_a")) > 0.01, lit(false)) ||
+            coalesce(col("ndv_ratio") < 0.5 || col("ndv_ratio") > 2.0, lit(false)) ||
+            coalesce(col("range_widened"), lit(false)))
+        .select(col("col_name"), col("n_rows_a"), col("n_rows_b"),
+          col("null_frac_a"), col("null_frac_b"), col("ndv_a"), col("ndv_b"),
+          col("ndv_ratio"), col("range_widened"), col("drift"))
+        .orderBy(col("col_name"))
     },
     "q11_join_dims" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -1520,6 +1595,7 @@ object Relational {
     // seconds (Spark's ts→double cast = DuckDB's epoch(): the same
     // micros/1e6 IEEE division).
     "q63_table_stats" -> profilerOracle,
+    "q65_profile_drift" -> driftOracle,
     "q64_stats_merge" -> profilerOracle,
     "q11_join_dims" ->
       """SELECT r_name, count(*) AS n_cust,

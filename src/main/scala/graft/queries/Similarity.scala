@@ -308,6 +308,71 @@ object Similarity {
   // as the SQL higher-order formulation, so oracle parity is preserved.
   private def dotCol(a: String, b: String) = vec_dot(col(a), col(b))
 
+  /** The exact brute-force cosine top-k in DuckDB SQL — ONE definition
+    * shared by s1_knn_brute and every `_exhaustive` twin (s2 at 1×0 bits,
+    * s4 at NPROBE = NLIST), because all three contract to the identical
+    * pair set and double expression tree. */
+  private[queries] val BRUTE_KNN_SQL: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
+      |  FROM ${graft.Tables.validEmbSql} embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+      |       list_transform(list_zip(q.embedding, c.embedding),
+      |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+      |      / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
+      |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, rk, cosine FROM ranked
+      |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** Sign-LSH top-k, parameterized by table/bit geometry (s2 production =
+    * TABLES×BITS; s2_exhaustive = 1×0, which puts the whole corpus in one
+    * bucket and makes the pipeline exact brute force). codes[t] = `bits`
+    * sign bits of dots with planes[t·bits ..], computed in a typed
+    * mapPartitions tight loop (like d4's simhash) — the interpreted
+    * aggregate(zip_with(...)) mega-expression this replaced was the
+    * slowest query in BENCH_r01 (2.26 s); 96 inline Column dots were no
+    * better (the generated method blows past codegen limits). One narrow
+    * map, no shuffle: linear in corpus size at any scale. The query set is
+    * guarded BEFORE bucket expansion (the s4/s13 r13 lesson: guarding the
+    * exploded frame trips the cap at 1/tables of the real query count),
+    * so the broadcast stays ≤ tables × the cap — a known constant. */
+  private def signLshKnn(s: SparkSession, d: String, tables: Int, bits: Int,
+      op: String): DataFrame = {
+    import s.implicits._
+    val coded = normed(s, d)
+      .select(col("vec_id"), col("embedding"), col("sq"))
+      .as[(Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        val pl = Similarity.planes
+        it.map { case (id, emb, sq) =>
+          (id, emb, sq, graft.functions.VecKernel.signCodes(emb, pl, tables, bits))
+        }
+      }
+      .toDF("vec_id", "embedding", "sq", "codes")
+    val bucketed = coded
+      .select(col("vec_id"), col("embedding"), col("sq"),
+        posexplode(col("codes")).as(Seq("t", "code")))
+    val q = guardedBounded(s, coded.filter(col("vec_id") % 50 === 0), op)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sq").as("q_sq"), posexplode(col("codes")).as(Seq("q_t", "q_code")))
+    val cands = bucketed.join(broadcast(q),
+        col("q_t") === col("t") && col("q_code") === col("code") &&
+          col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOPK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k (query set = every 50th vector).
     // The plan broadcasts the QUERY side, which is only sound while that
@@ -330,41 +395,14 @@ object Similarity {
     },
     // Multi-table sign-LSH bucketed ANN: L tables of k sign-bits; a query
     // meets only candidates sharing a (table, code) bucket in ≥ 1 table.
-    "s2_knn_lsh" -> { (s, d) =>
-      import s.implicits._
-      // codes[t] = k sign bits of dots with planes[t*k .. t*k+k-1], computed
-      // in a typed mapPartitions tight loop (like d4's simhash). The
-      // interpreted aggregate(zip_with(...)) mega-expression this replaces
-      // was the slowest query in BENCH_r01 (2.26 s); 96 inline Column dots
-      // were no better — the generated method blows past codegen limits.
-      // One narrow map, no shuffle: linear in corpus size at any scale.
-      val coded = normed(s, d)
-        .select(col("vec_id"), col("embedding"), col("sq"))
-        .as[(Long, Array[Float], Double)]
-        .mapPartitions { it =>
-          val pl = Similarity.planes
-          it.map { case (id, emb, sq) =>
-            (id, emb, sq, graft.functions.VecKernel.signCodes(emb, pl, TABLES, BITS))
-          }
-        }
-        .toDF("vec_id", "embedding", "sq", "codes")
-      val bucketed = coded
-        .select(col("vec_id"), col("embedding"), col("sq"),
-          posexplode(col("codes")).as(Seq("t", "code")))
-      val q = bucketed.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("sq").as("q_sq"), col("t").as("q_t"), col("code").as("q_code"))
-      val cands = bucketed.join(broadcast(q),
-          col("q_t") === col("t") && col("q_code") === col("code") &&
-            col("vec_id") =!= col("q_id"))
-        .dropDuplicates("q_id", "vec_id")
-        .withColumn("cosine", dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      cands.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= TOPK)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
-        .orderBy(col("q_id"), col("rk"))
-    },
+    "s2_knn_lsh" -> ((s, d) => signLshKnn(s, d, TABLES, BITS, "s2_knn_lsh")),
+    // s2 at 1 table × 0 bits: every vector lands in ONE shared bucket, so
+    // the bucket join degenerates to exact brute force over the same query
+    // set and the same double expression tree — s1's SQL verbatim oracles
+    // the code/bucket/rank plumbing of the sign-LSH path (the
+    // s4_exhaustive pattern applied to the third ANN family). The
+    // production TABLES×BITS entry stays recall-pinned beside it.
+    "s2_exhaustive" -> ((s, d) => signLshKnn(s, d, 1, 0, "s2_exhaustive")),
     // IVF (inverted-file) ANN — the second scale path beside sign-LSH:
     // a coarse quantizer (k-means centroids trained on a deterministic
     // sample) partitions the corpus into NLIST cells; each vector is
@@ -695,43 +733,15 @@ object Similarity {
         |    AND len(list_filter(embedding, x -> x <> 0)) > 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
         |FROM embeddings""".stripMargin,
-    "s1_knn_brute" ->
-      s"""WITH e AS (
-        |  SELECT vec_id, embedding,
-        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
-        |  FROM ${graft.Tables.validEmbSql} embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
-        |       list_transform(list_zip(q.embedding, c.embedding),
-        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
-        |      / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
-        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
-        |  FROM scored)
-        |SELECT q_id, neighbor_id, rk, cosine FROM ranked
-        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "s1_knn_brute" -> BRUTE_KNN_SQL,
     // s4 at NPROBE = NLIST equals exact brute force over the same query
     // set and the same double expression tree — s1's SQL verbatim is the
     // oracle (the s13_exhaustive pattern on the float path).
-    "s4_exhaustive" ->
-      s"""WITH e AS (
-        |  SELECT vec_id, embedding,
-        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
-        |  FROM ${graft.Tables.validEmbSql} embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
-        |       list_transform(list_zip(q.embedding, c.embedding),
-        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
-        |      / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
-        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
-        |  FROM scored)
-        |SELECT q_id, neighbor_id, rk, cosine FROM ranked
-        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "s4_exhaustive" -> BRUTE_KNN_SQL,
+    // s2 at 1 table × 0 bits: one shared bucket ⇒ the bucket join IS
+    // brute force — the same verbatim oracle certifies the sign-LSH
+    // code/bucket/rank plumbing.
+    "s2_exhaustive" -> BRUTE_KNN_SQL,
     "s5_centroid_outliers" ->
       s"""WITH comp AS (
         |  SELECT label, s.pos, s.xq
