@@ -739,6 +739,93 @@ object Events {
                 hrs(col("slot"), col("ps")) / hrs(col("ns"), col("ps"))))
         .select(col("event_type"), col("slot"), col("sum_value"), col("interp"))
         .orderBy(col("event_type"), col("slot"))
+    },
+    // SCD Type-2 dimension build — e27's other half. e27 materializes the
+    // LIVE snapshot from a changelog; this materializes the HISTORY: each
+    // maximal run of consecutive equal `event_type` per user becomes one
+    // versioned row with [valid_from, valid_to) effectivity and an
+    // is_current flag — the classic warehouse type-2 dimension, built in
+    // one pass. Run detection is the standard gaps-and-islands windowed
+    // cumulative-sum; change detection is NULL-SAFE (`<=>` / IS DISTINCT
+    // FROM) so a null attribute forms its own run instead of fusing with
+    // its neighbors. Rows without a key or a time are out of scope (a
+    // type-2 row needs both; mirrored WHERE) and the run order is the
+    // total (ts, event_id) order with the e-family's pinned NULLS FIRST.
+    // Scale shape: row_number, lag, and the running sum all share ONE
+    // (user_id, ts, event_id) sort, the run aggregate reuses the user_id
+    // partitioning, and the valid_to lead is a second window on the
+    // already run-sized (not event-sized) frame — at 100 TB this is one
+    // fact-table exchange plus history-sized everything else.
+    "e29_scd2" -> { (s, d) =>
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc_nulls_first)
+      val runSum = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val versioned = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("rn", row_number().over(byTime))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+        .withColumn("chg",
+          when(col("rn") === 1 || !(col("event_type") <=> col("prev_type")), 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum(col("chg")).over(runSum))
+      // event_type is constant within a run by construction; min() is just
+      // the deterministic way to surface it (all-null runs stay null).
+      val runs = versioned.groupBy(col("user_id"), col("ver"))
+        .agg(min(col("event_type")).as("attr"),
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).cast("bigint").as("n_events"))
+      val byVer = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+        .withColumn("is_current",
+          when(col("valid_to").isNull, 1L).otherwise(0L))
+        .select(col("user_id"), col("ver"), col("attr"), col("valid_from"),
+          col("valid_to"), col("n_events"), col("is_current"))
+        .orderBy(col("user_id"), col("ver"))
+    },
+    // CUSUM changepoint detection on the hourly series — "where did this
+    // metric's level shift?", the QA sibling of e25's seasonality profile.
+    // Observation-weighted CUSUM: C_k = Σ_{i≤k} (tot_i − n_i·ḡ) over hours
+    // in time order, where ḡ is the type's overall mean; the changepoint
+    // is the hour maximizing |C_k| (earliest hour on ties). Exactness
+    // recipe (cross-engine bit-identity, the e24/e26 playbook): values
+    // quantize to integer micros (finite and |v| < 1e9 — outside that the
+    // value is missing, mirrored oracle-side), so BOTH running sums (tot,
+    // n) and both overall sums are exact BIGINT folds — order-free — and
+    // every double is produced by the same fixed expression on identical
+    // integer operands. A floating cumulative sum would NOT be safe here:
+    // Spark folds the running frame sequentially while DuckDB may sum it
+    // tree-shaped, and the non-associative drift would flip near-tied
+    // argmax rows. Scale shape: the corpus collapses in the first
+    // (type, hour) aggregate; everything downstream is grid-sized, and
+    // the two windows share one event_type exchange.
+    "e30_cusum" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .withColumn("mu",
+          when(finite(col("value")) && abs(col("value")) < 1e9,
+            round(col("value") * 1e6).cast("bigint")))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(col("mu")).as("tot"), count(col("mu")).as("n"))
+        .filter(col("n") > 0)
+      val byType = Window.partitionBy(col("event_type"))
+      val run = byType.orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = hourly
+        .withColumn("gmean", sum(col("tot")).over(byType).cast("double") /
+          sum(col("n")).over(byType).cast("double"))
+        .withColumn("rt", sum(col("tot")).over(run))
+        .withColumn("rnn", sum(col("n")).over(run))
+        .withColumn("cusum",
+          (col("rt").cast("double") - col("rnn").cast("double") * col("gmean")) / 1e6)
+        .withColumn("n_hours", count(lit(1)).over(byType).cast("bigint"))
+      val best = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("cusum")).desc, col("hr").asc)
+      scored.withColumn("rk", row_number().over(best))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n_hours"), col("hr").as("cp_hr"),
+          col("cusum").as("cp_cusum"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -1175,6 +1262,64 @@ object Events {
         |         pv + (nv - pv) * CAST(date_diff('hour', ps, slot) AS DOUBLE)
         |                        / CAST(date_diff('hour', ps, ns) AS DOUBLE)
         |  END AS interp
-        |FROM j ORDER BY event_type NULLS FIRST, slot""".stripMargin
+        |FROM j ORDER BY event_type NULLS FIRST, slot""".stripMargin,
+    // e29: gaps-and-islands with NULL-SAFE change detection (IS DISTINCT
+    // FROM ↔ Spark's <=>); run order and the pinned NULLS FIRST mirror the
+    // engine's window sort exactly.
+    "e29_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (
+        |  SELECT *, row_number() OVER w AS rn, lag(event_type) OVER w AS prev_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC NULLS FIRST)),
+        |v AS (
+        |  SELECT *,
+        |    sum(CASE WHEN rn = 1 OR event_type IS DISTINCT FROM prev_type
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC NULLS FIRST
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, CAST(ver AS BIGINT) AS ver, min(event_type) AS attr,
+        |    min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM v GROUP BY user_id, ver)
+        |SELECT user_id, ver, attr, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
+        |  n_events,
+        |  CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver)
+        |            IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM g ORDER BY user_id, ver""".stripMargin,
+    // e30: every window/overall sum is an exact BIGINT fold (order-free on
+    // both engines); the doubles are fixed expressions over those exact
+    // integers, so the argmax row is bit-deterministic. Quantizer domain
+    // (finite, |v| < 1e9) mirrors the engine guard.
+    "e30_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |    CASE WHEN isfinite(value) AND abs(value) < 1e9
+        |         THEN CAST(round(value * 1e6) AS BIGINT) END AS mu
+        |  FROM events WHERE ts IS NOT NULL),
+        |h AS (
+        |  SELECT event_type, hr, CAST(sum(mu) AS BIGINT) AS tot,
+        |    CAST(count(mu) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2 HAVING count(mu) > 0),
+        |c AS (
+        |  SELECT event_type, hr,
+        |    (CAST(CAST(sum(tot) OVER (PARTITION BY event_type ORDER BY hr
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+        |     - CAST(CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hr
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+        |       * (CAST(CAST(sum(tot) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE)
+        |          / CAST(CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE))
+        |    ) / 1e6 AS cusum,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours
+        |  FROM h),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(cusum) DESC, hr ASC) AS rk FROM c)
+        |SELECT event_type, n_hours, hr AS cp_hr, cusum AS cp_cusum
+        |FROM r WHERE rk = 1 ORDER BY event_type NULLS FIRST""".stripMargin
   )
 }

@@ -1488,6 +1488,45 @@ object Relational {
           graft.functions.Sketches.pctCol(col("sk"), 0.5).as("wp50"),
           graft.functions.Sketches.pctCol(col("sk"), 0.9).as("wp90"))
         .orderBy(col("l_returnflag"))
+    },
+    // Blocked fuzzy entity matching (record linkage) — the classic ER
+    // pipeline: a cheap BLOCKING key bounds the candidate space, then an
+    // edit-distance rule decides matches within each block. Blocking key =
+    // (nation, market segment, name minus its last 3 characters): block
+    // cardinality is bounded by construction (≤10³ name variants share a
+    // prefix) independent of corpus size, so pair volume grows LINEARLY
+    // with the table — never the quadratic all-pairs wall. Match rule:
+    // same nation + segment, levenshtein(name_a, name_b) ≤ 1.
+    // Cross-engine contract: Spark's levenshtein counts CODEPOINT edits,
+    // DuckDB's counts BYTE edits — they agree exactly on ASCII, so the
+    // fuzzy rule is DEFINED on printable-ASCII names only (the rlike
+    // guard, mirrored oracle-side); non-ASCII names are out of the fuzzy
+    // domain and belong to the exact-match path (d1). Spark side uses the
+    // 3-arg levenshtein(l, r, 1): it abandons each DP row early once the
+    // bound is exceeded — O(len) per pair instead of O(len²) — and
+    // returns the exact distance iff ≤ 1 (else −1, filtered).
+    // Scale shape: one self-equi-join shuffle on the compound block key;
+    // block sizes are capped so no task sees a quadratic blob; at 100 TB
+    // the plan is exchange + sort-merge (or shuffled-hash) on the block
+    // key with per-block pair expansion bounded by the key design.
+    "q66_entity_match" -> { (s, d) =>
+      val base = Tables.customer(s, d)
+        .filter(col("c_custkey").isNotNull && col("c_name").isNotNull &&
+          col("c_name").rlike("^[\\x20-\\x7E]*$"))
+        .withColumn("blk",
+          expr("substring(c_name, 1, greatest(length(c_name) - 3, 0))"))
+      val a = base.select(col("c_custkey").as("a_custkey"), col("c_name").as("a_name"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("segment"), col("blk"))
+      val b = base.select(col("c_custkey").as("b_custkey"), col("c_name").as("b_name"),
+        col("c_nationkey").as("b_nk"), col("c_mktsegment").as("b_seg"), col("blk").as("b_blk"))
+      a.join(b,
+          col("nk") === col("b_nk") && col("segment") === col("b_seg") &&
+            col("blk") === col("b_blk") && col("a_custkey") < col("b_custkey"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 1).cast("bigint"))
+        .filter(col("dist") >= 0)
+        .select(col("a_custkey"), col("b_custkey"), col("a_name"), col("b_name"),
+          col("dist"), col("segment"))
+        .orderBy(col("a_custkey"), col("b_custkey"))
     }
   )
 
@@ -1888,6 +1927,25 @@ object Relational {
         |LATERAL (SELECT s_suppkey, s_name, s_acctbal FROM supplier s
         |         WHERE s.s_nationkey = n.n_nationkey
         |         ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
-        |ORDER BY nation, s_acctbal DESC, s_suppkey""".stripMargin
+        |ORDER BY nation, s_acctbal DESC, s_suppkey""".stripMargin,
+    // q66: '[ -~]*' is the printable-ASCII guard (byte edits == codepoint
+    // edits there, so both engines' levenshtein agree); the join mirrors
+    // the engine's blocking key and the 2-arg levenshtein is exact.
+    "q66_entity_match" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    substring(c_name, 1, greatest(length(c_name) - 3, 0)) AS blk
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |    AND regexp_matches(c_name, '^[ -~]*$'))
+        |SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+        |  a.c_name AS a_name, b.c_name AS b_name,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+        |  a.c_mktsegment AS segment
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_custkey, b_custkey""".stripMargin
   )
 }

@@ -633,6 +633,50 @@ object TextOps {
             length(col(s"t${PII_ORDER.size}")).cast("bigint").as("scrub_len") :+
             md5(col(s"t${PII_ORDER.size}").cast("binary")).as("scrub_md5"): _*)
         .orderBy(col("doc_id"))
+    },
+    // Unigram-LM quality scoring (the CCNet/Gopher "perplexity filter"
+    // shape): score each document by how SURPRISING its tokens are under
+    // the corpus's own unigram distribution — junk/gibberish scores high
+    // (rare-token-heavy), boilerplate/repetition scores low. The statistic
+    // is the mean INVERSE token probability E[1/p̂] (arithmetic-mean
+    // surprisal; ≥ true perplexity by AM–GM) plus the hapax ratio — chosen
+    // over log-probability deliberately: cross-engine log()/exp() differ
+    // in final ulps (the t9 inv_df lesson), while this is exact. Exactness
+    // recipe: inverse probabilities are INTEGER floor-divisions in 1e-4
+    // units ((N·10⁴) div tf — identical on both engines for positive
+    // operands), the per-doc sum accumulates in DECIMAL(38,0) (exact,
+    // fold-order-free; hapax-heavy 100 TB corpora overflow a BIGINT sum),
+    // and the only doubles are two fixed divisions on identical operands.
+    // Scale shape: token-frequency join is word-keyed SHUFFLE, not
+    // broadcast — a web-scale vocabulary is hapax-dominated and corpus-
+    // sized, so the t19-style dfc broadcast would OOM; everything else is
+    // (doc, word)-grained aggregation. Token-less docs stay in the output
+    // with NULL scores (left join; t2's empty-doc contract).
+    "t24_unigram_surprisal" -> { (s, d) =>
+      val docs = Tables.validDocuments(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      val wt = tf.groupBy(col("word")).agg(sum(col("c")).as("tfw"))
+      val n = tf.agg(sum(col("c")).as("n_total"))
+      val scored = tf.join(wt, "word")
+        .crossJoin(broadcast(n)) // 1-row total, not the vocabulary
+        .withColumn("inv_p",
+          expr("(CAST(n_total AS BIGINT) * 10000L) div tfw"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("bigint").as("n_tokens"),
+          sum(when(col("tfw") === 1, col("c")).otherwise(0L)).cast("bigint").as("n_hapax"),
+          sum(col("c").cast("decimal(19,0)") * col("inv_p").cast("decimal(19,0)"))
+            .as("sur"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+          (col("sur").cast("double") / col("n_tokens").cast("double") / 1e4)
+            .as("mean_inv_p"),
+          (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+            .as("hapax_ratio"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -949,7 +993,33 @@ object TextOps {
           |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * wmax * 4
           |      < n_tokens * 4294967296
           |ORDER BY doc_id""".stripMargin,
-      "t23_pii_scrub" -> t23Sql
+      "t23_pii_scrub" -> t23Sql,
+      // t24: (N·10⁴) // tfw is the same integer floor-division Spark's
+      // `div` computes; the surprisal sum stays DECIMAL end-to-end and
+      // reaches DOUBLE via VARCHAR (q1's correctly-rounded-cast trick).
+      "t24_unigram_surprisal" ->
+        s"""WITH tf AS (
+          |  SELECT doc_id, w AS word, count(*) AS c FROM (
+          |    SELECT doc_id, unnest((CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS w
+          |    FROM ${graft.Tables.validDocsSql} documents) t
+          |  GROUP BY 1, 2),
+          |wt AS (SELECT word, CAST(sum(c) AS BIGINT) AS tfw FROM tf GROUP BY 1),
+          |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM tf),
+          |scored AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |    CAST(sum(CASE WHEN tfw = 1 THEN c ELSE 0 END) AS BIGINT) AS n_hapax,
+          |    sum(CAST(c AS DECIMAL(19,0)) * CAST((n_total * 10000) // tfw AS DECIMAL(19,0))) AS sur
+          |  FROM tf JOIN wt USING (word) CROSS JOIN n
+          |  GROUP BY 1)
+          |SELECT d.doc_id,
+          |  coalesce(n_tokens, 0) AS n_tokens,
+          |  coalesce(n_hapax, 0) AS n_hapax,
+          |  CAST(CAST(sur AS VARCHAR) AS DOUBLE)
+          |    / CAST(n_tokens AS DOUBLE) / 1e4 AS mean_inv_p,
+          |  CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hapax_ratio
+          |FROM (SELECT doc_id FROM ${graft.Tables.validDocsSql} documents) d
+          |LEFT JOIN scored USING (doc_id)
+          |ORDER BY doc_id""".stripMargin
     )
   }
 

@@ -560,6 +560,63 @@ class TopKProcessor[K](cap: Int)
   }
 }
 
+/** Streaming SCD Type-2 builder — the `transformWithState` twin of the
+  * batch `e29_scd2` query, the way [[TransitionProcessor]] twins e23. Per
+  * key the state is the ONE open run (ver, attr, valid_from, n_events);
+  * each micro-batch folds its rows in (ts, seq) order and emits (a) every
+  * version CLOSED during the batch — valid_to = the successor's
+  * valid_from, exactly e29's lead() — and (b) the refreshed open run with
+  * valid_to = None. Downstream, a last-wins upsert keyed on (key, ver)
+  * (the K2 sink, or the parity fold in StreamingSpec) converges to the
+  * batch e29 table: a (key, ver) pair is first seen as the current row
+  * and is later OVERWRITTEN by its closed form when the attribute moves
+  * on. Change detection is null-safe (`Option == Option`, the engine's
+  * `<=>`); like [[TransitionProcessor]] this is SEQUENCE-aware — per-key
+  * arrival must be batch-monotone (the Kafka shape), in-batch order is
+  * restored by the (ts, seq) sort. State is O(keys), independent of
+  * stream length or version count.
+  *
+  * Reference scope: the reference upserts live rows only
+  * (`tables.py:22-708` ON CONFLICT paths — no history); type-2
+  * effectivity tracking extends SURVEY §2.4's streaming-state row. */
+class Scd2Processor[K]
+    extends StatefulProcessor[
+      K, (K, Option[String], Long, Long), (K, Long, Option[String], Long, Option[Long], Long)] {
+
+  @transient private var run: ValueState[(Long, Option[String], Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    run = getHandle.getValueState[(Long, Option[String], Long, Long)]("run",
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Option[String], Long, Long)](),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, Option[String], Long, Long)],
+      timerValues: TimerValues): Iterator[(K, Long, Option[String], Long, Option[Long], Long)] = {
+    val sorted = rows.toArray.sortBy(r => (r._3, r._4))
+    var cur: Option[(Long, Option[String], Long, Long)] =
+      if (run.exists()) Some(run.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(K, Long, Option[String], Long, Option[Long], Long)]
+    sorted.foreach { case (_, attr, ts, _) =>
+      cur match {
+        case Some((ver, a, vf, n)) if a == attr =>
+          cur = Some((ver, a, vf, n + 1))
+        case Some((ver, a, vf, n)) =>
+          out += ((key, ver, a, vf, Some(ts), n)) // closed: valid_to = successor start
+          cur = Some((ver + 1, attr, ts, 1L))
+        case None =>
+          cur = Some((1L, attr, ts, 1L))
+      }
+    }
+    cur.foreach { c =>
+      run.update(c)
+      out += ((key, c._1, c._2, c._3, None, c._4)) // open run snapshot
+    }
+    out.iterator
+  }
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

@@ -90,4 +90,68 @@ class PipelineOpsSpec extends SparkTestBase {
     val s2 = SparkEntry.queries("s2_exhaustive")(spark, sf).collect().map(_.toString).toSeq
     assert(s1.nonEmpty && s1 == s2)
   }
+
+  private def eventsCorpus(rows: Seq[(Long, Option[String], Option[Long], Option[Double])]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    import spark.implicits._
+    rows.map { case (id, t, ts, v) => (id, t, ts, v, 1L) }
+      .toDF("event_id", "event_type", "ts", "value", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("e29 splits runs on null-safe type changes and chains effectivity") {
+    // user 1 timeline: a, a, b, NULL, NULL, a  =>  4 runs
+    val dir = eventsCorpus(Seq(
+      (1L, Some("a"), Some(jan1 + 1 * h), Some(1.0)),
+      (2L, Some("a"), Some(jan1 + 2 * h), Some(1.0)),
+      (3L, Some("b"), Some(jan1 + 3 * h), Some(1.0)),
+      (4L, None, Some(jan1 + 4 * h), Some(1.0)),
+      (5L, None, Some(jan1 + 5 * h), Some(1.0)),
+      (6L, Some("a"), Some(jan1 + 6 * h), Some(1.0)),
+      (7L, Some("x"), None, Some(1.0)))) // null ts: out of scope
+    val r = SparkEntry.queries("e29_scd2")(spark, dir).collect()
+    assert(r.length == 4, s"4 runs, got ${r.mkString("; ")}")
+    // (ver, attr, n_events, is_current)
+    val runs = r.map(x => (x.getLong(1), Option(x.getString(2)), x.getLong(5), x.getLong(6)))
+    assert(runs.toSeq == Seq(
+      (1L, Some("a"), 2L, 0L), (2L, Some("b"), 1L, 0L),
+      (3L, None, 2L, 0L), (4L, Some("a"), 1L, 1L)))
+    // valid_to of run k == valid_from of run k+1; open-ended current row.
+    val vf = r.map(_.getTimestamp(3)); val vt = r.map(x => Option(x.getTimestamp(4)))
+    assert(vt.init.map(_.get).sameElements(vf.tail) && vt.last.isEmpty)
+  }
+
+  test("e30 locates the level shift at the last pre-shift hour") {
+    // 20 hourly points: value 10 for hours 1..10, 20 for hours 11..20.
+    // Weighted CUSUM vs the overall mean (15) bottoms at -50 on hour 10.
+    val dir = eventsCorpus((1 to 20).map { i =>
+      (i.toLong, Some("a"), Some(jan1 + i * h), Some(if (i <= 10) 10.0 else 20.0))
+    })
+    val r = SparkEntry.queries("e30_cusum")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 20L, s"n_hours: ${r(0)}")
+    assert(r(0).getTimestamp(2).getTime == (jan1 + 10 * h) / 1000000L, s"cp_hr: ${r(0)}")
+    assert(math.abs(r(0).getDouble(3) + 50.0) < 1e-9, s"cp_cusum: ${r(0)}")
+  }
+
+  test("q66 matches within the block under the ASCII fuzzy contract") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    import spark.implicits._
+    Seq((1L, "Acme Corp", 7, 1.0, "AUTO"), (2L, "Acme Corq", 7, 1.0, "AUTO"),
+        (3L, "Acme Corp", 7, 1.0, "AUTO"),   // exact dup => dist 0
+        (4L, "Acme Xorp", 7, 1.0, "AUTO"),   // lev 1 but edit outside last-3 block
+        (5L, "Custömer#000000001", 7, 1.0, "AUTO"), // non-ASCII: out of domain
+        (6L, "Customer#000000001", 7, 1.0, "AUTO"),
+        (7L, "ab", 7, 1.0, "AUTO"), (8L, "ay", 7, 1.0, "AUTO"),
+        (9L, "xy", 7, 1.0, "AUTO"),          // ab↔xy is lev 2: no match
+        (10L, "Acme Corp", 8, 1.0, "AUTO"),  // other nation
+        (11L, "Acme Corp", 7, 1.0, "MACH"))  // other segment
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = SparkEntry.queries("q66_entity_match")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(4))).toSeq
+    assert(got == Seq((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L),
+      (7L, 8L, 1L), (8L, 9L, 1L)), s"got ${got.mkString("; ")}")
+  }
 }

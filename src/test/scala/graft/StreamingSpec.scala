@@ -940,6 +940,58 @@ class StreamingSpec extends SparkTestBase {
     assert(dmls == Seq(graft.sinks.UpsertSink.upsertDml(mapping)) &&
       dmls.head.contains("ON CONFLICT"), s"non-upsert DML in history: $dmls")
   }
+
+  test("transformWithState SCD2: upsert-resolved stream equals batch e29 across a batch split") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200L * 1000000L // 2024-01-01T00:00Z in MICROS
+    val hr = 3600L * 1000000L
+    // (event_id, user_id, attr, tsMicros) — u1: a,a,b,NULL,a (4 runs, one
+    // run boundary falls ON the batch split); u2: x,x (one run).
+    val rows = Seq(
+      (1L, 1L, Some("a"), base + 1 * hr), (2L, 1L, Some("a"), base + 2 * hr),
+      (3L, 1L, Some("b"), base + 3 * hr), (4L, 1L, None, base + 4 * hr),
+      (5L, 1L, Some("a"), base + 5 * hr),
+      (6L, 2L, Some("x"), base + 1 * hr), (7L, 2L, Some("x"), base + 6 * hr))
+    // Batch e29 over the same rows (nanos-vintage events parquet).
+    val dir = tmpDir()
+    rows.map { case (id, u, a, ts) => (id, a.orNull, ts * 1000L, 1.0, u) }
+      .toDF("event_id", "event_type", "ts", "value", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expected = SparkEntry.queries("e29_scd2")(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+        r.getTimestamp(3).getTime * 1000L,
+        Option(r.getTimestamp(4)).map(_.getTime * 1000L), r.getLong(5))
+    }.toSet
+    withRocksDB {
+      val stream = MemoryStream[(Long, Option[String], Long, Long)]
+      // per-key batch-monotone arrival; the u1 a→b change closes in batch 1,
+      // the b→NULL and NULL→a changes close in batch 2
+      stream.addData(rows.take(3).map { case (id, u, a, ts) => (u, a, ts, id) }: _*)
+      stream.addData(rows.drop(3).map { case (id, u, a, ts) => (u, a, ts, id) }: _*)
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.Scd2Processor[Long](),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val q = out.toDF("user_id", "ver", "attr", "valid_from", "valid_to", "n_events")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("scd2_out")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "scd2 query did not drain")
+      // Last-wins upsert on (user, ver): a closed emission supersedes the
+      // open-run snapshots of the same version; an open run's latest
+      // snapshot carries its max n_events.
+      val got = spark.sql("SELECT * FROM scd2_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+          r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+        .groupBy(t => (t._1, t._2)).values.map { emissions =>
+          emissions.find(_._5.isDefined).getOrElse(emissions.maxBy(_._6))
+        }.toSet
+      assert(got == expected, s"streamed $got\n!= batch $expected")
+    }
+  }
 }
 
 /** Crash-injection wrapper over the real [[graft.sinks.JdbcSink]]: the first

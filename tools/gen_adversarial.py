@@ -203,6 +203,48 @@ def main(src, dst):
     # orders adversarial row (r13): one sane row with a UNIQUE status so
     # q8_moments sees an n = 1 group — its sample-variance (n-1) division
     # is the same ANSI divide-by-zero class the events corpus pins.
+    # customer adversarial rows (r13-continued, q66 entity matching): null
+    # keys/names/segments, a non-ASCII name (OUTSIDE the fuzzy-match
+    # domain — byte vs codepoint levenshtein diverges there, so the ASCII
+    # guard must exclude it on both engines), a true fuzzy cluster in one
+    # (nation, segment) block, the same name in OTHER nations/segments
+    # (must NOT match), a lev-1 name whose edit falls outside the last-3
+    # blocking window (pins the blocking recall boundary as a contract,
+    # not an accident), and short/empty names that all land in the
+    # empty-prefix block. Custkeys from 90_000_000 stay unique at any SF.
+    base_cu = con.execute(
+        f"SELECT * FROM read_parquet('{rd(src, 'customer')}') ORDER BY c_custkey"
+    ).fetchall()
+    cus = base_cu + [
+        (None, "Null Key Corp", 5, 100.0, "BUILDING"),           # null custkey
+        (90000000, None, 5, 100.0, "BUILDING"),                  # null name
+        (90000001, "Custömer#000000001", 5, 100.0, "BUILDING"),  # non-ASCII
+        (90000002, "Acme Corp", 7, 50.0, "AUTOMOBILE"),          # fuzzy base
+        (90000003, "Acme Corq", 7, 25.0, "AUTOMOBILE"),          # lev 1 → match
+        (90000004, "Acme Corp", 7, None, "AUTOMOBILE"),          # lev 0 dup → match
+        (90000005, "Acme Corp", 8, 10.0, "AUTOMOBILE"),          # other nation
+        (90000006, "Acme Corp", 7, 10.0, "MACHINERY"),           # other segment
+        (90000007, "Acme Xorp", 7, 10.0, "AUTOMOBILE"),          # lev 1 outside block
+        (90000008, "ab", 7, 10.0, "AUTOMOBILE"),                 # empty-prefix block
+        (90000009, "xy", 7, 10.0, "AUTOMOBILE"),                 # lev 2 vs ab
+        (90000010, "ay", 7, 10.0, "AUTOMOBILE"),                 # lev 1 vs ab AND xy
+        (90000011, "", 7, 10.0, "AUTOMOBILE"),                   # empty name
+        (90000012, "Name With  Spaces ", 7, -5.0, "AUTOMOBILE"),
+        (90000013, None, None, None, None),                      # all null
+        (90000014, "Null Nation", None, 10.0, "BUILDING"),       # null nationkey
+        (90000015, "Null Segment", 7, 10.0, None),               # null segment
+    ]
+    t = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in cus], pa.int64()),
+            "c_name": pa.array([r[1] for r in cus], pa.string()),
+            "c_nationkey": pa.array([r[2] for r in cus], pa.int32()),
+            "c_acctbal": pa.array([r[3] for r in cus], pa.float64()),
+            "c_mktsegment": pa.array([r[4] for r in cus], pa.string()),
+        }
+    )
+    pq.write_table(t, dst / "customer.parquet")
+
     base_or = con.execute(
         f"SELECT * FROM read_parquet('{rd(src, 'orders')}') ORDER BY o_orderkey"
     ).fetchall()
@@ -262,7 +304,8 @@ def main(src, dst):
     pq.write_table(t, dst / "lineitem.parquet")
     print(
         f"wrote {dst}: documents {len(docs)} rows, embeddings {len(embs)} rows, "
-        f"events {len(evs)} rows, lineitem {len(lis)} rows, orders {len(ors)} rows"
+        f"events {len(evs)} rows, lineitem {len(lis)} rows, orders {len(ors)} rows, "
+        f"customer {len(cus)} rows"
     )
 
 
