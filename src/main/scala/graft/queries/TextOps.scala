@@ -647,16 +647,23 @@ object TextOps {
     // operands), the per-doc sum accumulates in DECIMAL(38,0) (exact,
     // fold-order-free; hapax-heavy 100 TB corpora overflow a BIGINT sum),
     // and the only doubles are two fixed divisions on identical operands.
-    // Scale shape: token-frequency join is word-keyed SHUFFLE, not
-    // broadcast — a web-scale vocabulary is hapax-dominated and corpus-
-    // sized, so the t19-style dfc broadcast would OOM; everything else is
-    // (doc, word)-grained aggregation. Token-less docs stay in the output
-    // with NULL scores (left join; t2's empty-doc contract).
+    // Scale shape: the word-frequency join carries NO broadcast hint — a
+    // web-scale vocabulary is hapax-dominated and corpus-sized, so a
+    // t19-style forced dfc broadcast would OOM; AQE picks broadcast only
+    // when the measured vocab actually fits. Everything else is
+    // (doc, word)-grained aggregation over ONE materialized tokenization.
+    // Token-less docs stay in the output with NULL scores (left join;
+    // t2's empty-doc contract).
     "t24_unigram_surprisal" -> { (s, d) =>
       val docs = Tables.validDocuments(s, d)
+      // Materialized: tf feeds THREE consumers (word totals, corpus total,
+      // per-doc scoring) — left lazy, Catalyst inlines the scan+tokenize
+      // into each one and the corpus is tokenized three times (d9's union
+      // lesson; the pre-fix plan showed 3 parquet scans + 3 Generates).
       val tf = docs
         .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val wt = tf.groupBy(col("word")).agg(sum(col("c")).as("tfw"))
       val n = tf.agg(sum(col("c")).as("n_total"))
       val scored = tf.join(wt, "word")

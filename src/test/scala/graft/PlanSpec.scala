@@ -893,4 +893,50 @@ class PlanSpec extends SparkTestBase {
         s"$q: the tiny pair join must broadcast\n" + plan.take(1500))
     }
   }
+
+  test("e29 scd2: run detection, run rollup and effectivity share ONE user_id exchange") {
+    val plan = planOf("e29_scd2")
+    // row_number/lag, the running change-sum, the (user, ver) SortAggregate
+    // AND the lead() window all reuse the single user_id partitioning.
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!plan.contains("Join"), "gaps-and-islands must not plan as a self-join")
+  }
+
+  test("e30 cusum: grid-sized windows after one agg; argmax is a WindowGroupLimit") {
+    val plan = planOf("e30_cusum")
+    // one (type, hour) aggregate exchange + one event_type exchange shared
+    // by the overall-mean, running-sum and rank windows
+    assert("hashpartitioning\\(".r.findAllIn(plan).size == 2,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(plan.contains("WindowGroupLimit"),
+      "rk = 1 must run as a top-1 heap, not a full per-type sort retention")
+    assert(plan.contains("partial_sum"), "hourly totals must map-side combine")
+  }
+
+  test("q66 entity match: block-keyed equi-join; levenshtein only in the residual") {
+    val plan = planOf("q66_entity_match")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the blocking key must keep the self-join equi — never all-pairs\n" + plan.take(2000))
+    // the bound edit distance must be a post-block residual condition, not
+    // a join key (it can't hash) and not a separate filter over a product
+    assert(plan.contains("levenshtein"), plan.take(2000))
+    assert("Left keys.*blk".r.findFirstIn(plan).nonEmpty ||
+      "hashpartitioning\\([^)]*blk".r.findFirstIn(plan).nonEmpty,
+      "block prefix must be part of the join key\n" +
+        plan.linesIterator.filter(l => l.contains("keys") || l.contains("hashpartitioning"))
+          .mkString("\n"))
+  }
+
+  test("t24 surprisal: corpus tokenized ONCE (tf materialized for its three consumers)") {
+    val plan = planOf("t24_unigram_surprisal")
+    // one Generate (explode) over one documents scan; word totals, corpus
+    // total and per-doc scoring read the checkpointed tf table
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, // tokenize + doc_id spine
+      s"documents must not be re-tokenized per consumer\n" + plan.take(1500))
+    assert(!plan.contains("Generate"),
+      "the explode must run inside the eager checkpoint, not in this plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      "consumers must read the materialized tf")
+  }
 }
