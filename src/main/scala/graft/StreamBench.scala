@@ -243,6 +243,40 @@ object StreamBench {
       q.stop()
     }
 
+    // ---- 2f. Scd2Processor over sf events (type-2 effectivity tracking) --
+    {
+      // sequence-aware: waves are CONTIGUOUS slices of the (ts, event_id)
+      // order so per-key arrival stays batch-monotone (the Kafka shape the
+      // processor is contracted for), unlike the i % waves interleave fine
+      // for the order-free processors above
+      val rows = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"), coalesce(col("event_id"), lit(0L)))
+        .as[(Long, Option[String], Long, Long)].collect()
+        .sortBy(r => (r._3, r._4))
+      val waves = 10
+      val per = math.max(1, (rows.length + waves - 1) / waves)
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Option[String], Long, Long)]
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.Scd2Processor[Long](),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "ver", "attr", "valid_from", "valid_to", "n_events")
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", tmpDir())
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      rows.grouped(per).foreach { wave =>
+        stream.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("scd2(sf events)", q, rows.length.toLong, wall)
+      q.stop()
+    }
+
     // ---- 3. p1 pipeline as a throttled file stream ------------------------
     {
       val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
