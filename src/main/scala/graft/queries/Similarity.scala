@@ -36,6 +36,7 @@ object Similarity {
   private val NLIST = 16
   private val NPROBE = 4
   private val SAMPLE = 2000
+  private val DRIFT_BITS = 6 // s15 cell = sign bits of the first 6 dims (64 cells)
 
   /** Deterministic ±1 hyperplanes (fixed-seed PRNG, same on every run). */
   private[queries] lazy val planes: Array[Array[Double]] = {
@@ -710,6 +711,53 @@ object Similarity {
         .select(col("q_id"), col("rk"), col("doc_id"), col("lang"),
           col("source"), col("cosine"))
         .orderBy(col("q_id"), col("rk"))
+    },
+    // Embedding-distribution drift monitor — q65's sibling for the vector
+    // store: when does the index need retraining/rebalancing? Vectors
+    // bucket into 2^DRIFT_BITS cells by the SIGN of their first
+    // DRIFT_BITS raw dimensions — sign bits are exact on both engines
+    // (no training artifact to ship, unlike k-means cells), so unlike
+    // s4's assignment this one is fully hash-oracled. Old/new vintage =
+    // even/odd vec_id (q65's split convention); per cell: occupancy of
+    // each vintage, shares, share lift, and a drift verdict (vanished or
+    // newborn cell, or lift outside [1/2, 2]). Every count is exact
+    // BIGINT; shares/lift are fixed divisions on identical operands —
+    // bit-identical cross-engine (ANSI: the t_old/t_new = 0 and
+    // share_old = 0 denominators are when()-guarded; DuckDB's x/0 NULL
+    // agrees). Scale shape: narrow sign-bit map → one 64-group agg with
+    // map-side partials → window over the 64-row cell table. At 100 TB
+    // the exchange carries 64 rows of counts, never vectors.
+    "s15_embedding_drift" -> { (s, d) =>
+      // Clamp the cell window to the DECLARED dimension: ANSI element_at
+      // past the array end is a job-kill, and a session configured below
+      // DRIFT_BITS dims (graft.embedding.dim) must coarsen the grid, not
+      // crash the monitor. The driver corpus declares 64 dims, where the
+      // clamp is the identity — the interpolated oracle states that domain.
+      val bits = math.min(DRIFT_BITS, Tables.embDim(s))
+      val cell = (0 until bits)
+        .map(i => when(element_at(col("embedding"), i + 1) > 0f, 1 << i).otherwise(0))
+        .reduce(_ + _)
+      val counts = Tables.validEmbeddings(s, d)
+        .select(col("vec_id"), cell.as("cell"))
+        .groupBy(col("cell"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_new"))
+      val all = Window.partitionBy()
+      counts
+        .withColumn("t_old", sum(col("n_old")).over(all))
+        .withColumn("t_new", sum(col("n_new")).over(all))
+        .withColumn("share_old", when(col("t_old") =!= 0L,
+          col("n_old").cast("double") / col("t_old").cast("double")))
+        .withColumn("share_new", when(col("t_new") =!= 0L,
+          col("n_new").cast("double") / col("t_new").cast("double")))
+        .withColumn("lift",
+          when(col("share_old") > 0.0, col("share_new") / col("share_old")))
+        .withColumn("drifted",
+          when(col("n_old") === 0L || col("n_new") === 0L ||
+            col("lift") > 2.0 || col("lift") < 0.5, 1L).otherwise(0L))
+        .select(col("cell"), col("n_old"), col("n_new"), col("share_old"),
+          col("share_new"), col("lift"), col("drifted"))
+        .orderBy(col("cell"))
     }
   )
 
@@ -989,6 +1037,33 @@ object Similarity {
         |  WHERE rk <= 3)
         |SELECT h.q_id, h.rk, h.doc_id, d.lang, d.source, h.cosine
         |FROM hits h JOIN ${graft.Tables.validDocsSql} d ON h.doc_id = d.doc_id
-        |ORDER BY h.q_id, h.rk""".stripMargin
+        |ORDER BY h.q_id, h.rk""".stripMargin,
+    // s15: sign-bit cells are exact on both engines (1-indexed list access
+    // in DuckDB); shares/lift reuse the already-computed doubles so the
+    // expression trees match the Spark side operation-for-operation.
+    "s15_embedding_drift" ->
+      s"""WITH e AS (
+        |  SELECT vec_id,
+        |    ${(0 until DRIFT_BITS).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")} AS cell
+        |  FROM ${graft.Tables.validEmbSql} embeddings),
+        |c AS (
+        |  SELECT cell,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM e GROUP BY 1),
+        |w AS (
+        |  SELECT *, CAST(sum(n_old) OVER () AS BIGINT) AS t_old,
+        |    CAST(sum(n_new) OVER () AS BIGINT) AS t_new FROM c),
+        |sh AS (
+        |  SELECT *,
+        |    CASE WHEN t_old <> 0 THEN CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE) END AS share_old,
+        |    CASE WHEN t_new <> 0 THEN CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE) END AS share_new
+        |  FROM w),
+        |l AS (
+        |  SELECT *, CASE WHEN share_old > 0 THEN share_new / share_old END AS lift FROM sh)
+        |SELECT cell, n_old, n_new, share_old, share_new, lift,
+        |  CAST(CASE WHEN n_old = 0 OR n_new = 0 OR lift > 2.0 OR lift < 0.5
+        |            THEN 1 ELSE 0 END AS BIGINT) AS drifted
+        |FROM l ORDER BY cell""".stripMargin
   )
 }

@@ -135,6 +135,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(r(0).getDouble(3) + 50.0) < 1e-9, s"cp_cusum: ${r(0)}")
   }
 
+  test("s15 flags vanished, newborn and share-shifted cells") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    import spark.implicits._
+    // 4-dim vectors (graft.embedding.dim override), cell = sign bits of
+    // dims 1..4 within the 6-bit window. Even ids = old, odd = new.
+    def v(bits: Int): Array[Float] =
+      (0 until 4).map(i => if ((bits & (1 << i)) != 0) 1.0f else -1.0f).toArray
+    val rows: Seq[(Long, Array[Float], Int)] =
+      // cell 0: old-only (vanished); cell 1: new-only (newborn);
+      // cell 2: balanced 2/2; cell 3: 1 old vs 3 new (lift 1.8 < 2, ok)
+      Seq((0L, v(0), 0), (2L, v(0), 0),
+          (1L, v(1), 0), (3L, v(1), 0),
+          (4L, v(2), 0), (6L, v(2), 0), (5L, v(2), 0), (7L, v(2), 0),
+          (8L, v(3), 0), (9L, v(3), 0), (11L, v(3), 0), (13L, v(3), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    spark.conf.set("graft.embedding.dim", "4")
+    try {
+      val got = SparkEntry.queries("s15_embedding_drift")(spark, dir).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(6)))).toMap
+      assert(got(0) == ((2L, 0L, 1L)), s"old-only cell must drift: $got")
+      assert(got(1) == ((0L, 2L, 1L)), s"new-only cell must drift: $got")
+      assert(got(2) == ((2L, 2L, 0L)), s"balanced cell must not drift: $got")
+      // 1/5 old vs 3/7 new: lift = (3/7)/(1/5) = 15/7 ≈ 2.14 > 2 ⇒ drift
+      assert(got(3) == ((1L, 3L, 1L)), s"share-shifted cell: $got")
+    } finally spark.conf.unset("graft.embedding.dim")
+  }
+
   test("q66 matches within the block under the ASCII fuzzy contract") {
     val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
     import spark.implicits._
