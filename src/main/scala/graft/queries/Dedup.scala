@@ -1170,7 +1170,61 @@ object Dedup {
     "d17_survivorship" -> { (s, d) => d17Presentation(s, d, convergedLabels(s, d)) },
     // d17's scale composition, first-class like d9_scale (same pair
     // source, same oracle argument).
-    "d17_scale" -> { (s, d) => d17Presentation(s, d, convergedLabels(s, d, Some("d5_scale"))) }
+    "d17_scale" -> { (s, d) => d17Presentation(s, d, convergedLabels(s, d, Some("d5_scale"))) },
+    // MinHash ESTIMATOR calibration — the acceptance audit you run before
+    // trusting a K-component signature family (d3/d10/d5_scale geometry)
+    // on a new corpus: over all pairs of a FIXED-SIZE deterministic doc
+    // sample, compare the signature-agreement estimate (#matching
+    // components / K) against the exact shingle Jaccard, bucketed by
+    // estimate decile → (n_pairs, mean exact J, mean |error|) per bucket.
+    // s12's ship-the-estimator-with-its-error idea applied to the dedup
+    // family. The audit hash family is md5-derived (j:shingle → first 32
+    // hash bits), not the production PolyHash — engine-independent, so
+    // the WHOLE audit is a hash contract (the d4_oracled precedent);
+    // what it certifies (K=32 component variance vs exact J on YOUR
+    // shingle distribution) transfers to any uniform signature family.
+    // Scale shape: the sample is top-128 by (md5(doc_id), doc_id) —
+    // TakeOrdered, a per-partition heap + driver merge, NO global sort —
+    // so the audit costs one corpus scan + an 8128-pair broadcast
+    // self-join of 128 rows at ANY corpus size. Mean aggregates ride
+    // exact DECIMAL sums (order-free; double sums would be partitioning-
+    // dependent) via the VARCHAR route (r8: both engines print a double
+    // as its shortest round-trip decimal).
+    "d18_minhash_calibration" -> { (s, d) =>
+      val K = 32
+      val N = 128
+      val sample = withShingles(s, d)
+        .select(col("doc_id"), col("shingles"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hkey"))
+        .orderBy(col("hkey"), col("doc_id")).limit(N)
+      val sig = sample.select(col("doc_id"), col("shingles"),
+        transform(sequence(lit(0), lit(K - 1)), j =>
+          array_min(transform(col("shingles"), sh =>
+            conv(substring(md5(concat_ws("", j.cast("string"), lit(":"), sh)
+              .cast("binary")), 1, 8), 16, 10).cast("long")))).as("mh"))
+      val a = sig.select(col("doc_id").as("da"), col("shingles").as("sha"), col("mh").as("mha"))
+      val b = sig.select(col("doc_id").as("db"), col("shingles").as("shb"), col("mh").as("mhb"))
+      a.join(broadcast(b), col("da") < col("db"))
+        .withColumn("matches", aggregate(
+          zip_with(col("mha"), col("mhb"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v))
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("bigint"))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+        .withColumn("est", col("matches").cast("double") / lit(K.toDouble))
+        .withColumn("bucket", floor(col("est") * 10).cast("int"))
+        .withColumn("jd", col("jac").cast("string").cast("decimal(38,9)"))
+        .withColumn("ed", abs(col("est") - col("jac")).cast("string").cast("decimal(38,9)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jd")).as("sj"), sum(col("ed")).as("se"))
+        .select(col("bucket"), col("n_pairs"),
+          (col("sj").cast("string").cast("double") / col("n_pairs").cast("double"))
+            .as("avg_jaccard"),
+          (col("se").cast("string").cast("double") / col("n_pairs").cast("double"))
+            .as("mean_abs_err"))
+        .orderBy(col("bucket"))
+    }
   )
 
   /** d9's presentation layer over the converged (doc_id, cluster_id)
@@ -1574,7 +1628,38 @@ object Dedup {
          |$UNCAPPED_PAIRS_CTE,
          |$CLOSURE_CTES,
          |$SURVIVOR_CTES
-         |$SURVIVOR_SELECT""".stripMargin
+         |$SURVIVOR_SELECT""".stripMargin,
+    // Mirrors d18 component for component: md5(doc_id) sample order,
+    // md5('j:shingle') 32-bit component hashes, list_min per component,
+    // exact shingle Jaccard, and DECIMAL(38,9)-summed means through the
+    // VARCHAR route on both casts.
+    "d18_minhash_calibration" ->
+      s"""WITH $SH_CTE,
+         |hk AS (SELECT doc_id, shingles, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM sh_docs),
+         |samp AS (SELECT doc_id, shingles FROM hk ORDER BY hkey, doc_id LIMIT 128),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(32), j -> list_min(list_transform(shingles,
+         |      sh -> CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 8)) AS BIGINT)))) AS mh
+         |  FROM samp),
+         |pairs AS (
+         |  SELECT len(list_filter(list_zip(a.mh, b.mh), z -> z[1] = z[2])) AS matches,
+         |    CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+         |    CAST(len(a.shingles) AS BIGINT) AS na, CAST(len(b.shingles) AS BIGINT) AS nb
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+         |sc AS (
+         |  SELECT CAST(matches AS DOUBLE) / 32.0 AS est,
+         |    CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jac
+         |  FROM pairs),
+         |bb AS (
+         |  SELECT CAST(floor(est * 10) AS INT) AS bucket,
+         |    CAST(CAST(jac AS VARCHAR) AS DECIMAL(38,9)) AS jd,
+         |    CAST(CAST(abs(est - jac) AS VARCHAR) AS DECIMAL(38,9)) AS ed
+         |  FROM sc)
+         |SELECT bucket, count(*) AS n_pairs,
+         |  CAST(CAST(sum(jd) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_jaccard,
+         |  CAST(CAST(sum(ed) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_abs_err
+         |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   // d17's survivorship presentation over the `cc` closure — one

@@ -826,6 +826,36 @@ object Events {
         .select(col("event_type"), col("n_hours"), col("hr").as("cp_hr"),
           col("cusum").as("cp_cusum"))
         .orderBy(col("event_type"))
+    },
+    // Sliding-window rate-limit audit: per user, the peak event count in
+    // ANY trailing 6-hour window, how many events landed at-or-over the
+    // breach threshold, and when the first breach happened. The abuse/
+    // quota primitive every ingestion pipeline runs — and the e-family's
+    // RANGE-frame showcase: the frame is a VALUE interval over epoch
+    // micros (not N rows), so burst detection is exact regardless of how
+    // many events share a timestamp (RANGE includes all peers on both
+    // engines — the frame is deterministic even under ties, where a ROWS
+    // frame would be input-order-dependent). Null user_id/ts rows are
+    // excluded — the e-family null-key contract (r13): a row that cannot
+    // be attributed to a window cannot breach one. Scale shape: ONE
+    // user_id exchange shared by the window and the rollup (e29's
+    // pattern); the frame walks each user's partition sorted once. At
+    // 100 TB the window state is bounded by events-per-user-per-6h, and
+    // the streaming twin is StateOps' bounded-buffer shape.
+    "e31_rate_limit" -> { (s, d) =>
+      val WIN_US = 21600L * 1000000L // 6 hours
+      val LIMIT = 4
+      val burst = Window.partitionBy(col("user_id"))
+        .orderBy(col("t")).rangeBetween(-WIN_US, 0)
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("t", unix_micros(col("ts")))
+        .withColumn("c", count(lit(1)).over(burst))
+        .groupBy(col("user_id"))
+        .agg(max(col("c")).as("max_in_6h"),
+          sum(when(col("c") >= LIMIT, 1L).otherwise(0L)).as("n_breach_events"),
+          min(when(col("c") >= LIMIT, col("ts"))).as("first_breach_ts"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -1320,6 +1350,21 @@ object Events {
         |  SELECT *, row_number() OVER (PARTITION BY event_type
         |      ORDER BY abs(cusum) DESC, hr ASC) AS rk FROM c)
         |SELECT event_type, n_hours, hr AS cp_hr, cusum AS cp_cusum
-        |FROM r WHERE rk = 1 ORDER BY event_type NULLS FIRST""".stripMargin
+        |FROM r WHERE rk = 1 ORDER BY event_type NULLS FIRST""".stripMargin,
+    // Mirrors e31: the same epoch-micros RANGE frame (VALUE interval, so
+    // timestamp peers are all in-frame on both engines), the same
+    // null-key exclusion, the same breach threshold.
+    "e31_rate_limit" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |w AS (
+        |  SELECT user_id, ts, count(*) OVER (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW) AS c
+        |  FROM e)
+        |SELECT user_id, CAST(max(c) AS BIGINT) AS max_in_6h,
+        |  CAST(sum(CASE WHEN c >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_events,
+        |  min(CASE WHEN c >= 4 THEN ts END) AS first_breach_ts
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

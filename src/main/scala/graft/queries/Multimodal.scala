@@ -173,6 +173,38 @@ object Multimodal {
           expr("percentile(n_bytes, 0.75)").as("p75_bytes"),
           max(col("n_bytes")).as("max_bytes"))
         .orderBy(col("source"))
+    },
+    // Multipart-transfer manifest: split each blob into fixed 2 KiB chunks
+    // and emit per-chunk (offset, size, md5) plus the doc's chunk count —
+    // the planning table for chunked upload/download of a 100 TB media
+    // store (each chunk independently transferable and verifiable; the
+    // ragged last chunk carries its true size). Chunk extraction runs over
+    // the hex dump so the oracle is byte-exact (mm3/t5's r8 lesson: DuckDB
+    // in this build has no BLOB substring/md5, and hex names each byte
+    // identically on both engines); the production form substrings the
+    // binary column directly — same plan shape, half the bytes in flight.
+    // Zero-byte blobs produce no chunks, so no manifest rows (empty
+    // generate_series on both engines). Scale shape: a narrow map +
+    // generate per row — no shuffle at all; the manifest shuffles only if
+    // the caller re-sorts it.
+    "mm7_chunk_manifest" -> { (s, d) =>
+      val CHUNK = 2048 // bytes; 2·CHUNK hex chars
+      mediaTable(s, d)
+        .select(col("doc_id"), hex(col("media")).as("h"),
+          length(col("media")).cast("bigint").as("n_bytes"))
+        .filter(col("n_bytes") > 0L)
+        .withColumn("n_chunks",
+          expr(s"CAST((n_bytes + ${CHUNK - 1}) DIV $CHUNK AS INT)"))
+        .select(col("doc_id"), col("h"), col("n_chunks"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+        .withColumn("offset_bytes", col("chunk_idx").cast("bigint") * CHUNK)
+        .withColumn("chunk_hex",
+          expr(s"substring(h, chunk_idx * ${2 * CHUNK} + 1, ${2 * CHUNK})"))
+        .withColumn("chunk_bytes", expr("CAST(length(chunk_hex) DIV 2 AS BIGINT)"))
+        .withColumn("chunk_md5", md5(col("chunk_hex").cast("binary")))
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunks"),
+          col("offset_bytes"), col("chunk_bytes"), col("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
   )
 
@@ -247,6 +279,26 @@ object Multimodal {
         |  quantile_cont(n_bytes, 0.5) AS p50_bytes,
         |  quantile_cont(n_bytes, 0.75) AS p75_bytes,
         |  max(n_bytes) AS max_bytes
-        |FROM b GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    // Mirrors mm7 through the same hex dump: hex() names each byte
+    // identically on both engines, md5(VARCHAR) hashes the hex string's
+    // UTF-8 bytes exactly like Spark's md5(CAST(hex AS BINARY)).
+    "mm7_chunk_manifest" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM ${graft.Tables.validDocsSql} documents),
+        |c AS (
+        |  SELECT doc_id, h, CAST((n_bytes + 2047) // 2048 AS INT) AS n_chunks
+        |  FROM m WHERE n_bytes > 0),
+        |f AS (
+        |  SELECT doc_id, n_chunks,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx, h
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, n_chunks,
+        |  CAST(chunk_idx * 2048 AS BIGINT) AS offset_bytes,
+        |  CAST(length(substring(h, CAST(chunk_idx * 4096 + 1 AS BIGINT), 4096)) // 2 AS BIGINT) AS chunk_bytes,
+        |  md5(substring(h, CAST(chunk_idx * 4096 + 1 AS BIGINT), 4096)) AS chunk_md5
+        |FROM f ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

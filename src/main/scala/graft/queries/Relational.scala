@@ -1527,6 +1527,54 @@ object Relational {
         .select(col("a_custkey"), col("b_custkey"), col("a_name"), col("b_name"),
           col("dist"), col("segment"))
         .orderBy(col("a_custkey"), col("b_custkey"))
+    },
+    // Join-cardinality estimation from a key-domain sample — the planner
+    // primitive behind join reordering and broadcast decisions at 100 TB
+    // (q63's ANALYZE sibling for the JOIN column): |A ⋈ B| = Σ_k f_A(k)·
+    // f_B(k), estimated by summing only keys whose md5 falls in a 1/16
+    // slice of hash space and scaling by 16. Sampling the key DOMAIN (not
+    // rows) keeps both sides' frequencies exact for every admitted key,
+    // so the estimator is unbiased for any skew; md5 admit is the t10
+    // convention — same verdict per key on every run, engine, executor
+    // count. Two join shapes audited: the PK-FK orders⋈lineitem and the
+    // M:N events self-join on user_id (Σ f² — the F2 moment where sampled
+    // JOINS go quadratically wrong but sampled DOMAINS stay unbiased).
+    // The exact twin rides the SAME per-key aggregate — join size is
+    // computed from two frequency tables joined on sampled keys, never by
+    // materializing join rows. At 100 TB you keep only the estimate path,
+    // where the admit filter pushes below the groupBy (hash-of-key
+    // filters commute with per-key counting) and the scan aggregates
+    // 1/16th of the key space; the exact column here is the in-engine
+    // acceptance audit (s12's pattern: ship the estimator WITH its error).
+    "q67_join_size_est" -> { (s, d) =>
+      val RATE = 16L
+      val h32 = (k: Column) =>
+        conv(substring(md5(k.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+      def freq(df: DataFrame, key: String): DataFrame =
+        df.filter(col(key).isNotNull)
+          .groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+          .withColumn("adm", h32(col("k")) % RATE === 0L)
+      val lf = freq(Tables.lineitem(s, d), "l_orderkey")
+      val of = freq(Tables.orders(s, d), "o_orderkey")
+      val ef = freq(Tables.events(s, d), "user_id")
+      def shape(agg: DataFrame, name: String): DataFrame =
+        agg.select(lit(name).as("join_id"),
+          (coalesce(col("samp"), lit(0L)) * RATE).cast("double").as("est_rows"),
+          coalesce(col("exact"), lit(0L)).as("exact_rows"))
+      val ol = shape(
+        of.as("o").join(lf.as("l"), col("o.k") === col("l.k"))
+          .agg(sum(col("o.f") * col("l.f")).as("exact"),
+            sum(when(col("o.adm"), col("o.f") * col("l.f"))).as("samp")),
+        "orders_lineitem")
+      val ee = shape(
+        ef.agg(sum(col("f") * col("f")).as("exact"),
+          sum(when(col("adm"), col("f") * col("f"))).as("samp")),
+        "events_self")
+      ol.unionAll(ee)
+        .withColumn("rel_err", when(col("exact_rows") > 0L,
+          abs(col("est_rows") - col("exact_rows").cast("double")) /
+            col("exact_rows").cast("double")))
+        .orderBy(col("join_id"))
     }
   )
 
@@ -1946,6 +1994,38 @@ object Relational {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
         |  AND a.blk = b.blk AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
-        |ORDER BY a_custkey, b_custkey""".stripMargin
+        |ORDER BY a_custkey, b_custkey""".stripMargin,
+    // Mirrors q67: per-key frequencies with the t10/t22 md5 admit test
+    // (CAST('0x'||prefix AS BIGINT) names the same 32-bit value Spark's
+    // conv() does), DuckDB's HUGEINT sums cast back to BIGINT to match
+    // Spark's long arithmetic; the empty-sample sum is NULL on both
+    // engines and coalesces to 0.
+    "q67_join_size_est" ->
+      """WITH lf AS (
+        |  SELECT l_orderkey AS k, count(*) AS f,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0 AS adm
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |ofr AS (
+        |  SELECT o_orderkey AS k, count(*) AS f,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0 AS adm
+        |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |ef AS (
+        |  SELECT user_id AS k, count(*) AS f,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0 AS adm
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |u AS (
+        |  SELECT 'orders_lineitem' AS join_id,
+        |    CAST(coalesce(CAST(sum(CASE WHEN ofr.adm THEN ofr.f * lf.f END) AS BIGINT), 0) * 16 AS DOUBLE) AS est_rows,
+        |    coalesce(CAST(sum(ofr.f * lf.f) AS BIGINT), 0) AS exact_rows
+        |  FROM ofr JOIN lf ON ofr.k = lf.k
+        |  UNION ALL
+        |  SELECT 'events_self' AS join_id,
+        |    CAST(coalesce(CAST(sum(CASE WHEN adm THEN f * f END) AS BIGINT), 0) * 16 AS DOUBLE) AS est_rows,
+        |    coalesce(CAST(sum(f * f) AS BIGINT), 0) AS exact_rows
+        |  FROM ef)
+        |SELECT join_id, est_rows, exact_rows,
+        |  CASE WHEN exact_rows > 0
+        |       THEN abs(est_rows - CAST(exact_rows AS DOUBLE)) / CAST(exact_rows AS DOUBLE) END AS rel_err
+        |FROM u ORDER BY join_id""".stripMargin
   )
 }

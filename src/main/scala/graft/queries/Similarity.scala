@@ -758,6 +758,63 @@ object Similarity {
         .select(col("cell"), col("n_old"), col("n_new"), col("share_old"),
           col("share_new"), col("lift"), col("drifted"))
         .orderBy(col("cell"))
+    },
+    // Dimension-truncation acceptance gate (s12's recall-matrix idea
+    // applied to Matryoshka-style prefix truncation instead of int8
+    // quantization): rank the corpus by FULL-dim cosine and by the cosine
+    // of the first dim/4 and dim/2 prefix dimensions in ONE candidate
+    // pass, and report |top-5 ∩ top-5| per query for each truncation.
+    // This is the audit you run before serving a shorter index: prefix
+    // dots cut index bytes AND dot FLOPs 4×/2× with no re-embedding, but
+    // only if recall holds on YOUR corpus. Everything is deterministic —
+    // the prefix dot is the same sequential double fold as the full one
+    // (s1's oracle precedent), so the rankings and the hash contract are
+    // exact. A VALID vector can still have an all-zero prefix: its prefix
+    // cosine is NULL (DuckDB x/0), ranked last on both engines (s5's
+    // guard). Scale shape: one corpus scan, one broadcast join, and all
+    // three rank windows share the single q_id exchange; at 100 TB the
+    // ranking stage swaps for s2/s4/s13 exactly as in s14.
+    "s16_prefix_recall" -> { (s, d) =>
+      val dim = Tables.embDim(s)
+      // Clamp like s15: a session configured below 4 dims coarsens to
+      // 1-dim prefixes instead of crashing; the driver corpus declares 64
+      // (prefixes 16/32), which is the domain the oracle states.
+      val p1 = math.max(1, dim / 4)
+      val p2 = math.max(1, dim / 2)
+      val withP = normed(s, d)
+        .withColumn("emb1", slice(col("embedding"), 1, p1))
+        .withColumn("emb2", slice(col("embedding"), 1, p2))
+        .withColumn("sq1", vec_dot(col("emb1"), col("emb1")))
+        .withColumn("sq2", vec_dot(col("emb2"), col("emb2")))
+      val q = guardedBounded(s,
+        withP.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("sq").as("q_sq"), col("emb1").as("q_emb1"),
+            col("sq1").as("q_sq1"), col("emb2").as("q_emb2"),
+            col("sq2").as("q_sq2")), "s16_prefix_recall")
+      val scored = withP.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos_f",
+          dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+        .withColumn("cos_1", when(col("q_sq1") =!= 0.0 && col("sq1") =!= 0.0,
+          dotCol("q_emb1", "emb1") / (sqrt(col("q_sq1")) * sqrt(col("sq1")))))
+        .withColumn("cos_2", when(col("q_sq2") =!= 0.0 && col("sq2") =!= 0.0,
+          dotCol("q_emb2", "emb2") / (sqrt(col("q_sq2")) * sqrt(col("sq2")))))
+      val wf = Window.partitionBy(col("q_id")).orderBy(col("cos_f").desc, col("vec_id"))
+      val w1 = Window.partitionBy(col("q_id")).orderBy(col("cos_1").desc_nulls_last, col("vec_id"))
+      val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos_2").desc_nulls_last, col("vec_id"))
+      scored
+        .withColumn("rk_f", row_number().over(wf))
+        .withColumn("rk_1", row_number().over(w1))
+        .withColumn("rk_2", row_number().over(w2))
+        .groupBy(col("q_id"))
+        .agg(
+          sum(when(col("rk_f") <= TOPK && col("rk_1") <= TOPK, 1L).otherwise(0L))
+            .as("n_common_q"),
+          sum(when(col("rk_f") <= TOPK && col("rk_2") <= TOPK, 1L).otherwise(0L))
+            .as("n_common_h"))
+        .withColumn("recall_quarter", col("n_common_q").cast("double") / lit(TOPK.toDouble))
+        .withColumn("recall_half", col("n_common_h").cast("double") / lit(TOPK.toDouble))
+        .orderBy(col("q_id"))
     }
   )
 
@@ -1064,6 +1121,48 @@ object Similarity {
         |SELECT cell, n_old, n_new, share_old, share_new, lift,
         |  CAST(CASE WHEN n_old = 0 OR n_new = 0 OR lift > 2.0 OR lift < 0.5
         |            THEN 1 ELSE 0 END AS BIGINT) AS drifted
-        |FROM l ORDER BY cell""".stripMargin
+        |FROM l ORDER BY cell""".stripMargin,
+    // Mirrors s16 step for step on the declared 64-dim domain (prefixes
+    // 16/32): the same sequential double fold for every dot (s1
+    // precedent), the same NULL prefix-zero-norm guard (DuckDB x/0), the
+    // same (cosine DESC NULLS LAST, vec_id) tie-break, so all three
+    // rankings — and the recall counts — are bit-identical.
+    "s16_prefix_recall" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    embedding[1:16] AS emb1, embedding[1:32] AS emb2,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding[1:16]) u(x)) AS sq1,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding[1:32]) u(x)) AS sq2
+        |  FROM ${graft.Tables.validEmbSql} embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(q.embedding, c.embedding),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |      / (sqrt(q.sq) * sqrt(c.sq)) AS cos_f,
+        |    CASE WHEN q.sq1 <> 0 AND c.sq1 <> 0 THEN
+        |      (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |         list_transform(list_zip(q.emb1, c.emb1),
+        |                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |        / (sqrt(q.sq1) * sqrt(c.sq1)) END AS cos_1,
+        |    CASE WHEN q.sq2 <> 0 AND c.sq2 <> 0 THEN
+        |      (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+        |         list_transform(list_zip(q.emb2, c.emb2),
+        |                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+        |        / (sqrt(q.sq2) * sqrt(c.sq2)) END AS cos_2
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_f DESC, vec_id) AS rk_f,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_1 DESC NULLS LAST, vec_id) AS rk_1,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos_2 DESC NULLS LAST, vec_id) AS rk_2
+        |  FROM scored)
+        |SELECT q_id,
+        |  CAST(sum(CASE WHEN rk_f <= 5 AND rk_1 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common_q,
+        |  CAST(sum(CASE WHEN rk_f <= 5 AND rk_2 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common_h,
+        |  CAST(sum(CASE WHEN rk_f <= 5 AND rk_1 <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall_quarter,
+        |  CAST(sum(CASE WHEN rk_f <= 5 AND rk_2 <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall_half
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -684,6 +684,38 @@ object TextOps {
           (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
             .as("hapax_ratio"))
         .orderBy(col("doc_id"))
+    },
+    // Per-source Zipf/vocabulary profile — the corpus-health dashboard row
+    // behind "is this source worth its tokens": type-token ratio (low ⇒
+    // templated/repetitive), hapax share of the vocabulary (high ⇒ noisy
+    // long tail: OCR junk, random ids), and head concentration (share of
+    // all tokens claimed by the top-100 words under the (freq DESC, word)
+    // total order — high ⇒ boilerplate). t9's corpus-level vocabulary
+    // made per-source and Zipf-shaped; t24's doc-level surprisal is the
+    // same signal at the other granularity. Sources with ZERO tokens
+    // (all-blank docs) have no vocabulary rows and so no profile row, on
+    // both engines — the row set is defined by the word table. Scale
+    // shape: one (source, word) exchange with map-side partials, then one
+    // source-sized exchange; the rank window sorts each source's VOCAB
+    // (bounded by distinct words, not corpus rows). All counts exact
+    // BIGINT; the three ratios divide nonzero-by-construction totals.
+    "t26_vocab_zipf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wf = Tables.validDocuments(s, d)
+        .select(col("source"), explode(wsTokens(lower(col("text")))).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("f"))
+      val rk = Window.partitionBy(col("source")).orderBy(col("f").desc, col("word"))
+      wf.withColumn("rk", row_number().over(rk))
+        .groupBy(col("source"))
+        .agg(sum(col("f")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("f") === 1L, 1L).otherwise(0L)).as("hapax"),
+          sum(when(col("rk") <= 100, col("f")).otherwise(0L)).as("top100_tokens"))
+        .withColumn("ttr", col("vocab").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("hapax_ratio", col("hapax").cast("double") / col("vocab").cast("double"))
+        .withColumn("top100_share",
+          col("top100_tokens").cast("double") / col("n_tokens").cast("double"))
+        .orderBy(col("source"))
     }
   )
 
@@ -1026,7 +1058,29 @@ object TextOps {
           |  CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hapax_ratio
           |FROM (SELECT doc_id FROM ${graft.Tables.validDocsSql} documents) d
           |LEFT JOIN scored USING (doc_id)
-          |ORDER BY doc_id""".stripMargin
+          |ORDER BY doc_id""".stripMargin,
+      // Mirrors t26: the same lowered whitespace tokenization, the same
+      // (freq DESC, word) head order, exact BIGINT counts; sources whose
+      // docs are all blank contribute no word rows and so no profile row
+      // on either engine.
+      "t26_vocab_zipf" ->
+        s"""WITH wf AS (
+          |  SELECT source, w AS word, count(*) AS f FROM (
+          |    SELECT source, unnest((CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS w
+          |    FROM ${graft.Tables.validDocsSql} documents) t
+          |  GROUP BY 1, 2),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY f DESC, word) AS rk
+          |  FROM wf)
+          |SELECT source,
+          |  CAST(sum(f) AS BIGINT) AS n_tokens,
+          |  count(*) AS vocab,
+          |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          |  CAST(sum(CASE WHEN rk <= 100 THEN f ELSE 0 END) AS BIGINT) AS top100_tokens,
+          |  CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE) AS ttr,
+          |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hapax_ratio,
+          |  CAST(sum(CASE WHEN rk <= 100 THEN f ELSE 0 END) AS DOUBLE) / CAST(sum(f) AS DOUBLE) AS top100_share
+          |FROM r GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin
     )
   }
 

@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Fast regression pins for the r13-continued operators (t23 PII scrub,
-  * e28 linear interpolation, q65 profile drift, s2_exhaustive) on
-  * purpose-built miniature corpora — the oracle gates certify these
-  * against DuckDB per run; this keeps the engine-side contracts under
-  * plain `sbt test` so a regression surfaces in seconds. */
+/** Fast regression pins for the round-13 operators (t23 PII scrub, e28
+  * linear interpolation, q65 profile drift, s2_exhaustive, e29–e31, s15,
+  * s16, q66/q67, t26, mm7) on purpose-built miniature corpora — the oracle
+  * gates certify these against DuckDB per run; this keeps the engine-side
+  * contracts under plain `sbt test` so a regression surfaces in seconds. */
 class PipelineOpsSpec extends SparkTestBase {
 
   private def docsCorpus(rows: Seq[(Long, String)]): String = {
@@ -181,5 +181,121 @@ class PipelineOpsSpec extends SparkTestBase {
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(4))).toSeq
     assert(got == Seq((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L),
       (7L, 8L, 1L), (8L, 9L, 1L)), s"got ${got.mkString("; ")}")
+  }
+
+  private def usersCorpus(rows: Seq[(Long, Option[Long], Option[Long])]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    import spark.implicits._
+    rows.map { case (id, u, ts) => (id, u, ts, Some("a"), Some(1.0)) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("e31 breaches on the 4th event inside 6h; >6h-apart events never breach; null keys out") {
+    val dir = usersCorpus(Seq(
+      // user 1: four events inside one 6h window — counts 1,2,3,4; the
+      // 4th is the one breach — then a 5th far outside it (count 1).
+      (1L, Some(1L), Some(jan1)),
+      (2L, Some(1L), Some(jan1 + 1 * h)),
+      (3L, Some(1L), Some(jan1 + 2 * h)),
+      (4L, Some(1L), Some(jan1 + 3 * h)),
+      (5L, Some(1L), Some(jan1 + 12 * h)),
+      // user 2: two events 10h apart — never more than 1 in any window.
+      (6L, Some(2L), Some(jan1)),
+      (7L, Some(2L), Some(jan1 + 10 * h)),
+      // unattributable rows: excluded by the e-family null-key contract.
+      (8L, None, Some(jan1)),
+      (9L, Some(1L), None)))
+    val r = SparkEntry.queries("e31_rate_limit")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        Option(x.getTimestamp(3)).map(_.getTime))).toSeq
+    assert(r == Seq(
+      (1L, 4L, 1L, Some((jan1 + 3 * h) / 1000000L)),
+      (2L, 1L, 0L, None)), s"got ${r.mkString("; ")}")
+  }
+
+  test("s16 drops a zero-prefix candidate from the truncated rankings even at full rank 1") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    import spark.implicits._
+    // dim 4 ⇒ prefixes are dims [1] and [1,2]. Query = vec 0 (%50 = 0).
+    // Candidate 1 has the HIGHEST full cosine but a zero prefix — its
+    // truncated cosines are NULL (x/0 guard) and it ranks last, exactly
+    // the acceptance signal s16 exists to surface. Candidates 2..7 are
+    // identical, so both truncated top-5s are {2,3,4,5,6} by the vec_id
+    // tie-break while the full top-5 is {1,2,3,4,5}: overlap 4/5.
+    val rows: Seq[(Long, Array[Float], Int)] =
+      (0L, Array(0.1f, 0.1f, 1f, 1f), 0) +:
+        (1L, Array(0f, 0f, 1f, 1f), 0) +:
+        (2L to 7L).map(i => (i, Array(1f, 1f, 1f, 1f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    spark.conf.set("graft.embedding.dim", "4")
+    try {
+      val r = SparkEntry.queries("s16_prefix_recall")(spark, dir).collect()
+      assert(r.length == 1 && r(0).getLong(0) == 0L, r.mkString("; "))
+      assert(r(0).getLong(1) == 4L && r(0).getLong(2) == 4L, r(0).toString)
+      assert(r(0).getDouble(3) == 0.8 && r(0).getDouble(4) == 0.8, r(0).toString)
+    } finally spark.conf.unset("graft.embedding.dim")
+  }
+
+  test("q67 estimates from admitted keys only and the exact twin is the true join size") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    import spark.implicits._
+    // Keys chosen so the md5 admit verdict is computed independently here.
+    def admitted(k: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 16 == 0
+    }
+    val keys = 1L to 200L
+    keys.map(k => Tuple1(k)).toDF("o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // lineitem: key k appears (k % 3 + 1) times.
+    keys.flatMap(k => Seq.fill((k % 3 + 1).toInt)(k)).map(Tuple1(_))
+      .toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // events: 3 users with frequencies 2, 3, 4 (self-join F2 = 4+9+16).
+    val ev = Seq.fill(2)(10L) ++ Seq.fill(3)(11L) ++ Seq.fill(4)(12L)
+    ev.zipWithIndex.map { case (u, i) => (i.toLong, Some(u), Some(jan1 + i * h)) }
+      .map { case (id, u, ts) => (id, u, ts, Some("a"), Some(1.0)) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val exactOL = keys.map(k => (k % 3 + 1)).sum
+    val estOL = 16L * keys.filter(admitted).map(k => (k % 3 + 1)).sum
+    val exactEE = 4L + 9L + 16L
+    val estEE = 16L * Seq(10L -> 4L, 11L -> 9L, 12L -> 16L)
+      .collect { case (u, f2) if admitted(u) => f2 }.sum
+    val r = SparkEntry.queries("q67_join_size_est")(spark, dir).collect()
+      .map(x => x.getString(0) -> ((x.getDouble(1), x.getLong(2)))).toMap
+    assert(r("orders_lineitem") == ((estOL.toDouble, exactOL)), r.toString)
+    assert(r("events_self") == ((estEE.toDouble, exactEE)), r.toString)
+  }
+
+  test("t26 head concentration counts exactly the top-100 words under (freq DESC, word)") {
+    // One word 50×, then 150 hapax words: vocab 151, tokens 200; the head
+    // is the heavy word + the first 99 hapaxes in word order = 149 tokens.
+    val heavy = Seq.fill(50)("zz").mkString(" ")
+    val tail = (1 to 150).map(i => f"w$i%03d").mkString(" ")
+    val dir = docsCorpus(Seq((1L, heavy), (2L, tail)))
+    val r = SparkEntry.queries("t26_vocab_zipf")(spark, dir).collect()
+    assert(r.length == 1, r.mkString("; "))
+    val row = r(0)
+    // source, n_tokens, vocab, hapax, top100_tokens, ttr, hapax_ratio, top100_share
+    assert(row.getLong(1) == 200L && row.getLong(2) == 151L &&
+      row.getLong(3) == 150L && row.getLong(4) == 149L, row.toString)
+    assert(math.abs(row.getDouble(7) - 0.745) < 1e-12, row.toString)
+  }
+
+  test("mm7 chunks bytes (not chars): ragged tail sized right, empty blobs emit no rows") {
+    // 1025 two-byte chars = 2050 bytes ⇒ chunks of 2048 and 2 bytes — the
+    // split lands mid-codepoint, which is exactly right for a BYTE-range
+    // transfer manifest; the empty doc yields no manifest rows.
+    val dir = docsCorpus(Seq((1L, "é" * 1025), (2L, "")))
+    val r = SparkEntry.queries("mm7_chunk_manifest")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getLong(3), x.getLong(4))).toSeq
+    assert(r == Seq((1L, 0, 2, 0L, 2048L), (1L, 1, 2, 2048L, 2L)),
+      s"got ${r.mkString("; ")}")
   }
 }

@@ -939,4 +939,72 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Scan ExistingRDD"),
       "consumers must read the materialized tf")
   }
+
+  test("s16 prefix recall: guarded query broadcast; all three rank windows share ONE q_id exchange") {
+    val plan = planOf("s16_prefix_recall")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the guarded query set must broadcast against the corpus scan (s1's shape)")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    // full/quarter/half rankings and the recall rollup all ride one
+    // q_id partitioning — re-exchanging per window would triple the
+    // candidate shuffle
+    assert("hashpartitioning\\(q_id".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+  }
+
+  test("q67 join-size estimate: joins see per-key AGGREGATES, never raw rows") {
+    val plan = planOf("q67_join_size_est")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // frequency tables map-side combine before any join; the estimate is
+    // computed from frequency algebra, not by materializing join rows
+    assert(plan.contains("partial_count"), "per-key counting must map-side combine")
+    // each base table is scanned exactly once (orders, lineitem, events) —
+    // count in the tree section (the details repeat every node name)
+    assert("Scan parquet".r.findAllIn(plan.split("\n\n").head).size == 3,
+      s"expected exactly 3 base scans:\n${plan.take(1500)}")
+  }
+
+  test("e31 rate limit: burst window and per-user rollup share ONE user_id exchange") {
+    val plan = planOf("e31_rate_limit")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(plan.contains("RangeFrame"),
+      "burst counting must be a VALUE-interval frame, not a row frame")
+    assert(plan.contains("partial_max"), "the rollup must map-side combine")
+    assert(!plan.contains("Join"), "no join anywhere in the audit")
+  }
+
+  test("t26 vocab zipf: corpus tokenized once; rank window and rollup reuse the source partitioning") {
+    val plan = planOf("t26_vocab_zipf")
+    assert("Generate".r.findAllIn(plan.split("\n\n").head).size == 1,
+      "documents must be tokenized exactly once")
+    // (source,word) counts then source: two keyed exchanges total; the
+    // final per-source rollup reuses the window's source partitioning
+    assert("hashpartitioning\\(source".r.findAllIn(plan).size == 2,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!plan.contains("Join"), "profile must not join the corpus back")
+  }
+
+  test("d18 calibration: bounded sample via TakeOrdered heap; pair join broadcasts 128 rows") {
+    val plan = planOf("d18_minhash_calibration")
+    // the sample must NOT be a global sort of the corpus — per-partition
+    // top-N heaps merged on the driver keep it O(N) at any corpus size
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 128-row pair side must broadcast (inequality join)")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+  }
+
+  test("mm7 chunk manifest: narrow map + generate — no shuffle, no join, bytes stay put") {
+    val plan = planOf("mm7_chunk_manifest")
+    val tree = plan.split("\n\n").head
+    assert("Generate".r.findAllIn(tree).size == 1, plan.take(1500))
+    assert(!plan.contains("hashpartitioning") && !plan.contains("Join"),
+      "chunking must not move blob bytes between partitions:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert("Scan parquet".r.findAllIn(tree).size == 1, "one documents scan")
+  }
 }
