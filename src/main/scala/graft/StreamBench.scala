@@ -277,6 +277,38 @@ object StreamBench {
       q.stop()
     }
 
+    // ---- 2g. RateLimitProcessor over sf events (sliding-window burst audit)
+    {
+      // same contiguous-wave shape as 2f: the processor's exact-parity
+      // contract is per-key window-monotone arrival across batches
+      val rows = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect()
+        .sortBy(_._2)
+      val waves = 10
+      val per = math.max(1, (rows.length + waves - 1) / waves)
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.RateLimitProcessor[Long](21600L * 1000000L, 4),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "max_burst", "n_breach", "first_breach", "n_late")
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", tmpDir())
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      rows.grouped(per).foreach { wave =>
+        stream.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("ratelimit(sf events)", q, rows.length.toLong, wall)
+      q.stop()
+    }
+
     // ---- 3. p1 pipeline as a throttled file stream ------------------------
     {
       val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema

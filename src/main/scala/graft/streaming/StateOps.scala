@@ -617,6 +617,76 @@ class Scd2Processor[K]
   }
 }
 
+/** Streaming rate-limit audit — batch e31's `transformWithState` twin: per
+  * key, the peak event count in any trailing `winMicros` VALUE window, the
+  * number of events at-or-over `limit`, and the first breach timestamp,
+  * maintained over the whole stream with BOUNDED state (the in-window
+  * timestamp buffer — O(events per key per window) — plus four scalars).
+  *
+  * Ordering contract (the Scd2 precedent, stated not assumed): rows may
+  * arrive in ANY order within a micro-batch (sorted here before replay);
+  * across batches the stream must be key-wise window-monotone — an event
+  * older than the key's high-water mark from a PREVIOUS batch cannot be
+  * windowed exactly against already-trimmed state, so it is counted in
+  * `n_late` and excluded, never silently miscounted (watermark semantics).
+  * Under batch-monotone waves the final emission equals batch e31 row for
+  * row (StreamingSpec pins it). Timestamp PEERS are replayed as a group so
+  * every peer sees the full peer count, matching the batch RANGE frame's
+  * all-peers-in-frame rule; a peer group split ACROSS batches credits
+  * breach rows only to the later batch's members (documented boundary).
+  *
+  * Emission per batch: `(key, max_burst, n_breaches, first_breach_micros
+  * | -1, n_late)` — the running audit row, Update-mode idempotent. */
+class RateLimitProcessor[K](winMicros: Long, limit: Int)
+    extends StatefulProcessor[K, (K, Long), (K, Long, Long, Long, Long)] {
+
+  @transient private var buf: ValueState[Array[Long]] = _
+  @transient private var agg: ValueState[(Long, Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getValueState[Array[Long]]("buf",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+      TTLConfig.NONE)
+    agg = getHandle.getValueState[(Long, Long, Long, Long)]("agg",
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Long, Long, Long)](),
+      TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: K, rows: Iterator[(K, Long)],
+      timerValues: TimerValues): Iterator[(K, Long, Long, Long, Long)] = {
+    val incoming = rows.map(_._2).toArray
+    java.util.Arrays.sort(incoming)
+    var (maxBurst, nBreach, firstBreach, nLate) =
+      if (agg.exists()) agg.get() else (0L, 0L, -1L, 0L)
+    val dq = scala.collection.mutable.ArrayDeque.empty[Long]
+    if (buf.exists()) dq.appendAll(buf.get())
+    val hwm = if (dq.nonEmpty) dq.last else Long.MinValue
+    var i = 0
+    while (i < incoming.length) {
+      val t = incoming(i)
+      if (t < hwm) { nLate += 1; i += 1 }
+      else {
+        var j = i
+        while (j < incoming.length && incoming(j) == t) j += 1
+        while (dq.nonEmpty && dq.head < t - winMicros) dq.removeHead()
+        var p = i
+        while (p < j) { dq.append(t); p += 1 }
+        val c = dq.size.toLong
+        if (c > maxBurst) maxBurst = c
+        if (c >= limit) {
+          nBreach += (j - i)
+          if (firstBreach < 0) firstBreach = t
+        }
+        i = j
+      }
+    }
+    buf.update(dq.toArray)
+    agg.update((maxBurst, nBreach, firstBreach, nLate))
+    Iterator.single((key, maxBurst, nBreach, firstBreach, nLate))
+  }
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

@@ -992,6 +992,85 @@ class StreamingSpec extends SparkTestBase {
       assert(got == expected, s"streamed $got\n!= batch $expected")
     }
   }
+
+  /** Two-phase rate-limit runner (the checkpoint-recovery pattern: a
+    * MemoryStream folds every pre-start addData into ONE micro-batch, so
+    * real batch boundaries need a restartable source + checkpoint). Lands
+    * each wave as a json file, drains through foreachBatch, returns the
+    * final per-key emission rows. */
+  private def rateLimitPhases(win: Long, limit: Int,
+      waves: Seq[Seq[(Long, Long)]]): Map[Long, (Long, Long, Long, Long)] = {
+    val spark0 = spark
+    import spark0.implicits._
+    val landing = tmpDir(); val ckpt = tmpDir()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType)
+      .add("t", org.apache.spark.sql.types.LongType)
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long, Long)]()
+    def run(): Unit = {
+      val out = spark.readStream.schema(schema).json(landing)
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.RateLimitProcessor[Long](win, limit),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "max_burst", "n_breach", "first_breach", "n_late")
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => last.put(r.getLong(0),
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "rate-limit query did not drain")
+    }
+    waves.zipWithIndex.foreach { case (wave, i) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$landing/wave$i.json"),
+        wave.map { case (u, t) => s"""{"user_id":$u,"t":$t}""" }
+          .mkString("\n").getBytes("UTF-8"))
+      run()
+    }
+    import scala.jdk.CollectionConverters._
+    last.asScala.toMap
+  }
+
+  test("transformWithState rate limit: streamed audit equals batch e31 across a time-split") {
+    val spark0 = spark
+    import spark0.implicits._
+    // The real corpus, split into two batch-monotone waves at the median
+    // ts — the contract under which the processor promises batch parity.
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    val split = ev(ev.length / 2)._2
+    val expected = SparkEntry.queries("e31_rate_limit")(spark, sf)
+      .select(col("user_id"), col("max_in_6h"), col("n_breach_events"),
+        coalesce(unix_micros(col("first_breach_ts")), lit(-1L)))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    withRocksDB {
+      // wave 1 strictly below the split ts, wave 2 at-or-after: a peer
+      // group never straddles the boundary (the documented edge)
+      val got = rateLimitPhases(21600L * 1000000L, 4,
+        Seq(ev.filter(_._2 < split).toSeq, ev.filter(_._2 >= split).toSeq))
+      assert(got.values.forall(_._4 == 0L), "no late rows under monotone waves")
+      val gotSet = got.map { case (u, (mb, nb, fb, _)) => (u, mb, nb, fb) }.toSet
+      assert(gotSet == expected, s"streamed ${gotSet.size} rows != batch e31")
+    }
+  }
+
+  test("rate limit processor: late events are counted, never miscounted") {
+    withRocksDB {
+      val hr = 3600L * 1000000L
+      // 1*hr in wave 2 is older than the key's high-water mark (11h) —
+      // windowing it exactly would need already-trimmed state, so it is
+      // reported late; in-window events 10,11,12 ⇒ burst 3, breach at 12h.
+      val got = rateLimitPhases(6L * hr, 3, Seq(
+        Seq((1L, 10 * hr), (1L, 11 * hr)),
+        Seq((1L, 1 * hr), (1L, 12 * hr))))
+      assert(got(1L) == ((3L, 1L, 12 * hr, 1L)), got.toString)
+    }
+  }
 }
 
 /** Crash-injection wrapper over the real [[graft.sinks.JdbcSink]]: the first
