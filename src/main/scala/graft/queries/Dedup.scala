@@ -1224,6 +1224,38 @@ object Dedup {
           (col("se").cast("string").cast("double") / col("n_pairs").cast("double"))
             .as("mean_abs_err"))
         .orderBy(col("bucket"))
+    },
+    // Duplicate-aware sampling weights (the "soft dedup" used when hard
+    // removal loses coverage): every doc in an exact-dup group of size n
+    // trains at weight 1/n, so each distinct TEXT contributes exactly one
+    // doc-equivalent regardless of how many sources re-crawled it. The
+    // per-source rollup is the mixing-table input: eff_docs is what the
+    // source actually contributes to training after downweighting. The
+    // weight is kept EXACT as parts-per-million (1e6 div n — BIGINT, fold-
+    // order-free) and converted to double once per source row; a raw
+    // double sum would hash-differ across partition orders. Two exchanges
+    // at 100 TB: one groupBy on the text hash (the d1 shuffle) and one
+    // |sources|-sized rollup; the group-size join-back rides a window
+    // over the SAME fp partitioning, not a second shuffle.
+    "d19_dup_weights" -> { (s, d) =>
+      // fp is materialized as a column BEFORE the windows: partitioning by
+      // the md5 expression directly makes Catalyst project it twice
+      // (_w0#a vs _w0#b) and the two windows stop sharing their exchange
+      // (plan-audited — the expression-key form paid 2× the shuffle).
+      val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      Tables.validDocuments(s, d)
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .withColumn("n", count(lit(1)).over(byFp).cast("bigint"))
+        .withColumn("w_ppm", expr("1000000L div n"))
+        .withColumn("rn", row_number().over(byFp.orderBy(col("doc_id"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept_hard"),
+          max(col("n")).as("max_copies"),
+          sum(col("w_ppm")).as("eff_ppm"))
+        .select(col("source"), col("n_docs"), col("n_kept_hard"), col("max_copies"),
+          (col("eff_ppm").cast("double") / 1e6).as("eff_docs"))
+        .orderBy(col("source"))
     }
   )
 
@@ -1659,7 +1691,22 @@ object Dedup {
          |SELECT bucket, count(*) AS n_pairs,
          |  CAST(CAST(sum(jd) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_jaccard,
          |  CAST(CAST(sum(ed) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_abs_err
-         |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mirrors d19: grouping on raw text ≡ the engine's md5(text) partition
+    // key (same equivalence classes, no cross-engine hash dependency); the
+    // hard-dedup representative is the group's min doc_id, attributed to
+    // its source; weights stay exact integer ppm until the final divide.
+    "d19_dup_weights" ->
+      s"""WITH g AS (
+         |  SELECT source, doc_id,
+         |    CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n,
+         |    min(doc_id) OVER (PARTITION BY text) AS keep_id
+         |  FROM ${graft.Tables.validDocsSql} documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_hard,
+         |  max(n) AS max_copies,
+         |  CAST(sum(1000000 // n) AS DOUBLE) / 1e6 AS eff_docs
+         |FROM g GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin
   )
 
   // d17's survivorship presentation over the `cc` closure — one

@@ -856,6 +856,82 @@ object Events {
           sum(when(col("c") >= LIMIT, 1L).otherwise(0L)).as("n_breach_events"),
           min(when(col("c") >= LIMIT, col("ts"))).as("first_breach_ts"))
         .orderBy(col("user_id"))
+    },
+    // Incremental view maintenance of a grouped aggregate under e27's CDC
+    // changelog — the 100 TB move this proves: the nightly snapshot
+    // aggregate is NOT recomputed from the snapshot; the engine aggregates
+    // yesterday's BASE plus today's DELTA (insert/retract pairs derived
+    // from consecutive key versions, Flink-changelog style) and the result
+    // hash-matches the full recompute, which is exactly what the ORACLE
+    // computes (it never sees the split). The textbook SUM/NULL hazard is
+    // handled the textbook way: a maintained non-null count (n_vals)
+    // distinguishes "sum retracted to 0" from "no non-null contributions"
+    // — without it, a key updating from mu=5 to mu=NULL leaves base+delta
+    // = 0 where the recompute says NULL. Values quantize to finite micros
+    // (e24's guard) so retraction is exact BIGINT arithmetic — IEEE
+    // doubles cannot retract (x − x ≠ 0 for NaN, and fold order leaks).
+    // Groups whose live-key count nets to zero are dropped (the recompute
+    // has no such row). One user_id exchange carries the version chain;
+    // base and delta come out of the SAME windowed pass (the delta rows
+    // via an array-of-struct explode, not a second scan); the merge join
+    // is |types|-sized. The split point is engine-internal (temporal
+    // midpoint from a 1-row broadcast) — ANY split must yield the same
+    // answer, which is what the oracle hash certifies.
+    "e32_ivm_agg" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .withColumn("op",
+          when(col("event_type") === "purchase", lit("delete")).otherwise(lit("upsert")))
+        .withColumn("mu",
+          when(finite(col("value")), round(col("value") * 1e6).cast("bigint")))
+      val bounds = ev.agg(
+        min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      val byKey = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      val keyAll = Window.partitionBy(col("user_id"))
+      // pre = prefix of each key's version chain (null ts sorts first and
+      // counts as pre, so the prefix property holds on hostile rows too).
+      val chained = ev.crossJoin(broadcast(bounds))
+        .withColumn("pre",
+          col("ts").isNull || unix_micros(col("ts")) <= expr("lo + (hi - lo) div 2"))
+        .withColumn("rn", row_number().over(byKey))
+        .withColumn("prev_op", lag(col("op"), 1).over(byKey))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byKey))
+        .withColumn("prev_mu", lag(col("mu"), 1).over(byKey))
+        .withColumn("max_pre_rn", max(when(col("pre"), col("rn"))).over(keyAll))
+        .localCheckpoint(true) // feeds base AND delta (d9's union lesson)
+      val base = chained
+        .filter(col("pre") && col("rn") === col("max_pre_rn") && col("op") === "upsert")
+        .groupBy(col("event_type").as("g"))
+        .agg(count(lit(1)).as("n_b"), count(col("mu")).as("v_b"), sum(col("mu")).as("s_b"))
+      val delta = chained
+        .filter(!col("pre"))
+        .select(explode(array(
+          when(col("op") === "upsert",
+            struct(col("event_type").as("g"), col("mu"), lit(1L).as("sgn"))),
+          when(col("prev_op") === "upsert",
+            struct(col("prev_type").as("g"), col("prev_mu").as("mu"), lit(-1L).as("sgn")))))
+          .as("dlt"))
+        .filter(col("dlt").isNotNull)
+        .select(col("dlt.g"), col("dlt.mu"), col("dlt.sgn"))
+        .groupBy(col("g"))
+        .agg(sum(col("sgn")).as("n_d"),
+          sum(when(col("mu").isNotNull, col("sgn")).otherwise(0L)).as("v_d"),
+          sum(col("sgn") * col("mu")).as("s_d"))
+      // Null-safe merge key: a null event_type is ONE group on both
+      // engines, but an equi-join would leave its base and delta rows
+      // unmerged (null never equals null).
+      base.join(delta.withColumnRenamed("g", "g_d"),
+          col("g") <=> col("g_d"), "full_outer")
+        .withColumn("g", coalesce(col("g"), col("g_d")))
+        .withColumn("n_keys", (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).cast("bigint"))
+        .withColumn("n_vals", (coalesce(col("v_b"), lit(0L)) + coalesce(col("v_d"), lit(0L))).cast("bigint"))
+        .withColumn("sum_mu",
+          when(col("n_vals") > 0,
+            coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).cast("bigint"))
+        .filter(col("n_keys") > 0)
+        .select(col("g").as("last_type"), col("n_keys"), col("n_vals"), col("sum_mu"))
+        .orderBy(col("last_type"))
     }
   )
 
@@ -1365,6 +1441,24 @@ object Events {
         |SELECT user_id, CAST(max(c) AS BIGINT) AS max_in_6h,
         |  CAST(sum(CASE WHEN c >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_events,
         |  min(CASE WHEN c >= 4 THEN ts END) AS first_breach_ts
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The IVM contract: the oracle recomputes the snapshot aggregate from
+    // scratch (e27's rk=1 live set) and never sees the engine's split —
+    // hash equality certifies base ⊕ delta == recompute for the engine's
+    // (arbitrary) split point.
+    "e32_ivm_agg" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN isfinite(value) THEN CAST(round(value * 1e6) AS BIGINT) END AS mu,
+        |    CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'upsert' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC NULLS LAST, event_id DESC) AS rk
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT event_type AS last_type,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(count(mu) AS BIGINT) AS n_vals,
+        |  CAST(sum(mu) AS BIGINT) AS sum_mu
+        |FROM c WHERE rk = 1 AND op <> 'delete'
+        |GROUP BY 1 ORDER BY last_type""".stripMargin
   )
 }

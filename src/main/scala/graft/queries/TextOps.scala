@@ -716,6 +716,72 @@ object TextOps {
         .withColumn("top100_share",
           col("top100_tokens").cast("double") / col("n_tokens").cast("double"))
         .orderBy(col("source"))
+    },
+    // C4-style line-level cleaning (Raffel et al. 2020, §2.2 heuristics —
+    // the web-corpus pre-filter that runs BEFORE dedup/quality models):
+    // a line survives iff it has ≥5 whitespace words, ends in terminal
+    // punctuation, and mentions neither "javascript" nor curly braces;
+    // the doc-level lorem-ipsum flag marks boilerplate pages. Everything
+    // runs as higher-order array functions on the split lines — one
+    // narrow scan+project, NO explode/re-aggregate round trip, so at
+    // 100 TB it is an embarrassingly parallel map with zero shuffles
+    // (the final orderBy is presentation only). The cleaned text is
+    // pinned by md5 so the contract covers the full surviving BYTES,
+    // not just the counts. CRLF is normalized first ('\r' stripped) —
+    // the hostile corpus's \r\n doc would otherwise fail the terminal-
+    // punctuation rule on every engine differently.
+    "t25_line_filter" -> { (s, d) =>
+      val lines = split(regexp_replace(col("text"), "\r", ""), "\n")
+      val keepRule = (l: Column) => {
+        val t = trim(l)
+        val words = when(t === "", array().cast("array<string>"))
+          .otherwise(split(t, "\\s+"))
+        size(words) >= 5 && t.rlike("[.!?\"']$") &&
+          !lower(t).contains("javascript") && !l.contains("{") && !l.contains("}")
+      }
+      Tables.validDocuments(s, d)
+        .withColumn("lines", lines)
+        .withColumn("kept", filter(col("lines"), keepRule))
+        .select(
+          col("doc_id"),
+          size(col("lines")).cast("bigint").as("n_lines"),
+          size(col("kept")).cast("bigint").as("n_kept"),
+          aggregate(col("kept"), lit(0L), (a, x) => a + length(x)).as("kept_chars"),
+          (size(col("kept")).cast("double") / size(col("lines")).cast("double"))
+            .as("keep_ratio"),
+          lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+          md5(array_join(col("kept"), "\n").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    // The first BPE merge round (Sennrich et al. 2016) — tokenizer
+    // fitting as a corpus aggregate: weight each word by its corpus
+    // frequency, count adjacent symbol pairs (here: character bigrams of
+    // the initial alphabet), and rank merge candidates under the total
+    // (count DESC, pair) order. Alphabet scoped to ASCII [a-z]+ words —
+    // standard BPE pre-tokenization splits off digits/punctuation, and
+    // the scoping also removes the one engine-parity hazard (grapheme
+    // vs codepoint slicing on combining marks). Scale shape: one corpus
+    // tokenize+aggregate to the VOCABULARY (bounded, not corpus-sized),
+    // pair expansion runs on vocab rows only — at 100 TB the expensive
+    // part is the word count, which is t9's exchange, and each further
+    // merge round would rewrite just the vocab table. The rank window
+    // sorts ≤26² aggregated rows — bounded, single-partition by design.
+    "t27_bpe_pairs" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.validDocuments(s, d)
+        .select(explode(wsTokens(lower(col("text")))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val pairs = words
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, char_length(word)-1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).cast("bigint").as("n_occ"))
+      val rk = Window.orderBy(col("n_occ").desc, col("pair"))
+      pairs.withColumn("rnk", row_number().over(rk).cast("bigint"))
+        .filter(col("rnk") <= 32)
+        .select(col("rnk"), col("pair"), col("n_occ"))
+        .orderBy(col("rnk"))
     }
   )
 
@@ -1080,7 +1146,48 @@ object TextOps {
           |  CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE) AS ttr,
           |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hapax_ratio,
           |  CAST(sum(CASE WHEN rk <= 100 THEN f ELSE 0 END) AS DOUBLE) / CAST(sum(f) AS DOUBLE) AS top100_share
-          |FROM r GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin
+          |FROM r GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin,
+      // Mirrors t25 rule for rule: same '\r' strip, same trim-then-split
+      // word count with the blank-line guard, same terminal-punctuation
+      // regex, same untrimmed brace checks, and md5 over the kept lines
+      // re-joined with '\n' (md5(VARCHAR) here == Spark's md5 of the
+      // UTF-8 bytes).
+      "t25_line_filter" ->
+        s"""WITH l AS (
+          |  SELECT doc_id, lower(text) AS lt,
+          |    string_split(replace(text, chr(13), ''), chr(10)) AS lines,
+          |    list_filter(string_split(replace(text, chr(13), ''), chr(10)), x ->
+          |      len(CASE WHEN trim(x) = '' THEN [] ELSE string_split_regex(trim(x), '\\s+') END) >= 5
+          |      AND regexp_matches(trim(x), '[.!?"'']$$')
+          |      AND NOT contains(lower(trim(x)), 'javascript')
+          |      AND NOT contains(x, '{') AND NOT contains(x, '}')) AS kept
+          |  FROM ${graft.Tables.validDocsSql} documents)
+          |SELECT doc_id,
+          |  CAST(len(lines) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept,
+          |  coalesce(CAST(list_sum(list_transform(kept, x -> length(x))) AS BIGINT), 0) AS kept_chars,
+          |  CAST(len(kept) AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS keep_ratio,
+          |  contains(lt, 'lorem ipsum') AS has_lorem,
+          |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+          |FROM l ORDER BY doc_id""".stripMargin,
+      // Mirrors t27: same lowered whitespace tokenization, same ASCII
+      // alphabet scope, pair expansion via list_transform over the same
+      // 1-based 2-char substring windows, same (count DESC, pair) head.
+      "t27_bpe_pairs" ->
+        s"""WITH w AS (
+          |  SELECT w AS word, count(*) AS c FROM (
+          |    SELECT unnest((CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END)) AS w
+          |    FROM ${graft.Tables.validDocsSql} documents) t
+          |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
+          |  GROUP BY 1),
+          |p AS (
+          |  SELECT unnest(list_transform(range(1, length(word)),
+          |    i -> substring(word, CAST(i AS INTEGER), 2))) AS pair, c
+          |  FROM w),
+          |a AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n_occ FROM p GROUP BY 1)
+          |SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS BIGINT) AS rnk,
+          |  pair, n_occ
+          |FROM a ORDER BY n_occ DESC, pair LIMIT 32""".stripMargin
     )
   }
 

@@ -170,4 +170,29 @@ class HostileDomainSpec extends SparkTestBase {
     // hashed NULL to the seed — one phantom value per column).
     assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 2.0 && r.getLong(3) == 3L, s"$r")
   }
+
+  test("e32 ivm: SUM retraction distinguishes 0 from NULL; zero-net groups vanish") {
+    // The textbook IVM hazard: key u1 updates (A, 5.0) → (A, NULL) across
+    // the split. base+delta sums net to 0, but the recompute over {NULL}
+    // is NULL — only the maintained non-null count (n_vals) can tell the
+    // two apart. u2's post-split delete must also net group B to zero
+    // (no row), and u3 is a pure post-split insert.
+    val dir = java.nio.file.Files.createTempDirectory("hostile").toString
+    import spark.implicits._
+    val far = base + 100 * h
+    Seq((1L, 1L, "A", base, Some(5.0)),
+        (2L, 1L, "A", far, None: Option[Double]),
+        (3L, 2L, "B", base, Some(3.0)),
+        (4L, 2L, "purchase", far, Some(9.9)),
+        (5L, 3L, "C", far, Some(2.5)))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("e32_ivm_agg")(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "C"), rows.mkString("; "))
+    val a = rows(0)
+    assert(a.getLong(1) == 1L && a.getLong(2) == 0L && a.isNullAt(3),
+      s"A must carry NULL sum (not 0) after the NULL-value update: $a")
+    val c = rows(1)
+    assert(c.getLong(1) == 1L && c.getLong(2) == 1L && c.getLong(3) == 2500000L, s"$c")
+  }
 }

@@ -1007,4 +1007,50 @@ class PlanSpec extends SparkTestBase {
         plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
     assert("Scan parquet".r.findAllIn(tree).size == 1, "one documents scan")
   }
+
+  test("t25 line filter: one narrow scan, all rules as array HOFs — zero shuffles") {
+    val plan = planOf("t25_line_filter")
+    val tree = plan.split("\n\n").head
+    assert("Scan parquet".r.findAllIn(tree).size == 1, plan.take(1500))
+    assert(!plan.contains("Generate") && !plan.contains("Join") &&
+      !plan.contains("hashpartitioning"),
+      "line filtering must stay a per-row map (explode/join would shuffle " +
+        "corpus bytes):\n" + plan.take(2000))
+  }
+
+  test("t27 bpe pairs: pair expansion runs on the VOCAB, not the corpus") {
+    val plan = planOf("t27_bpe_pairs")
+    val tree = plan.split("\n\n").head
+    assert("Scan parquet".r.findAllIn(tree).size == 1, "one documents scan")
+    // corpus → word counts (exchange 1), vocab → pair counts (exchange 2);
+    // the rank window sorts ≤26² aggregated rows
+    assert("hashpartitioning\\((word|pair)".r.findAllIn(plan).size == 2,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    // the second Generate's input is the aggregated vocab table: it must
+    // sit ABOVE the word aggregate in the tree, never on the raw scan
+    val genIdx = "Generate".r.findAllIn(tree).size
+    assert(genIdx == 2, s"expected tokenize + pair-expand Generates, got $genIdx")
+  }
+
+  test("e32 ivm: base and delta aggregate the SAME checkpointed version chain") {
+    val plan = planOf("e32_ivm_agg")
+    val tree = plan.split("\n\n").head
+    // the windowed chain (one user_id exchange) is materialized once;
+    // base and delta are aggregates over the checkpoint, not re-scans
+    assert(!tree.contains("Scan parquet"),
+      "events must not be re-scanned per consumer:\n" + plan.take(1500))
+    assert(plan.contains("Scan ExistingRDD"), "consumers read the checkpoint")
+    assert(plan.contains("FullOuter"), "base ⊕ delta merges by group")
+    assert(plan.contains("partial_sum"), "delta aggregation must map-side combine")
+  }
+
+  test("d19 dup weights: both windows share ONE fp exchange; no join-back") {
+    val plan = planOf("d19_dup_weights")
+    val tree = plan.split("\n\n").head
+    assert("Scan parquet".r.findAllIn(tree).size == 1, "one documents scan")
+    assert("hashpartitioning\\(fp".r.findAllIn(plan).size == 1,
+      "group size and representative rank must reuse one fp partitioning:\n" +
+        plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!plan.contains("Join"), "weights ride windows, not a join-back")
+  }
 }
