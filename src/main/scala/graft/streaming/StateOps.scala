@@ -687,6 +687,46 @@ class RateLimitProcessor[K](winMicros: Long, limit: Int)
   }
 }
 
+/** Streaming exact dedup — d1_dedup_exact's `transformWithState` twin and
+  * the state-store shape behind `dropDuplicatesWithinWatermark`. Key = the
+  * content fingerprint (a 64-bit hash of the canonical bytes — the spec
+  * keys by `xxhash64(text)` and pins it collision-free on its corpus;
+  * 8-byte keys). State per key is TWO longs (min doc id seen, copy
+  * count): O(distinct keys) at any stream length, and the optional TTL
+  * bounds even that for never-ending streams — with the documented
+  * contract weakening, exactly `dropDuplicatesWithinWatermark`'s:
+  * suppression is guaranteed only within the horizon, an expired
+  * fingerprint re-admits as new (TTL requires TimeMode.ProcessingTime).
+  *
+  * Emissions are (key, keep_id, n_copies) per touched key per batch;
+  * under a last-wins upsert keyed on the fingerprint the sink converges
+  * to the batch d1 table for ANY batch split and ANY arrival order —
+  * keep_id = min and n = count are order-free merges, so unlike
+  * first-wins-by-arrival no ordering contract is needed (contrast
+  * [[RateLimitProcessor]], whose window math requires per-key monotone
+  * waves). Ref: listen.py:44-186 (row-at-a-time consume loop) — this is
+  * that loop's scaled, partitioned, restart-safe form. */
+class DedupProcessor[K](ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[K, (K, Long), (K, Long, Long)] {
+
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("dedup",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, Long)],
+      timerValues: TimerValues): Iterator[(K, Long, Long)] = {
+    var (keep, n) = if (st.exists()) st.get() else (Long.MaxValue, 0L)
+    rows.foreach { case (_, id) =>
+      if (id < keep) keep = id
+      n += 1
+    }
+    st.update((keep, n))
+    Iterator.single((key, keep, n))
+  }
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

@@ -1071,6 +1071,78 @@ class StreamingSpec extends SparkTestBase {
       assert(got(1L) == ((3L, 1L, 12 * hr, 1L)), got.toString)
     }
   }
+
+  /** Two-phase dedup runner (same checkpoint-recovery pattern as
+    * [[rateLimitPhases]]): each wave of (fingerprint, doc_id) rows lands as
+    * a json file, drains through foreachBatch with the query RESTARTED per
+    * wave, and the last emission per key wins — the upsert-sink contract. */
+  private def dedupPhases(waves: Seq[Seq[(Long, Long)]]): Map[Long, (Long, Long)] = {
+    val landing = tmpDir(); val ckpt = tmpDir()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("fp", org.apache.spark.sql.types.LongType)
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+    def run(): Unit = {
+      val spark0 = spark
+      import spark0.implicits._
+      val out = spark.readStream.schema(schema).json(landing)
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.DedupProcessor[Long](),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("fp", "keep_id", "n_copies")
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            last.put(r.getLong(0), (r.getLong(1), r.getLong(2))))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "dedup query did not drain")
+    }
+    waves.zipWithIndex.foreach { case (wave, i) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$landing/wave$i.json"),
+        wave.map { case (fp, id) => s"""{"fp":$fp,"doc_id":$id}""" }
+          .mkString("\n").getBytes("UTF-8"))
+      run()
+    }
+    import scala.jdk.CollectionConverters._
+    last.asScala.toMap
+  }
+
+  test("transformWithState dedup: streamed last-wins equals batch d1 under an arbitrary split") {
+    val spark0 = spark
+    import spark0.implicits._
+    // The real corpus keyed by the 64-bit content fingerprint. keep = min
+    // and n = count are order-free merges, so unlike the rate-limit twin
+    // the waves need NO time ordering — split by doc_id parity on purpose.
+    val docs = Tables.validDocuments(spark, sf)
+      .select(xxhash64(col("text")).as("fp"), col("doc_id"))
+      .as[(Long, Long)].collect()
+    val expected = docs.groupBy(_._1).map { case (fp, rs) =>
+      fp -> ((rs.map(_._2).min, rs.size.toLong)) }
+    // The fingerprint stands in for the text ⇔ it is collision-free here;
+    // d1 groups by text, so pin the two universes to the same size.
+    val nTexts = SparkEntry.queries("d1_dedup_exact")(spark, sf).count()
+    assert(expected.size.toLong == nTexts, "xxhash64 collided on this corpus")
+    withRocksDB {
+      val got = dedupPhases(Seq(
+        docs.filter(_._2 % 2 == 0).toSeq, docs.filter(_._2 % 2 == 1).toSeq))
+      assert(got == expected, s"streamed ${got.size} keys != batch ${expected.size}")
+    }
+  }
+
+  test("dedup processor: a duplicate arriving after a restart folds into the surviving group") {
+    withRocksDB {
+      // key 7: copies 30 and 10 in wave 1, copy 20 after the restart —
+      // keep must drop to 10 in wave 1 and n must reach 3 in wave 2.
+      val got = dedupPhases(Seq(
+        Seq((7L, 30L), (7L, 10L), (8L, 5L)),
+        Seq((7L, 20L))))
+      assert(got == Map(7L -> ((10L, 3L)), 8L -> ((5L, 1L))), got.toString)
+    }
+  }
 }
 
 /** Crash-injection wrapper over the real [[graft.sinks.JdbcSink]]: the first
