@@ -926,6 +926,22 @@ object Dedup {
         vec_dot(col("embedding"), col("embedding")).as("sq"))
       signLshPairs(s, e, threshold, tables, d7Geometry(threshold, tables, target))
     },
+    // d7's hash-oracled exhaustive twin (the s2/s4/s13 pattern): 1 table x
+    // 0 bits puts every vector of a label in ONE bucket, so the candidate
+    // set is all within-label pairs and the exact-cosine verification makes
+    // the output d6's rows verbatim — same kernel, degenerate geometry, so
+    // the oracle hash certifies the WHOLE pair pipeline (bucketing, pair
+    // dedup, embedding rejoin, verification), not a separate code path.
+    // The production d7 entry stays rows-only beside it (its buckets are
+    // hash-defined); this twin is the contract that the kernel's recall
+    // losses come from the geometry alone.
+    "d7_exhaustive" -> { (s, d) =>
+      import graft.functions.VecFunctions.vec_dot
+      val e = Tables.parallelized(Tables.validEmbeddings(s, d)).select(col("vec_id"), col("label"),
+        col("embedding"),
+        vec_dot(col("embedding"), col("embedding")).as("sq"))
+      signLshPairs(s, e, 0.3, 1, 0)
+    },
     // Semantic dedup (the SemDeDup recipe: cluster, keep one representative,
     // drop members too similar to it): per label cluster, the MEDOID is the
     // vector most aligned with the cluster centroid (s5/s6's order-free
@@ -1360,6 +1376,25 @@ object Dedup {
   private val D4_SIG_EXPR: String =
     (0 until 64).map(k => s"CASE WHEN v$k > 0 THEN '1' ELSE '0' END").mkString(" || ")
 
+  // Exact within-label pair enumeration at cosine >= 0.3 — d6's oracle, and
+  // (by degenerate 1x0 LSH geometry) d7_exhaustive's too.
+  private val EXACT_PAIRS_SQL: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
+      |  FROM ${graft.Tables.validEmbSql} embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      |  (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+      |     list_transform(list_zip(a.embedding, b.embedding),
+      |                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+      |    / (sqrt(a.sq) * sqrt(b.sq)) AS cosine
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
+      |     list_transform(list_zip(a.embedding, b.embedding),
+      |                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
+      |    / (sqrt(a.sq) * sqrt(b.sq)) >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // d4_oracled: md5-bit SimHash — per-shingle nibble votes, sign-bit
     // signature as a 64-char bit string (char i+1 = bit i, matching the
@@ -1506,22 +1541,11 @@ object Dedup {
          |  CAST(count(t.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
          |FROM ev LEFT JOIN train t USING (sh)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "d6_embedding_neardup" ->
-      s"""WITH e AS (
-        |  SELECT vec_id, label, embedding,
-        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
-        |  FROM ${graft.Tables.validEmbSql} embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-        |  (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
-        |     list_transform(list_zip(a.embedding, b.embedding),
-        |                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
-        |    / (sqrt(a.sq) * sqrt(b.sq)) AS cosine
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE (SELECT sum(CAST(p.v AS DOUBLE)) FROM unnest(
-        |     list_transform(list_zip(a.embedding, b.embedding),
-        |                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) p(v))
-        |    / (sqrt(a.sq) * sqrt(b.sq)) >= 0.3
-        |ORDER BY vec_a, vec_b""".stripMargin,
+    "d6_embedding_neardup" -> EXACT_PAIRS_SQL,
+    // The degenerate-geometry twin produces d6's rows verbatim (see the
+    // query comment), so it rides the same SQL — one oracle certifying two
+    // code paths is the point.
+    "d7_exhaustive" -> EXACT_PAIRS_SQL,
     // s5's centroid CTEs, then medoid-by-rank and one per-label rejoin.
     "d15_semdedup" ->
       s"""WITH comp AS (

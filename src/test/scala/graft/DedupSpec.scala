@@ -63,6 +63,19 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.7, s"d7 recall $recall below 0.7 (|exact|=${exact.size})")
   }
 
+  test("d7_exhaustive (1x0 geometry) reproduces exact d6 bit-for-bit") {
+    // The degenerate geometry puts each label in one bucket, so the kernel
+    // must emit d6's rows verbatim — this is the hash contract the driver
+    // oracle certifies; here it's pinned structurally (same rows, same
+    // cosines) so a kernel refactor can't silently change the pair path.
+    val exact = graft.queries.Dedup.queries("d6_embedding_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val twin = graft.queries.Dedup.queries("d7_exhaustive")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(twin == exact, s"d7_exhaustive (${twin.size}) != d6 (${exact.size})")
+    assert(exact.nonEmpty, "spec corpus must exercise the pair path")
+  }
+
   test("d6 block-size guard fails fast when a label block exceeds the bound") {
     // At sf0.001 every label block is far larger than 3, so the guard must
     // fire; with the default bound the query runs to completion.
