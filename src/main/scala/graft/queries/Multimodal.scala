@@ -205,6 +205,32 @@ object Multimodal {
         .select(col("doc_id"), col("chunk_idx"), col("n_chunks"),
           col("offset_bytes"), col("chunk_bytes"), col("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    // Cross-media shared-frame detection — near-dup VIDEO detection the way
+    // production pipelines do it (frame-level content addressing): mm3's
+    // sampled frames keyed by their digest; a frame is SHARED when it occurs
+    // in ≥ 2 distinct media. Per media: frame count, shared-frame count, and
+    // the share ratio — the re-encoded/clipped-copy score that mm5's
+    // whole-blob digest cannot see (any container change breaks the blob
+    // hash; the frames survive). Scale shape: the digest aggregate and the
+    // join back both exchange on frame_hex — (hex, count) rows, never media
+    // bytes — and the per-doc rollup reuses the doc_id exchange; the
+    // distinct-doc count is a partial-aggregating groupBy, not a window.
+    "mm8_frame_dedup" -> { (s, d) =>
+      val frames = mediaTable(s, d)
+        .select(col("doc_id"), col("media"), length(col("media")).as("len"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, int((len - 1) / 64)), i -> hex(substring(media, i * 64 + 1, 32)))"))
+          .as("frame_hex"))
+      val nd = frames.groupBy(col("frame_hex"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      frames.join(nd, "frame_hex")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).cast("bigint").as("n_shared"))
+        .withColumn("share_ratio",
+          col("n_shared").cast("double") / col("n_frames").cast("double"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -299,6 +325,23 @@ object Multimodal {
         |  CAST(chunk_idx * 2048 AS BIGINT) AS offset_bytes,
         |  CAST(length(substring(h, CAST(chunk_idx * 4096 + 1 AS BIGINT), 4096)) // 2 AS BIGINT) AS chunk_bytes,
         |  md5(substring(h, CAST(chunk_idx * 4096 + 1 AS BIGINT), 4096)) AS chunk_md5
-        |FROM f ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM f ORDER BY doc_id, chunk_idx""".stripMargin,
+    // mm3's frame CTE verbatim (byte windows through the hex dump), then
+    // the digest-count aggregate and the per-doc rollup.
+    "mm8_frame_dedup" ->
+      s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
+        |                  octet_length(encode(text)) AS len FROM ${graft.Tables.validDocsSql} documents),
+        |f AS (SELECT doc_id,
+        |             substring(h, CAST(i * 128 + 1 AS BIGINT), 64) AS frame_hex
+        |      FROM (SELECT doc_id, h,
+        |              unnest(generate_series(0, greatest((len - 1) // 64, 0))) AS i
+        |            FROM m) t),
+        |nd AS (SELECT frame_hex, count(DISTINCT doc_id) AS ndocs FROM f GROUP BY 1)
+        |SELECT f.doc_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS share_ratio
+        |FROM f JOIN nd USING (frame_hex)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
   )
 }

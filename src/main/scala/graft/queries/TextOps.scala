@@ -782,6 +782,40 @@ object TextOps {
         .filter(col("rnk") <= 32)
         .select(col("rnk"), col("pair"), col("n_occ"))
         .orderBy(col("rnk"))
+    },
+    // Training-shard plan — the manifest a 100 TB shard WRITE is driven by.
+    // Shard = first md5 nibble of the doc key (16 shards, t10's md5 idiom:
+    // both engines hash the decimal string, so assignment is a pure
+    // engine-free function of the key); intra-shard order = (md5, doc_id),
+    // i.e. the standard deterministic pseudo-random permutation that
+    // decorrelates adjacent training examples without a seed. The write
+    // itself is `repartition(shard)` + `sortWithinPartitions(h, doc_id)` —
+    // ONE hash exchange, no global sort — and this query is its driver
+    // contract: per-shard doc/token/byte totals plus the first/last doc
+    // under the shard order, pinned via min/max over an "h:zero-padded-id"
+    // tag (arg-min by string order == the permutation's endpoints; min_by
+    // would need struct ordering DuckDB's arg_min lacks). A skewed or
+    // non-reproducible shard function shows up here as lopsided counts or
+    // a changed endpoint before any shard is written.
+    "t28_shard_plan" -> { (s, d) =>
+      val docs = Tables.validDocuments(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(wsTokens(col("text"))).cast("bigint").as("n_tokens"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("shard",
+          expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT)"))
+        .withColumn("tag",
+          concat(col("h"), lit(":"), lpad(col("doc_id").cast("string"), 12, "0")))
+      docs.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+          sum(col("n_chars")).cast("bigint").as("n_bytes"),
+          min(col("tag")).as("first_tag"),
+          max(col("tag")).as("last_tag"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+          substring(col("first_tag"), 34, 12).cast("bigint").as("first_doc"),
+          substring(col("last_tag"), 34, 12).cast("bigint").as("last_doc"))
+        .orderBy(col("shard"))
     }
   )
 
@@ -1187,7 +1221,23 @@ object TextOps {
           |a AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n_occ FROM p GROUP BY 1)
           |SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS BIGINT) AS rnk,
           |  pair, n_occ
-          |FROM a ORDER BY n_occ DESC, pair LIMIT 32""".stripMargin
+          |FROM a ORDER BY n_occ DESC, pair LIMIT 32""".stripMargin,
+      "t28_shard_plan" ->
+        s"""WITH t AS (
+          |  SELECT doc_id, n_chars,
+          |    CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM ${graft.Tables.validDocsSql} documents),
+          |g AS (
+          |  SELECT CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT) AS shard,
+          |    n_chars, n_tokens,
+          |    h || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS tag
+          |  FROM t)
+          |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+          |  CAST(substring(min(tag), 34, 12) AS BIGINT) AS first_doc,
+          |  CAST(substring(max(tag), 34, 12) AS BIGINT) AS last_doc
+          |FROM g GROUP BY shard ORDER BY shard""".stripMargin
     )
   }
 

@@ -298,4 +298,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r == Seq((1L, 0, 2, 0L, 2048L), (1L, 1, 2, 2048L, 2L)),
       s"got ${r.mkString("; ")}")
   }
+
+  test("t28 shards partition the corpus; the plan is a pure function of the keys") {
+    // t28 reads n_chars (the byte manifest), which docsCorpus omits.
+    val rows = Seq((1L, "a b c"), (2L, "d e"), (3L, ""), (4L, "x"),
+      (5L, "y z"), (6L, "w"), (7L, "q r s t"), (8L, "u"))
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = SparkEntry.queries("t28_shard_plan")(spark, dir)
+    val r = q.collect()
+    assert(r.map(_.getLong(1)).sum == 8L, "every doc lands in exactly one shard")
+    assert(r.map(_.getLong(2)).sum == 14L, "token totals are conserved") // 3+2+0+1+2+1+4+1
+    assert(r.forall(x => x.getInt(0) >= 0 && x.getInt(0) < 16), "16 shards")
+    // first/last come from the md5 permutation: re-running must not move them
+    // (no seed, no wall clock anywhere in the plan).
+    assert(q.collect().toSeq == r.toSeq, "shard plan must be deterministic")
+  }
+
+  test("mm8: exact blob copies share every frame; unique blobs share none") {
+    // docs 1/2 are byte-identical (all frames shared); doc 3 is unique.
+    val dir = docsCorpus(Seq((1L, "A" * 300), (2L, "A" * 300), (3L, "B" * 300)))
+    val r = SparkEntry.queries("mm8_frame_dedup")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSeq
+    // 300 bytes ⇒ frames at offsets 0/64/128/192/256 = 5 frames per doc.
+    assert(r == Seq((1L, 5L, 5L, 1.0), (2L, 5L, 5L, 1.0), (3L, 5L, 0L, 0.0)),
+      s"got ${r.mkString("; ")}")
+  }
 }

@@ -1053,4 +1053,28 @@ class PlanSpec extends SparkTestBase {
         plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
     assert(!plan.contains("Join"), "weights ride windows, not a join-back")
   }
+
+  test("t28 shard plan: one documents scan, one shard exchange, no window/join") {
+    val plan = planOf("t28_shard_plan")
+    val tree = plan.split("\n\n").head
+    assert("Scan parquet".r.findAllIn(tree).size == 1, "one documents scan")
+    assert(!plan.contains("Join"), "manifests come from the aggregate alone")
+    assert(!tree.contains("Window"),
+      "endpoints ride min/max tags, not a rank window:\n" + tree.take(1200))
+    // One hash exchange on shard (the write's own partitioning) — the
+    // partial aggregate below it collapses each map task to ≤16 rows.
+    assert("hashpartitioning\\(shard".r.findAllIn(plan).size >= 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(plan.contains("partial"), "map-side combine before the exchange")
+  }
+
+  test("mm8 frame dedup: exchanges carry digests and counts, never media bytes") {
+    val plan = planOf("mm8_frame_dedup")
+    // Both shuffles key on frame_hex (digest agg + join back) and the
+    // rollup reuses doc_id; media/len must be projected away BEFORE any
+    // exchange — a media column in an Exchange row is the 100 TB bug.
+    val exch = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exch.contains("media"), "media bytes cross an exchange:\n" + exch)
+    assert("hashpartitioning\\(frame_hex".r.findAllIn(plan).nonEmpty, exch)
+  }
 }
