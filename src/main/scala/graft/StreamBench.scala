@@ -309,6 +309,42 @@ object StreamBench {
       q.stop()
     }
 
+    // ---- 2h. AsofJoinProcessor over sf events (temporal enrichment) -------
+    {
+      // same contiguous-wave shape as 2g: parity requires per-key
+      // monotone arrival across batches; only the two participating
+      // event types are fed (the processor's input contract).
+      val rows = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+          when(col("event_type") === "signup", 1).otherwise(0))
+        .as[(Long, Long, Long, Int)].collect()
+        .sortBy(_._3)
+      val waves = 10
+      val per = math.max(1, (rows.length + waves - 1) / waves)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Int)]
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.AsofJoinProcessor[Long](),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "event_id", "t", "signup_t", "late")
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", tmpDir())
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      rows.grouped(per).foreach { wave =>
+        stream.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("asof(sf events)", q, rows.length.toLong, wall)
+      q.stop()
+    }
+
     // ---- 3. p1 pipeline as a throttled file stream ------------------------
     {
       val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema

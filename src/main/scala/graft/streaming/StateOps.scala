@@ -727,6 +727,64 @@ class DedupProcessor[K](ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** Streaming as-of enrichment — batch e4's `transformWithState` twin: each
+  * purchase is joined to the latest signup at-or-before it, per key, over
+  * an unbounded stream with O(1) state (three longs: last signup micros
+  * | -1, the key's event-time high-water mark, late count). This is the
+  * stream-stream temporal join that Spark's built-in interval join buffers
+  * BOTH sides for; as-of-against-the-latest needs only the running
+  * dominant row, so state never grows with the stream.
+  *
+  * Ordering contract (the [[RateLimitProcessor]] precedent): rows may
+  * arrive in any order WITHIN a micro-batch — they are replayed in batch
+  * e4's exact order (ts, signup-before-purchase at equal ts, event_id) —
+  * but across batches the stream must be key-wise monotone. A row older
+  * than the key's high-water mark cannot be joined exactly (a newer signup
+  * may already dominate the state): a late PURCHASE is emitted flagged
+  * (`late = 1`, no join — the dead-letter route, watermark drop
+  * semantics), a late SIGNUP is counted and dropped (already-emitted
+  * purchases cannot be retracted). Under monotone waves the emissions
+  * equal batch e4 row for row (StreamingSpec pins it on the real corpus).
+  *
+  * Input: (key, event_id, ts_micros, is_signup 1|0) — feed only the two
+  * participating event types. Emissions per batch: one
+  * (key, event_id, ts, signup_micros | -1, late 0|1) row per purchase;
+  * Update-mode idempotent under an event_id-keyed upsert.
+  * Ref: listen.py:44-186 (the reference enriches row-at-a-time on
+  * consume); this is that loop partitioned, restart-safe, exactly
+  * ordered, and with the join state made explicit and bounded. */
+class AsofJoinProcessor[K]
+    extends StatefulProcessor[K, (K, Long, Long, Int), (K, Long, Long, Long, Long)] {
+
+  @transient private var st: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)]("asof",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, Long, Long, Int)],
+      timerValues: TimerValues): Iterator[(K, Long, Long, Long, Long)] = {
+    val sorted = rows.toArray.sortBy(r => (r._3, 1 - r._4, r._2))
+    var (lastSignup, hwm, nLate) =
+      if (st.exists()) st.get() else (-1L, Long.MinValue, 0L)
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(K, Long, Long, Long, Long)]
+    sorted.foreach { case (_, eid, t, isSignup) =>
+      if (t < hwm) {
+        nLate += 1
+        if (isSignup == 0) out += ((key, eid, t, -1L, 1L))
+      } else {
+        hwm = t
+        if (isSignup == 1) lastSignup = t
+        else out += ((key, eid, t, lastSignup, 0L))
+      }
+    }
+    st.update((lastSignup, hwm, nLate))
+    out.iterator
+  }
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

@@ -1143,6 +1143,91 @@ class StreamingSpec extends SparkTestBase {
       assert(got == Map(7L -> ((10L, 3L)), 8L -> ((5L, 1L))), got.toString)
     }
   }
+
+  /** Two-phase as-of runner (the [[rateLimitPhases]] checkpoint-recovery
+    * pattern): waves of (user_id, event_id, t, is_signup) rows land as json
+    * files; emissions are keyed by event_id (unique), last-wins. */
+  private def asofPhases(waves: Seq[Seq[(Long, Long, Long, Int)]])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    val landing = tmpDir(); val ckpt = tmpDir()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType)
+      .add("event_id", org.apache.spark.sql.types.LongType)
+      .add("t", org.apache.spark.sql.types.LongType)
+      .add("is_signup", org.apache.spark.sql.types.IntegerType)
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long, Long)]()
+    def run(): Unit = {
+      val spark0 = spark
+      import spark0.implicits._
+      val out = spark.readStream.schema(schema).json(landing)
+        .as[(Long, Long, Long, Int)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.AsofJoinProcessor[Long](),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "event_id", "t", "signup_t", "late")
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => last.put(r.getLong(1),
+            (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "as-of query did not drain")
+    }
+    waves.zipWithIndex.foreach { case (wave, i) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$landing/wave$i.json"),
+        wave.map { case (u, e, t, s) =>
+          s"""{"user_id":$u,"event_id":$e,"t":$t,"is_signup":$s}""" }
+          .mkString("\n").getBytes("UTF-8"))
+      run()
+    }
+    import scala.jdk.CollectionConverters._
+    last.asScala.toMap
+  }
+
+  test("transformWithState as-of: streamed enrichment equals batch e4 across a time-split") {
+    val spark0 = spark
+    import spark0.implicits._
+    // The participating event types of the real corpus, split into two
+    // batch-monotone waves — the contract under which parity is promised.
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        when(col("event_type") === "signup", 1).otherwise(0).as("is_signup"))
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._3)
+    assert(ev.exists(_._4 == 1) && ev.exists(_._4 == 0), "corpus must carry both types")
+    // Batch e4 restricted to the same input universe (non-null user/ts).
+    val expected = SparkEntry.queries("e4_asof_join")(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        coalesce(unix_micros(col("signup_ts")), lit(-1L)))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (e, u, t, st) => e -> ((u, t, st, 0L)) }.toMap
+    withRocksDB {
+      val split = ev(ev.length / 2)._3
+      val got = asofPhases(Seq(
+        ev.filter(_._3 < split).toSeq, ev.filter(_._3 >= split).toSeq))
+      assert(got == expected,
+        s"streamed ${got.size} purchases != batch ${expected.size}")
+    }
+  }
+
+  test("as-of processor: late purchase is flagged unjoined; late signup never rewrites history") {
+    withRocksDB {
+      val got = asofPhases(Seq(
+        // wave 1: signup@100, purchase@150 (joined to 100), hwm=150
+        Seq((1L, 10L, 100L, 1), (1L, 11L, 150L, 0)),
+        // wave 2: late purchase@120 (flagged, no join), late signup@140
+        // (dropped — must NOT rewrite state), purchase@160 joins to 100.
+        Seq((1L, 12L, 120L, 0), (1L, 13L, 140L, 1), (1L, 14L, 160L, 0))))
+      assert(got == Map(
+        11L -> ((1L, 150L, 100L, 0L)),
+        12L -> ((1L, 120L, -1L, 1L)),
+        14L -> ((1L, 160L, 100L, 0L))), got.toString)
+    }
+  }
 }
 
 /** Crash-injection wrapper over the real [[graft.sinks.JdbcSink]]: the first
