@@ -1575,6 +1575,49 @@ object Relational {
           abs(col("est_rows") - col("exact_rows").cast("double")) /
             col("exact_rows").cast("double")))
         .orderBy(col("join_id"))
+    },
+    // q67's sibling: q67 answers "how BIG is the join", q68 answers
+    // "WHICH keys make it big" — the salting decision (q54) as a
+    // driver-visible report. Per join: the top-10 keys by output
+    // contribution f_left·f_right with exact ppm share of the total.
+    // Arithmetic rides DECIMAL(38,0) end-to-end (a 100 TB key can carry
+    // f≈1e10 per side ⇒ products past BIGINT; exact integer ppm via DIV —
+    // no float division, so the share is bit-identical cross-engine; the
+    // emitted `pairs` column casts back to BIGINT, the documented domain).
+    // Scale shape: joins see per-key AGGREGATES, never rows (q67's
+    // contract); the global top-10 is a WindowGroupLimit heap — each map
+    // task forwards ≤10 candidate rows, the exchange carries survivors;
+    // the counts frame is checkpointed once because the total and the
+    // top-10 both consume it (re-deriving it would re-run the key join).
+    "q68_skew_topkeys" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def freq(df: DataFrame, key: String): DataFrame =
+        df.filter(col(key).isNotNull)
+          .groupBy(col(key).as("join_key")).agg(count(lit(1)).as("f"))
+      val lf = freq(Tables.lineitem(s, d), "l_orderkey")
+      val of = freq(Tables.orders(s, d), "o_orderkey")
+      val ef = freq(Tables.events(s, d), "user_id")
+      val dec = (c: Column) => c.cast("decimal(19,0)")
+      val ol = of.as("o").join(lf.as("l"), Seq("join_key"))
+        .select(col("join_key"), col("o.f").as("f_left"), col("l.f").as("f_right"),
+          (dec(col("o.f")) * dec(col("l.f"))).as("pairs_dec"))
+      val ee = ef.select(col("join_key"), col("f").as("f_left"), col("f").as("f_right"),
+        (dec(col("f")) * dec(col("f"))).as("pairs_dec"))
+      def top(pairsDf0: DataFrame, name: String): DataFrame = {
+        val pairsDf = pairsDf0.localCheckpoint(true)
+        val tot = pairsDf.agg(sum(col("pairs_dec")).as("tot"))
+        val w = Window.orderBy(col("pairs_dec").desc, col("join_key"))
+        pairsDf
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
+          .filter(col("rnk") <= 10)
+          .crossJoin(broadcast(tot))
+          .select(lit(name).as("join_id"), col("rnk"), col("join_key"),
+            col("f_left"), col("f_right"),
+            col("pairs_dec").cast("bigint").as("pairs"),
+            expr("CAST((pairs_dec * 1000000) DIV tot AS BIGINT)").as("share_ppm"))
+      }
+      top(ol, "orders_lineitem").unionAll(top(ee, "events_self"))
+        .orderBy(col("join_id"), col("rnk"))
     }
   )
 
@@ -2026,6 +2069,35 @@ object Relational {
         |SELECT join_id, est_rows, exact_rows,
         |  CASE WHEN exact_rows > 0
         |       THEN abs(est_rows - CAST(exact_rows AS DOUBLE)) / CAST(exact_rows AS DOUBLE) END AS rel_err
-        |FROM u ORDER BY join_id""".stripMargin
+        |FROM u ORDER BY join_id""".stripMargin,
+    // Exact integer ppm via HUGEINT floor division — DuckDB's native
+    // 128-bit twin of the engine's DECIMAL(38,0) DIV (both operands
+    // positive, so floor == trunc and the two engines agree bit-for-bit).
+    "q68_skew_topkeys" ->
+      """WITH lf AS (
+        |  SELECT l_orderkey AS join_key, CAST(count(*) AS BIGINT) AS f
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |ofr AS (
+        |  SELECT o_orderkey AS join_key, CAST(count(*) AS BIGINT) AS f
+        |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |ef AS (
+        |  SELECT user_id AS join_key, CAST(count(*) AS BIGINT) AS f
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ol AS (
+        |  SELECT 'orders_lineitem' AS join_id, join_key, ofr.f AS f_left,
+        |    lf.f AS f_right, CAST(ofr.f AS HUGEINT) * CAST(lf.f AS HUGEINT) AS pairs
+        |  FROM ofr JOIN lf USING (join_key)
+        |  UNION ALL
+        |  SELECT 'events_self', join_key, f, f, CAST(f AS HUGEINT) * CAST(f AS HUGEINT)
+        |  FROM ef),
+        |r AS (
+        |  SELECT join_id, join_key, f_left, f_right, pairs,
+        |    CAST(row_number() OVER (PARTITION BY join_id ORDER BY pairs DESC, join_key) AS BIGINT) AS rnk,
+        |    sum(pairs) OVER (PARTITION BY join_id) AS tot
+        |  FROM ol)
+        |SELECT join_id, rnk, join_key, f_left, f_right,
+        |  CAST(pairs AS BIGINT) AS pairs,
+        |  CAST((pairs * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM r WHERE rnk <= 10 ORDER BY join_id, rnk""".stripMargin
   )
 }

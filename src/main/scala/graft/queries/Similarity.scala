@@ -815,6 +815,59 @@ object Similarity {
         .withColumn("recall_quarter", col("n_common_q").cast("double") / lit(TOPK.toDouble))
         .withColumn("recall_half", col("n_common_h").cast("double") / lit(TOPK.toDouble))
         .orderBy(col("q_id"))
+    },
+    // 1-bit binary quantization + exact rerank — the last stop on the
+    // bytes axis (float s1 → int8 s11/s13 → one BIT per dimension): the
+    // sign of each dimension packs into a 64-bit signature, candidate
+    // scoring is ONE xor + popcount per pair (Hamming distance — cheap
+    // enough to run corpus × queries at 100 TB), the top-20 pool per query
+    // is cut by a WindowGroupLimit heap, and only those candidates pay an
+    // exact float cosine. Sign bits are exact on both engines (no training
+    // artifact, no rounding), so unlike real learned binary codes the
+    // WHOLE pipeline is hash-oracled: the oracle computes Hamming as the
+    // count of sign-disagreeing dimensions over list_zip — packed-xor and
+    // positional-compare are the same function.
+    //
+    // Scale shape: vectors NEVER shuffle — the hamming pass exchanges only
+    // (q_id, vec_id, hamming) survivors (WindowGroupLimit keeps ≤20·|Q|
+    // per task below the exchange), and the rerank re-reads the corpus
+    // with the tiny pool BROADCAST onto it (s14's hits-join-back shape:
+    // a second columnar scan beats shuffling every vector). The sig
+    // column is one aggregate HOF at scan time, fused into the same pass
+    // as the validity filter.
+    "s17_hamming_rerank" -> { (s, d) =>
+      val dim = Tables.embDim(s)
+      val POOL = 20
+      // Bits above 63 cannot pack into one long; the declared corpus dim
+      // is 64 (bit 63 lands in the sign bit — xor/popcount don't care).
+      require(dim <= 64, s"s17_hamming_rerank packs $dim sign bits > 64")
+      val e = normed(s, d).withColumn("sig", expr(
+        s"aggregate(sequence(0, ${dim - 1}), 0L, " +
+          "(acc, j) -> acc | IF(element_at(embedding, j + 1) > 0, shiftleft(1L, j), 0L))"))
+      val q = guardedBounded(s,
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("sq").as("q_sq"), col("sig").as("q_sig")), "s17_hamming_rerank")
+      val byQ = Window.partitionBy(col("q_id"))
+      val pool = e.select(col("vec_id"), col("sig"))
+        .join(broadcast(q.select(col("q_id"), col("q_sig"))),
+          col("vec_id") =!= col("q_id"))
+        .withColumn("hamming", expr("CAST(bit_count(sig ^ q_sig) AS INT)"))
+        .withColumn("hrk",
+          row_number().over(byQ.orderBy(col("hamming"), col("vec_id"))))
+        .filter(col("hrk") <= POOL)
+        .select(col("q_id"), col("vec_id"), col("hamming"))
+      val reranked = e.select(col("vec_id"), col("embedding"), col("sq"))
+        .join(broadcast(pool), "vec_id")
+        .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_sq"))), "q_id")
+        .withColumn("cosine",
+          dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+      reranked
+        .withColumn("rank",
+          row_number().over(byQ.orderBy(col("cosine").desc, col("vec_id"))).cast("int"))
+        .filter(col("rank") <= TOPK)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("hamming"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
     }
   )
 
@@ -1163,6 +1216,39 @@ object Similarity {
         |  CAST(sum(CASE WHEN rk_f <= 5 AND rk_2 <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common_h,
         |  CAST(sum(CASE WHEN rk_f <= 5 AND rk_1 <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall_quarter,
         |  CAST(sum(CASE WHEN rk_f <= 5 AND rk_2 <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall_half
-        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Hamming as the COUNT of sign-disagreeing dimensions over list_zip —
+    // the positional form of the engine's packed xor+popcount (same
+    // function, no 64-bit packing needed SQL-side); pool and rerank
+    // windows mirror the engine's two-stage cut.
+    "s17_hamming_rerank" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE)) FROM unnest(embedding) u(x)) AS sq
+        |  FROM ${graft.Tables.validEmbSql} embeddings),
+        |ham AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    CAST(len(list_filter(list_zip(q.embedding, c.embedding),
+        |                         z -> (z[1] > 0) <> (z[2] > 0))) AS INT) AS hamming
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |pool AS (
+        |  SELECT q_id, vec_id, hamming,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrk
+        |  FROM ham),
+        |rr AS (
+        |  SELECT p.q_id, p.vec_id, p.hamming,
+        |    (SELECT sum(CAST(x.v AS DOUBLE)) FROM unnest(
+        |       list_transform(list_zip(q.embedding, c.embedding),
+        |                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) x(v))
+        |      / (sqrt(q.sq) * sqrt(c.sq)) AS cosine
+        |  FROM pool p
+        |  JOIN e q ON q.vec_id = p.q_id
+        |  JOIN e c ON c.vec_id = p.vec_id
+        |  WHERE p.hrk <= 20),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        |  FROM rr)
+        |SELECT q_id, rank, vec_id, hamming, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 }

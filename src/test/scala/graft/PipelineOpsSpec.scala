@@ -327,4 +327,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r == Seq((1L, 5L, 5L, 1.0), (2L, 5L, 5L, 1.0), (3L, 5L, 0L, 0.0)),
       s"got ${r.mkString("; ")}")
   }
+
+  test("s17 collapses to exact s1 when the pool covers the corpus; hamming prunes right") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    import spark.implicits._
+    // 12 corpus vectors (< pool 20) ⇒ every candidate is reranked, so the
+    // top-5 must equal s1's exact brute-force ranking verbatim.
+    def v(bits: Int, mag: Float): Array[Float] =
+      (0 until 4).map(i => (if ((bits & (1 << i)) != 0) mag else -mag) * (i + 1)).toArray
+    val rows = (0 until 12).map(i => (i.toLong, v(i % 16, 1.0f + i * 0.1f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    spark.conf.set("graft.embedding.dim", "4")
+    try {
+      val s17 = SparkEntry.queries("s17_hamming_rerank")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val s1 = SparkEntry.queries("s1_knn_brute")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSeq
+      assert(s17 == s1, s"s17 $s17 != s1 $s1")
+      // hamming of a vector against itself-signed twin is 0; against the
+      // all-flipped twin it is the full dimension.
+      val byPair = SparkEntry.queries("s17_hamming_rerank")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(3)).toMap
+      // vec 0 (bits 0) vs vec 15? not present; check 0 vs 1 (bits differ in dim 0)
+      assert(byPair.get((0L, 1L)).forall(_ == 1), byPair.toString)
+    } finally spark.conf.unset("graft.embedding.dim")
+  }
 }

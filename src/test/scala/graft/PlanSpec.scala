@@ -1068,6 +1068,34 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial"), "map-side combine before the exchange")
   }
 
+  test("s17 hamming rerank: vectors never cross a shuffle; pool cut is a WindowGroupLimit heap") {
+    val plan = planOf("s17_hamming_rerank")
+    // Shuffle exchanges may carry ids/hamming/cosine — never an embedding
+    // column (broadcasts of the bounded query set are exempt: that is the
+    // point of broadcasting it).
+    val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffles.contains("emb"), "vectors crossed a shuffle:\n" + shuffles)
+    assert(plan.contains("WindowGroupLimit"),
+      "hamming pool must cut with a per-task heap, not a full sort")
+  }
+
+  test("q68 skew top-keys: ranking runs over checkpointed counts; top-10 is a WindowGroupLimit") {
+    val plan = planOf("q68_skew_topkeys")
+    val tree = plan.split("\n\n").head
+    // The per-key frequency join ran once inside the eager checkpoint
+    // (counts consumed by BOTH the total and the top-10): the final plan
+    // must read the checkpointed counts, never re-scan the fact tables.
+    assert(!tree.contains("Scan parquet"),
+      "final stage re-scanned a fact table:\n" + tree.take(1200))
+    assert(tree.contains("Scan ExistingRDD"),
+      "expected the checkpointed counts scan:\n" + tree.take(1200))
+    // The global top-10 plans as TakeOrderedAndProject — a per-task heap
+    // + 10-row driver merge, strictly better than a rank window (the
+    // rnk<=10 filter then runs over 10 rows).
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("WindowGroupLimit"),
+      "global top-10 must plan as a heap, not a 1-partition full sort")
+  }
+
   test("mm8 frame dedup: exchanges carry digests and counts, never media bytes") {
     val plan = planOf("mm8_frame_dedup")
     // Both shuffles key on frame_hex (digest agg + join back) and the
