@@ -932,6 +932,39 @@ object Events {
         .filter(col("n_keys") > 0)
         .select(col("g").as("last_type"), col("n_keys"), col("n_vals"), col("sum_mu"))
         .orderBy(col("last_type"))
+    },
+    // Peak concurrency — the capacity-planning sweep-line: each event opens
+    // a 5-minute activity interval [ts, ts+5m); per type, the maximum
+    // number of simultaneously-open intervals and the earliest instant it
+    // is reached. The sweep is the classic ±1 delta stream: ends sort
+    // BEFORE starts at the same instant (delta asc — closed-open intervals
+    // don't overlap at the boundary), the prefix order is totalized by
+    // event_id so the running sum is bit-deterministic cross-engine, and
+    // the peak instant is the min t among peak rows. Null-ts events belong
+    // to no interval (the window() contract); null types form their own
+    // group with NULLS FIRST pinned. Scale shape: one union of two narrow
+    // projections off one scan, one event_type exchange shared by the
+    // running-sum window, the peak window and the final rollup — the
+    // per-type sort is the only super-linear step, exactly e3's envelope.
+    "e33_peak_concurrency" -> { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("event_type"), col("ts"), col("event_id"))
+      val pts = ev.select(col("event_type"), col("ts").as("t"),
+          lit(1L).as("delta"), col("event_id"))
+        .unionAll(ev.select(col("event_type"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"),
+          lit(-1L).as("delta"), col("event_id")))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy(col("event_type"))
+      pts.withColumn("run", sum(col("delta")).over(w))
+        .withColumn("peak", max(col("run")).over(wp))
+        .filter(col("run") === col("peak"))
+        .groupBy(col("event_type"))
+        .agg(max(col("run")).cast("bigint").as("peak_concurrency"),
+          min(col("t")).as("peak_ts"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -1459,6 +1492,26 @@ object Events {
         |  CAST(count(mu) AS BIGINT) AS n_vals,
         |  CAST(sum(mu) AS BIGINT) AS sum_mu
         |FROM c WHERE rk = 1 AND op <> 'delete'
-        |GROUP BY 1 ORDER BY last_type""".stripMargin
+        |GROUP BY 1 ORDER BY last_type""".stripMargin,
+    // Sweep-line twin: ends before starts at equal t (delta asc), prefix
+    // order totalized by event_id, null-safe type match for the peak join.
+    "e33_peak_concurrency" ->
+      """WITH pts AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS t, 1 AS delta, event_id
+        |  FROM events WHERE ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE, -1, event_id
+        |  FROM events WHERE ts IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, t,
+        |    CAST(sum(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, delta, event_id NULLS FIRST ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM pts),
+        |p AS (SELECT event_type, max(run) AS peak FROM r GROUP BY 1)
+        |SELECT r.event_type, p.peak AS peak_concurrency, min(r.t) AS peak_ts
+        |FROM r JOIN p ON r.event_type IS NOT DISTINCT FROM p.event_type
+        |             AND r.run = p.peak
+        |GROUP BY r.event_type, p.peak
+        |ORDER BY r.event_type NULLS FIRST""".stripMargin
   )
 }

@@ -328,6 +328,25 @@ class PipelineOpsSpec extends SparkTestBase {
       s"got ${r.mkString("; ")}")
   }
 
+  test("e33 peak counts closed-open intervals: an end at t never overlaps a start at t") {
+    val min = 60L * 1000000000L // 1 minute in the nanos ts vintage
+    // type a: starts at 0/2/4/9 min ⇒ [0,5) [2,7) [4,9) [9,14). At minute 4
+    // three intervals are open (the peak); the interval ending exactly at 9
+    // must NOT overlap the one starting at 9 (ends sort before starts).
+    val dir = eventsCorpus(Seq(
+      (1L, Some("a"), Some(jan1), Some(1.0)),
+      (2L, Some("a"), Some(jan1 + 2 * min), Some(1.0)),
+      (3L, Some("a"), Some(jan1 + 4 * min), Some(1.0)),
+      (4L, Some("a"), Some(jan1 + 9 * min), Some(1.0)),
+      (5L, Some("b"), Some(jan1 + 1 * min), Some(1.0)),
+      (6L, Some("c"), None, Some(1.0)))) // null ts: no interval
+    val r = SparkEntry.queries("e33_peak_concurrency")(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getTimestamp(2).getTime)).toSeq
+    val t0 = jan1 / 1000000000L * 1000L // epoch millis of jan1
+    assert(r == Seq(("a", 3L, t0 + 4 * 60000L), ("b", 1L, t0 + 60000L)),
+      s"got ${r.mkString("; ")}")
+  }
+
   test("s17 collapses to exact s1 when the pool covers the corpus; hamming prunes right") {
     val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
     import spark.implicits._

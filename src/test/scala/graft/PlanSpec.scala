@@ -1096,6 +1096,16 @@ class PlanSpec extends SparkTestBase {
       "global top-10 must plan as a heap, not a 1-partition full sort")
   }
 
+  test("e33 peak concurrency: one events scan pair, one event_type exchange for both windows") {
+    val plan = planOf("e33_peak_concurrency")
+    // The ±1 delta stream is a union of two narrow projections; the
+    // running-sum window, the peak window and the rollup all key on
+    // event_type — exactly ONE hash exchange on it.
+    assert("hashpartitioning\\(event_type".r.findAllIn(plan).size == 1,
+      plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!plan.contains("Join"), "peak rides a window, not a join-back")
+  }
+
   test("mm8 frame dedup: exchanges carry digests and counts, never media bytes") {
     val plan = planOf("mm8_frame_dedup")
     // Both shuffles key on frame_hex (digest agg + join back) and the
