@@ -1272,6 +1272,45 @@ object Dedup {
         .select(col("source"), col("n_docs"), col("n_kept_hard"), col("max_copies"),
           (col("eff_ppm").cast("double") / 1e6).as("eff_docs"))
         .orderBy(col("source"))
+    },
+    // The training-WRITE pipeline end-to-end (p1's sibling for the shard
+    // path): quality gate → exact dedup → eval decontamination → t28's
+    // shard manifests, fused into one plan so the driver hash certifies
+    // the COMPOSITION, not just the stages. Gate: train-split docs
+    // (source ≠ eval 'src0', non-null) with ≥ 5 whitespace tokens. Dedup:
+    // first doc per exact text (p1's window). Decontamination: any train
+    // doc sharing ONE 3-gram shingle with the eval split is dropped —
+    // d8's set-reduced membership join (shingle universe, not doc pairs)
+    // feeding a LEFT ANTI join on doc_id. Manifest: md5-nibble shards
+    // with doc/token/byte totals (t28's geometry, endpoints omitted).
+    // Scale shape: the eval shingle set is DISTINCT-reduced before the
+    // join (eval splits are small by construction — it broadcasts); the
+    // contaminated-id set is smaller still; the corpus is scanned once
+    // for the gate+dedup chain and once inside the shingle kernel.
+    "p2_pretrain_shards" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val trainPred = col("source").isNotNull && col("source") =!= "src0"
+      val gated = Tables.validDocuments(s, d)
+        .filter(trainPred && size(TextOps.wsTokens(col("text"))) >= 5)
+      val deduped = gated
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val evalSh = splitShingles(s, d, col("source") === "src0")
+        .select(col("sh")).distinct()
+      val contaminated = splitShingles(s, d, trainPred)
+        .join(evalSh, "sh").select(col("doc_id")).distinct()
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"),
+          size(TextOps.wsTokens(col("text"))).cast("bigint").as("n_tokens"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("shard",
+          expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT)"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+          sum(col("n_chars")).cast("bigint").as("n_bytes"))
+        .orderBy(col("shard"))
     }
   )
 
@@ -1730,7 +1769,42 @@ object Dedup {
          |  CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_hard,
          |  max(n) AS max_copies,
          |  CAST(sum(1000000 // n) AS DOUBLE) / 1e6 AS eff_docs
-         |FROM g GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin
+         |FROM g GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin,
+    // Stage-by-stage mirror of the fused pipeline: SH_CTE is the d8
+    // shingle contract verbatim; the decontamination is an anti-join
+    // (NOT EXISTS — the q46 null-semantics lesson) on the set-reduced
+    // eval shingle universe; the manifest is t28's shard arithmetic.
+    "p2_pretrain_shards" ->
+      s"""WITH $SH_CTE,
+         |gated AS (
+         |  SELECT doc_id, text, n_chars,
+         |    CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens
+         |  FROM ${graft.Tables.validDocsSql} documents
+         |  WHERE source IS NOT NULL AND source <> 'src0'
+         |    AND len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) >= 5),
+         |dedup AS (
+         |  SELECT doc_id, n_chars, n_tokens,
+         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |  FROM gated),
+         |evalsh AS (
+         |  SELECT DISTINCT x.sh
+         |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh_docs) x
+         |  JOIN ${graft.Tables.validDocsSql} dd ON dd.doc_id = x.doc_id AND dd.source = 'src0'),
+         |contam AS (
+         |  SELECT DISTINCT x.doc_id
+         |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh_docs) x
+         |  JOIN ${graft.Tables.validDocsSql} dd
+         |    ON dd.doc_id = x.doc_id AND dd.source IS NOT NULL AND dd.source <> 'src0'
+         |  JOIN evalsh e ON e.sh = x.sh),
+         |clean AS (
+         |  SELECT doc_id, n_chars, n_tokens FROM dedup t
+         |  WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = t.doc_id))
+         |SELECT CAST(strpos('0123456789abcdef',
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_bytes
+         |FROM clean GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   // d17's survivorship presentation over the `cc` closure — one

@@ -1096,6 +1096,15 @@ class PlanSpec extends SparkTestBase {
       "global top-10 must plan as a heap, not a 1-partition full sort")
   }
 
+  test("p2 pretrain shards: decontamination is an anti-join; dedup window keys on text") {
+    val plan = planOf("p2_pretrain_shards")
+    assert(plan.contains("LeftAnti"),
+      "contaminated ids must drop via anti-join, never a filter-collect")
+    assert("hashpartitioning\\(text".r.findAllIn(plan).size == 1,
+      "exact dedup rides ONE text-keyed window exchange:\n" +
+        plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+  }
+
   test("e33 peak concurrency: one events scan pair, one event_type exchange for both windows") {
     val plan = planOf("e33_peak_concurrency")
     // The ±1 delta stream is a union of two narrow projections; the
