@@ -136,6 +136,58 @@ case class IntVecDot(left: Expression, right: Expression)
   override def prettyName: String = "ivec_dot"
 }
 
+/** Native Catalyst expression packing a float vector's dimension SIGNS into
+  * one 64-bit word: bit j = 1 iff v[j] > 0 (s17's 1-bit quantization). The
+  * `aggregate(sequence(...))` HOF form is interpreted and allocates the
+  * index sequence per ROW; at 100 TB the signature is computed once per
+  * vector in the same scan as the validity filter, so it must stay inside
+  * whole-stage codegen. Bits beyond min(len, 64) are zero; semantics are
+  * identical to the HOF it replaces, so the s17 oracle is unchanged.
+  */
+case class SignPack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_pack expects array<float>, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), 64)
+    var acc = 0L
+    var j = 0
+    while (j < n) { if (x.getFloat(j) > 0f) acc |= 1L << j; j += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), 64);
+         |long $acc = 0L;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($a.getFloat($j) > 0f) $acc |= 1L << $j;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_pack"
+}
+
 /** Shared per-row kernels for the sign-LSH operators (s2 ANN, d7 near-dup):
   * one implementation so the two can never drift in fold order or
   * dimension handling. */
@@ -180,4 +232,9 @@ object VecFunctions {
   def ivec_dot(a: Column, b: Column): Column =
     ColumnShim.column(
       IntVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Dimension signs of a float vector packed into one long (bit j = 1 iff
+    * v[j] > 0; bits past min(len, 64) zero) — s17's 1-bit code. */
+  def sign_pack(a: Column): Column =
+    ColumnShim.column(SignPack(ColumnShim.expression(a)))
 }

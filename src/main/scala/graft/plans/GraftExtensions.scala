@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, IntVecDot, PolyHash, RollingMinHash}
+import graft.functions.{FloatVecDot, IntVecDot, PolyHash, RollingMinHash, SignPack}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -34,6 +34,9 @@ object GraftExtensions {
     ("ivec_dot",
       info("ivec_dot", "ivec_dot(a, b) - exact integer dot product of int arrays (long accumulator)"),
       (exprs: Seq[Expression]) => IntVecDot(exprs(0), exprs(1))),
+    ("sign_pack",
+      info("sign_pack", "sign_pack(v) - dimension signs of a float array packed into one long (bit j = v[j] > 0)"),
+      (exprs: Seq[Expression]) => SignPack(exprs(0))),
     ("poly_hash",
       info("poly_hash", "poly_hash(text) - polynomial rolling hash of the whole string"),
       (exprs: Seq[Expression]) => PolyHash(exprs(0))),

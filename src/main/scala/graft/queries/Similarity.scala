@@ -836,14 +836,16 @@ object Similarity {
     // column is one aggregate HOF at scan time, fused into the same pass
     // as the validity filter.
     "s17_hamming_rerank" -> { (s, d) =>
+      import graft.functions.VecFunctions.sign_pack
       val dim = Tables.embDim(s)
       val POOL = 20
       // Bits above 63 cannot pack into one long; the declared corpus dim
       // is 64 (bit 63 lands in the sign bit — xor/popcount don't care).
+      // sign_pack is a native codegen Expression (VecExpressions) — the
+      // interpreted aggregate(sequence(...)) HOF form allocated the index
+      // sequence per row and broke whole-stage codegen in the scan.
       require(dim <= 64, s"s17_hamming_rerank packs $dim sign bits > 64")
-      val e = normed(s, d).withColumn("sig", expr(
-        s"aggregate(sequence(0, ${dim - 1}), 0L, " +
-          "(acc, j) -> acc | IF(element_at(embedding, j + 1) > 0, shiftleft(1L, j), 0L))"))
+      val e = normed(s, d).withColumn("sig", sign_pack(col("embedding")))
       val q = guardedBounded(s,
         e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

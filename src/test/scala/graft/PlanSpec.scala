@@ -263,9 +263,13 @@ class PlanSpec extends SparkTestBase {
       """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |       ivec_dot(array(1, 2), array(3, 4)) AS di,
         |       poly_hash('abc') AS ph,
-        |       rolling_min_hash('abcdef', 3) AS rmh""".stripMargin).collect()(0)
+        |       rolling_min_hash('abcdef', 3) AS rmh,
+        |       sign_pack(array(CAST(1 AS FLOAT), CAST(-2 AS FLOAT),
+        |                       CAST(0 AS FLOAT), CAST(0.5 AS FLOAT))) AS sp""".stripMargin)
+      .collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) == 11L)
+    assert(r.getLong(4) == 9L, "bits 0 and 3 set (x > 0 strictly)") // 1001b
     assert(r.getLong(2) ==
       graft.functions.RollingHashKernel.fullHash(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
