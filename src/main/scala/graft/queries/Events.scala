@@ -954,13 +954,38 @@ object Events {
         .unionAll(ev.select(col("event_type"),
           (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"),
           lit(-1L).as("delta"), col("event_id")))
-      val w = Window.partitionBy(col("event_type"))
+        .withColumn("day", date_trunc("day", col("t")))
+      // TWO-PHASE prefix sum (measured r13-continued-4: the naive
+      // per-type window sorted 2n rows in #event_types reducers —
+      // 11.3×/decade at sf10, above the q10 shuffle envelope). Phase 1
+      // sorts within (type, day) buckets — parallelism #types·#days, the
+      // standard parallel-scan decomposition; phase 2 turns per-bucket
+      // delta totals into per-bucket OFFSETS with one window over the
+      // tiny bucket table and broadcasts them back (null-safe on the
+      // nullable type key — a plain join would drop the null-type group).
+      // run = local prefix + bucket offset is bit-identical to the global
+      // prefix sum because day(t) is monotone in t and ties never span a
+      // day. The peak rides a broadcast join of the #types-row max table,
+      // not a full-row window — no single-reducer stage anywhere.
+      val wLocal = Window.partitionBy(col("event_type"), col("day"))
         .orderBy(col("t"), col("delta"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wp = Window.partitionBy(col("event_type"))
-      pts.withColumn("run", sum(col("delta")).over(w))
-        .withColumn("peak", max(col("run")).over(wp))
-        .filter(col("run") === col("peak"))
+      val wOff = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      val offsets = pts.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("delta")).as("dsum"))
+        .withColumn("off", sum(col("dsum")).over(wOff))
+        .select(col("event_type").as("o_type"), col("day").as("o_day"), col("off"))
+      val runs = pts
+        .withColumn("lrun", sum(col("delta")).over(wLocal))
+        .join(broadcast(offsets),
+          col("event_type") <=> col("o_type") && col("day") === col("o_day"))
+        .withColumn("run", col("lrun") + coalesce(col("off"), lit(0L)))
+      val peaks = runs.groupBy(col("event_type"))
+        .agg(max(col("run")).as("peak"))
+        .select(col("event_type").as("p_type"), col("peak"))
+      runs.join(broadcast(peaks),
+          col("event_type") <=> col("p_type") && col("run") === col("peak"))
         .groupBy(col("event_type"))
         .agg(max(col("run")).cast("bigint").as("peak_concurrency"),
           min(col("t")).as("peak_ts"))

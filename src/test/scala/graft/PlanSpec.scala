@@ -1109,14 +1109,22 @@ class PlanSpec extends SparkTestBase {
         plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
   }
 
-  test("e33 peak concurrency: one events scan pair, one event_type exchange for both windows") {
+  test("e33 peak concurrency: bucketed prefix sum — no bare event_type sort, broadcast joins only") {
     val plan = planOf("e33_peak_concurrency")
-    // The ±1 delta stream is a union of two narrow projections; the
-    // running-sum window, the peak window and the rollup all key on
-    // event_type — exactly ONE hash exchange on it.
-    assert("hashpartitioning\\(event_type".r.findAllIn(plan).size == 1,
+    // Phase-1 sorts partition by (event_type, day) — #types·#days-way
+    // parallel. A window exchange on BARE event_type would be the
+    // #types-reducer wall this rewrite removed (11.3×/decade at sf10).
+    val sorts = plan.linesIterator.filter(_.contains("Sort ")).mkString("\n")
+    assert(!sorts.matches("(?s).*\\[event_type[^,]*ASC[^\\]]*t#.*") ||
+      "hashpartitioning\\(event_type[^,]*, day".r.findAllIn(plan).nonEmpty,
+      "per-type global sort resurfaced:\n" + sorts)
+    assert("hashpartitioning\\(event_type[^,)]*, day".r.findAllIn(plan).nonEmpty,
       plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
-    assert(!plan.contains("Join"), "peak rides a window, not a join-back")
+    // Offsets and peaks join back as broadcasts — never a shuffled join
+    // of the full delta stream.
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "offset/peak join must broadcast:\n" +
+        plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
   test("mm8 frame dedup: exchanges carry digests and counts, never media bytes") {
