@@ -816,6 +816,32 @@ object TextOps {
           substring(col("first_tag"), 34, 12).cast("bigint").as("first_doc"),
           substring(col("last_tag"), 34, 12).cast("bigint").as("last_doc"))
         .orderBy(col("shard"))
+    },
+    // k-anonymity audit — the governance gate that runs before a corpus
+    // leaves the building: group by the quasi-identifier tuple
+    // (lang, source, 256-char length bucket) and report every group
+    // smaller than k = 5 — the re-identification risk set — with its
+    // exact corpus share in ppm. NULL quasi-identifier values are their
+    // own group (SQL GROUP BY semantics — a null lang is itself an
+    // identifying signal). One hash exchange on the tuple; the total is
+    // a 1-row broadcast (t22's wmax shape); integer-ppm share (d19's
+    // idiom), so the row set is bit-deterministic cross-engine. At
+    // 100 TB the violating set is by definition SMALL (groups of < k
+    // rows) — the exchange after the partial aggregate carries one row
+    // per distinct tuple, never documents.
+    "t29_k_anonymity" -> { (s, d) =>
+      val K = 5
+      val docs = Tables.validDocuments(s, d)
+        .select(col("lang"), col("source"),
+          expr("CAST(n_chars DIV 256 AS BIGINT)").as("len_bucket"))
+      val grouped = docs.groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = grouped.agg(sum(col("n_docs")).as("tot"))
+      grouped.filter(col("n_docs") < K)
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("len_bucket"), col("n_docs"),
+          expr("CAST((n_docs * 1000000) DIV tot AS BIGINT)").as("share_ppm"))
+        .orderBy(col("lang"), col("source"), col("len_bucket"))
     }
   )
 
@@ -1237,7 +1263,21 @@ object TextOps {
           |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
           |  CAST(substring(min(tag), 34, 12) AS BIGINT) AS first_doc,
           |  CAST(substring(max(tag), 34, 12) AS BIGINT) AS last_doc
-          |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+          |FROM g GROUP BY shard ORDER BY shard""".stripMargin,
+      // Integer ppm via HUGEINT floor division (q68's recipe); nullable
+      // ASC sort keys pinned NULLS FIRST; a null quasi-identifier is its
+      // own group on both engines.
+      "t29_k_anonymity" ->
+        s"""WITH g AS (
+          |  SELECT lang, source, CAST(n_chars // 256 AS BIGINT) AS len_bucket,
+          |    CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM ${graft.Tables.validDocsSql} documents
+          |  GROUP BY 1, 2, 3),
+          |t AS (SELECT sum(CAST(n_docs AS HUGEINT)) AS tot FROM g)
+          |SELECT lang, source, len_bucket, n_docs,
+          |  CAST((CAST(n_docs AS HUGEINT) * 1000000) // tot AS BIGINT) AS share_ppm
+          |FROM g, t WHERE n_docs < 5
+          |ORDER BY lang NULLS FIRST, source NULLS FIRST, len_bucket NULLS FIRST""".stripMargin
     )
   }
 

@@ -347,6 +347,24 @@ class PipelineOpsSpec extends SparkTestBase {
       s"got ${r.mkString("; ")}")
   }
 
+  test("t29 reports groups strictly below k; a null quasi-identifier is its own group") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    import spark.implicits._
+    // lang=en group has exactly 5 members (NOT reported — k-anonymous);
+    // lang=fr has 2 (reported); the null-lang singleton is reported as
+    // its own group, not merged or dropped.
+    val rows = (1L to 5L).map(i => (i, "txt", Some("en"), "s0", 10L)) ++
+      Seq((6L, "txt", Some("fr"), "s0", 10L), (7L, "txt", Some("fr"), "s0", 10L),
+        (8L, "txt", None, "s0", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("t29_k_anonymity")(spark, dir).collect()
+      .map(x => (Option(x.getString(0)), x.getLong(3), x.getLong(4))).toSeq
+    // total 8 docs: fr 2/8 = 250000 ppm, null 1/8 = 125000 ppm
+    assert(r == Seq((None, 1L, 125000L), (Some("fr"), 2L, 250000L)),
+      s"got ${r.mkString("; ")}")
+  }
+
   test("s17 collapses to exact s1 when the pool covers the corpus; hamming prunes right") {
     val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
     import spark.implicits._
