@@ -181,9 +181,27 @@ object Dedup {
           "prunes here)",
         col("label"), col("__cand"), lit(maxCand)))).isNull)
       .drop("__cand")
-    val cands = guarded.as("a").join(buckets.as("b"),
+    // Pair-join parallelism = #distinct (label, t, code) keys. The
+    // degenerate exhaustive geometry (bits = 0) collapses that to #labels
+    // — measured at sf100 density: 8.2e8 candidate pairs admitted by the
+    // volume guard but generated by a 10-key join, i.e. 10 reducers doing
+    // all the work (the q54 skew shape). Salt the join for coarse
+    // geometries: the probe side gets hash(vec_id) % S, the build side
+    // replicates ×S — same pair set, S× the parallelism. Production
+    // geometries already have bucket-count ≫ cores, so they default to
+    // S = 1 and their plan is byte-identical to before.
+    val saltN = math.max(1, s.conf.getOption("graft.dedup.pairJoinSalt")
+      .map(_.toInt).getOrElse(if (bits == 0) 32 else 1))
+    val aSide = guarded.withColumn("__salt",
+      if (saltN == 1) lit(0) else pmod(hash(col("vec_id")), lit(saltN)))
+    val bSide =
+      if (saltN == 1) buckets.withColumn("__salt", lit(0))
+      else buckets.withColumn("__salt",
+        explode(sequence(lit(0), lit(saltN - 1))))
+    val cands = aSide.as("a").join(bSide.as("b"),
         col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
-          col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
+          col("a.code") === col("b.code") && col("a.__salt") === col("b.__salt") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     cands
