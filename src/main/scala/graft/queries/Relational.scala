@@ -1585,10 +1585,10 @@ object Relational {
     // no float division, so the share is bit-identical cross-engine; the
     // emitted `pairs` column casts back to BIGINT, the documented domain).
     // Scale shape: joins see per-key AGGREGATES, never rows (q67's
-    // contract); the global top-10 is a WindowGroupLimit heap — each map
-    // task forwards ≤10 candidate rows, the exchange carries survivors;
-    // the counts frame is checkpointed once because the total and the
-    // top-10 both consume it (re-deriving it would re-run the key join).
+    // contract); the global top-10 is a TakeOrderedAndProject heap — each
+    // map task forwards ≤10 candidate rows; the total and the top-10 both
+    // consume the counts join, whose input shuffles are deduplicated by
+    // ReusedExchange (see the measured checkpoint-vs-reuse note below).
     "q68_skew_topkeys" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       def freq(df: DataFrame, key: String): DataFrame =
@@ -1603,8 +1603,16 @@ object Relational {
           (dec(col("o.f")) * dec(col("l.f"))).as("pairs_dec"))
       val ee = ef.select(col("join_key"), col("f").as("f_left"), col("f").as("f_right"),
         (dec(col("f")) * dec(col("f"))).as("pairs_dec"))
+      // Both the total and the top-10 consume the counts join. Measured
+      // (r13-continued-4): an eager localCheckpoint wins marginally at
+      // sf10 (5.3 vs 6.3 s) but LOSES 34% at sf100 (89 vs 59 s) — the
+      // checkpoint write+read grows with the counts table while
+      // ReusedExchange amortizes the shuffles, so the join-twice form is
+      // the 100 TB default; `graft.q68.checkpoint=true` restores the old
+      // shape for small-SF iteration.
       def top(pairsDf0: DataFrame, name: String): DataFrame = {
-        val pairsDf = pairsDf0.localCheckpoint(true)
+        val pairsDf = if (s.conf.getOption("graft.q68.checkpoint").contains("true"))
+          pairsDf0.localCheckpoint(true) else pairsDf0
         val tot = pairsDf.agg(sum(col("pairs_dec")).as("tot"))
         val w = Window.orderBy(col("pairs_dec").desc, col("join_key"))
         pairsDf

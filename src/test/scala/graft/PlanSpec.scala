@@ -1083,21 +1083,22 @@ class PlanSpec extends SparkTestBase {
       "hamming pool must cut with a per-task heap, not a full sort")
   }
 
-  test("q68 skew top-keys: ranking runs over checkpointed counts; top-10 is a WindowGroupLimit") {
+  test("q68 skew top-keys: reused exchanges feed both consumers; top-10 is a heap") {
     val plan = planOf("q68_skew_topkeys")
-    val tree = plan.split("\n\n").head
-    // The per-key frequency join ran once inside the eager checkpoint
-    // (counts consumed by BOTH the total and the top-10): the final plan
-    // must read the checkpointed counts, never re-scan the fact tables.
-    assert(!tree.contains("Scan parquet"),
-      "final stage re-scanned a fact table:\n" + tree.take(1200))
-    assert(tree.contains("Scan ExistingRDD"),
-      "expected the checkpointed counts scan:\n" + tree.take(1200))
+    // The total and the top-10 both consume the counts join; at runtime
+    // AQE dedupes the identical input shuffles (ReusedExchange appears
+    // only in the executed plan, so the static pin is the ABSENCE of the
+    // old checkpoint barrier — measured r13-continued-4: this form beats
+    // the eager checkpoint 59 vs 89 s at sf100).
+    assert(!plan.contains("Scan ExistingRDD"),
+      "the checkpoint barrier is gone by design; exchanges reuse at runtime")
     // The global top-10 plans as TakeOrderedAndProject — a per-task heap
     // + 10-row driver merge, strictly better than a rank window (the
     // rnk<=10 filter then runs over 10 rows).
     assert(plan.contains("TakeOrderedAndProject") || plan.contains("WindowGroupLimit"),
       "global top-10 must plan as a heap, not a 1-partition full sort")
+    // Joins see per-key aggregates, never raw fact rows (q67's contract).
+    assert(plan.contains("partial"), "map-side combine below the count exchanges")
   }
 
   test("p2 pretrain shards: decontamination is an anti-join; dedup window keys on text") {
