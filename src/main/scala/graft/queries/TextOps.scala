@@ -51,6 +51,33 @@ object TextOps {
     when(trim(c) === "", array().cast("array<string>"))
       .otherwise(split(trim(c), "\\s+"))
 
+  /** t28's per-shard summary over `pred`-selected docs, endpoints carried
+    * as mergeable "h:zero-padded-id" tags — shared by the full plan, its
+    * split-merge proof, and any incremental caller. */
+  private def shardAgg(s: SparkSession, d: String, pred: Column): org.apache.spark.sql.DataFrame =
+    Tables.validDocuments(s, d).filter(pred)
+      .select(col("doc_id"), col("n_chars"),
+        size(wsTokens(col("text"))).cast("bigint").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn("shard",
+        expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT)"))
+      .withColumn("tag",
+        concat(col("h"), lit(":"), lpad(col("doc_id").cast("string"), 12, "0")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+        sum(col("n_chars")).cast("bigint").as("n_bytes"),
+        min(col("tag")).as("first_tag"),
+        max(col("tag")).as("last_tag"))
+
+  /** Presentation shared by t28_shard_plan and t28_manifest_merge: the
+    * merged summaries must render identically or the hash proof is void. */
+  private def shardPresent(agg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    agg.select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+      substring(col("first_tag"), 34, 12).cast("bigint").as("first_doc"),
+      substring(col("last_tag"), 34, 12).cast("bigint").as("last_doc"))
+      .orderBy(col("shard"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language ID: argmax of marker-word counts, 'und' when all zero.
     "t1_langid" -> { (s, d) =>
@@ -797,25 +824,25 @@ object TextOps {
     // would need struct ordering DuckDB's arg_min lacks). A skewed or
     // non-reproducible shard function shows up here as lopsided counts or
     // a changed endpoint before any shard is written.
-    "t28_shard_plan" -> { (s, d) =>
-      val docs = Tables.validDocuments(s, d)
-        .select(col("doc_id"), col("n_chars"),
-          size(wsTokens(col("text"))).cast("bigint").as("n_tokens"),
-          md5(col("doc_id").cast("string").cast("binary")).as("h"))
-        .withColumn("shard",
-          expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT)"))
-        .withColumn("tag",
-          concat(col("h"), lit(":"), lpad(col("doc_id").cast("string"), 12, "0")))
-      docs.groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
+    "t28_shard_plan" -> ((s, d) => shardPresent(shardAgg(s, d, lit(true)))),
+    // t28's mergeability proof (the q64 pattern applied to the shard
+    // write): manifest two disjoint halves of the corpus SEPARATELY, then
+    // merge the per-shard summaries with pure column ops — counts add,
+    // endpoint tags min/max — and hash-match t28's whole-corpus oracle
+    // VERBATIM. This is how a 100 TB shard manifest stays fresh: manifest
+    // only the newly landed docs, fold into yesterday's summary, never
+    // rescan written shards. The halves split on doc parity (not hash),
+    // so each half's endpoints genuinely differ from the full corpus's
+    // and the min/max fold is exercised, not vacuous.
+    "t28_manifest_merge" -> { (s, d) =>
+      val a = shardAgg(s, d, col("doc_id") % 2 === 0)
+      val b = shardAgg(s, d, col("doc_id") % 2 =!= 0)
+      shardPresent(a.unionAll(b).groupBy(col("shard"))
+        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
           sum(col("n_tokens")).cast("bigint").as("n_tokens"),
-          sum(col("n_chars")).cast("bigint").as("n_bytes"),
-          min(col("tag")).as("first_tag"),
-          max(col("tag")).as("last_tag"))
-        .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bytes"),
-          substring(col("first_tag"), 34, 12).cast("bigint").as("first_doc"),
-          substring(col("last_tag"), 34, 12).cast("bigint").as("last_doc"))
-        .orderBy(col("shard"))
+          sum(col("n_bytes")).cast("bigint").as("n_bytes"),
+          min(col("first_tag")).as("first_tag"),
+          max(col("last_tag")).as("last_tag")))
     },
     // k-anonymity audit — the governance gate that runs before a corpus
     // leaves the building: group by the quasi-identifier tuple
@@ -874,6 +901,25 @@ object TextOps {
       |          list_transform(range(32), j -> CAST('0x' || substring(hx, CAST(2*(i+j)+1 AS BIGINT), 2) AS BIGINT))),
       |        (a,b) -> (a*31+b) % 1000000007)))
       |  END""".stripMargin
+
+  /** t28's whole-corpus shard manifest — also the oracle of the
+    * split-merge proof (t28_manifest_merge), q64's pattern. */
+  private val T28_SQL: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM ${graft.Tables.validDocsSql} documents),
+      |g AS (
+      |  SELECT CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT) AS shard,
+      |    n_chars, n_tokens,
+      |    h || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS tag
+      |  FROM t)
+      |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+      |  CAST(substring(min(tag), 34, 12) AS BIGINT) AS first_doc,
+      |  CAST(substring(max(tag), 34, 12) AS BIGINT) AS last_doc
+      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 
   private val q = "'"
   private def sqlOcc(m: String): String =
@@ -1248,22 +1294,11 @@ object TextOps {
           |SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS BIGINT) AS rnk,
           |  pair, n_occ
           |FROM a ORDER BY n_occ DESC, pair LIMIT 32""".stripMargin,
-      "t28_shard_plan" ->
-        s"""WITH t AS (
-          |  SELECT doc_id, n_chars,
-          |    CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens,
-          |    md5(CAST(doc_id AS VARCHAR)) AS h
-          |  FROM ${graft.Tables.validDocsSql} documents),
-          |g AS (
-          |  SELECT CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT) AS shard,
-          |    n_chars, n_tokens,
-          |    h || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS tag
-          |  FROM t)
-          |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-          |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
-          |  CAST(substring(min(tag), 34, 12) AS BIGINT) AS first_doc,
-          |  CAST(substring(max(tag), 34, 12) AS BIGINT) AS last_doc
-          |FROM g GROUP BY shard ORDER BY shard""".stripMargin,
+      "t28_shard_plan" -> T28_SQL,
+      // Merge == full by construction: counts add and min/max of tag
+      // endpoints compose, so the split-merge query rides the SAME
+      // whole-corpus oracle — the mergeability proof IS the hash match.
+      "t28_manifest_merge" -> T28_SQL,
       // Integer ppm via HUGEINT floor division (q68's recipe); nullable
       // ASC sort keys pinned NULLS FIRST; a null quasi-identifier is its
       // own group on both engines.
