@@ -313,7 +313,11 @@ object StreamBench {
     {
       // same contiguous-wave shape as 2g: parity requires per-key
       // monotone arrival across batches; only the two participating
-      // event types are fed (the processor's input contract).
+      // event types are fed (the processor's input contract). Waves are
+      // cut on TIMESTAMP boundaries, not row positions — a positional
+      // split could straddle a same-ts signup/purchase tie, which the
+      // processor correctly flags late (it cannot reorder across the
+      // batch seam) and the parity contract therefore excludes.
       val rows = Tables.events(spark, sfDir)
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
           col("event_type").isin("signup", "purchase"))
@@ -323,6 +327,19 @@ object StreamBench {
         .sortBy(_._3)
       val waves = 10
       val per = math.max(1, (rows.length + waves - 1) / waves)
+      val waveSeqs = {
+        val bufs = scala.collection.mutable.ArrayBuffer
+          .empty[Seq[(Long, Long, Long, Int)]]
+        var i = 0
+        while (i < rows.length) {
+          var j = math.min(i + per, rows.length)
+          // extend past any run of equal timestamps at the cut point
+          while (j < rows.length && rows(j)._3 == rows(j - 1)._3) j += 1
+          bufs += rows.slice(i, j).toSeq
+          i = j
+        }
+        bufs.toSeq
+      }
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, Long, Int)]
       val out = stream.toDS()
@@ -336,8 +353,8 @@ object StreamBench {
         .format("noop").option("checkpointLocation", tmpDir())
         .trigger(Trigger.ProcessingTime(0)).start()
       val t0 = System.nanoTime()
-      rows.grouped(per).foreach { wave =>
-        stream.addData(wave.toSeq: _*)
+      waveSeqs.foreach { wave =>
+        stream.addData(wave: _*)
         q.processAllAvailable()
       }
       val wall = (System.nanoTime() - t0) / 1e9

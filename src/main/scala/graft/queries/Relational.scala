@@ -1583,7 +1583,11 @@ object Relational {
     // Arithmetic rides DECIMAL(38,0) end-to-end (a 100 TB key can carry
     // f≈1e10 per side ⇒ products past BIGINT; exact integer ppm via DIV —
     // no float division, so the share is bit-identical cross-engine; the
-    // emitted `pairs` column casts back to BIGINT, the documented domain).
+    // emitted `pairs` column SATURATES at Long.MaxValue before the BIGINT
+    // cast — past 9.2e18 Spark's non-ANSI cast would go NULL while
+    // DuckDB's raises, so the clamp is the one behavior both engines can
+    // state; ranking and share_ppm use the unclamped decimal, so
+    // saturation never reorders the report).
     // Scale shape: joins see per-key AGGREGATES, never rows (q67's
     // contract); the global top-10 is a TakeOrderedAndProject heap — each
     // map task forwards ≤10 candidate rows; the total and the top-10 both
@@ -1621,7 +1625,8 @@ object Relational {
           .crossJoin(broadcast(tot))
           .select(lit(name).as("join_id"), col("rnk"), col("join_key"),
             col("f_left"), col("f_right"),
-            col("pairs_dec").cast("bigint").as("pairs"),
+            least(col("pairs_dec"), lit(Long.MaxValue).cast("decimal(38,0)"))
+              .cast("bigint").as("pairs"),
             expr("CAST((pairs_dec * 1000000) DIV tot AS BIGINT)").as("share_ppm"))
       }
       top(ol, "orders_lineitem").unionAll(top(ee, "events_self"))
@@ -2104,7 +2109,7 @@ object Relational {
         |    sum(pairs) OVER (PARTITION BY join_id) AS tot
         |  FROM ol)
         |SELECT join_id, rnk, join_key, f_left, f_right,
-        |  CAST(pairs AS BIGINT) AS pairs,
+        |  CAST(LEAST(pairs, CAST(9223372036854775807 AS HUGEINT)) AS BIGINT) AS pairs,
         |  CAST((pairs * 1000000) // tot AS BIGINT) AS share_ppm
         |FROM r WHERE rnk <= 10 ORDER BY join_id, rnk""".stripMargin
   )

@@ -61,8 +61,12 @@ object TextOps {
         md5(col("doc_id").cast("string").cast("binary")).as("h"))
       .withColumn("shard",
         expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT)"))
+      // 19 = max digits of a non-negative Long: lpad TRUNCATES longer
+      // inputs, so a narrower pad would silently corrupt the endpoint tags
+      // (and break the (h, doc_id) ⇔ string-order isomorphism the
+      // manifest-merge proof rests on) once doc_id crosses 1e12.
       .withColumn("tag",
-        concat(col("h"), lit(":"), lpad(col("doc_id").cast("string"), 12, "0")))
+        concat(col("h"), lit(":"), lpad(col("doc_id").cast("string"), 19, "0")))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("bigint").as("n_tokens"),
@@ -74,8 +78,8 @@ object TextOps {
     * merged summaries must render identically or the hash proof is void. */
   private def shardPresent(agg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     agg.select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bytes"),
-      substring(col("first_tag"), 34, 12).cast("bigint").as("first_doc"),
-      substring(col("last_tag"), 34, 12).cast("bigint").as("last_doc"))
+      substring(col("first_tag"), 34, 19).cast("bigint").as("first_doc"),
+      substring(col("last_tag"), 34, 19).cast("bigint").as("last_doc"))
       .orderBy(col("shard"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -913,12 +917,12 @@ object TextOps {
       |g AS (
       |  SELECT CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT) AS shard,
       |    n_chars, n_tokens,
-      |    h || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS tag
+      |    h || ':' || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS tag
       |  FROM t)
       |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
-      |  CAST(substring(min(tag), 34, 12) AS BIGINT) AS first_doc,
-      |  CAST(substring(max(tag), 34, 12) AS BIGINT) AS last_doc
+      |  CAST(substring(min(tag), 34, 19) AS BIGINT) AS first_doc,
+      |  CAST(substring(max(tag), 34, 19) AS BIGINT) AS last_doc
       |FROM g GROUP BY shard ORDER BY shard""".stripMargin
 
   private val q = "'"

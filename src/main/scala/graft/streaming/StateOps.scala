@@ -729,11 +729,12 @@ class DedupProcessor[K](ttl: TTLConfig = TTLConfig.NONE)
 
 /** Streaming as-of enrichment — batch e4's `transformWithState` twin: each
   * purchase is joined to the latest signup at-or-before it, per key, over
-  * an unbounded stream with O(1) state (three longs: last signup micros
-  * | -1, the key's event-time high-water mark, late count). This is the
-  * stream-stream temporal join that Spark's built-in interval join buffers
-  * BOTH sides for; as-of-against-the-latest needs only the running
-  * dominant row, so state never grows with the stream.
+  * an unbounded stream with O(1) state (four longs: last signup micros
+  * | -1, the key's event-time high-water mark, late count, last emitted
+  * purchase micros). This is the stream-stream temporal join that Spark's
+  * built-in interval join buffers BOTH sides for; as-of-against-the-latest
+  * needs only the running dominant row, so state never grows with the
+  * stream.
   *
   * Ordering contract (the [[RateLimitProcessor]] precedent): rows may
   * arrive in any order WITHIN a micro-batch — they are replayed in batch
@@ -743,8 +744,15 @@ class DedupProcessor[K](ttl: TTLConfig = TTLConfig.NONE)
   * may already dominate the state): a late PURCHASE is emitted flagged
   * (`late = 1`, no join — the dead-letter route, watermark drop
   * semantics), a late SIGNUP is counted and dropped (already-emitted
-  * purchases cannot be retracted). Under monotone waves the emissions
-  * equal batch e4 row for row (StreamingSpec pins it on the real corpus).
+  * purchases cannot be retracted). Equal timestamps at the batch seam are
+  * late too when they would reorder history: batch e4 replays a same-ts
+  * signup BEFORE the purchase, so a signup at `t == hwm` that arrives
+  * AFTER a same-ts purchase was already emitted (tracked by the fourth
+  * state long) is counted late rather than silently violating parity —
+  * that purchase went out joined to the older signup and cannot be
+  * retracted. Under monotone waves the emissions equal batch e4 row for
+  * row (StreamingSpec pins it on the real corpus; StreamBench splits its
+  * waves on timestamp boundaries so the seam never lands inside a tie).
   *
   * Input: (key, event_id, ts_micros, is_signup 1|0) — feed only the two
   * participating event types. Emissions per batch: one
@@ -756,31 +764,35 @@ class DedupProcessor[K](ttl: TTLConfig = TTLConfig.NONE)
 class AsofJoinProcessor[K]
     extends StatefulProcessor[K, (K, Long, Long, Int), (K, Long, Long, Long, Long)] {
 
-  @transient private var st: ValueState[(Long, Long, Long)] = _
+  @transient private var st: ValueState[(Long, Long, Long, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    st = getHandle.getValueState[(Long, Long, Long)]("asof",
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+    st = getHandle.getValueState[(Long, Long, Long, Long)]("asof",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong),
       TTLConfig.NONE)
 
   override def handleInputRows(key: K, rows: Iterator[(K, Long, Long, Int)],
       timerValues: TimerValues): Iterator[(K, Long, Long, Long, Long)] = {
     val sorted = rows.toArray.sortBy(r => (r._3, 1 - r._4, r._2))
-    var (lastSignup, hwm, nLate) =
-      if (st.exists()) st.get() else (-1L, Long.MinValue, 0L)
+    var (lastSignup, hwm, nLate, lastPurchase) =
+      if (st.exists()) st.get() else (-1L, Long.MinValue, 0L, Long.MinValue)
     val out =
       scala.collection.mutable.ArrayBuffer.empty[(K, Long, Long, Long, Long)]
     sorted.foreach { case (_, eid, t, isSignup) =>
-      if (t < hwm) {
+      // A signup tied with an already-emitted purchase is late: at t ==
+      // lastPurchase the purchase left joined to the OLDER signup, and
+      // batch order (signup-first at equal ts) can no longer be honored.
+      if (t < hwm || (isSignup == 1 && t <= lastPurchase)) {
         nLate += 1
         if (isSignup == 0) out += ((key, eid, t, -1L, 1L))
       } else {
         hwm = t
         if (isSignup == 1) lastSignup = t
-        else out += ((key, eid, t, lastSignup, 0L))
+        else { lastPurchase = t; out += ((key, eid, t, lastSignup, 0L)) }
       }
     }
-    st.update((lastSignup, hwm, nLate))
+    st.update((lastSignup, hwm, nLate, lastPurchase))
     out.iterator
   }
 }

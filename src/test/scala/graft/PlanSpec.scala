@@ -1115,10 +1115,22 @@ class PlanSpec extends SparkTestBase {
     // Phase-1 sorts partition by (event_type, day) — #types·#days-way
     // parallel. A window exchange on BARE event_type would be the
     // #types-reducer wall this rewrite removed (11.3×/decade at sf10).
-    val sorts = plan.linesIterator.filter(_.contains("Sort ")).mkString("\n")
-    assert(!sorts.matches("(?s).*\\[event_type[^,]*ASC[^\\]]*t#.*") ||
-      "hashpartitioning\\(event_type[^,]*, day".r.findAllIn(plan).nonEmpty,
-      "per-type global sort resurfaced:\n" + sorts)
+    // Direct pin (not a disjunction — r13's guard was vacuous because the
+    // bucketed exchange always exists): every FULL-ROW sort — identified
+    // by the event_id tie-break key, which only the 2n-row point stream
+    // carries — must sort within a (event_type, day) bucket. Bare
+    // event_type exchanges DO legitimately remain (the #types·#days-row
+    // offsets window and the partial-agg max exchanges move aggregates,
+    // never the stream), so the exchange side pins only that the bucketed
+    // one exists.
+    // (formatted-explain detail lines: sort/window orderings carry ASC and
+    // the tie-break column; tree lines carry neither)
+    val rowSorts = plan.linesIterator
+      .filter(l => l.contains(" ASC") && l.contains("event_id")).toList
+    assert(rowSorts.nonEmpty, "phase-1 local prefix sort vanished:\n" + plan)
+    assert(rowSorts.forall(s => s.contains("event_type") && s.contains("day")),
+      "per-type global full-row sort resurfaced (the #types-reducer wall):\n" +
+        rowSorts.mkString("\n"))
     assert("hashpartitioning\\(event_type[^,)]*, day".r.findAllIn(plan).nonEmpty,
       plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
     // Offsets and peaks join back as broadcasts — never a shuffled join

@@ -1228,6 +1228,26 @@ class StreamingSpec extends SparkTestBase {
         14L -> ((1L, 160L, 100L, 0L))), got.toString)
     }
   }
+
+  test("as-of processor: a signup tied with an already-emitted purchase is late, not a silent rewrite") {
+    withRocksDB {
+      val got = asofPhases(Seq(
+        // wave 1: signup@100, purchase@150 joined to 100 and EMITTED.
+        Seq((1L, 10L, 100L, 1), (1L, 11L, 150L, 0)),
+        // wave 2 opens at the same t=150: batch e4 would replay the
+        // signup BEFORE the purchase, but that purchase already left —
+        // the seam signup must be counted late (state stays on 100), so
+        // the next purchase still joins 100, never the unreplayable 150.
+        Seq((1L, 12L, 150L, 1), (1L, 13L, 160L, 0)),
+        // a same-BATCH tie still honors signup-first replay order:
+        // signup@200 then purchase@200 joins 200.
+        Seq((1L, 14L, 200L, 1), (1L, 15L, 200L, 0))))
+      assert(got == Map(
+        11L -> ((1L, 150L, 100L, 0L)),
+        13L -> ((1L, 160L, 100L, 0L)),
+        15L -> ((1L, 200L, 200L, 0L))), got.toString)
+    }
+  }
 }
 
 /** Crash-injection wrapper over the real [[graft.sinks.JdbcSink]]: the first
