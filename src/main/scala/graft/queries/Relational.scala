@@ -1594,45 +1594,82 @@ object Relational {
     // consume the counts join, whose input shuffles are deduplicated by
     // ReusedExchange (see the measured checkpoint-vs-reuse note below).
     "q68_skew_topkeys" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       def freq(df: DataFrame, key: String): DataFrame =
         df.filter(col(key).isNotNull)
           .groupBy(col(key).as("join_key")).agg(count(lit(1)).as("f"))
-      val lf = freq(Tables.lineitem(s, d), "l_orderkey")
-      val of = freq(Tables.orders(s, d), "o_orderkey")
-      val ef = freq(Tables.events(s, d), "user_id")
-      val dec = (c: Column) => c.cast("decimal(19,0)")
-      val ol = of.as("o").join(lf.as("l"), Seq("join_key"))
-        .select(col("join_key"), col("o.f").as("f_left"), col("l.f").as("f_right"),
-          (dec(col("o.f")) * dec(col("l.f"))).as("pairs_dec"))
-      val ee = ef.select(col("join_key"), col("f").as("f_left"), col("f").as("f_right"),
-        (dec(col("f")) * dec(col("f"))).as("pairs_dec"))
-      // Both the total and the top-10 consume the counts join. Measured
-      // (r13-continued-4): an eager localCheckpoint wins marginally at
-      // sf10 (5.3 vs 6.3 s) but LOSES 34% at sf100 (89 vs 59 s) — the
-      // checkpoint write+read grows with the counts table while
-      // ReusedExchange amortizes the shuffles, so the join-twice form is
-      // the 100 TB default; `graft.q68.checkpoint=true` restores the old
-      // shape for small-SF iteration.
-      def top(pairsDf0: DataFrame, name: String): DataFrame = {
-        val pairsDf = if (s.conf.getOption("graft.q68.checkpoint").contains("true"))
-          pairsDf0.localCheckpoint(true) else pairsDf0
-        val tot = pairsDf.agg(sum(col("pairs_dec")).as("tot"))
-        val w = Window.orderBy(col("pairs_dec").desc, col("join_key"))
-        pairsDf
-          .withColumn("rnk", row_number().over(w).cast("bigint"))
-          .filter(col("rnk") <= 10)
-          .crossJoin(broadcast(tot))
-          .select(lit(name).as("join_id"), col("rnk"), col("join_key"),
-            col("f_left"), col("f_right"),
-            least(col("pairs_dec"), lit(Long.MaxValue).cast("decimal(38,0)"))
-              .cast("bigint").as("pairs"),
-            expr("CAST((pairs_dec * 1000000) DIV tot AS BIGINT)").as("share_ppm"))
-      }
-      top(ol, "orders_lineitem").unionAll(top(ee, "events_self"))
-        .orderBy(col("join_id"), col("rnk"))
+      skewReport(s,
+        freq(Tables.orders(s, d), "o_orderkey"),
+        freq(Tables.lineitem(s, d), "l_orderkey"),
+        freq(Tables.events(s, d), "user_id"))
+    },
+    // q68's SUBLINEAR twin — the skew report without the corpus-keyed
+    // counts table (q68's 11.0×/decade at sf100, the suite's worst ratio):
+    // each side collapses in ONE pass into a Misra–Gries frequency summary
+    // (q59's topk_freq — mergeable partials, the exchange carries ≤ 2·cap
+    // entries per task, never keys), and everything after — the survivor
+    // join, the pair products, the total, the top-10 — is O(cap) math on
+    // summary rows. Below `spark.graft.sketch.skewCap` distinct keys per
+    // side (65,536 default ≫ the 15k gate-corpus keys; raise with the
+    // ci.sh sf1 conf line) the summary IS the exact frequency table, so
+    // q68's oracle SQL applies verbatim — the q57/q59 lossless-below-
+    // capacity convention. Above cap, the MG guarantee governs: any key
+    // with per-side share > 1/cap survives both summaries, its f sits in
+    // [true − n/cap, true], and the survivor-mass total makes share_ppm an
+    // upper bound on the true share — the report stays a correct
+    // SALTING-DECISION input (q54's consumer needs the heavy keys, not
+    // the long tail) at any corpus size, with memory fixed by cap.
+    "q68_scale" -> { (s, d) =>
+      val cap = s.conf.get("spark.graft.sketch.skewCap", "65536").toInt
+      val hh = udaf(graft.functions.Sketches.SpaceSavingTopK(cap))
+      def sketchFreq(df: DataFrame, key: String): DataFrame =
+        df.filter(col(key).isNotNull)
+          .agg(hh(col(key)).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.key").as("join_key"), col("e.cnt").as("f"))
+      skewReport(s,
+        sketchFreq(Tables.orders(s, d), "o_orderkey"),
+        sketchFreq(Tables.lineitem(s, d), "l_orderkey"),
+        sketchFreq(Tables.events(s, d), "user_id"))
     }
   )
+
+  /** q68/q68_scale's shared report body over per-key frequency tables
+    * `(join_key BIGINT, f BIGINT)` — shared code so the exact and sketch
+    * forms can never drift (the shardAgg pattern). See q68's entry for the
+    * DECIMAL/saturation and checkpoint-vs-reuse rationale. */
+  private def skewReport(s: SparkSession, of: DataFrame, lf: DataFrame,
+      ef: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val ol = of.as("o").join(lf.as("l"), Seq("join_key"))
+      .select(col("join_key"), col("o.f").as("f_left"), col("l.f").as("f_right"),
+        (dec(col("o.f")) * dec(col("l.f"))).as("pairs_dec"))
+    val ee = ef.select(col("join_key"), col("f").as("f_left"), col("f").as("f_right"),
+      (dec(col("f")) * dec(col("f"))).as("pairs_dec"))
+    // Both the total and the top-10 consume the counts join. Measured
+    // (r13-continued-4): an eager localCheckpoint wins marginally at
+    // sf10 (5.3 vs 6.3 s) but LOSES 34% at sf100 (89 vs 59 s) — the
+    // checkpoint write+read grows with the counts table while
+    // ReusedExchange amortizes the shuffles, so the join-twice form is
+    // the 100 TB default; `graft.q68.checkpoint=true` restores the old
+    // shape for small-SF iteration.
+    def top(pairsDf0: DataFrame, name: String): DataFrame = {
+      val pairsDf = if (s.conf.getOption("graft.q68.checkpoint").contains("true"))
+        pairsDf0.localCheckpoint(true) else pairsDf0
+      val tot = pairsDf.agg(sum(col("pairs_dec")).as("tot"))
+      val w = Window.orderBy(col("pairs_dec").desc, col("join_key"))
+      pairsDf
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 10)
+        .crossJoin(broadcast(tot))
+        .select(lit(name).as("join_id"), col("rnk"), col("join_key"),
+          col("f_left"), col("f_right"),
+          least(col("pairs_dec"), lit(Long.MaxValue).cast("decimal(38,0)"))
+            .cast("bigint").as("pairs"),
+          expr("CAST((pairs_dec * 1000000) DIV tot AS BIGINT)").as("share_ppm"))
+    }
+    top(ol, "orders_lineitem").unionAll(top(ee, "events_self"))
+      .orderBy(col("join_id"), col("rnk"))
+  }
 
   def oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -2087,6 +2124,34 @@ object Relational {
     // 128-bit twin of the engine's DECIMAL(38,0) DIV (both operands
     // positive, so floor == trunc and the two engines agree bit-for-bit).
     "q68_skew_topkeys" ->
+      """WITH lf AS (
+        |  SELECT l_orderkey AS join_key, CAST(count(*) AS BIGINT) AS f
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |ofr AS (
+        |  SELECT o_orderkey AS join_key, CAST(count(*) AS BIGINT) AS f
+        |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |ef AS (
+        |  SELECT user_id AS join_key, CAST(count(*) AS BIGINT) AS f
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ol AS (
+        |  SELECT 'orders_lineitem' AS join_id, join_key, ofr.f AS f_left,
+        |    lf.f AS f_right, CAST(ofr.f AS HUGEINT) * CAST(lf.f AS HUGEINT) AS pairs
+        |  FROM ofr JOIN lf USING (join_key)
+        |  UNION ALL
+        |  SELECT 'events_self', join_key, f, f, CAST(f AS HUGEINT) * CAST(f AS HUGEINT)
+        |  FROM ef),
+        |r AS (
+        |  SELECT join_id, join_key, f_left, f_right, pairs,
+        |    CAST(row_number() OVER (PARTITION BY join_id ORDER BY pairs DESC, join_key) AS BIGINT) AS rnk,
+        |    sum(pairs) OVER (PARTITION BY join_id) AS tot
+        |  FROM ol)
+        |SELECT join_id, rnk, join_key, f_left, f_right,
+        |  CAST(LEAST(pairs, CAST(9223372036854775807 AS HUGEINT)) AS BIGINT) AS pairs,
+        |  CAST((pairs * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM r WHERE rnk <= 10 ORDER BY join_id, rnk""".stripMargin,
+    // Same answer as q68 below skewCap by the lossless-below-capacity
+    // contract (the q57-vs-q2 split) — oracle shared verbatim.
+    "q68_scale" ->
       """WITH lf AS (
         |  SELECT l_orderkey AS join_key, CAST(count(*) AS BIGINT) AS f
         |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),

@@ -835,43 +835,106 @@ object Similarity {
     // a second columnar scan beats shuffling every vector). The sig
     // column is one aggregate HOF at scan time, fused into the same pass
     // as the validity filter.
-    "s17_hamming_rerank" -> { (s, d) =>
-      import graft.functions.VecFunctions.sign_pack
-      val dim = Tables.embDim(s)
-      val POOL = 20
-      // Bits above 63 cannot pack into one long; the declared corpus dim
-      // is 64 (bit 63 lands in the sign bit — xor/popcount don't care).
-      // sign_pack is a native codegen Expression (VecExpressions) — the
-      // interpreted aggregate(sequence(...)) HOF form allocated the index
-      // sequence per row and broke whole-stage codegen in the scan.
-      require(dim <= 64, s"s17_hamming_rerank packs $dim sign bits > 64")
-      val e = normed(s, d).withColumn("sig", sign_pack(col("embedding")))
-      val q = guardedBounded(s,
-        e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("sq").as("q_sq"), col("sig").as("q_sig")), "s17_hamming_rerank")
-      val byQ = Window.partitionBy(col("q_id"))
-      val pool = e.select(col("vec_id"), col("sig"))
-        .join(broadcast(q.select(col("q_id"), col("q_sig"))),
-          col("vec_id") =!= col("q_id"))
-        .withColumn("hamming", expr("CAST(bit_count(sig ^ q_sig) AS INT)"))
-        .withColumn("hrk",
-          row_number().over(byQ.orderBy(col("hamming"), col("vec_id"))))
-        .filter(col("hrk") <= POOL)
-        .select(col("q_id"), col("vec_id"), col("hamming"))
-      val reranked = e.select(col("vec_id"), col("embedding"), col("sq"))
-        .join(broadcast(pool), "vec_id")
-        .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_sq"))), "q_id")
-        .withColumn("cosine",
-          dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
-      reranked
-        .withColumn("rank",
-          row_number().over(byQ.orderBy(col("cosine").desc, col("vec_id"))).cast("int"))
-        .filter(col("rank") <= TOPK)
-        .select(col("q_id"), col("rank"), col("vec_id"), col("hamming"), col("cosine"))
-        .orderBy(col("q_id"), col("rank"))
+    "s17_hamming_rerank" -> ((s, d) =>
+      hammingRerank(s, d, 1, 0, "s17_hamming_rerank")),
+    // s17's BUCKETED candidate stage (r13 verdict nit 1: with the
+    // every-50th query set, s17's exhaustive xor pass is O(corpus²/50) —
+    // 11.3×/decade at sf100). The 64-bit signature splits into `tables`
+    // DISJOINT `bits`-bit chunks (s2's multi-table banding on the 1-bit
+    // axis, = multi-index Hamming search, Norouzi et al. CVPR'12); a
+    // corpus vector meets a query only when some chunk agrees exactly,
+    // with the PIGEONHOLE guarantee: a pair within Hamming distance
+    // tables−1 differs in < tables chunks, so some chunk matches — at the
+    // default 12×5 nothing closer than 12 bits can be missed (exact on
+    // the near-dup regime, d7's domain; SimilaritySpec plants such pairs).
+    // Geometry picked by measurement on the gate corpus (this corpus's
+    // true neighbors sit at Hamming 17–25 of 64, near the random mean, so
+    // the signature is weakly cosine-informative): 12×5 = recall 0.80 of
+    // s17's final top-5 scanning 32% of the cross product; 10×6 = 0.52 @
+    // 14%; 8×8 = 0.22 @ 3% — conf-tunable (`spark.graft.ann.hammingTables
+    // /.hammingBits`), and the honest limit is stated: bucket count is
+    // geometry-fixed, so the cut is a CONSTANT factor on collision mass;
+    // dense corpora should raise bits (fewer, tighter tables), bounded by
+    // the 64-bit signature. The Hamming pool and cosine rerank are s17's
+    // verbatim tail (shared [[hammingRerank]]); the 1×0 geometry collapses
+    // the pipeline onto s17's exact plan, which is what keeps the shared
+    // path hash-oracled while this production row is recall-pinned.
+    "s17_scale" -> { (s, d) =>
+      val t = s.conf.get("spark.graft.ann.hammingTables", "12").toInt
+      val b = s.conf.get("spark.graft.ann.hammingBits", "5").toInt
+      hammingRerank(s, d, t, b, "s17_scale")
     }
   )
+
+  /** Shared sign-signature Hamming-pool + exact-cosine-rerank pipeline —
+    * s17 (1 table × 0 bits = one shared bucket = exhaustive, the
+    * hash-oracled anchor) and s17_scale (8 × 8 disjoint chunk probing)
+    * differ ONLY in the candidate stage, so the two can never drift.
+    *
+    * Scale shape: vectors NEVER shuffle — the bucketed side carries
+    * (vec_id, sig, chunk) only, survivors exchange (q_id, vec_id, hamming),
+    * and the rerank re-reads the corpus with the tiny pool broadcast onto
+    * it (s14's hits-join-back shape). sign_pack is a native codegen
+    * Expression (VecExpressions); the query set is guarded BEFORE chunk
+    * expansion (the s4/s13 r13 lesson). */
+  private def hammingRerank(s: SparkSession, d: String, tables: Int,
+      bits: Int, op: String): DataFrame = {
+    import graft.functions.VecFunctions.sign_pack
+    val dim = Tables.embDim(s)
+    val POOL = 20
+    // Bits above 63 cannot pack into one long; the declared corpus dim
+    // is 64 (bit 63 lands in the sign bit — xor/popcount don't care).
+    require(dim <= 64, s"$op packs $dim sign bits > 64")
+    require(tables * bits <= 64, s"$op chunks $tables×$bits exceed 64 bits")
+    val e = normed(s, d).withColumn("sig", sign_pack(col("embedding")))
+    val q = guardedBounded(s,
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("sq").as("q_sq"), col("sig").as("q_sig")), op)
+    val byQ = Window.partitionBy(col("q_id"))
+    val cands =
+      if (tables == 1 && bits == 0)
+        // One shared bucket: no chunk explode, no duplicate pairs to
+        // dedupe — the plan is exactly pre-refactor s17's.
+        e.select(col("vec_id"), col("sig"))
+          .join(broadcast(q.select(col("q_id"), col("q_sig"))),
+            col("vec_id") =!= col("q_id"))
+      else {
+        val mask = (1 << bits) - 1
+        def chunks(sig: Column): Column = array((0 until tables).map(t =>
+          shiftrightunsigned(sig, t * bits).bitwiseAND(lit(mask.toLong))
+            .cast("int")): _*)
+        val corpusB = e.select(col("vec_id"), col("sig"),
+          posexplode(chunks(col("sig"))).as(Seq("t", "code")))
+        val qB = q.select(col("q_id"), col("q_sig"),
+          posexplode(chunks(col("q_sig"))).as(Seq("q_t", "q_code")))
+        corpusB.join(broadcast(qB),
+            col("t") === col("q_t") && col("code") === col("q_code") &&
+              col("vec_id") =!= col("q_id"))
+          // a pair agreeing in several chunks arrives once per agreement;
+          // sig/q_sig are functionally determined by the pair, so any
+          // surviving row is the same row.
+          .dropDuplicates("q_id", "vec_id")
+          .select(col("vec_id"), col("sig"), col("q_id"), col("q_sig"))
+      }
+    val pool = cands
+      .withColumn("hamming", expr("CAST(bit_count(sig ^ q_sig) AS INT)"))
+      .withColumn("hrk",
+        row_number().over(byQ.orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("hrk") <= POOL)
+      .select(col("q_id"), col("vec_id"), col("hamming"))
+    val reranked = e.select(col("vec_id"), col("embedding"), col("sq"))
+      .join(broadcast(pool), "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_sq"))), "q_id")
+      .withColumn("cosine",
+        dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+    reranked
+      .withColumn("rank",
+        row_number().over(byQ.orderBy(col("cosine").desc, col("vec_id"))).cast("int"))
+      .filter(col("rank") <= TOPK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("hamming"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 
   def oracle: Map[String, String] = Map(
     "s10_vec_validity" ->

@@ -1073,14 +1073,84 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("s17 hamming rerank: vectors never cross a shuffle; pool cut is a WindowGroupLimit heap") {
-    val plan = planOf("s17_hamming_rerank")
-    // Shuffle exchanges may carry ids/hamming/cosine — never an embedding
-    // column (broadcasts of the bounded query set are exempt: that is the
-    // point of broadcasting it).
-    val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
-    assert(!shuffles.contains("emb"), "vectors crossed a shuffle:\n" + shuffles)
-    assert(plan.contains("WindowGroupLimit"),
-      "hamming pool must cut with a per-task heap, not a full sort")
+    for (name <- Seq("s17_hamming_rerank", "s17_scale")) {
+      val plan = planOf(name)
+      // Shuffle exchanges may carry ids/sigs/hamming/cosine — never an
+      // embedding column (broadcasts of the bounded query set are exempt:
+      // that is the point of broadcasting it).
+      val shuffles = plan.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+      assert(!shuffles.contains("emb"), s"$name: vectors crossed a shuffle:\n" + shuffles)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name: hamming pool must cut with a per-task heap, not a full sort")
+    }
+  }
+
+  /** The global-top-k physical contract (r13 verdict item 3): these queries
+    * rank over an UNPARTITIONED window (or a global orderBy+limit), which
+    * is a single-reducer full sort unless the optimizer cuts the input
+    * map-side. Correct today via WindowGroupLimit / TakeOrderedAndProject —
+    * pin it so a Spark upgrade or a query edit (e.g. a non-literal rank
+    * bound, which defeats the WindowGroupLimit rewrite — see the red
+    * variant below) cannot silently reintroduce the single-reducer sort. */
+  private def assertHeapTopK(plan: org.apache.spark.sql.execution.SparkPlan,
+      name: String): Unit = {
+    import org.apache.spark.sql.execution._
+    // A node cuts map-side if, between the global window and the raw
+    // input, a heap bounds the rows each task forwards (Sort/Exchange are
+    // transparent: they preserve the already-cut row count).
+    def cutsMapSide(p: SparkPlan): Boolean = p match {
+      case _: TakeOrderedAndProjectExec => true
+      case _: window.WindowGroupLimitExec => true
+      case s: SortExec => cutsMapSide(s.child)
+      case e: exchange.ShuffleExchangeExec => cutsMapSide(e.child)
+      case pr: ProjectExec => cutsMapSide(pr.child)
+      case _ => false
+    }
+    val globalWindows = plan.collect {
+      case w: window.WindowExec if w.partitionSpec.isEmpty => w }
+    globalWindows.foreach { w =>
+      assert(cutsMapSide(w.child),
+        s"$name: unpartitioned rank window fed by FULL input (single-reducer " +
+          s"sort):\n${w.simpleStringWithNodeId()}\n <- ${w.child.getClass.getSimpleName}")
+    }
+  }
+
+  test("global top-k heaps: q68/q68_scale/s17/s17_scale/d18/q30 all cut map-side") {
+    import org.apache.spark.sql.execution._
+    def sparkPlanOf(name: String): SparkPlan =
+      SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+    val names = Seq("q68_skew_topkeys", "q68_scale", "s17_hamming_rerank",
+      "s17_scale", "d18_minhash_calibration", "q30_topk")
+    names.foreach { name =>
+      val plan = sparkPlanOf(name)
+      assertHeapTopK(plan, name)
+      // each of these queries HAS a global top-k — the heap must exist
+      // somewhere (guards against the detector trivially passing because
+      // the window itself disappeared into something worse).
+      assert(plan.collect {
+        case t: TakeOrderedAndProjectExec => t
+        case g: window.WindowGroupLimitExec => g
+      }.nonEmpty, s"$name: no map-side heap operator anywhere in the plan")
+    }
+    // t8_scale's cut is the sketch itself (slice of a 1-row aggregate) —
+    // no rank window may appear at all.
+    assert(sparkPlanOf("t8_scale").collect {
+      case w: window.WindowExec => w }.isEmpty,
+      "t8_scale grew a rank window; its top-k is the MG summary slice")
+    // RED variant — prove the detector discriminates: a non-literal rank
+    // bound defeats both the WindowGroupLimit and the limit-pushdown
+    // rewrites, leaving exactly the single-reducer shape the pin rejects.
+    val broken = graft.Tables.orders(spark, sf)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("o_totalprice").desc)))
+      .filter(col("rnk") <= col("o_orderkey"))
+      .queryExecution.sparkPlan
+    assert(broken.collect {
+      case w: window.WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty,
+      "red variant lost its global window; the pin may have gone vacuous")
+    assert(intercept[org.scalatest.exceptions.TestFailedException] {
+      assertHeapTopK(broken, "red-variant")
+    }.getMessage.contains("red-variant"), "detector failed to flag the red variant")
   }
 
   test("q68 skew top-keys: reused exchanges feed both consumers; top-10 is a heap") {

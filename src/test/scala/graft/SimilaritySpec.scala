@@ -104,4 +104,51 @@ class SimilaritySpec extends SparkTestBase {
     val mean = rows.map(_.getDouble(1)).sum / rows.length
     assert(mean >= 0.2, s"mean recall@5 $mean below 0.2")
   }
+
+  private def topk17(name: String): Map[Long, Set[Long]] =
+    graft.queries.Similarity.queries(name)(spark, sf)
+      .select(col("q_id"), col("vec_id"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  test("s17_scale recall@5 vs the exhaustive hamming anchor is usable") {
+    val exact = topk17("s17_hamming_rerank")
+    val approx = topk17("s17_scale")
+    assert(exact.nonEmpty)
+    val recall = exact.map { case (q, nbrs) =>
+      nbrs.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / nbrs.size
+    }.sum / exact.size
+    // 12×5 chunk probing measured 0.68 here (sf0.001) / 0.80 at sf0.01
+    // scanning ~32% of the cross product; floor with headroom for corpus
+    // regens. This corpus is the hard case — its true neighbors sit at
+    // Hamming 17–25 of 64, near the random mean.
+    assert(recall >= 0.5, s"s17_scale recall@5 $recall below 0.5")
+  }
+
+  test("s17_scale pigeonhole: a neighbor within Hamming tables-1 is never missed") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Planted corpus: query 50 = all-positive signs; neighbor 51 flips
+    // exactly 11 of 64 signs — Hamming 11 ≤ tables−1 = 11, so the disjoint
+    // 12×5 chunk guarantee says SOME chunk must match and the pair cannot
+    // be dropped by bucketing, whatever the rest of the corpus does.
+    // Backgrounds have exactly 32 positive dims (cosine 0 to the query,
+    // Hamming 32), so the planted pair is also the clear cosine winner.
+    val query = (50L, Array.fill(64)(1.0f), 1)
+    val neighbor = (51L, Array.tabulate(64)(i => if (i < 11) -1.0f else 1.0f), 1)
+    val background = (0 until 50).map { i =>
+      val id = 101L + i // never ≡ 0 (mod 50): backgrounds are not queries
+      (id, Array.tabulate(64)(j => if ((j + i) % 64 < 32) 1.0f else -1.0f), 2)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("s17pigeon").toString
+    (Seq(query, neighbor) ++ background)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.Similarity.queries("s17_scale")(spark, dir)
+      .filter(col("q_id") === 50L && col("rank") === 1)
+      .select(col("vec_id"), col("hamming")).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 51L && out(0).getInt(1) == 11,
+      s"planted Hamming-11 neighbor not retrieved at rank 1: ${out.mkString}")
+  }
 }

@@ -17,7 +17,7 @@
 # overflow, q46 broadcast death) were value-domain-dependent — invisible
 # to the sf0.01 hash. Run the same gate against the GenData corpus to
 # catch that class by hash instead of by probe:
-#   SPARK_GRAFT_CONF="spark.graft.sketch.k=2097152,spark.graft.sketch.topkCap=262144,spark.graft.sketch.pctCap=4194304" \
+#   SPARK_GRAFT_CONF="spark.graft.sketch.k=2097152,spark.graft.sketch.topkCap=262144,spark.graft.sketch.pctCap=4194304,spark.graft.sketch.skewCap=2097152" \
 #     tools/ci.sh spark-warehouse/sf1 target/ci-verify-sf1
 # The conf raises the sketch capacities past sf1's value domains
 # (1.11M distinct orderkeys/group, 200k partkeys/group, 2.0M raw
