@@ -362,6 +362,67 @@ object StreamBench {
       q.stop()
     }
 
+    // ---- 2i. IVM pipeline over sf events (changelog → maintained agg) ----
+    {
+      // batch e32 streamed: stage 1 derives ±(group, mu) retraction pairs
+      // per entity (state = one contribution per key), stage 2 maintains
+      // (n, n_vals, sum_mu) per GROUP (state = |groups| rows). Waves are
+      // globally (ts, event_id)-sorted so every positional split is
+      // per-key monotone — the parity contract.
+      val rows = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          coalesce(unix_micros(col("ts")), lit(Long.MinValue)).as("t"),
+          when(col("event_type") === "purchase", 0).otherwise(1),
+          col("event_type"),
+          when(!isnan(col("value")) && abs(col("value")) =!= lit(Double.PositiveInfinity),
+            round(col("value") * 1e6).cast("bigint")))
+        .as[(Long, Long, Long, Int, Option[String], Option[Long])].collect()
+        .sortBy(r => (r._3, r._2))
+      val waves = 10
+      val per = math.max(1, (rows.length + waves - 1) / waves)
+      val deltas = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Option[Long], Long)]
+      val s1 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Int, Option[String], Option[Long])]
+      val q1 = s1.toDS().groupByKey(_._1)
+        .transformWithState(new graft.streaming.CdcRetractProcessor[Long](),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("g", "mu", "sgn")
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", tmpDir())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          deltas ++= b.collect().map(r => (Option(r.getString(0)),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+          ()
+        }
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      rows.grouped(per).foreach { wave =>
+        s1.addData(wave.toSeq: _*)
+        q1.processAllAvailable()
+      }
+      val wall1 = (System.nanoTime() - t0) / 1e9
+      report("ivm-changelog(sf events)", q1, rows.length.toLong, wall1)
+      q1.stop()
+      val s2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Option[String], Option[Long], Long)]
+      val q2 = s2.toDS().groupByKey(_._1)
+        .transformWithState(new graft.streaming.IvmAggProcessor[Option[String]](),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("g", "n", "n_vals", "sum_mu")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", tmpDir())
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t1 = System.nanoTime()
+      deltas.grouped(math.max(1, (deltas.length + waves - 1) / waves)).foreach { w =>
+        s2.addData(w.toSeq: _*)
+        q2.processAllAvailable()
+      }
+      val wall2 = (System.nanoTime() - t1) / 1e9
+      report("ivm-agg(sf deltas)", q2, deltas.length.toLong, wall2)
+      q2.stop()
+    }
+
     // ---- 3. p1 pipeline as a throttled file stream ------------------------
     {
       val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema

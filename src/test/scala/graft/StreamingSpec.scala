@@ -1248,6 +1248,155 @@ class StreamingSpec extends SparkTestBase {
         15L -> ((1L, 200L, 200L, 0L))), got.toString)
     }
   }
+
+  /** Drives the two-stage IVM pipeline (CdcRetractProcessor keyed by
+    * entity → IvmAggProcessor keyed by group) over MemoryStream waves;
+    * returns the converged per-group (n, n_vals, sum_mu) map. Stage-1
+    * deltas are collected per batchId (the documented exactly-once dedup
+    * contract for a delta stream) and re-waved into stage 2. */
+  private def ivmPipeline(
+      waves: Seq[Seq[(Long, Long, Long, Int, Option[String], Option[Long])]])
+      : Map[Option[String], (Long, Long, Option[Long])] = {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // stage 1: entity-keyed changelog derivation
+    val deltasByBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, Array[(Option[String], Option[Long], Long)]]()
+    val in1 = MemoryStream[(Long, Long, Long, Int, Option[String], Option[Long])]
+    val q1 = in1.toDS().groupByKey(_._1)
+      .transformWithState(new graft.streaming.CdcRetractProcessor[Long](),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("g", "mu", "sgn")
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        deltasByBatch.put(id, batch.collect().map(r =>
+          (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getLong(2))))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    waves.foreach { w => in1.addData(w: _*); q1.processAllAvailable() }
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    val deltas = deltasByBatch.asScala.toSeq.sortBy(_._1).flatMap(_._2)
+    // stage 2: group-keyed maintained aggregate (split the delta stream
+    // into fresh waves — the fold is an order-free sum, any split works)
+    val last =
+      new java.util.concurrent.ConcurrentHashMap[Option[String], (Long, Long, Option[Long])]()
+    val in2 = MemoryStream[(Option[String], Option[Long], Long)]
+    val q2 = in2.toDS().map(r => (r._1, r._2, r._3))
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.IvmAggProcessor[Option[String]](),
+        TimeMode.None(), OutputMode.Update())
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmpDir())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Option[String], Long, Long, Option[Long])], _: Long) =>
+        batch.collect().foreach(r => last.put(r._1, (r._2, r._3, r._4)))
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    deltas.grouped(math.max(1, deltas.length / 3 + 1)).foreach { w =>
+      in2.addData(w: _*); q2.processAllAvailable()
+    }
+    q2.stop()
+    last.asScala.toMap.filter(_._2._1 > 0)
+  }
+
+  test("IVM pipeline: changelog + maintained aggregate equals batch e32 across monotone waves") {
+    val spark0 = spark
+    import spark0.implicits._
+    // The real corpus in e32's version-chain order: global (ts NULLS
+    // FIRST→MinValue, event_id) sort makes EVERY positional split per-key
+    // monotone, the contract under which parity is promised.
+    val rows = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        coalesce(unix_micros(col("ts")), lit(Long.MinValue)).as("t"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("op"),
+        col("event_type"),
+        when(!isnan(col("value")) && abs(col("value")) =!= lit(Double.PositiveInfinity),
+          round(col("value") * 1e6).cast("bigint")).as("mu"))
+      .as[(Long, Long, Long, Int, Option[String], Option[Long])]
+      .collect().sortBy(r => (r._3, r._2))
+    assert(rows.nonEmpty)
+    val expected = graft.SparkEntry.queries("e32_ivm_agg")(spark, sf)
+      .collect().map { r =>
+        (Option(r.getString(0)),
+          (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      }.toMap
+    withRocksDB {
+      val got = ivmPipeline(rows.grouped(math.max(1, rows.length / 4 + 1)).map(_.toSeq).toSeq)
+      assert(got == expected,
+        s"streamed ${got.size} groups != batch ${expected.size}:\n" +
+          (got.toSet -- expected.toSet).take(5).mkString("\n"))
+    }
+  }
+
+  test("IVM changelog: state survives a restart — a post-restart version retracts the pre-restart contribution") {
+    withRocksDB {
+      val spark0 = spark
+      import spark0.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val landing = tmpDir(); val ckpt = tmpDir()
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.LongType)
+        .add("eid", org.apache.spark.sql.types.LongType)
+        .add("t", org.apache.spark.sql.types.LongType)
+        .add("op", org.apache.spark.sql.types.IntegerType)
+        .add("g", org.apache.spark.sql.types.StringType)
+        .add("mu", org.apache.spark.sql.types.LongType)
+      val deltas = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Option[Long], Long)]
+      def run(): Unit = { // a fresh query incarnation per wave = a restart
+        val q = spark.readStream.schema(schema).json(landing)
+          .as[(Long, Long, Long, Int, Option[String], Option[Long])]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.CdcRetractProcessor[Long](),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("g", "mu", "sgn")
+          .writeStream.outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            deltas ++= batch.collect().map(r => (Option(r.getString(0)),
+              if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(60000), "ivm query did not drain")
+      }
+      Seq(
+        Seq("""{"k":1,"eid":10,"t":100,"op":1,"g":"a","mu":10}"""),
+        Seq("""{"k":1,"eid":11,"t":200,"op":1,"g":"b","mu":20}""")
+      ).zipWithIndex.foreach { case (wave, i) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$landing/wave$i.json"),
+          wave.mkString("\n").getBytes("UTF-8"))
+        run()
+      }
+      // The second incarnation must retract (a, 10) — values only held in
+      // pre-restart state — before inserting (b, 20).
+      assert(deltas.toList == List(
+        (Some("a"), Some(10L), 1L),
+        (Some("a"), Some(10L), -1L), (Some("b"), Some(20L), 1L)),
+        deltas.toString)
+    }
+  }
+
+  test("IVM changelog: retraction is exact; a late version is counted and dropped, never misapplied") {
+    withRocksDB {
+      val got = ivmPipeline(Seq(
+        // key 1: upsert (a, 10) then moves to (b, 20) — a retracts to zero.
+        // key 2: upsert (a, null) then DELETE — contributes nothing at end.
+        Seq((1L, 10L, 100L, 1, Some("a"), Some(10L)),
+            (2L, 11L, 100L, 1, Some("a"), None)),
+        Seq((1L, 12L, 200L, 1, Some("b"), Some(20L)),
+            (2L, 13L, 200L, 0, None, None),
+            // LATE: (ts 150, eid 9) under key 1's hwm (200, 12) — dropped;
+            // applying it would resurrect group "a".
+            (1L, 9L, 150L, 1, Some("a"), Some(99L)))))
+      assert(got == Map(Option("b") -> ((1L, 1L, Some(20L)))), got.toString)
+    }
+  }
 }
 
 /** Crash-injection wrapper over the real [[graft.sinks.JdbcSink]]: the first
