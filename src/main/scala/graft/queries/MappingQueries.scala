@@ -199,25 +199,84 @@ object MappingQueries {
     // the hash inputs are exactly the rows MappingFixtureSpec golden-pins;
     // any mapping regression changes the md5 and fails the driver gate.
     "m_full_hashes" -> { (s, d) =>
-      def one(name: String, df: DataFrame): DataFrame = {
-        val rowStr = concat_ws("\u0001",
-          df.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
-        df.select(rowStr.as("r"))
-          .agg(count(lit(1)).as("n_rows"),
-            md5(array_join(array_sort(collect_list(col("r"))), "\n").cast("binary"))
-              .as("content_md5"))
-          .select(lit(name).as("mapping"), col("n_rows"), col("content_md5"))
-      }
       Seq(
-        one("m6", floatProj(replay(new AreteData("topic"), "arete_data.json")(s, d))),
-        one("m7", floatProj(replay(new NumurusData("topic"), "numurus.data.json")(s, d))),
-        one("m8", floatProj(replay(new NumurusStatus("topic"), "numurus.status.json")(s, d))),
-        one("m9", floatProj(replay(new NwicFloatReports("foo"), "health_and_status.json")(s, d))),
-        one("m10", queries("m10_sofar")(s, d)))
+        contentHash("m6", floatProj(replay(new AreteData("topic"), "arete_data.json")(s, d))),
+        contentHash("m7", floatProj(replay(new NumurusData("topic"), "numurus.data.json")(s, d))),
+        contentHash("m8", floatProj(replay(new NumurusStatus("topic"), "numurus.status.json")(s, d))),
+        contentHash("m9", floatProj(replay(new NwicFloatReports("foo"), "health_and_status.json")(s, d))),
+        contentHash("m10", queries("m10_sofar")(s, d)))
         .reduce(_.unionAll(_))
         .orderBy(col("mapping"))
+    },
+    // Driver-visible content hash of the FULL m4 rows, JTS-union WKT geom
+    // included — the last no_oracle row without a same-engine twin (r13
+    // verdict item 6). The sandbox DuckDB cannot oracle the geometry
+    // directly: `INSTALL spatial` needs the network (probed r14 —
+    // IOException against extensions.duckdb.org; zero-egress sandbox), so
+    // this follows the m_full_hashes pattern: the hash inputs are exactly
+    // the rows the GeoJson goldens + WKB round-trips pin (antimeridian
+    // fixture included), and a geometry regression changes the md5 and
+    // fails the driver gate.
+    "m4_geom_hash" -> { (s, d) =>
+      contentHash("m4", queries("m4_geography")(s, d))
+    },
+    // The m-family contract through the STREAMING path (r13 verdict item
+    // 7): the m5 fixture replayed as a FILE STREAM — one message per file,
+    // maxFilesPerTrigger=1, so decode → GenericFloat → upsert crosses FOUR
+    // micro-batch boundaries through Pipeline.run (the production
+    // readStream → foreachBatch → sink dataflow, not the batch replay
+    // shortcut) — then replayed AGAIN from a fresh checkpoint into the
+    // same sink: the worst-case at-least-once redelivery (every offset
+    // twice). The oracle is m5's SQL VERBATIM, so the driver hash
+    // certifies both the streaming transform fidelity and the upsert's
+    // effectively-once convergence: a double-applied or drifted row
+    // changes the hash.
+    "p3_stream_pipeline" -> { (s, d) =>
+      import graft.tables.GenericFloat
+      val mapping = new GenericFloat("axds-netcdf-replayer-data")
+      val landing = java.nio.file.Files.createTempDirectory("p3-landing")
+      graft.sources.FileReplay.messages(s"$fx/replayer.json").zipWithIndex
+        .foreach { case (m, i) =>
+          java.nio.file.Files.write(landing.resolve(f"msg$i%03d.txt"),
+            m.getBytes("UTF-8"))
+        }
+      val sink = new graft.sinks.InMemorySink
+      def replayOnce(): Unit = {
+        val ckpt = java.nio.file.Files.createTempDirectory("p3-ckpt").toString
+        val stream = s.readStream.option("maxFilesPerTrigger", 1)
+          .text(landing.toString)
+        val q = graft.streaming.Pipeline.run(stream, mapping, sink, ckpt)
+        assert(q.awaitTermination(120000), "p3 stream did not drain")
+      }
+      replayOnce()
+      replayOnce() // fresh checkpoint = full redelivery; upsert must absorb
+      val schema = mapping.encoder.schema
+      val rows = sink.synchronized {
+        sink.table.values.map(v =>
+          org.apache.spark.sql.Row.fromSeq(v)).toList
+      }
+      s.createDataFrame(new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        .select(col("uid"), col("gid"), col("time"), col("reftime"),
+          col("lat"), col("lon"), col("z"), col("geom"),
+          size(map_keys(col("values"))).cast("bigint").as("n_values"),
+          element_at(col("values"), "location_quality").as("location_quality"))
+        .orderBy(col("uid"), col("time"))
     }
   )
+
+  /** Collapses a mapping's full output to (mapping, n_rows, md5 of the
+    * newline-joined SORTED row renderings) — deterministic, fixture-driven,
+    * order-free; shared by m_full_hashes and m4_geom_hash. */
+  private def contentHash(name: String, df: DataFrame): DataFrame = {
+    val rowStr = concat_ws("\u0001",
+      df.columns.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    df.select(rowStr.as("r"))
+      .agg(count(lit(1)).as("n_rows"),
+        md5(array_join(array_sort(collect_list(col("r"))), "\n").cast("binary"))
+          .as("content_md5"))
+      .select(lit(name).as("mapping"), col("n_rows"), col("content_md5"))
+  }
 
   /** QARTOD flag (`tables.py:82-118`) as DuckDB SQL over resolved lon/lat and
     * an `inprecise` boolean; `disallow` injects the mapping's sentinel checks
@@ -484,6 +543,23 @@ object MappingQueries {
         |  ('m8',   87, 'c7f3d5174063fb49af59aca19bf4da80'),
         |  ('m9',  516, '9789c21e990a48da66682ccd10d6d6aa'))
         |  AS t(mapping, n_rows, content_md5)
-        |ORDER BY mapping""".stripMargin
+        |ORDER BY mapping""".stripMargin,
+    // Pinned-literal oracle for the full m4 geometry rows (same contract as
+    // m_full_hashes): no DuckDB spatial offline (r14 probe), so the JTS
+    // union/WKT path pins through the spec-proven content hash instead.
+    "m4_geom_hash" ->
+      """SELECT 'm4' AS mapping, CAST(6 AS BIGINT) AS n_rows,
+        |  '3df9ea2c2e814c8669710b5f1fc2b2c0' AS content_md5""".stripMargin,
+    // p3 = m5 through the streaming path + double replay; same rows by the
+    // effectively-once contract, so the oracle is m5's SQL verbatim.
+    "p3_stream_pipeline" ->
+      """SELECT CAST(uid AS VARCHAR) AS uid, CAST(gid AS VARCHAR) AS gid,
+        |  CAST(time AS TIMESTAMP) AS time, CAST(time AS TIMESTAMP) AS reftime,
+        |  lat, lon, CAST(z AS DOUBLE) AS z,
+        |  'POINT (' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS geom,
+        |  CAST(len(json_keys(to_json("values"))) + 1 AS BIGINT) AS n_values,
+        |  '1' AS location_quality
+        |FROM read_json('/root/reference/tests/replayer.json')
+        |ORDER BY uid, time""".stripMargin
   )
 }
