@@ -1630,6 +1630,78 @@ object Relational {
         sketchFreq(Tables.orders(s, d), "o_orderkey"),
         sketchFreq(Tables.lineitem(s, d), "l_orderkey"),
         sketchFreq(Tables.events(s, d), "user_id"))
+    },
+    // Incremental view maintenance of a JOIN view — e32 proved the
+    // grouped-aggregate delta algebra; this proves the BILINEAR one. The
+    // maintained view is the order-ledger rollup
+    //   V = Γ[c_nationkey, o_orderstatus](orders ⋈ customer)
+    // and the engine never evaluates new⋈new: with yesterday's snapshots
+    // O, C and today's increments ΔO, ΔC,
+    //   (O ∪ ΔO) ⋈ (C ∪ ΔC)  =  O⋈C  ⊎  ΔO⋈(C ∪ ΔC)  ⊎  O⋈ΔC
+    // — the asymmetric factorization of the bilinear expansion (the ΔO⋈ΔC
+    // cross term rides the first delta join, so maintenance is TWO delta
+    // joins, not three). The base term is yesterday's PERSISTED aggregate
+    // (q65's vintage pattern — at 100 TB it is a |groups|-row table read,
+    // not a fact join; here the vintage is materialized in the same job),
+    // and each delta join BROADCASTS its increment side against ONE scan
+    // of the opposing snapshot, so a day's maintenance never shuffles a
+    // fact table — vs the full o_custkey exchange the recompute pays. The
+    // split points are engine-internal (the last 1/16 of the o_orderdate
+    // range; custkeys past 15/16 of the key span — the hostile 90M
+    // customer block lands in ΔC by construction, so the audit corpus
+    // exercises a delta whose groups are absent from the base): the
+    // ORACLE recomputes V from the whole tables and never sees them, so
+    // hash equality certifies the factorization for an arbitrary
+    // two-sided split. Merge is a union of three |groups|-sized aggregate
+    // tables re-aggregated — group nulls (hostile null-nation customers)
+    // are one group under groupBy on both engines, no join needed. Money
+    // rides e24's finite-cents BIGINT guard, and e32's SUM/NULL contract:
+    // maintained n_vals distinguishes "cents summed to 0" from "no
+    // non-null prices" (sum emitted only when n_vals > 0). Increments are
+    // insert-only — the retraction algebra is e32/CdcRetractProcessor's;
+    // composing the two (signed delta joins) is mechanical because every
+    // merged metric here is already a signed sum.
+    "q69_ivm_join" -> { (s, d) =>
+      val price = col("o_totalprice")
+      val cents = when(!isnan(price) && abs(price) =!= lit(Double.PositiveInfinity),
+        round(price * 100).cast("bigint"))
+      val ord0 = Tables.orders(s, d)
+        .filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey"), col("o_orderstatus"), cents.as("cents"),
+          // o_orderdate is TIMESTAMP_NTZ; the session tz is pinned UTC, so
+          // this cast is a deterministic epoch-micros view of the date.
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      val cust0 = Tables.customer(s, d)
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ob = ord0.agg(min(col("t")).as("olo"), max(col("t")).as("ohi"))
+      val cb = cust0.agg(min(col("c_custkey")).as("clo"), max(col("c_custkey")).as("chi"))
+      // Null-date orders are base (e32's null-ts-is-pre rule). Checkpoint:
+      // each narrow projection feeds two join branches (d9's union lesson);
+      // at 100 TB the base branch is the persisted vintage instead.
+      val ord = ord0.crossJoin(broadcast(ob))
+        .withColumn("pre",
+          col("t").isNull || col("t") <= expr("olo + ((ohi - olo) DIV 16) * 15"))
+        .localCheckpoint(true)
+      val cust = cust0.crossJoin(broadcast(cb))
+        .withColumn("pre", col("c_custkey") <= expr("clo + ((chi - clo) DIV 16) * 15"))
+        .localCheckpoint(true)
+      def viewAgg(df: DataFrame): DataFrame =
+        df.groupBy(col("c_nationkey"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_p"), count(col("cents")).as("v_p"),
+            sum(col("cents")).as("s_p"))
+      val base = viewAgg(ord.filter(col("pre"))
+        .join(broadcast(cust.filter(col("pre"))), col("o_custkey") === col("c_custkey")))
+      val dOrd = viewAgg(cust
+        .join(broadcast(ord.filter(!col("pre"))), col("o_custkey") === col("c_custkey")))
+      val dCust = viewAgg(ord.filter(col("pre"))
+        .join(broadcast(cust.filter(!col("pre"))), col("o_custkey") === col("c_custkey")))
+      base.unionAll(dOrd).unionAll(dCust)
+        .groupBy(col("c_nationkey"), col("o_orderstatus"))
+        .agg(sum(col("n_p")).cast("bigint").as("n_orders"),
+          sum(col("v_p")).cast("bigint").as("n_vals"),
+          when(sum(col("v_p")) > 0, sum(col("s_p"))).cast("bigint").as("sum_cents"))
+        .orderBy(col("c_nationkey"), col("o_orderstatus"))
     }
   )
 
@@ -2176,6 +2248,19 @@ object Relational {
         |SELECT join_id, rnk, join_key, f_left, f_right,
         |  CAST(LEAST(pairs, CAST(9223372036854775807 AS HUGEINT)) AS BIGINT) AS pairs,
         |  CAST((pairs * 1000000) // tot AS BIGINT) AS share_ppm
-        |FROM r WHERE rnk <= 10 ORDER BY join_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 10 ORDER BY join_id, rnk""".stripMargin,
+    // The join-IVM contract: the oracle recomputes the joined rollup from
+    // the WHOLE tables and never sees the engine's two-sided base/delta
+    // split — hash equality certifies the bilinear factorization.
+    "q69_ivm_join" ->
+      """SELECT c.c_nationkey, o.o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(CASE WHEN isfinite(o.o_totalprice)
+        |    THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS n_vals,
+        |  CAST(sum(CASE WHEN isfinite(o.o_totalprice)
+        |    THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY c.c_nationkey NULLS FIRST, o.o_orderstatus NULLS FIRST""".stripMargin
   )
 }

@@ -873,6 +873,54 @@ object TextOps {
         .select(col("lang"), col("source"), col("len_bucket"), col("n_docs"),
           expr("CAST((n_docs * 1000000) DIV tot AS BIGINT)").as("share_ppm"))
         .orderBy(col("lang"), col("source"), col("len_bucket"))
+    },
+    // Vintage-to-vintage shard-manifest reconciliation — the report an
+    // incremental training write makes its REWRITE DECISION from. Two
+    // corpus vintages: yesterday = doc_id at or below the key-span
+    // midpoint (the cutoff is a 1-row stats reduce folded into a pushed
+    // filter LITERAL — q62's adjudicated pattern, so the vintage scan
+    // prunes at the parquet footer), today = the whole corpus. Yesterday's
+    // manifest folds with the DELTA manifest (t28_manifest_merge's column
+    // algebra: counts add, endpoint tags min/max) into today's, and each
+    // shard is classified: 'new' (no vintage row), 'grown' (docs landed),
+    // 'unchanged' (identical manifest — the shard write is SKIPPED; since
+    // a vintage is a subset, equal doc counts imply the identical doc
+    // set). endpoints_moved (0/1) flags shards where new docs displaced a
+    // permutation ENDPOINT — an interleaving rewrite, not a tail append,
+    // even though the count delta alone looks append-only. At 100 TB
+    // yesterday's side is the persisted 16-row manifest and only the
+    // delta scans; the oracle computes BOTH manifests from whole-table
+    // scans and never sees the fold, so the hash certifies the
+    // maintenance loop end-to-end.
+    "t30_shard_diff" -> { (s, d) =>
+      val bounds = Tables.validDocuments(s, d)
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head
+      val pred = if (bounds.isNullAt(0)) lit(false)
+        else col("doc_id") <= lit(bounds.getLong(0) +
+          (bounds.getLong(1) - bounds.getLong(0)) / 2)
+      val ma = shardAgg(s, d, pred).localCheckpoint(true) // feeds fold AND diff
+      val mb = ma.unionAll(shardAgg(s, d, !pred)).groupBy(col("shard"))
+        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+          sum(col("n_bytes")).cast("bigint").as("n_bytes"),
+          min(col("first_tag")).as("first_tag"),
+          max(col("last_tag")).as("last_tag"))
+      val a = shardPresent(ma).select(col("shard").as("a_shard"),
+        col("n_docs").as("a_docs"), col("n_tokens").as("a_tokens"),
+        col("n_bytes").as("a_bytes"), col("first_doc").as("a_first"),
+        col("last_doc").as("a_last"))
+      shardPresent(mb).join(broadcast(a), col("shard") === col("a_shard"), "left")
+        .select(col("shard"),
+          when(col("a_docs").isNull, "new")
+            .when(col("a_docs") === col("n_docs"), "unchanged")
+            .otherwise("grown").as("status"),
+          (col("n_docs") - coalesce(col("a_docs"), lit(0L))).cast("bigint").as("d_docs"),
+          (col("n_tokens") - coalesce(col("a_tokens"), lit(0L))).cast("bigint").as("d_tokens"),
+          (col("n_bytes") - coalesce(col("a_bytes"), lit(0L))).cast("bigint").as("d_bytes"),
+          when(col("a_docs").isNotNull &&
+              (col("a_first") =!= col("first_doc") || col("a_last") =!= col("last_doc")), 1)
+            .otherwise(0).cast("int").as("endpoints_moved"))
+        .orderBy(col("shard"))
     }
   )
 
@@ -906,24 +954,30 @@ object TextOps {
       |        (a,b) -> (a*31+b) % 1000000007)))
       |  END""".stripMargin
 
-  /** t28's whole-corpus shard manifest — also the oracle of the
-    * split-merge proof (t28_manifest_merge), q64's pattern. */
-  private val T28_SQL: String =
-    s"""WITH t AS (
-      |  SELECT doc_id, n_chars,
-      |    CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens,
-      |    md5(CAST(doc_id AS VARCHAR)) AS h
-      |  FROM ${graft.Tables.validDocsSql} documents),
-      |g AS (
-      |  SELECT CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT) AS shard,
-      |    n_chars, n_tokens,
-      |    h || ':' || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS tag
-      |  FROM t)
-      |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  /** t28's shard-manifest SQL over the valid docs satisfying `where`
+    * (`TRUE` = the whole corpus) — parameterized so t30's two vintages
+    * reuse the IDENTICAL manifest definition (shardAgg's no-drift rule,
+    * applied to the oracle side). Plain nested SELECT (no WITH) so it can
+    * be interpolated as a CTE body. */
+  private def t28SqlWhere(where: String): String =
+    s"""SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
       |  CAST(substring(min(tag), 34, 19) AS BIGINT) AS first_doc,
       |  CAST(substring(max(tag), 34, 19) AS BIGINT) AS last_doc
-      |FROM g GROUP BY shard ORDER BY shard""".stripMargin
+      |FROM (
+      |  SELECT CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT) AS shard,
+      |    n_chars, n_tokens,
+      |    h || ':' || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS tag
+      |  FROM (
+      |    SELECT doc_id, n_chars,
+      |      CAST(len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens,
+      |      md5(CAST(doc_id AS VARCHAR)) AS h
+      |    FROM ${graft.Tables.validDocsSql} documents WHERE $where) t) g
+      |GROUP BY shard""".stripMargin
+
+  /** t28's whole-corpus shard manifest — also the oracle of the
+    * split-merge proof (t28_manifest_merge), q64's pattern. */
+  private val T28_SQL: String = t28SqlWhere("TRUE") + "\nORDER BY shard"
 
   private val q = "'"
   private def sqlOcc(m: String): String =
@@ -1316,7 +1370,29 @@ object TextOps {
           |SELECT lang, source, len_bucket, n_docs,
           |  CAST((CAST(n_docs AS HUGEINT) * 1000000) // tot AS BIGINT) AS share_ppm
           |FROM g, t WHERE n_docs < 5
-          |ORDER BY lang NULLS FIRST, source NULLS FIRST, len_bucket NULLS FIRST""".stripMargin
+          |ORDER BY lang NULLS FIRST, source NULLS FIRST, len_bucket NULLS FIRST""".stripMargin,
+      // The reconciliation contract: the oracle manifests BOTH vintages
+      // from whole-table scans (t28's manifest SQL verbatim, twice) and
+      // never sees the engine's fold of yesterday's manifest with the
+      // delta — hash equality certifies the incremental maintenance loop.
+      "t30_shard_diff" ->
+        s"""WITH b AS (
+          |  SELECT min(doc_id) + ((max(doc_id) - min(doc_id)) // 2) AS cut
+          |  FROM ${graft.Tables.validDocsSql} documents),
+          |ma AS (${t28SqlWhere("doc_id <= (SELECT cut FROM b)")}),
+          |mb AS (${t28SqlWhere("TRUE")})
+          |SELECT mb.shard,
+          |  CASE WHEN ma.shard IS NULL THEN 'new'
+          |       WHEN ma.n_docs = mb.n_docs THEN 'unchanged'
+          |       ELSE 'grown' END AS status,
+          |  CAST(mb.n_docs - COALESCE(ma.n_docs, 0) AS BIGINT) AS d_docs,
+          |  CAST(mb.n_tokens - COALESCE(ma.n_tokens, 0) AS BIGINT) AS d_tokens,
+          |  CAST(mb.n_bytes - COALESCE(ma.n_bytes, 0) AS BIGINT) AS d_bytes,
+          |  CAST(CASE WHEN ma.shard IS NOT NULL AND
+          |      (ma.first_doc <> mb.first_doc OR ma.last_doc <> mb.last_doc)
+          |    THEN 1 ELSE 0 END AS INT) AS endpoints_moved
+          |FROM mb LEFT JOIN ma ON ma.shard = mb.shard
+          |ORDER BY mb.shard""".stripMargin
     )
   }
 

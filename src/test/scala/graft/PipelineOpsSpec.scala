@@ -390,4 +390,64 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(byPair.get((0L, 1L)).forall(_ == 1), byPair.toString)
     } finally spark.conf.unset("graft.embedding.dim")
   }
+
+  test("q69 join ivm covers all four delta routes and keeps the SUM/NULL distinction") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    import spark.implicits._
+    val t0 = 1704067200000L // 2024-01-01T00:00Z millis
+    val day = 86400000L
+    def ts(d: Int): Option[java.sql.Timestamp] = Some(new java.sql.Timestamp(t0 + d * day))
+    // custkeys {1,2,17}: key-span cutoff = 1 + ((17-1) div 16)*15 = 16, so
+    // customer 17 (unique nation 99) is ΔC. Order dates span day 0..16:
+    // cutoff = day 15, so day-16 orders are ΔO.
+    Seq((1L, "c1", 1, 0.0, "B"), (2L, "c2", 2, 0.0, "B"), (17L, "c17", 99, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(
+      (1L, Some(1L), "O", Some(10.0), ts(0)),            // base ⋈ base
+      (2L, Some(1L), "O", Some(20.5), ts(1)),            // base ⋈ base
+      (3L, Some(2L), "F", Some(Double.NaN), ts(2)),      // non-finite price
+      (4L, Some(2L), "F", None, ts(4)),                  // null price
+      (5L, Some(17L), "N", Some(5.25), ts(16)),          // ΔO ⋈ ΔC (cross term)
+      (6L, Some(1L), "O", Some(1.0), ts(16)),            // ΔO ⋈ base C
+      (7L, Some(17L), "P", Some(2.0), ts(3)),            // base O ⋈ ΔC
+      (8L, None, "O", Some(1.0), ts(1)),                 // null join key: out
+      (9L, Some(999L), "O", Some(1.0), ts(1)),           // orphan: out
+      (10L, Some(1L), "O", Some(4.0), None))             // null date: base
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q69_ivm_join")(spark, dir).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getLong(3),
+        if (x.isNullAt(4)) None else Some(x.getLong(4)))).toSeq
+    // (2,F) proves the n_vals contract: two joined orders, ZERO finite
+    // prices ⇒ sum_cents NULL (not 0); (99,*) groups exist ONLY via the
+    // delta joins — absent from the base vintage entirely.
+    assert(r == Seq(
+      (1, "O", 4L, 4L, Some(3550L)),
+      (2, "F", 2L, 0L, None),
+      (99, "N", 1L, 1L, Some(525L)),
+      (99, "P", 1L, 1L, Some(200L))), s"got ${r.mkString("; ")}")
+  }
+
+  test("t30 classifies shards new/grown/unchanged and flags displaced endpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    import spark.implicits._
+    // md5 first nibbles: 0→c 8→c 3→e 997→e 1000→a 1003→a. Key span 0..1003
+    // ⇒ vintage cutoff 501: shard c is all-vintage (unchanged), shard a is
+    // all-delta (new), shard e gains doc 997 next to vintage doc 3 (grown,
+    // and the singleton endpoint pair must move).
+    Seq((0L, "a b"), (8L, "c"), (3L, "d e f"), (997L, "g"),
+        (1000L, "h i"), (1003L, "j"))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("t30_shard_diff")(spark, dir).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getInt(5))).toSeq
+    assert(r == Seq(
+      (10, "new", 2L, 3L, 0),        // shard a: docs 1000,1003 (2+1 tokens)
+      (12, "unchanged", 0L, 0L, 0),  // shard c: docs 0,8 untouched
+      (14, "grown", 1L, 1L, 1)),     // shard e: doc 997 joins doc 3
+      s"got ${r.mkString("; ")}")
+  }
 }

@@ -1072,6 +1072,51 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial"), "map-side combine before the exchange")
   }
 
+  test("q69 join ivm: every maintenance join broadcasts; no fact-side shuffle join") {
+    val plan = planOf("q69_ivm_join")
+    val tree = plan.split("\n\n").head
+    // The split is materialized once (e32's checkpoint rule): the final
+    // plan must consume ExistingRDD, never re-scan orders/customer per
+    // branch — at 100 TB the base branch is the persisted vintage.
+    assert(!tree.contains("Scan parquet"),
+      "facts must come from the materialized split, not per-branch re-scans:\n" +
+        tree.take(1500))
+    assert(plan.contains("Scan ExistingRDD"), "consumers read the checkpoint")
+    // Bilinear maintenance: base⋈base, Δorders⋈customer, base⋈Δcustomer —
+    // three joins, every one a broadcast (the delta sides are small by
+    // construction; a SortMergeJoin here would mean a fact table shuffled
+    // for maintenance, the exact cost IVM exists to avoid).
+    assert("BroadcastHashJoin".r.findAllIn(tree).size == 3,
+      "expected exactly three broadcast maintenance joins:\n" +
+        tree.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "no shuffle join in the maintenance path")
+    // The merge is a union of |groups|-sized aggregate tables re-grouped —
+    // each branch map-side combines before its exchange.
+    assert(tree.contains("Union"), "base ⊕ deltas merge as a union of aggregates")
+    assert(plan.contains("partial_count"), "branch aggregates must map-side combine")
+  }
+
+  test("t30 shard diff: only the delta scans parquet, with the vintage cutoff pushed") {
+    val plan = planOf("t30_shard_diff")
+    val tree = plan.split("\n\n").head
+    // Yesterday's manifest is the checkpoint; the one parquet scan left in
+    // the final plan is the DELTA side of the fold.
+    assert("Scan parquet".r.findAllIn(tree).size == 1,
+      "exactly one live documents scan (the delta):\n" +
+        tree.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    // The complement predicate NOT(doc_id <= cut) must reach the footer as
+    // GreaterThan — the literal-fold pattern (q62) that lets the delta
+    // scan prune every already-manifested row group.
+    assert(plan.contains("GreaterThan(doc_id"),
+      "vintage cutoff must push into the parquet scan:\n" +
+        plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // The diff itself joins two 16-row manifests: broadcast, never an SMJ.
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      "manifest diff must be a broadcast join")
+    assert(!tree.contains("Window"), "manifests fold with min/max, not windows")
+  }
+
   test("s17 hamming rerank: vectors never cross a shuffle; pool cut is a WindowGroupLimit heap") {
     for (name <- Seq("s17_hamming_rerank", "s17_scale")) {
       val plan = planOf(name)
