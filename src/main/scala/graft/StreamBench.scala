@@ -423,6 +423,39 @@ object StreamBench {
       q2.stop()
     }
 
+    // ---- 2j. SessionizeProcessor over sf events (gap sessions) -----------
+    {
+      // batch e3 streamed: five longs of state per user. Same contiguous
+      // (ts, event_id)-sorted wave shape as 2f — per-key monotone arrival
+      // is the parity contract (equal-ts seams are allowed).
+      val rows = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          coalesce(col("event_id"), lit(0L)))
+        .as[(Long, Long, Long)].collect()
+        .sortBy(r => (r._2, r._3))
+      val waves = 10
+      val per = math.max(1, (rows.length + waves - 1) / waves)
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val out = stream.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.SessionizeProcessor[Long](),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "session_id", "n_events", "start", "end", "n_late")
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("noop").option("checkpointLocation", tmpDir())
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      rows.grouped(per).foreach { wave =>
+        stream.addData(wave.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      report("sessionize(sf events)", q, rows.length.toLong, wall)
+      q.stop()
+    }
+
     // ---- 3. p1 pipeline as a throttled file stream ------------------------
     {
       val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema

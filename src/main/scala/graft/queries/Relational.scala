@@ -1690,8 +1690,13 @@ object Relational {
         df.groupBy(col("c_nationkey"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n_p"), count(col("cents")).as("v_p"),
             sum(col("cents")).as("s_p"))
+      // The base join is planner-chosen (broadcast at gate SF, SMJ at
+      // scale): at 100 TB it is not executed at all — the base term is the
+      // persisted |groups|-row vintage — so forcing a broadcast of 15/16
+      // of the customer table here would encode the wrong assumption. The
+      // DELTA hints below are the IVM contract: increments are bounded.
       val base = viewAgg(ord.filter(col("pre"))
-        .join(broadcast(cust.filter(col("pre"))), col("o_custkey") === col("c_custkey")))
+        .join(cust.filter(col("pre")), col("o_custkey") === col("c_custkey")))
       val dOrd = viewAgg(cust
         .join(broadcast(ord.filter(!col("pre"))), col("o_custkey") === col("c_custkey")))
       val dCust = viewAgg(ord.filter(col("pre"))

@@ -893,6 +893,68 @@ class IvmAggProcessor[K]
   }
 }
 
+/** Streaming gap sessionization — batch e3's `transformWithState` twin:
+  * per user, `gapMicros`-inactivity sessions maintained over an unbounded
+  * stream with FIVE longs of state (session ordinal, start, last ts,
+  * event count, late count) — O(1) per key, independent of session count
+  * or stream length. Each micro-batch folds its rows in (ts, seq) order
+  * (in-batch arrival may be arbitrary — the Scd2 contract); a row whose
+  * gap from the key's last ts exceeds `gapMicros` opens session n+1.
+  *
+  * Emissions are ABSOLUTE session rows `(key, session_id, n_events,
+  * start, end, n_late)` for every session the batch TOUCHED — Update-mode
+  * idempotent, so a last-wins upsert keyed on (key, session_id) converges
+  * to batch e3's table exactly, including the still-open tail session
+  * (whose row is simply re-emitted, larger, whenever new events extend
+  * it; a closed session's final row was already emitted by the batch that
+  * last touched it and never changes after). Cross-batch arrival must be
+  * key-wise monotone at session granularity: a row BELOW the key's
+  * high-water mark cannot be replayed against a session whose successor
+  * may already exist, so it is counted in n_late and dropped (the
+  * RateLimit/AsofJoin watermark rule — never silently mis-sessioned); an
+  * equal-ts row at the seam extends the current session, matching the
+  * batch gap rule (0 ≤ gap). Under monotone waves StreamingSpec pins
+  * streamed == batch e3 row for row, across splits that land mid-session
+  * AND exactly on a session boundary.
+  *
+  * Reference scope: the reference has no windowing at all (`listen.py`
+  * row-at-a-time); sessionization extends SURVEY §2.4's streaming-state
+  * row the way the batch e3 entry extends its query surface. */
+class SessionizeProcessor[K](gapMicros: Long = 1800L * 1000000L)
+    extends StatefulProcessor[K, (K, Long, Long), (K, Long, Long, Long, Long, Long)] {
+
+  @transient private var st: ValueState[(Long, Long, Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long, Long, Long)]("sess",
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Long, Long, Long, Long)](),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: K, rows: Iterator[(K, Long, Long)],
+      timerValues: TimerValues): Iterator[(K, Long, Long, Long, Long, Long)] = {
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    var cur: Option[(Long, Long, Long, Long, Long)] =
+      if (st.exists()) Some(st.get()) else None
+    // touched session snapshots, last-write-wins within the batch
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (K, Long, Long, Long, Long, Long)]
+    sorted.foreach { case (_, t, _) =>
+      cur = Some(cur match {
+        case None => (1L, t, t, 1L, 0L)
+        case Some((sid, start, lastT, n, late)) =>
+          if (t < lastT) (sid, start, lastT, n, late + 1)
+          else if (t - lastT > gapMicros) (sid + 1, t, t, 1L, late)
+          else (sid, start, t, n + 1, late)
+      })
+      val c = cur.get
+      out(c._1) = (key, c._1, c._4, c._2, c._3, c._5)
+    }
+    cur.foreach(st.update)
+    out.valuesIterator
+  }
+}
+
 object StateOps {
   /** Tuple encoder helper for [[LastWinsProcessor]] state. */
   def lastWinsState[V](implicit v: org.apache.spark.sql.Encoder[V]): org.apache.spark.sql.Encoder[(Long, V)] =

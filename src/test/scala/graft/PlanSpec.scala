@@ -1083,9 +1083,12 @@ class PlanSpec extends SparkTestBase {
         tree.take(1500))
     assert(plan.contains("Scan ExistingRDD"), "consumers read the checkpoint")
     // Bilinear maintenance: base⋈base, Δorders⋈customer, base⋈Δcustomer —
-    // three joins, every one a broadcast (the delta sides are small by
-    // construction; a SortMergeJoin here would mean a fact table shuffled
-    // for maintenance, the exact cost IVM exists to avoid).
+    // three joins, all broadcast AT THIS SF: the delta joins by HINT (the
+    // IVM contract — increments are bounded; a shuffle there would mean a
+    // fact table exchanged for maintenance, the exact cost IVM avoids),
+    // the base join by the planner's threshold (un-hinted on purpose: at
+    // 100 TB the base term is the persisted vintage, not a live join, so
+    // forcing a 15/16-of-customer broadcast would encode a falsehood).
     assert("BroadcastHashJoin".r.findAllIn(tree).size == 3,
       "expected exactly three broadcast maintenance joins:\n" +
         tree.linesIterator.filter(_.contains("Join")).mkString("\n"))

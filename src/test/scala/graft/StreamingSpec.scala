@@ -1072,6 +1072,94 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  /** Sessionize runner (the [[rateLimitPhases]] checkpoint-recovery
+    * pattern): each wave of (user_id, tsMicros, seq) rows lands as a json
+    * file and the query RESTARTS per wave, so every wave is both a real
+    * micro-batch boundary and a state-store recovery. Emissions fold
+    * last-wins by (user, session_id) — the upsert-sink contract the
+    * processor's Update-mode output is designed for. */
+  private def sessionizePhases(waves: Seq[Seq[(Long, Long, Long)]])
+      : Map[(Long, Long), (Long, Long, Long, Long)] = {
+    val landing = tmpDir(); val ckpt = tmpDir()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType)
+      .add("t", org.apache.spark.sql.types.LongType)
+      .add("seq", org.apache.spark.sql.types.LongType)
+    val last = new java.util.concurrent.ConcurrentHashMap[(Long, Long), (Long, Long, Long, Long)]()
+    def run(): Unit = {
+      val spark0 = spark
+      import spark0.implicits._
+      val out = spark.readStream.schema(schema).json(landing)
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.SessionizeProcessor[Long](),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "session_id", "n_events", "start", "end", "n_late")
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => last.put((r.getLong(0), r.getLong(1)),
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "sessionize query did not drain")
+    }
+    waves.zipWithIndex.foreach { case (wave, i) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$landing/wave$i.json"),
+        wave.map { case (u, t, sq) => s"""{"user_id":$u,"t":$t,"seq":$sq}""" }
+          .mkString("\n").getBytes("UTF-8"))
+      run()
+    }
+    import scala.jdk.CollectionConverters._
+    last.asScala.toMap
+  }
+
+  test("sessionize processor equals batch e3 on the real corpus across restart waves") {
+    val spark0 = spark
+    import spark0.implicits._
+    // The real corpus in three ts-monotone waves; the middle boundary is
+    // re-split to the NEXT distinct ts so equal-ts peers stay in a tercile
+    // only when that is their natural position (equal-ts straddling is
+    // allowed by the contract, but boundaries here exercise mid-session
+    // and cross-session seams on real data either way).
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    val (s1, s2) = (ev(ev.length / 3)._2, ev(2 * ev.length / 3)._2)
+    val expected = SparkEntry.queries("e3_sessionize")(spark, sf)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("session_start")), unix_micros(col("session_end")))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    withRocksDB {
+      val got = sessionizePhases(Seq(
+        ev.filter(_._2 < s1).toSeq,
+        ev.filter(e => e._2 >= s1 && e._2 < s2).toSeq,
+        ev.filter(_._2 >= s2).toSeq))
+      assert(got.values.forall(_._4 == 0L), "no late rows under monotone waves")
+      val gotSet = got.map { case ((u, sid), (n, st, en, _)) => (u, sid, n, st, en) }.toSet
+      assert(gotSet == expected,
+        s"streamed ${gotSet.size} sessions != batch ${expected.size}")
+    }
+  }
+
+  test("sessionize processor: equal-ts seam extends the session; older rows are late") {
+    withRocksDB {
+      val min = 60L * 1000000L
+      // Wave 1 leaves u1's session at hwm 100min. Wave 2: an equal-ts row
+      // EXTENDS the session (gap 0 ≤ 30min, the batch rule); a 10min row is
+      // below the hwm — replaying it against a possibly-superseded session
+      // is unsound, so it must count as late, never re-session. A 150min
+      // row then opens session 2 (gap 50min > 30min).
+      val got = sessionizePhases(Seq(
+        Seq((1L, 100 * min, 1L)),
+        Seq((1L, 100 * min, 2L), (1L, 10 * min, 3L), (1L, 150 * min, 4L))))
+      assert(got((1L, 1L)) == ((2L, 100 * min, 100 * min, 1L)),
+        s"session 1 must hold both equal-ts events and the late count: $got")
+      assert(got((1L, 2L))._1 == 1L && got((1L, 2L))._2 == 150 * min, got.toString)
+    }
+  }
+
   /** Two-phase dedup runner (same checkpoint-recovery pattern as
     * [[rateLimitPhases]]): each wave of (fingerprint, doc_id) rows lands as
     * a json file, drains through foreachBatch with the query RESTARTED per
