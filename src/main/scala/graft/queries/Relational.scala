@@ -1707,6 +1707,84 @@ object Relational {
           sum(col("v_p")).cast("bigint").as("n_vals"),
           when(sum(col("v_p")) > 0, sum(col("s_p"))).cast("bigint").as("sum_cents"))
         .orderBy(col("c_nationkey"), col("o_orderstatus"))
+    },
+    // Data-quality expectation suite — the constraint audit a pipeline
+    // runs BEFORE a corpus vintage is admitted (t29's governance gate
+    // generalized from privacy to integrity; the Deequ/expectations shape
+    // as a driver-visible table). Eight checks over four tables, one row
+    // each: violations, total, exact integer-ppm violation rate (d19's
+    // idiom — no float division anywhere), the check's declared
+    // threshold, and a pass flag. Completeness/uniqueness/domain/range
+    // checks on the same table share ONE scan via the e32 explode idiom:
+    // a single multi-count aggregate fans out to its check rows, so four
+    // tables cost four scans. Referential checks (orders→customer,
+    // lineitem→orders) are a LEFT join against the DISTINCT parent key
+    // set with a missing-parent count folded into the same pass — no
+    // hint, the planner broadcasts the key set while it fits and falls
+    // back to a key-only shuffle join when the parent is itself a fact
+    // (lineitem→orders at 100 TB). Zero-denominator guard everywhere
+    // (ANSI x/0 is fatal; an empty table passes vacuously). The clean
+    // corpus passes all eight; the adversarial corpus trips the domain,
+    // range, and referential checks while the null-rate checks stay
+    // under threshold — both semantic branches occur on the audit gates.
+    "q70_expectations" -> { (s, d) =>
+      // coalesce: a SUM-counted violation over an EMPTY table is NULL on
+      // both engines — the vacuous pass must read 0 violations, not NULL.
+      def pack(id: String, tbl: String, v: Column, tot: Column, thr: Long): Column =
+        struct(lit(id).as("check_id"), lit(tbl).as("tbl"),
+          coalesce(v.cast("bigint"), lit(0L)).as("violations"),
+          tot.cast("bigint").as("total"),
+          lit(thr).as("thr_ppm"))
+      val cust = Tables.customer(s, d)
+        .agg(count(lit(1)).as("n"), count(col("c_custkey")).as("nk"),
+          countDistinct(col("c_custkey")).as("ndv"))
+        .select(explode(array(
+          pack("c_custkey_not_null", "customer", col("n") - col("nk"), col("n"), 1000L),
+          pack("c_custkey_unique", "customer", col("nk") - col("ndv"), col("nk"), 0L)))
+          .as("c"))
+      val fin = (c: Column) => !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
+      val ord = Tables.orders(s, d)
+        .agg(count(col("o_orderstatus")).as("ns"),
+          sum(when(col("o_orderstatus").isNotNull &&
+            !col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_s"),
+          count(col("o_totalprice")).as("np"),
+          sum(when(col("o_totalprice").isNotNull &&
+            (!fin(col("o_totalprice")) || col("o_totalprice") < 0), 1L)
+            .otherwise(0L)).as("bad_p"))
+        .select(explode(array(
+          pack("o_status_domain", "orders", col("bad_s"), col("ns"), 0L),
+          pack("o_price_valid", "orders", col("bad_p"), col("np"), 0L))).as("c"))
+      val ev = Tables.events(s, d)
+        .agg(count(lit(1)).as("n"), count(col("user_id")).as("nu"))
+        .select(explode(array(
+          pack("e_user_not_null", "events", col("n") - col("nu"), col("n"), 1000L)))
+          .as("c"))
+      val li = Tables.lineitem(s, d)
+        .agg(count(col("l_quantity")).as("nq"),
+          sum(when(col("l_quantity").isNotNull && col("l_quantity") <= 0, 1L)
+            .otherwise(0L)).as("bad_q"))
+        .select(explode(array(
+          pack("l_qty_positive", "lineitem", col("bad_q"), col("nq"), 0L))).as("c"))
+      def ref(id: String, tbl: String, child: DataFrame, fk: String,
+          parentKeys: DataFrame, pk: String): DataFrame =
+        child.filter(col(fk).isNotNull).select(col(fk))
+          .join(parentKeys.filter(col(pk).isNotNull).select(col(pk)).distinct()
+            .withColumn("hit", lit(1)), col(fk) === col(pk), "left")
+          .agg(count(lit(1)).as("tot"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("v"))
+          .select(pack(id, tbl, col("v"), col("tot"), 0L).as("c"))
+      val refO = ref("o_custkey_ref", "orders", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey")
+      val refL = ref("l_orderkey_ref", "lineitem", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+      cust.unionAll(ord).unionAll(ev).unionAll(li).unionAll(refO).unionAll(refL)
+        .select(col("c.*"))
+        .withColumn("ppm", when(col("total") > 0,
+          expr("CAST((violations * 1000000) DIV total AS BIGINT)")))
+        .withColumn("pass",
+          when(col("total") === 0 || coalesce(col("ppm"), lit(0L)) <= col("thr_ppm"), 1)
+            .otherwise(0).cast("int"))
+        .orderBy(col("check_id"))
     }
   )
 
@@ -2266,6 +2344,49 @@ object Relational {
         |    THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_cents
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2
-        |ORDER BY c.c_nationkey NULLS FIRST, o.o_orderstatus NULLS FIRST""".stripMargin
+        |ORDER BY c.c_nationkey NULLS FIRST, o.o_orderstatus NULLS FIRST""".stripMargin,
+    "q70_expectations" ->
+      """WITH cu AS (SELECT count(*) AS n, count(c_custkey) AS nk,
+        |    count(DISTINCT c_custkey) AS ndv FROM customer),
+        |o AS (SELECT count(o_orderstatus) AS ns,
+        |    sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_s,
+        |    count(o_totalprice) AS np,
+        |    sum(CASE WHEN o_totalprice IS NOT NULL
+        |      AND (NOT isfinite(o_totalprice) OR o_totalprice < 0)
+        |      THEN 1 ELSE 0 END) AS bad_p FROM orders),
+        |e AS (SELECT count(*) AS n, count(user_id) AS nu FROM events),
+        |l AS (SELECT count(l_quantity) AS nq,
+        |    sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity <= 0
+        |      THEN 1 ELSE 0 END) AS bad_q FROM lineitem),
+        |ro AS (SELECT count(*) AS tot,
+        |    sum(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+        |    WHERE c_custkey IS NOT NULL) p ON c.o_custkey = p.c_custkey
+        |  WHERE c.o_custkey IS NOT NULL),
+        |rl AS (SELECT count(*) AS tot,
+        |    sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
+        |    WHERE o_orderkey IS NOT NULL) p ON c.l_orderkey = p.o_orderkey
+        |  WHERE c.l_orderkey IS NOT NULL),
+        |checks AS (
+        |  SELECT 'c_custkey_not_null' AS check_id, 'customer' AS tbl,
+        |    n - nk AS violations, n AS total, 1000 AS thr_ppm FROM cu
+        |  UNION ALL SELECT 'c_custkey_unique', 'customer', nk - ndv, nk, 0 FROM cu
+        |  UNION ALL SELECT 'o_status_domain', 'orders', bad_s, ns, 0 FROM o
+        |  UNION ALL SELECT 'o_price_valid', 'orders', bad_p, np, 0 FROM o
+        |  UNION ALL SELECT 'e_user_not_null', 'events', n - nu, n, 1000 FROM e
+        |  UNION ALL SELECT 'l_qty_positive', 'lineitem', bad_q, nq, 0 FROM l
+        |  UNION ALL SELECT 'o_custkey_ref', 'orders', v, tot, 0 FROM ro
+        |  UNION ALL SELECT 'l_orderkey_ref', 'lineitem', v, tot, 0 FROM rl)
+        |SELECT check_id, tbl, CAST(COALESCE(violations, 0) AS BIGINT) AS violations,
+        |  CAST(total AS BIGINT) AS total,
+        |  CASE WHEN total > 0
+        |    THEN CAST((COALESCE(violations, 0) * 1000000) // total AS BIGINT) END AS ppm,
+        |  CAST(thr_ppm AS BIGINT) AS thr_ppm,
+        |  CAST(CASE WHEN total = 0 OR COALESCE(
+        |      CASE WHEN total > 0 THEN (COALESCE(violations, 0) * 1000000) // total END, 0)
+        |      <= thr_ppm THEN 1 ELSE 0 END AS INT) AS pass
+        |FROM checks ORDER BY check_id""".stripMargin
   )
 }

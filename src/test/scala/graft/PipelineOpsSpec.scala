@@ -429,6 +429,67 @@ class PipelineOpsSpec extends SparkTestBase {
       (99, "P", 1L, 1L, Some(200L))), s"got ${r.mkString("; ")}")
   }
 
+  private def q70Corpus(dir: String,
+      customers: Seq[(Option[Long], String)],
+      orders: Seq[(Long, Option[Long], String, Option[Double])],
+      lineitems: Seq[(Option[Long], Option[Double])],
+      users: Seq[Option[Long]]): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    customers.map { case (k, nm) => (k, nm, 1, 1.0, "B") }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    orders.map { case (ok, ck, st, p) =>
+      (ok, ck, st, p, Some(new java.sql.Timestamp(1704067200000L))) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    lineitems.map { case (ok, q) => (ok, q) }
+      .toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    users.zipWithIndex.map { case (u, i) =>
+      (i.toLong, u, Some(1704067200L * 1000000000L + i), Some("a"), Some(1.0)) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("q70 trips every expectation class exactly once on a one-of-each corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    q70Corpus(dir,
+      // duplicate key (uniqueness), null key (completeness)
+      customers = Seq((Some(1L), "a"), (Some(1L), "b"), (None, "c")),
+      // bad status X, negative price, orphan custkey 99, null price
+      orders = Seq((1L, Some(1L), "X", Some(10.0)),
+        (2L, Some(1L), "O", Some(-5.0)),
+        (3L, Some(99L), "F", Some(1.0)),
+        (4L, Some(1L), "P", None)),
+      // zero quantity, orphan orderkey 77
+      lineitems = Seq((Some(1L), Some(5.0)), (Some(77L), Some(0.0))),
+      users = Seq(None, Some(1L)))
+    val r = SparkEntry.queries("q70_expectations")(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getLong(3), x.getLong(5),
+        x.getInt(6))).toSeq
+    assert(r == Seq(
+      ("c_custkey_not_null", 1L, 3L, 333333L, 0),
+      ("c_custkey_unique", 1L, 2L, 500000L, 0),
+      ("e_user_not_null", 1L, 2L, 500000L, 0),
+      ("l_orderkey_ref", 1L, 2L, 500000L, 0),
+      ("l_qty_positive", 1L, 2L, 500000L, 0),
+      ("o_custkey_ref", 1L, 4L, 250000L, 0),
+      ("o_price_valid", 1L, 3L, 333333L, 0),
+      ("o_status_domain", 1L, 4L, 250000L, 0)), s"got ${r.mkString("; ")}")
+  }
+
+  test("q70 empty tables pass vacuously - the ANSI zero-denominator guard") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    q70Corpus(dir, customers = Seq.empty, orders = Seq.empty,
+      lineitems = Seq.empty, users = Seq.empty)
+    val r = SparkEntry.queries("q70_expectations")(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getLong(3),
+        x.isNullAt(5), x.getInt(6))).toSeq
+    assert(r.length == 8 && r.forall(t => t._2 == 0L && t._3 == 0L && t._4 && t._5 == 1),
+      s"empty corpus must pass all checks vacuously with NULL ppm: ${r.mkString("; ")}")
+  }
+
   test("t30 classifies shards new/grown/unchanged and flags displaced endpoints") {
     val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
     import spark.implicits._

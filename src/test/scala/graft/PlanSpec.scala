@@ -1120,6 +1120,28 @@ class PlanSpec extends SparkTestBase {
     assert(!tree.contains("Window"), "manifests fold with min/max, not windows")
   }
 
+  test("q70 expectations: single-table checks fan out from aggregates; refs are key-only joins") {
+    val plan = planOf("q70_expectations")
+    val tree = plan.split("\n\n").head
+    // Same-table checks share one multi-count aggregate (the e32 explode
+    // fan-out) — the suite is aggregates + two referential LEFT joins,
+    // never a window, rank, or cartesian.
+    assert(!tree.contains("Window") && !tree.contains("Cartesian"),
+      "expectation suite must be pure aggregation:\n" + tree.take(1500))
+    assert("LeftOuter".r.findAllIn(tree).size == 2,
+      "exactly two referential left joins (orders→customer, lineitem→orders):\n" +
+        tree.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(plan.contains("partial_count"), "per-table counts must map-side combine")
+    // The referential joins carry KEYS only: their scans read just the
+    // join column (column pruning), never the fact row.
+    val refScans = plan.linesIterator.filter(l =>
+      l.contains("ReadSchema") && (l.contains("struct<o_custkey:bigint>") ||
+        l.contains("struct<l_orderkey:bigint>"))).size
+    assert(refScans >= 2,
+      "referential check scans must prune to the key column:\n" +
+        plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("s17 hamming rerank: vectors never cross a shuffle; pool cut is a WindowGroupLimit heap") {
     for (name <- Seq("s17_hamming_rerank", "s17_scale")) {
       val plan = planOf(name)
