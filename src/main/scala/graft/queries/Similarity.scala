@@ -863,7 +863,35 @@ object Similarity {
       val t = s.conf.get("spark.graft.ann.hammingTables", "12").toInt
       val b = s.conf.get("spark.graft.ann.hammingBits", "5").toInt
       hammingRerank(s, d, t, b, "s17_scale")
-    }
+    },
+    // Product quantization + asymmetric distance computation (Jégou et
+    // al. TPAMI'11) — the remaining classic on the bytes-per-vector axis
+    // (float s1 → int8 s11/s13 → 1-bit s17 → PQ): the vector space splits
+    // into M orthogonal sub-spaces, each with its own K-centroid codebook
+    // (trained per sub-space on the deterministic IVF sample), and a
+    // corpus vector is stored as M CODE BYTES — 32× smaller than the
+    // float vector at the default 8×16 on dim 64. Scoring is asymmetric:
+    // the query stays float; its M×K inner-product lookup table is built
+    // once per query, and each candidate scores as M table-lookup ADDS
+    // (a pure Catalyst aggregate-HOF over the codes array — no float
+    // multiply, no UDF, codegen'd). The ADC top-`pool` then reranks with
+    // exact cosine, s17's verbatim tail. At 100 TB the ADC scan reads the
+    // CODES table (M bytes/vector); embeddings are touched only for the
+    // (|Q|·pool)-row rerank via broadcast id joins — vectors never
+    // shuffle, never cross-product. Codebook quality affects only WHICH
+    // candidates reach the pool (recall-pinned in SimilaritySpec);
+    // correctness of everything downstream is hash-certified by the twin.
+    "s18_pq_adc" -> ((s, d) => pqRerank(s, d, 20, "s18_pq_adc")),
+    // s18 with the pool cut OPEN (pool ≥ any corpus): every candidate is
+    // exactly reranked, so the ADC ordering cancels out of the answer and
+    // the pipeline collapses to s1's brute force — s1's SQL verbatim
+    // oracles the codebook/encode/LUT/rank plumbing (the s2/s4/s13/s17
+    // exhaustive-twin convention on the fourth quantization family).
+    "s18_exhaustive" -> ((s, d) =>
+      pqRerank(s, d, Int.MaxValue, "s18_exhaustive")
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          col("rank").as("rk"), col("cosine"))
+        .orderBy(col("q_id"), col("rk")))
   )
 
   /** Shared sign-signature Hamming-pool + exact-cosine-rerank pipeline —
@@ -936,6 +964,85 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Shared PQ encode → ADC pool → exact-cosine-rerank pipeline — s18
+    * (pool = 20, the production ADC cut) and s18_exhaustive (pool open =
+    * every candidate reranked ⇒ collapses to s1) differ ONLY in the pool
+    * bound, so the two can never drift. Geometry via `graft.pq.m` /
+    * `graft.pq.k` (default 8 sub-spaces × 16 centroids = 8 code bytes
+    * per vector on the 64-dim corpus). See the s18 entries for the scale
+    * rationale; determinism: codebooks come from [[trainCentroids]]
+    * (fixed seed, fixed iterations, sequential fold) over per-sub-space
+    * slices of the same first-SAMPLE rows IVF trains on, encode ties
+    * break to the lower code (nearestCells), and the ADC sum folds in
+    * fixed sub-space order — bit-stable across runs and partitionings. */
+  private def pqRerank(s: SparkSession, d: String, pool: Int, op: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.embDim(s)
+    val m = s.conf.getOption("graft.pq.m").map(_.toInt).getOrElse(8)
+    val k = s.conf.getOption("graft.pq.k").map(_.toInt).getOrElse(16)
+    require(dim % m == 0, s"$op: dim $dim does not split into $m sub-spaces")
+    val sub = dim / m
+    val e = normed(s, d)
+    val sample = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .orderBy(col("vec_id")).limit(SAMPLE).collect().map(_._2)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { mm =>
+      Similarity.trainCentroids(sample.map(_.slice(mm * sub, (mm + 1) * sub)), k)
+    }
+    val bc = s.sparkContext.broadcast(books)
+    def encode(emb: Array[Float]): Array[Int] = {
+      val bs = bc.value
+      Array.tabulate(bs.length)(mm =>
+        Similarity.nearestCells(emb.slice(mm * sub, (mm + 1) * sub), bs(mm), 1)(0))
+    }
+    val coded = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, emb) => (id, encode(emb)) })
+      .toDF("vec_id", "codes")
+    val q = guardedBounded(s,
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("sq").as("q_sq")), op)
+    val qLut = q.select(col("q_id"), col("q_emb")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bs = bc.value
+        it.map { case (id, emb) =>
+          val lut = new Array[Double](bs.length * bs(0).length)
+          var mm = 0
+          while (mm < bs.length) {
+            var kk = 0
+            while (kk < bs(mm).length) {
+              var dot = 0.0
+              var j = 0
+              while (j < sub) { dot += emb(mm * sub + j) * bs(mm)(kk)(j); j += 1 }
+              lut(mm * bs(mm).length + kk) = dot
+              kk += 1
+            }
+            mm += 1
+          }
+          (id, lut)
+        }
+      }.toDF("q_id", "lut")
+    val byQ = Window.partitionBy(col("q_id"))
+    val poolDf = coded.join(broadcast(qLut), col("vec_id") =!= col("q_id"))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), " +
+          s"(acc, i) -> acc + element_at(lut, i * $k + element_at(codes, i + 1) + 1))"))
+      .withColumn("prk",
+        row_number().over(byQ.orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("prk") <= pool)
+      .select(col("q_id"), col("vec_id"), col("adc"))
+    val reranked = e.select(col("vec_id"), col("embedding"), col("sq"))
+      .join(broadcast(poolDf), "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_sq"))), "q_id")
+      .withColumn("cosine",
+        dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+    reranked
+      .withColumn("rank",
+        row_number().over(byQ.orderBy(col("cosine").desc, col("vec_id"))).cast("int"))
+      .filter(col("rank") <= TOPK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def oracle: Map[String, String] = Map(
     "s10_vec_validity" ->
       """SELECT count(*) AS n_total,
@@ -961,6 +1068,10 @@ object Similarity {
     // set and the same double expression tree — s1's SQL verbatim is the
     // oracle (the s13_exhaustive pattern on the float path).
     "s4_exhaustive" -> BRUTE_KNN_SQL,
+    // PQ with the pool cut open reranks EVERY candidate exactly: the ADC
+    // ordering cancels out and the answer is s1's brute force — s1's SQL
+    // verbatim oracles the codebook/encode/LUT plumbing.
+    "s18_exhaustive" -> BRUTE_KNN_SQL,
     // s2 at 1 table × 0 bits: one shared bucket ⇒ the bucket join IS
     // brute force — the same verbatim oracle certifies the sign-LSH
     // code/bucket/rank plumbing.

@@ -1143,7 +1143,10 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("s17 hamming rerank: vectors never cross a shuffle; pool cut is a WindowGroupLimit heap") {
-    for (name <- Seq("s17_hamming_rerank", "s17_scale")) {
+    // s18_pq_adc shares the contract: the ADC stage carries CODES (m
+    // bytes/vector), the rerank joins embeddings via broadcast id joins —
+    // an embedding column in any hashpartitioning is the scale bug.
+    for (name <- Seq("s17_hamming_rerank", "s17_scale", "s18_pq_adc")) {
       val plan = planOf(name)
       // Shuffle exchanges may carry ids/sigs/hamming/cosine — never an
       // embedding column (broadcasts of the bounded query set are exempt:
