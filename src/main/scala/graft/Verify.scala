@@ -17,6 +17,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Core conf - must be set pre-session (SPARK_GRAFT_CONF cannot): the
+      // raised-cap sketch gates serialize MG buffers of 24B x 2cap; at
+      // skewCap = 2,097,152 (the ci.sh sf1 line) that is ~100 MB, past
+      // kryo's 64m default buffer max (measured: q68_scale KRYO_BUFFER_
+      // OVERFLOW at the sf1 oracle gate). Size the buffer to the largest
+      // capacity the conf line can set, not the default-cap happy path.
+      .config("spark.kryoserializer.buffer.max", "256m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -241,17 +241,50 @@ object Sketches {
     * chains), `deducted` carries the error bound. Table capacity is the
     * power of two ≥ 4·cap+4, fixed for the buffer's lifetime: load factor
     * stays ≤ ~0.5, and counts of 1..2·cap entries always fit. */
-  final class LongTopKBuf(val cap: Int) extends Serializable {
-    private val tableSize: Int = {
-      var c = 4
-      while (c < 4 * cap + 4) c <<= 1
-      c
-    }
-    private val mask = tableSize - 1
-    var keys: Array[Long] = new Array[Long](tableSize)
-    var cnts: Array[Long] = new Array[Long](tableSize)
+  final class LongTopKBuf private () extends Serializable
+      with com.esotericsoftware.kryo.KryoSerializable {
+    def this(cap0: Int) = { this(); init(cap0) }
+    var cap: Int = 0
+    private var tableSize: Int = 0
+    private var mask: Int = 0
+    var keys: Array[Long] = null
+    var cnts: Array[Long] = null
     var n: Int = 0
     var deducted: Long = 0L
+
+    private def init(cap0: Int): Unit = {
+      cap = cap0
+      var c = 4
+      while (c < 4 * cap0 + 4) c <<= 1
+      tableSize = c
+      mask = c - 1
+      keys = new Array[Long](c)
+      cnts = new Array[Long](c)
+      n = 0
+      deducted = 0L
+    }
+
+    // Kryo path (the udaf encoder's serializer): the probe table is ≥ half
+    // EMPTY slots by construction, so field-serializing the raw arrays
+    // ships 8–16× cap longs — at the ci.sh sf1 conf's skewCap = 2,097,152
+    // that is a ~270 MB buffer, past any sane kryoserializer.buffer.max
+    // (measured: q68_scale KRYO_BUFFER_OVERFLOW at the sf1 oracle gate).
+    // Serialize ONLY the ≤ 2·cap occupied (key, cnt) pairs and rebuild the
+    // probe layout on read — 4–8× smaller partials on the exchange at ANY
+    // cap, identical logical content (probe order is not part of state).
+    override def write(kryo: com.esotericsoftware.kryo.Kryo,
+        out: com.esotericsoftware.kryo.io.Output): Unit = {
+      out.writeInt(cap); out.writeLong(deducted); out.writeInt(n)
+      foreachEntry { (k, c) => out.writeLong(k); out.writeLong(c) }
+    }
+    override def read(kryo: com.esotericsoftware.kryo.Kryo,
+        in: com.esotericsoftware.kryo.io.Input): Unit = {
+      val cap0 = in.readInt(); val ded = in.readLong(); val m = in.readInt()
+      init(cap0)
+      var i = 0
+      while (i < m) { add(in.readLong(), in.readLong()); i += 1 }
+      deducted = ded
+    }
 
     private def slot(key: Long): Int = {
       // murmur3 fmix64 — full-avalanche scramble before masking

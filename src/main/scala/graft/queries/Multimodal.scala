@@ -231,6 +231,43 @@ object Multimodal {
         .withColumn("share_ratio",
           col("n_shared").cast("double") / col("n_frames").cast("double"))
         .orderBy(col("doc_id"))
+    },
+    // Scene-cut detection: a video's scene boundaries are where the frame
+    // CONTENT changes — with mm8's frame-level content addressing that is
+    // a run-length problem over the in-order digest sequence (e21's
+    // gaps-and-islands applied to the frame axis). Per media: scene count,
+    // frame count, the longest scene, and the first cut's frame index
+    // (NULL for single-scene media) — the shot-table a video training
+    // pipeline samples from (one keyframe per scene beats mm3's fixed
+    // stride when content is static). Digests are exact bytes on both
+    // engines, so the whole report is hash-oracled — no codec in the
+    // loop. Scale shape: ONE doc_id exchange feeds the lag window, the
+    // run numbering, and BOTH rollups (hashpartitioning(doc_id) satisfies
+    // the (doc_id, scene) clustering); the exchange carries 64-hex digests
+    // and frame indexes, never media bytes (mm8's rule).
+    "mm9_scene_cuts" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val frames = mediaTable(s, d)
+        .select(col("doc_id"), col("media"), length(col("media")).as("len"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, int((len - 1) / 64)), i -> hex(substring(media, i * 64 + 1, 32)))"))
+          .as(Seq("i", "frame_hex")))
+      val prev = lag(col("frame_hex"), 1).over(byDoc)
+      frames
+        .withColumn("chg",
+          when(prev.isNull || col("frame_hex") =!= prev, 1L).otherwise(0L))
+        .withColumn("scene", sum(col("chg")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("scene"))
+        .agg(count(lit(1)).as("scene_len"), min(col("i")).as("scene_start"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_scenes"),
+          sum(col("scene_len")).cast("bigint").as("n_frames"),
+          max(col("scene_len")).cast("bigint").as("longest_scene"),
+          min(when(col("scene") === 2, col("scene_start"))).cast("bigint")
+            .as("first_cut_idx"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -342,6 +379,31 @@ object Multimodal {
         |  CAST(CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS share_ratio
         |FROM f JOIN nd USING (frame_hex)
-        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+    // Run-length semantics over the same frame geometry as mm8: a scene
+    // is a maximal run of equal consecutive digests; the cut index is
+    // scene 2's first frame.
+    "mm9_scene_cuts" ->
+      s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
+        |                  octet_length(encode(text)) AS len FROM ${graft.Tables.validDocsSql} documents),
+        |f AS (SELECT doc_id, i,
+        |             substring(h, CAST(i * 128 + 1 AS BIGINT), 64) AS frame_hex
+        |      FROM (SELECT doc_id, h,
+        |              unnest(generate_series(0, greatest((len - 1) // 64, 0))) AS i
+        |            FROM m) t),
+        |r AS (SELECT doc_id, i, frame_hex,
+        |        CASE WHEN lag(frame_hex) OVER w IS NULL
+        |               OR frame_hex <> lag(frame_hex) OVER w THEN 1 ELSE 0 END AS chg
+        |      FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |sc AS (SELECT doc_id, i,
+        |         sum(chg) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS scene
+        |       FROM r),
+        |g AS (SELECT doc_id, scene, count(*) AS scene_len, min(i) AS scene_start
+        |      FROM sc GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scenes,
+        |  CAST(sum(scene_len) AS BIGINT) AS n_frames,
+        |  CAST(max(scene_len) AS BIGINT) AS longest_scene,
+        |  CAST(min(CASE WHEN scene = 2 THEN scene_start END) AS BIGINT) AS first_cut_idx
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -68,6 +68,25 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("mm9 scene cuts: static media is one scene; the cut index is scene 2's first frame") {
+    val dir = java.nio.file.Files.createTempDirectory("mm9").toString
+    val spark0 = spark
+    import spark0.implicits._
+    // doc 1: 300 identical bytes ⇒ 5 frames, all digests equal ⇒ 1 scene,
+    // no cut. doc 2: frame contents A | B B | C ⇒ 3 scenes, longest 2,
+    // first cut at frame index 1 (the trailing 12-byte partial frame is
+    // its own scene — content addressing sees the bytes, not the stride).
+    Seq((1L, "A" * 300), (2L, "A" * 64 + "B" * 128 + "C" * 12))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("mm9_scene_cuts")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        if (x.isNullAt(4)) None else Some(x.getLong(4)))).toSeq
+    assert(r == Seq((1L, 1L, 5L, 5L, None), (2L, 3L, 4L, 2L, Some(1L))),
+      s"got ${r.mkString("; ")}")
+  }
+
   test("non-image payloads decode to None (dead-letter contract, not a throw)") {
     assert(Images.decode("not an image".getBytes).isEmpty)
     assert(Images.decode(Array.emptyByteArray).isEmpty)
