@@ -1329,6 +1329,80 @@ object Dedup {
           sum(col("n_tokens")).cast("bigint").as("n_tokens"),
           sum(col("n_chars")).cast("bigint").as("n_bytes"))
         .orderBy(col("shard"))
+    },
+    // The INCREMENTAL training write — the maintenance theme landed
+    // end-to-end: p2's gate → dedup → decontam → manifest pipeline
+    // maintained under corpus growth WITHOUT recomputing the vintage.
+    // With vintage V (doc_id ≤ the key-span midpoint, t30's cutoff idiom)
+    // and delta Δ:
+    //   manifest(p2(V ∪ Δ)) = M_V ⊕ manifest(Δ-adds) ⊖ manifest(retro)
+    // where M_V is YESTERDAY'S persisted manifest (p2 with vintage-only
+    // knowledge — materialized here; a |shards|-row read in production);
+    // Δ-adds are delta docs that gate, are first-of-text across the whole
+    // corpus (append-ordered ids make vintage winners STABLE — d10's
+    // incremental-dedup argument: a delta doc can lose to a vintage text
+    // but never evict one, which is why yesterday's rn within V equals
+    // today's rn restricted to V), and are clean against the FULL eval
+    // index; and retro is the RETROACTIVE RETRACTION — vintage docs that
+    // survived yesterday but share a 3-gram shingle with a NEWLY ARRIVED
+    // eval doc. That retraction is the part naive incremental pipelines
+    // silently miss: decontamination is not append-only, because the EVAL
+    // set grows too. Subtraction is e32's signed-sum algebra (p2's
+    // manifest carries sums only, so it is subtractable; net-zero shards
+    // drop, matching the recompute which never emits them). The ORACLE is
+    // p2's full-recompute SQL VERBATIM — hash equality certifies the
+    // whole maintenance identity for an arbitrary split. Scale shape:
+    // delta dedup and both decontam passes are index probes (the text
+    // hash and shingle structures are provision-once — the
+    // `graft.dedup.shingleDir` layout); retro touches vintage ROWS only
+    // through the shingle-hit id set, never a vintage rescan.
+    "p4_incremental_pretrain" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val trainPred = col("source").isNotNull && col("source") =!= "src0"
+      val b = Tables.validDocuments(s, d)
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head
+      val cut = if (b.isNullAt(0)) Long.MinValue
+        else b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val pre = col("doc_id") <= lit(cut)
+      val g = Tables.validDocuments(s, d)
+        .filter(trainPred && size(TextOps.wsTokens(col("text"))) >= 5)
+        .select(col("doc_id"), col("text"), col("n_chars"), pre.as("pre"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .localCheckpoint(true)
+      val kept = g.filter(col("rn") === 1)
+      val evalShPre = splitShingles(s, d, col("source") === "src0" && pre)
+        .select(col("sh")).distinct()
+      val evalShNew = splitShingles(s, d, col("source") === "src0" && !pre)
+        .select(col("sh")).distinct()
+      def contaminatedIds(trainSide: Column, evalSh: DataFrame): DataFrame =
+        splitShingles(s, d, trainPred && trainSide)
+          .join(evalSh, "sh").select(col("doc_id")).distinct()
+      val vClean = kept.filter(col("pre"))
+        .join(contaminatedIds(pre, evalShPre), Seq("doc_id"), "left_anti")
+      val dClean = kept.filter(!col("pre"))
+        .join(contaminatedIds(!pre, evalShPre.unionAll(evalShNew).distinct()),
+          Seq("doc_id"), "left_anti")
+      val retro = vClean
+        .join(contaminatedIds(pre, evalShNew), Seq("doc_id"), "left_semi")
+      def manifest(df: DataFrame, sgn: Long): DataFrame =
+        df.select(col("doc_id"), col("n_chars"),
+          size(TextOps.wsTokens(col("text"))).cast("bigint").as("n_tokens"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+          .withColumn("shard",
+            expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT)"))
+          .groupBy(col("shard"))
+          .agg((lit(sgn) * count(lit(1))).as("n_docs"),
+            (lit(sgn) * sum(col("n_tokens"))).as("n_tokens"),
+            (lit(sgn) * sum(col("n_chars"))).as("n_bytes"))
+      val mV = manifest(vClean, 1L).localCheckpoint(true) // yesterday's table
+      mV.unionAll(manifest(dClean, 1L)).unionAll(manifest(retro, -1L))
+        .groupBy(col("shard"))
+        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+          sum(col("n_bytes")).cast("bigint").as("n_bytes"))
+        .filter(col("n_docs") > 0)
+        .orderBy(col("shard"))
     }
   )
 
@@ -1792,7 +1866,15 @@ object Dedup {
     // shingle contract verbatim; the decontamination is an anti-join
     // (NOT EXISTS — the q46 null-semantics lesson) on the set-reduced
     // eval shingle universe; the manifest is t28's shard arithmetic.
-    "p2_pretrain_shards" ->
+    "p2_pretrain_shards" -> P2_SQL,
+    // The incremental-maintenance contract: the oracle recomputes the
+    // WHOLE pipeline from the full corpus (p2's SQL verbatim) and never
+    // sees the vintage split, the delta adds, or the retroactive
+    // retraction — hash equality certifies the maintenance identity.
+    "p4_incremental_pretrain" -> P2_SQL
+  )
+
+  private val P2_SQL: String =
       s"""WITH $SH_CTE,
          |gated AS (
          |  SELECT doc_id, text, n_chars,
@@ -1823,7 +1905,6 @@ object Dedup {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  CAST(sum(n_chars) AS BIGINT) AS n_bytes
          |FROM clean GROUP BY 1 ORDER BY 1""".stripMargin
-  )
 
   // d17's survivorship presentation over the `cc` closure — one
   // definition for the capped and scale oracles.

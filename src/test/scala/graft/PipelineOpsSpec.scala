@@ -490,6 +490,40 @@ class PipelineOpsSpec extends SparkTestBase {
       s"empty corpus must pass all checks vacuously with NULL ppm: ${r.mkString("; ")}")
   }
 
+  test("p4 retracts retro-contaminated vintage docs and matches the p2 recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
+    val spark0 = spark
+    import spark0.implicits._
+    // Key span 1..1002 ⇒ cutoff 501: docs 1–4 are the vintage, 1000+ the
+    // delta. Doc 1 survives YESTERDAY (clean vs vintage eval 3) but the
+    // newly arrived eval doc 1002 shares the shingle "alpha beta gamma"
+    // with it — the retroactive-retraction branch. Doc 1000 duplicates
+    // doc 1's text (delta loses to a vintage winner); doc 4 was already
+    // contaminated by the vintage eval; doc 5 gates out (< 5 tokens).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "src1"),
+      (2L, "one two three four five six", "src1"),
+      (3L, "eval aaa bbb ccc ddd eee", "src0"),
+      (4L, "contains eval aaa bbb ccc overlap", "src1"),
+      (5L, "tiny doc here", "src1"),
+      (1000L, "alpha beta gamma delta epsilon zeta", "src2"),
+      (1001L, "seven eight nine ten eleven twelve", "src2"),
+      (1002L, "alpha beta gamma zzz yyy xxx", "src0"))
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p4 = SparkEntry.queries("p4_incremental_pretrain")(spark, dir).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    val p2 = SparkEntry.queries("p2_pretrain_shards")(spark, dir).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(p4 == p2, s"maintained $p4 != recompute $p2")
+    // The surviving corpus is exactly {2, 1001}: md5 nibbles put doc 2 in
+    // shard c (12) and doc 1001 in shard b (11). Doc 1 shares shard c —
+    // without the retro retraction shard 12 would report TWO docs.
+    assert(p4 == Seq((11, 1L, 6L, 34L), (12, 1L, 6L, 27L)),
+      s"got ${p4.mkString("; ")}")
+  }
+
   test("t30 classifies shards new/grown/unchanged and flags displaced endpoints") {
     val dir = java.nio.file.Files.createTempDirectory("pipeops").toString
     import spark.implicits._
