@@ -34,7 +34,11 @@ object Images {
     * (PNG is lossless, so decoded pixels equal the generated pattern
     * bit-for-bit). */
   def patternValue(x: Int, y: Int, id: Long): Int =
-    ((31L * x + 17L * y + 7L * id) % 256L).toInt
+    // Mod the id FIRST: 7·id wraps Long for 19-digit ids and Java % keeps
+    // the wrapped sign, so the raw form painted garbage channels exactly
+    // where the DuckDB twin (which raises on the overflow instead)
+    // couldn't check it. floorMod keeps the identity total for any id.
+    ((31L * x + 17L * y + 7L * java.lang.Math.floorMod(id, 256L)) % 256L).toInt
 
   /** Pattern image geometry: width 16–64, height 12–48 — small enough that
     * the oracle's per-row pixel list stays cheap, big enough that box-fit

@@ -292,7 +292,7 @@ object Multimodal {
         |  FROM ${graft.Tables.validDocsSql} documents)
         |SELECT doc_id, w AS width, h AS height, CAST(w * h AS INT) AS n_px,
         |  CAST(3 * list_sum(list_transform(range(w * h),
-        |    p -> (31 * (p % w) + 17 * (p // w) + 7 * doc_id) % 256)) AS BIGINT) AS pix_sum
+        |    p -> (31 * (p % w) + 17 * (p // w) + 7 * (doc_id % 256)) % 256)) AS BIGINT) AS pix_sum
         |FROM m ORDER BY doc_id""".stripMargin,
     // Box-fit geometry and the nearest-neighbor source mapping are floor
     // division on both engines: thumb pixel (i, j) samples source
@@ -312,7 +312,7 @@ object Multimodal {
         |  CAST(3 * list_sum(list_transform(range(out_w * out_h),
         |    p -> (31 * ((p % out_w) * w // out_w)
         |        + 17 * ((p // out_w) * h // out_h)
-        |        + 7 * doc_id) % 256)) AS BIGINT) AS thumb_pix_sum
+        |        + 7 * (doc_id % 256)) % 256)) AS BIGINT) AS thumb_pix_sum
         |FROM g ORDER BY doc_id""".stripMargin,
     // ASCII corpus ⇒ byte and character offsets agree, so the blob slicing
     // is mirrored with VARCHAR substring (DuckDB 1.0 has no md5(BLOB)).

@@ -650,9 +650,9 @@ object TextOps {
         lit(" host 10."), (id % 256).cast("string"), lit("."),
         expr("CAST((doc_id div 256) % 256 AS STRING)"),
         lit(".1 ssn 123-45-"),
-        lpad(((id * 3) % 10000).cast("string"), 4, "0"),
+        lpad((((id % 10000) * 3) % 10000).cast("string"), 4, "0"),
         lit(" card 4111-1111-1111-"),
-        lpad(((id * 7) % 10000).cast("string"), 4, "0"))
+        lpad((((id % 10000) * 7) % 10000).cast("string"), 4, "0"))
       val scrubbed = PII_ORDER.zipWithIndex.foldLeft(
         Tables.validDocuments(s, d).withColumn("t0", concat(col("text"), suffix))) {
         case (df, ((cat, re, tok), i)) =>
@@ -1409,8 +1409,8 @@ object TextOps {
          |    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
          |    || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
          |    || CAST((doc_id // 256) % 256 AS VARCHAR)
-         |    || '.1 ssn 123-45-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
-         |    || ' card 4111-1111-1111-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS t0
+         |    || '.1 ssn 123-45-' || lpad(CAST(((doc_id % 10000) * 3) % 10000 AS VARCHAR), 4, '0')
+         |    || ' card 4111-1111-1111-' || lpad(CAST(((doc_id % 10000) * 7) % 10000 AS VARCHAR), 4, '0') AS t0
          |  FROM ${graft.Tables.validDocsSql} documents)""".stripMargin
     val stages = PII_ORDER.zipWithIndex.map { case ((cat, re, tok), i) =>
       val prev = PII_ORDER.take(i).map { case (c, _, _) => s"n_$c, " }.mkString

@@ -66,6 +66,11 @@ def docs_rows(base_rows, base=10000):
         (base + 21, "123 456 7.89 $100 100%", "en", "srcA", 22),
         (base + 22, "crlf\r\nline endings\r\n", "en", "srcA", 20),
         (base + 23, "nbsp and​zero width", "en", "srcA", 19),
+        # 19-digit doc_id at the Long extreme (r14): stresses t28's 19-char
+        # tag pad, t30's key-span cutoff arithmetic (lo + (hi-lo)//2 must
+        # not overflow), p4's vintage split (this row is the whole delta),
+        # and any latent doc_id arithmetic that assumed small ids.
+        (9223372036854775000, "nineteen digit doc id words here", "en", "srcA", 32),
     ]
     return rows
 
