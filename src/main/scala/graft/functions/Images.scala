@@ -42,9 +42,22 @@ object Images {
 
   /** Pattern image geometry: width 16–64, height 12–48 — small enough that
     * the oracle's per-row pixel list stays cheap, big enough that box-fit
-    * always downscales (max(w,h) >= box). */
-  def patternWidth(id: Long): Int = (16 + id % 49).toInt
-  def patternHeight(id: Long): Int = (12 + id % 37).toInt
+    * always downscales (max(w,h) >= box).
+    *
+    * Parity invariant: the DuckDB oracles compute `doc_id % N` with
+    * sign-PRESERVING semantics while [[patternValue]] uses floorMod — the
+    * two agree only for non-negative ids. Every corpus (including the
+    * 19-digit adversarial row) keeps doc_id ≥ 0; guard it here so a future
+    * negative id fails loudly at generation instead of silently diverging
+    * between the engines (and producing a non-positive width/height). */
+  def patternWidth(id: Long): Int = {
+    require(id >= 0, s"pattern ids must be non-negative (oracle % parity): $id")
+    (16 + id % 49).toInt
+  }
+  def patternHeight(id: Long): Int = {
+    require(id >= 0, s"pattern ids must be non-negative (oracle % parity): $id")
+    (12 + id % 37).toInt
+  }
 
   /** Encode the id-keyed gray pattern as a real PNG via ImageIO. Pixels go
     * in through the bulk setRGB overload — per-pixel setRGB pays a

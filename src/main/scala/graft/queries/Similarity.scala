@@ -896,7 +896,9 @@ object Similarity {
 
   /** Shared sign-signature Hamming-pool + exact-cosine-rerank pipeline —
     * s17 (1 table × 0 bits = one shared bucket = exhaustive, the
-    * hash-oracled anchor) and s17_scale (8 × 8 disjoint chunk probing)
+    * hash-oracled anchor) and s17_scale (12 × 5 disjoint chunk probing
+    * by default — the geometry sweep table above `s17_scale` is the
+    * source of truth; conf-tunable)
     * differ ONLY in the candidate stage, so the two can never drift.
     *
     * Scale shape: vectors NEVER shuffle — the bucketed side carries
@@ -988,6 +990,12 @@ object Similarity {
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { mm =>
       Similarity.trainCentroids(sample.map(_.slice(mm * sub, (mm + 1) * sub)), k)
     }
+    // trainCentroids returns min(k, |sample|) centroids; every sub-space
+    // trains on the same sample rows, so all books share one length. The
+    // LUT stride and the ADC lookup stride must BOTH be this effective k
+    // (a fixed-$k stride would misindex on a corpus smaller than k).
+    require(sample.nonEmpty, s"$op: empty embedding corpus")
+    val kEff = books(0).length
     val bc = s.sparkContext.broadcast(books)
     def encode(emb: Array[Float]): Array[Int] = {
       val bs = bc.value
@@ -1025,7 +1033,7 @@ object Similarity {
     val poolDf = coded.join(broadcast(qLut), col("vec_id") =!= col("q_id"))
       .withColumn("adc", expr(
         s"aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), " +
-          s"(acc, i) -> acc + element_at(lut, i * $k + element_at(codes, i + 1) + 1))"))
+          s"(acc, i) -> acc + element_at(lut, i * $kEff + element_at(codes, i + 1) + 1))"))
       .withColumn("prk",
         row_number().over(byQ.orderBy(col("adc").desc, col("vec_id"))))
       .filter(col("prk") <= pool)

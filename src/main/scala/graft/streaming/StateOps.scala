@@ -910,7 +910,10 @@ class IvmAggProcessor[K]
   * last touched it and never changes after). Cross-batch arrival must be
   * key-wise monotone at session granularity: a row BELOW the key's
   * high-water mark cannot be replayed against a session whose successor
-  * may already exist, so it is counted in n_late and dropped (the
+  * may already exist, so it is counted in n_late and dropped — against
+  * the session CURRENT at arrival, and a newly opened session starts at
+  * n_late = 0, so n_late is strictly per-session and summing it across
+  * the upsert table never double-counts (the
   * RateLimit/AsofJoin watermark rule — never silently mis-sessioned); an
   * equal-ts row at the seam extends the current session, matching the
   * batch gap rule (0 ≤ gap). Under monotone waves StreamingSpec pins
@@ -944,7 +947,10 @@ class SessionizeProcessor[K](gapMicros: Long = 1800L * 1000000L)
         case None => (1L, t, t, 1L, 0L)
         case Some((sid, start, lastT, n, late)) =>
           if (t < lastT) (sid, start, lastT, n, late + 1)
-          else if (t - lastT > gapMicros) (sid + 1, t, t, 1L, late)
+          // n_late is PER-SESSION: a late drop counts against the session
+          // current at arrival (branch above), and a fresh session starts
+          // at 0 — summing n_late over the upsert table is then exact.
+          else if (t - lastT > gapMicros) (sid + 1, t, t, 1L, 0L)
           else (sid, start, t, n + 1, late)
       })
       val c = cur.get

@@ -1100,6 +1100,52 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_count"), "branch aggregates must map-side combine")
   }
 
+  test("q69_scale: base branch is a |groups|-row vintage scan, never a fact join") {
+    val plan = planOf("q69_scale")
+    val tree = plan.split("\n\n").head
+    // The production read path: the ONLY parquet scan in the final plan
+    // is the persisted vintage (provisioned on first use) — the base term
+    // is a bare |groups|-row read, with no join and no fact table under
+    // it; facts ride the materialized split (ExistingRDD) in the delta
+    // branches only.
+    val scans = tree.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.size == 1,
+      s"exactly one parquet scan (the vintage), got:\n${scans.mkString("\n")}")
+    assert(plan.contains("graft_ivm_vintage"),
+      "the one scan must be the persisted vintage table")
+    assert(plan.contains("Scan ExistingRDD"),
+      "delta branches consume the checkpointed split")
+    // Three signed maintenance joins — ΔO⁺⋈(C₁∪ΔC), (−1)·P⋈(C₁∪ΔC),
+    // O₁⋈ΔC — every one broadcasting its bounded increment side; the
+    // base branch contributes NO join at all (q69's base join is gone:
+    // it ran yesterday and was persisted).
+    assert("BroadcastHashJoin".r.findAllIn(tree).size == 3,
+      "expected exactly three broadcast delta joins:\n" +
+        tree.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "no shuffle join in the maintenance path")
+    assert(tree.contains("Union"), "vintage ⊕ signed deltas merge as a union")
+  }
+
+  test("q69_scale retraction: phantom-status groups net to zero and vanish") {
+    // Yesterday's vintage carries the corrupt sentinel-status shard; the
+    // maintained result must contain NO trace of it (the oracle certifies
+    // this too — q69's recompute never sees 'X' — but this pins the
+    // n_orders > 0 drop as load-bearing rather than vacuous: the vintage
+    // parquet itself MUST contain the phantom groups being retracted).
+    val out = SparkEntry.queries("q69_scale")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(r => r.getAs[String]("o_orderstatus") == "X"),
+      "retracted phantom groups must vanish from the maintained view")
+    assert(out.forall(_.getAs[Long]("n_orders") > 0), "no zero rows survive")
+    val vdir = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val vintage = spark.read.parquet(
+      new java.io.File(vdir, s"graft_ivm_vintage_${graft.Tables.corpusTag(sf)}")
+        .getAbsolutePath).collect()
+    assert(vintage.exists(r => r.getAs[String]("o_orderstatus") == "X"),
+      "the persisted vintage must actually contain the phantom groups")
+  }
+
   test("t30 shard diff: only the delta scans parquet, with the vintage cutoff pushed") {
     val plan = planOf("t30_shard_diff")
     val tree = plan.split("\n\n").head

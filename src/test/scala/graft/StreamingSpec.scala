@@ -1157,6 +1157,11 @@ class StreamingSpec extends SparkTestBase {
       assert(got((1L, 1L)) == ((2L, 100 * min, 100 * min, 1L)),
         s"session 1 must hold both equal-ts events and the late count: $got")
       assert(got((1L, 2L))._1 == 1L && got((1L, 2L))._2 == 150 * min, got.toString)
+      // n_late is per-session: session 1 absorbed the drop above, so the
+      // fresh session must open at 0 (summing n_late over the table is
+      // then exact, not double-counted).
+      assert(got((1L, 2L))._4 == 0L,
+        s"new session must not inherit the previous session's late count: $got")
     }
   }
 
