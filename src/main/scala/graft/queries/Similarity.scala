@@ -46,16 +46,67 @@ object Similarity {
 
   /** Lloyd's k-means on a (small, deterministic) sample — the coarse
     * quantizer for IVF. Fixed seed init, fixed iteration count, sequential
-    * fold order ⇒ identical centroids on every run. */
-  private[queries] def trainCentroids(sample: Array[Array[Float]],
-      k: Int = NLIST, iters: Int = 10): Array[Array[Double]] = {
+    * fold order ⇒ identical centroids on every run.
+    *
+    * `ppSeed = true` switches init from a uniform shuffle to k-means++
+    * (Arthur & Vassilvitskii SODA'07): first centroid by seeded draw, each
+    * next proportional to D² against the chosen set — still fully
+    * deterministic (fixed seed, sequential fold). Measured for the PQ
+    * codebooks (s18) and NOT shipped: on this isotropic corpus it does
+    * not move recall@5 (see the pqRerank call site for numbers); kept as
+    * a capability for clustered corpora, where D²-seeding stops uniform
+    * init from wasting centroids on near-duplicates. */
+  private[graft] def trainCentroids(sample: Array[Array[Float]],
+      k: Int = NLIST, iters: Int = 10,
+      ppSeed: Boolean = false): Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     val n = sample.length
     val dim = sample.headOption.map(_.length).getOrElse(0)
     // init from k DISTINCT sample points (duplicates would freeze a dead
     // cell: ties break low, so the twin centroid never receives a point).
-    var cents = rnd.shuffle(sample.indices.toVector).take(math.min(k, n))
-      .map(i => sample(i).map(_.toDouble)).toArray
+    var cents =
+      if (!ppSeed)
+        rnd.shuffle(sample.indices.toVector).take(math.min(k, n))
+          .map(i => sample(i).map(_.toDouble)).toArray
+      else {
+        val kk = math.min(k, n)
+        val chosen = scala.collection.mutable.ArrayBuffer(rnd.nextInt(n))
+        val d2 = new Array[Double](n)
+        java.util.Arrays.fill(d2, Double.MaxValue)
+        while (chosen.length < kk) {
+          val last = sample(chosen.last)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var j = 0
+            val lim = math.min(last.length, sample(i).length)
+            while (j < lim) { val df = sample(i)(j) - last(j); acc += df * df; j += 1 }
+            if (acc < d2(i)) d2(i) = acc
+            i += 1
+          }
+          val tot = d2.sum
+          // All-duplicate tail (every remaining point at distance 0):
+          // fall back to the first not-yet-chosen index — deterministic.
+          val next =
+            if (tot <= 0.0) (0 until n).find(i => !chosen.contains(i)).getOrElse(0)
+            else {
+              val r = rnd.nextDouble() * tot
+              // Fallback (r lands past the last positive weight through
+              // float rounding): the last positive-distance point.
+              var acc = 0.0; var i = 0
+              var pick = d2.lastIndexWhere(_ > 0)
+              while (i < n) {
+                acc += d2(i)
+                // d2 > 0 excludes already-chosen points (distance 0), so a
+                // float boundary tie can never duplicate a centroid.
+                if (d2(i) > 0 && acc >= r) { pick = i; i = n } else i += 1
+              }
+              pick
+            }
+          chosen += next
+        }
+        chosen.map(i => sample(i).map(_.toDouble)).toArray
+      }
     var it = 0
     while (it < iters) {
       val sums = Array.fill(cents.length, dim)(0.0)
@@ -891,7 +942,44 @@ object Similarity {
       pqRerank(s, d, Int.MaxValue, "s18_exhaustive")
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           col("rank").as("rk"), col("cosine"))
-        .orderBy(col("q_id"), col("rk")))
+        .orderBy(col("q_id"), col("rk"))),
+    // PQ recall made DRIVER-VISIBLE — the s12 acceptance-matrix shape on
+    // the fourth quantization family: every guarded query reports
+    // |s18 top-5 ∩ exact top-5| per query as an exact integer (and the
+    // exact rational recall@5), so a codebook-quality regression moves a
+    // hash-stable CORRECTNESS row, not just a spec floor. Because s18's
+    // final stage reranks its ADC pool by EXACT cosine, recall@5 is
+    // precisely "how many true top-5 neighbors survived into the pool" —
+    // this measures the codebook, the only unoracled stage (everything
+    // else is hash-certified by s18_exhaustive ≡ s1). Determinism: both
+    // rankings tie-break on (score, vec_id); codebooks are seed-fixed and
+    // fold in sequential order, so n_common is bit-stable across runs and
+    // partitionings. No SQL oracle by construction (k-means is not
+    // SQL-expressible — the same adjudication as s2/s4/s13/s17's recall
+    // rows); the row-count contract (one row per guarded query) still
+    // gates, and SimilaritySpec pins the measured floor.
+    "s18_recall" -> { (s, d) =>
+      val pq = pqRerank(s, d, 20, "s18_recall")
+        .select(col("q_id"), col("vec_id"))
+      val e = normed(s, d)
+      val q = guardedBounded(s,
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("sq").as("q_sq")), "s18_recall")
+      val byQ = Window.partitionBy(col("q_id"))
+      val exact5 = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+        .withColumn("rk",
+          row_number().over(byQ.orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= TOPK)
+        .select(col("q_id"), col("vec_id"))
+      exact5.join(pq.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+        .withColumn("recall_at_5", col("n_common").cast("double") / lit(TOPK.toDouble))
+        .orderBy(col("q_id"))
+    }
   )
 
   /** Shared sign-signature Hamming-pool + exact-cosine-rerank pipeline —
@@ -988,7 +1076,12 @@ object Similarity {
     val sample = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .orderBy(col("vec_id")).limit(SAMPLE).collect().map(_._2)
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { mm =>
-      Similarity.trainCentroids(sample.map(_.slice(mm * sub, (mm + 1) * sub)), k)
+      // ppSeed measured on this corpus (r15): k-means++ does NOT move
+      // recall@5 (0.58 vs 0.60 at sf0.01, 0.325 vs 0.335 at sf0.1) — the
+      // synthetic embeddings are isotropic, so D²-weighted seeding buys
+      // nothing; uniform stays shipped, the capability stays testable.
+      Similarity.trainCentroids(sample.map(_.slice(mm * sub, (mm + 1) * sub)), k,
+        ppSeed = false)
     }
     // trainCentroids returns min(k, |sample|) centroids; every sub-space
     // trains on the same sample rows, so all books share one length. The

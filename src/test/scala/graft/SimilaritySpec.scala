@@ -23,11 +23,33 @@ class SimilaritySpec extends SparkTestBase {
     val recall = exact.map { case (q, nbrs) =>
       nbrs.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / nbrs.size
     }.sum / exact.size
-    // 8×16 ADC over a 20-candidate pool measured 0.60 at sf0.01 scanning
-    // 0.4% of the corpus exactly; floor with headroom for corpus regens
-    // (this isotropic corpus is PQ's hard case — no cluster structure
-    // for the codebooks to exploit).
-    assert(recall >= 0.3, s"s18 PQ recall@5 $recall below 0.3")
+    // 8×16 ADC over a 20-candidate pool, uniform codebook seeding:
+    // measured mean 0.56 at sf0.001 / 0.60 at sf0.01 (r15). Floor =
+    // measured − 0.16 margin for corpus-regen variance (this isotropic
+    // corpus is PQ's hard case — no cluster structure to exploit;
+    // k-means++ seeding was measured and does NOT move recall here:
+    // 0.58/0.325 vs 0.60/0.335 at sf0.01/sf0.1 — kept available via
+    // trainCentroids(ppSeed = true), not shipped).
+    assert(recall >= 0.4, s"s18 PQ recall@5 $recall below 0.4")
+  }
+
+  test("s18_recall row agrees with the independently-computed recall") {
+    // The driver-visible acceptance row (s18_recall) and this spec's own
+    // s18-vs-s1 intersection must be the same number — the row is the
+    // gate, the spec certifies the row measures what it claims.
+    val exact = topk("s1_knn_brute")
+    val approx = graft.queries.Similarity.queries("s18_pq_adc")(spark, sf)
+      .select(col("q_id"), col("vec_id"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val row = graft.queries.Similarity.queries("s18_recall")(spark, sf)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_common")).toMap
+    assert(row.keySet == exact.keySet, "one recall row per guarded query")
+    exact.foreach { case (q, nbrs) =>
+      val expected = nbrs.intersect(approx.getOrElse(q, Set.empty)).size.toLong
+      assert(row(q) == expected,
+        s"s18_recall n_common for q=$q: row ${row(q)} != recomputed $expected")
+    }
   }
 
   test("s2_knn_lsh recall@5 vs exact brute force is usable") {
@@ -106,6 +128,26 @@ class SimilaritySpec extends SparkTestBase {
     val bound = globalMax / 254.0 + 1e-12
     assert(rows.forall(_.getDouble(1) <= bound),
       s"max_abs_err exceeds the quantization step bound $bound")
+  }
+
+  test("k-means++ seeding is deterministic and never duplicates a centroid") {
+    val rnd = new scala.util.Random(123)
+    val sample = Array.fill(200)(Array.fill(8)(rnd.nextFloat()))
+    // Plant exact duplicates — the D²-weighted draw must still return k
+    // DISTINCT points (a duplicate centroid would freeze a dead cell).
+    val withDups = sample ++ sample.take(50)
+    val a = graft.queries.Similarity.trainCentroids(withDups, 16, iters = 0, ppSeed = true)
+    val b = graft.queries.Similarity.trainCentroids(withDups, 16, iters = 0, ppSeed = true)
+    assert(a.length == 16)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "seeded init must be bit-stable")
+    assert(a.map(_.toSeq).distinct.length == 16, "no duplicate centroids")
+    // Degenerate corpus: fewer distinct VALUES than k — the all-duplicate
+    // fallback must still fill k slots (every distinct value represented)
+    // without crashing or looping.
+    val tiny = Array.fill(30)(sample(0)) ++ sample.slice(1, 4)
+    val c = graft.queries.Similarity.trainCentroids(tiny, 16, iters = 0, ppSeed = true)
+    assert(c.length == 16)
+    assert(c.map(_.toSeq).distinct.length == 4, "all 4 distinct values chosen")
   }
 
   test("s12 quantized-index recall is measured and sane") {
