@@ -262,6 +262,52 @@ object MappingQueries {
           size(map_keys(col("values"))).cast("bigint").as("n_values"),
           element_at(col("values"), "location_quality").as("location_quality"))
         .orderBy(col("uid"), col("time"))
+    },
+    // The GEOMETRY-bearing mapping through the streaming path, with an
+    // OUT-OF-ORDER redelivery (r14 verdict item 6): p3 certifies m5 and a
+    // same-order full re-replay; this replays the m4 geography fixture
+    // (JTS union per message, antimeridian handling) one message per
+    // micro-batch through Pipeline.run, then redelivers EVERY message
+    // from a fresh checkpoint in a seeded-SHUFFLED file order — the
+    // at-least-once reality where a rewound consumer interleaves offsets
+    // differently. Each fixture message has a distinct upsert key, so the
+    // converged table is order-free by the K2 contract; the result is
+    // collapsed with the m4 content hash and oracled by m4_geom_hash's
+    // pinned literal VERBATIM — the driver hash certifies streaming
+    // geometry fidelity AND shuffled-redelivery convergence in one row
+    // (StreamingSpec pins the ordered-vs-shuffled table equality
+    // directly as well).
+    "p5_stream_geography" -> { (s, d) =>
+      import graft.tables.GenericGeography
+      val mapping = new GenericGeography("topic")
+      val msgs = graft.sources.FileReplay.messages(s"$fx/scuttle-watch-regions.json")
+      val sink = new graft.sinks.InMemorySink
+      def replayOnce(order: Seq[Int], tag: String): Unit = {
+        val landing = java.nio.file.Files.createTempDirectory(s"p5-$tag")
+        order.zipWithIndex.foreach { case (mi, i) =>
+          java.nio.file.Files.write(landing.resolve(f"msg$i%03d.txt"),
+            msgs(mi).getBytes("UTF-8"))
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory(s"p5-ckpt-$tag").toString
+        val stream = s.readStream.option("maxFilesPerTrigger", 1)
+          .text(landing.toString)
+        val q = graft.streaming.Pipeline.run(stream, mapping, sink, ckpt)
+        assert(q.awaitTermination(120000), s"p5 $tag stream did not drain")
+      }
+      replayOnce(msgs.indices, "ordered")
+      val perm = new scala.util.Random(11).shuffle(msgs.indices.toList)
+      assert(perm != msgs.indices.toList, "redelivery must be out of order")
+      replayOnce(perm, "shuffled")
+      val schema = mapping.encoder.schema
+      val rows = sink.synchronized {
+        sink.table.values.map(v =>
+          org.apache.spark.sql.Row.fromSeq(v)).toList
+      }
+      val df = s.createDataFrame(new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        .select(col("uid"), col("gid"), col("time"), col("reftime"),
+          mapJson(col("values")).as("values_json"), col("payload"), col("geom"))
+      contentHash("m4", df)
     }
   )
 
@@ -560,6 +606,12 @@ object MappingQueries {
         |  CAST(len(json_keys(to_json("values"))) + 1 AS BIGINT) AS n_values,
         |  '1' AS location_quality
         |FROM read_json('/root/reference/tests/replayer.json')
-        |ORDER BY uid, time""".stripMargin
+        |ORDER BY uid, time""".stripMargin,
+    // p5 = m4's full geometry rows through the streaming path + shuffled
+    // redelivery; convergence means the same rows as the batch replay, so
+    // the oracle is m4_geom_hash's pinned literal verbatim.
+    "p5_stream_geography" ->
+      """SELECT 'm4' AS mapping, CAST(6 AS BIGINT) AS n_rows,
+        |  '3df9ea2c2e814c8669710b5f1fc2b2c0' AS content_md5""".stripMargin
   )
 }

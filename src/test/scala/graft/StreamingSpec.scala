@@ -143,6 +143,41 @@ class StreamingSpec extends SparkTestBase {
     assert(sink.table.values.head(valuesIdx).asInstanceOf[Map[String, String]]("speed") == "2")
   }
 
+  test("p5: shuffled full redelivery converges to the ordered-replay table") {
+    // The out-of-order at-least-once case p3 does not cover: a rewound
+    // consumer redelivers every m4 geography message in a DIFFERENT
+    // interleaving. Keys are distinct per message, so the K2 last-wins
+    // contract makes the table order-free — the sink after ordered replay
+    // and the sink after ordered + shuffled redelivery must be EQUAL, row
+    // for row, geometry included.
+    val mapping = new graft.tables.GenericGeography("topic")
+    val msgs = graft.sources.FileReplay.messages(
+      "/root/reference/tests/scuttle-watch-regions.json")
+    def run(sink: InMemorySink, order: Seq[Int]): Unit = {
+      val landing = java.nio.file.Files.createTempDirectory("p5spec")
+      order.zipWithIndex.foreach { case (mi, i) =>
+        java.nio.file.Files.write(landing.resolve(f"msg$i%03d.txt"),
+          msgs(mi).getBytes("UTF-8"))
+      }
+      val q = Pipeline.run(
+        spark.readStream.option("maxFilesPerTrigger", 1).text(landing.toString),
+        mapping, sink, tmpDir())
+      assert(q.awaitTermination(60000), "p5 spec stream did not drain")
+    }
+    val ordered = new InMemorySink
+    run(ordered, msgs.indices)
+    val redelivered = new InMemorySink
+    run(redelivered, msgs.indices)
+    val perm = new scala.util.Random(11).shuffle(msgs.indices.toList)
+    assert(perm != msgs.indices.toList)
+    run(redelivered, perm)
+    assert(redelivered.table.size == ordered.table.size)
+    ordered.table.foreach { case (k, v) =>
+      assert(redelivered.table.get(k).contains(v),
+        s"key $k diverged after shuffled redelivery")
+    }
+  }
+
   test("watermarked tumbling window matches batch equivalent") {
     val spark0 = spark
     import spark0.implicits._
