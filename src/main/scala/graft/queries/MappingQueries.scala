@@ -308,6 +308,73 @@ object MappingQueries {
         .select(col("uid"), col("gid"), col("time"), col("reftime"),
           mapJson(col("values")).as("values_json"), col("payload"), col("geom"))
       contentHash("m4", df)
+    },
+    // The dead-letter contract as a DRIVER row (r14 verdict item 7): the
+    // reference logs and SKIPS any message its decoder rejects
+    // (`listen.py:138-143`); graft mirrors that in Pipeline.decoded with
+    // a per-run accumulator. This row feeds each decoder a deterministic
+    // HOSTILE fixture — valid messages interleaved with truncated
+    // msgpack, an invalid msgpack type byte (0xc1 is unassigned by the
+    // spec), bad/short/unknown-id Avro framing, and malformed JSON —
+    // through the REAL decoded() path (the distributed udf + filter +
+    // accumulator, not a unit shortcut) and reports (decoder, n_ok,
+    // n_dead) against a literal oracle. Bare `NaN` is a VALID json
+    // message by python-json parity (the reference's json.loads accepts
+    // NaN; PyJson mirrors it) — the row pins the accept/reject BOUNDARY,
+    // not just the rejects. Each set uses its own accumulator (never the
+    // shared registry), and counts are exact: one tiny partition, no
+    // retries, every message classified exactly once.
+    "q71_dead_letters" -> { (s, d) =>
+      import s.implicits._
+      import graft.sources.{JsonDecoder, MsgpackDecoder, AvroDecoder, InMemoryRegistry}
+      def runSet(name: String, decoder: graft.sources.MessageDecoder,
+          msgs: Seq[Array[Byte]]): (String, Long, Long) = {
+        val acc = s.sparkContext.longAccumulator(s"graft.dead_letters.$name")
+        val ok = graft.streaming.Pipeline
+          .decoded(msgs.toDS().toDF("value"), decoder, Some(acc)).count()
+        (name, ok, acc.value)
+      }
+      val json = Seq[Array[Byte]](
+        """{"a":1}""".getBytes("UTF-8"),
+        "NaN".getBytes("UTF-8"),      // python json.loads parity: VALID
+        "[1, 2]".getBytes("UTF-8"),
+        "not json".getBytes("UTF-8"),
+        """{"a":""".getBytes("UTF-8"), // truncated
+        "}".getBytes("UTF-8"))
+      val msgpack = Seq[Array[Byte]](
+        Array[Byte](0x81.toByte, 0xa1.toByte, 'a'.toByte, 0x01), // {"a":1}
+        Array[Byte](0x05),                                       // 5
+        Array[Byte](0x81.toByte),                                // truncated map
+        Array[Byte](0xc1.toByte))                                // unassigned type
+      // A valid Confluent-framed Avro record (magic 0 + id 7 + body),
+      // built against the registry the decoder will resolve id 7 from.
+      val schemaJson =
+        """{"type":"record","name":"M","fields":[{"name":"uid","type":"string"}]}"""
+      val avroBytes: Array[Byte] = {
+        import org.apache.avro.Schema
+        import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+        import org.apache.avro.io.EncoderFactory
+        val schema = new Schema.Parser().parse(schemaJson)
+        val rec = new GenericData.Record(schema)
+        rec.put("uid", "u-1")
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(0)
+        bos.write(java.nio.ByteBuffer.allocate(4).putInt(7).array())
+        val enc = EncoderFactory.get().binaryEncoder(bos, null)
+        new GenericDatumWriter[Any](schema).write(rec, enc)
+        enc.flush()
+        bos.toByteArray
+      }
+      val avro = Seq[Array[Byte]](
+        avroBytes,
+        Array[Byte](1, 2, 3),          // wrong magic
+        Array[Byte](0, 0),             // short frame
+        Array[Byte](0, 0, 0, 0, 9, 1)) // unknown schema id (registry 404)
+      val rows = Seq(
+        runSet("avro", new AvroDecoder(new InMemoryRegistry(Map(7 -> schemaJson))), avro),
+        runSet("json", JsonDecoder, json),
+        runSet("msgpack", MsgpackDecoder, msgpack))
+      rows.toDF("decoder", "n_ok", "n_dead").orderBy(col("decoder"))
     }
   )
 
@@ -612,6 +679,16 @@ object MappingQueries {
     // the oracle is m4_geom_hash's pinned literal verbatim.
     "p5_stream_geography" ->
       """SELECT 'm4' AS mapping, CAST(6 AS BIGINT) AS n_rows,
-        |  '3df9ea2c2e814c8669710b5f1fc2b2c0' AS content_md5""".stripMargin
+        |  '3df9ea2c2e814c8669710b5f1fc2b2c0' AS content_md5""".stripMargin,
+    // The log-and-skip contract as literals: per decoder, how many of the
+    // hostile fixture's messages decode and how many dead-letter. The
+    // fixture is synthesized deterministically in-engine (spec'd byte
+    // sequences), so the expected counts are a fixed truth table.
+    "q71_dead_letters" ->
+      """SELECT decoder, CAST(n_ok AS BIGINT) AS n_ok,
+        |  CAST(n_dead AS BIGINT) AS n_dead
+        |FROM (VALUES ('avro', 1, 3), ('json', 3, 3), ('msgpack', 2, 2))
+        |  AS t(decoder, n_ok, n_dead)
+        |ORDER BY decoder""".stripMargin
   )
 }
