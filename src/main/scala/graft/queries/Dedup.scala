@@ -357,6 +357,27 @@ object Dedup {
   private def cappedGuardedPostings(s: SparkSession, d: String, name: String): DataFrame = {
     val maxCand = s.conf.getOption("graft.dedup.d5MaxCandidates")
       .map(_.toLong).getOrElse(500000000L)
+    // r15: the absolute cap is a MEMORY/DISK wall, but a corpus density
+    // shift can triple wall-clock while staying under it (r14: the
+    // regenerated sf1 corpus moved d13 57 → 192 s cold purely through
+    // clique shape). The second bound is a TIME model: candidates ÷
+    // measured end-to-end pair throughput on the gate corpus against an
+    // explicit budget, so density drift fails fast naming the sublinear
+    // twin instead of silently eating the bench. Calibration (BENCHNOTES
+    // "r15: d13 pair throughput"): the sf1 gate corpus generates
+    // 130,194,684 candidates under the DF-cap floor and d13 — the
+    // family's slowest per-pair consumer (containment join + intersect +
+    // rollup) — completes in 55 s warm ⇒ 2.4M pairs/s, used for the whole
+    // family (conservative for d5's 6.2M/s). Defaults: 180 s budget ⇒
+    // 432M-candidate time cap, TIGHTER than the 500M volume cap, with the
+    // sf1 gate (predicted 54 s) well inside. Both bounds print in the
+    // error; the tighter one governs.
+    val pairsPerSec = s.conf.getOption("graft.dedup.pairsPerSec")
+      .map(_.toDouble).getOrElse(2.4e6)
+    val budgetSec = s.conf.getOption("graft.dedup.pairBudgetSec")
+      .map(_.toLong).getOrElse(180L)
+    val timeCand = (pairsPerSec * budgetSec).toLong
+    val effCap = math.min(maxCand, timeCand)
     val postings = withShingles(s, d)
       .select(struct(col("doc_id"),
           size(col("shingles")).cast("bigint").as("n_sh")).as("doc"),
@@ -369,13 +390,18 @@ object Dedup {
       "CAST(size(ds) AS DECIMAL(38,0)) * CAST(size(ds) - 1 AS DECIMAL(38,0)) / 2"))
       .as("__cand"))
     postings.crossJoin(broadcast(est))
-      .filter(when(col("__cand") > maxCand, raise_error(format_string(
-        s"$name: ~%s candidate pairs from the DF <= %s postings exceed " +
-          "graft.dedup.d5MaxCandidates=%s; exact n-gram pair enumeration is " +
-          "quadratic on this corpus density -- use d3_dedup_minhash/d10 " +
-          "(banded MinHash, bounded candidates) at this scale, or raise the " +
-          "cap / lower graft.dedup.d5DfCap explicitly",
-        col("__cand"), col("df_cap"), lit(maxCand)))).isNull)
+      .filter(when(col("__cand") > effCap, raise_error(format_string(
+        s"$name: ~%s candidate pairs from the DF <= %s postings exceed the " +
+          s"guard (volume cap graft.dedup.d5MaxCandidates=%s; time model " +
+          s"~%s s predicted at graft.dedup.pairsPerSec=%s vs " +
+          s"graft.dedup.pairBudgetSec=%s); exact n-gram pair enumeration " +
+          "is quadratic on this corpus density -- use d3_dedup_minhash/d10 " +
+          "or the banded d5_scale/d9_scale/d17_scale twins (bounded " +
+          "candidates, the production path) at this scale, or raise the " +
+          "caps / lower graft.dedup.d5DfCap explicitly",
+        col("__cand"), col("df_cap"), lit(maxCand),
+        round(col("__cand") / pairsPerSec).cast("bigint"),
+        lit(pairsPerSec.toLong), lit(budgetSec)))).isNull)
       .drop("__cand")
   }
 

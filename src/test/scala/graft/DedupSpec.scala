@@ -190,6 +190,49 @@ class DedupSpec extends SparkTestBase {
     assert(graft.queries.Dedup.queries("d5_ngram_jaccard")(spark, sf).count() > 0)
   }
 
+  test("time-model guard fires on a density shift the volume cap misses") {
+    // r14: the regenerated sf1 corpus tripled d13's wall-clock while its
+    // candidate volume stayed far below the 500M absolute cap — a density
+    // shift the static guard cannot see. The time model (candidates ÷
+    // measured pairs/sec vs a budget) must convert exactly that shape
+    // into a fast failure naming the banded twins. Build a SYNTHETIC
+    // DENSE corpus: 4 cliques of 50 identical docs — every shingle's DF
+    // sits exactly AT the df_cap floor (50), so nothing is capped away
+    // and Σ C(DF,2) is large relative to corpus size; then shrink the
+    // time budget to what a production SLA would be if throughput were
+    // this corpus's measured rate.
+    val dir = java.nio.file.Files.createTempDirectory("dense").toString
+    val spark0 = spark
+    import spark0.implicits._
+    // Clique-SPECIFIC vocabularies: every shingle's DF equals the clique
+    // size (= the df_cap floor), so nothing is capped away, candidate
+    // volume is maximal for the corpus size, and containment within a
+    // clique is 1.0 (the happy path returns rows at default confs).
+    def cliqueText(c: Long) = (0 until 60).map(i => s"c${c}tok$i").mkString(" ")
+    (0L until 200L).map(i => (i, cliqueText(i / 50), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("graft.dedup.pairsPerSec", "1000")
+    spark.conf.set("graft.dedup.pairBudgetSec", "1")
+    try {
+      val ex = intercept[Exception] {
+        graft.queries.Dedup.queries("d13_containment")(spark, dir).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(m =>
+        m.contains("pairBudgetSec") && m.contains("predicted")
+          && m.contains("d5_scale")),
+        s"time guard must report the prediction and name the banded twins: ${messages(ex)}")
+    } finally {
+      spark.conf.unset("graft.dedup.pairsPerSec")
+      spark.conf.unset("graft.dedup.pairBudgetSec")
+    }
+    // At the calibrated defaults the same dense corpus is tiny in absolute
+    // terms and must pass — the model gates predicted TIME, not shape.
+    assert(graft.queries.Dedup.queries("d13_containment")(spark, dir).count() > 0)
+  }
+
   test("d5_scale banded path equals exact d5 where the cap doesn't bite; d9 composes with it") {
     // On the test corpus the DF cap never bites, so capped d5 == uncapped
     // exact == d5_scale must hold row-for-row (banding recall 1.0 — the
