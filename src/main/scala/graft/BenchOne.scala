@@ -9,7 +9,7 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench-one")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,7 +23,20 @@ object BenchOne {
       // OVERFLOW at the sf1 oracle gate). Size the buffer to the largest
       // capacity the conf line can set, not the default-cap happy path.
       .config("spark.kryoserializer.buffer.max", "256m")
+      // SPARK_GRAFT_CORE_CONF="k=v,..." — PRE-session confs (core/SparkConf
+      // keys the post-session SPARK_GRAFT_CONF plumbing cannot set; the
+      // kryo buffer above was the first instance of this class). First use:
+      // spark.io.compression.codec=zstd for the sf100 one-box sweeps, where
+      // the lineitem bucketed-copy shuffle's lz4 spill transiently exceeds
+      // the scratch disk (TASK_WRITE_FAILED / no space) — zstd halves the
+      // shuffle footprint at a CPU cost you'd never pay on a real cluster
+      // with per-node disks, so it stays an env knob, not a default.
       .config("spark.ui.enabled", "false")
+    val spark = sys.env.get("SPARK_GRAFT_CORE_CONF").toSeq
+      .flatMap(_.split(',')).filter(_.contains('='))
+      .foldLeft(builder0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Experiment plumbing: SPARK_GRAFT_CONF="k1=v1,k2=v2" sets runtime confs
