@@ -958,6 +958,34 @@ object Similarity {
     // SQL-expressible — the same adjudication as s2/s4/s13/s17's recall
     // rows); the row-count contract (one row per guarded query) still
     // gates, and SimilaritySpec pins the measured floor.
+    // IVF×PQ — the full IVFADC composition (Jégou et al. TPAMI'11 §V):
+    // the coarse quantizer routes each vector to one of NLIST cells and
+    // PQ codebooks trained on the RESIDUALS (x − c_cell) store it as M
+    // code bytes, so the index holds (cell, codes) — the classic
+    // billion-scale serving layout. Scoring exploits the inner-product
+    // decomposition  q·x̂ = q·c_cell + Σ_m q_m·book_m[code_m]: the sum
+    // term is ONE M×K LUT per query (cell-independent — cheaper than
+    // L2-IVFADC, which needs a LUT per probed cell), and the cell term
+    // is a scalar per (q, probed cell), so a candidate scores as one
+    // scalar add + M table-lookup adds in a codegen'd aggregate-HOF. The
+    // IVF cut and the ADC cut compose: only vectors in the NPROBE
+    // nearest cells are scored, only the top-`pool` pay an exact cosine
+    // (s17's verbatim rerank tail). At 100 TB the scan reads the codes
+    // table bucketed by cell; embeddings are touched only for the
+    // (|Q|·pool)-row rerank via broadcast id joins. s19_exhaustive probes
+    // every cell AND opens the pool, so each (q, vec) pair is scored
+    // exactly once and exactly reranked — the composition collapses to
+    // s1's brute force under s1's verbatim oracle (the exhaustive-twin
+    // convention, fifth instance), proving the route/encode/LUT/rank
+    // plumbing introduces no error beyond the documented cuts.
+    "s19_ivfpq" -> ((s, d) => ivfPqKnn(s, d, NPROBE, 20, "s19_ivfpq")),
+    "s19_exhaustive" -> ((s, d) =>
+      ivfPqKnn(s, d, NLIST, Int.MaxValue, "s19_exhaustive")
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          col("rank").as("rk"), col("cosine"))
+        .orderBy(col("q_id"), col("rk"))),
+    // (s18_recall's contract comment sits above the s19 block — the row
+    // reports |s18 top-5 ∩ exact top-5| per guarded query, see there.)
     "s18_recall" -> { (s, d) =>
       val pq = pqRerank(s, d, 20, "s18_recall")
         .select(col("q_id"), col("vec_id"))
@@ -1144,6 +1172,109 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Shared IVFADC pipeline — s19_ivfpq (NPROBE cells, pool 20) and
+    * s19_exhaustive (all cells, pool open ⇒ collapses to s1) differ only
+    * in the two cut parameters, so the twins can never drift. Residual
+    * PQ: codes quantize x − c_cell, trained on the residuals of the same
+    * deterministic sample the coarse quantizer trains on. Determinism:
+    * fixed-seed coarse + book training, sequential LUT fold, encode ties
+    * break to the lower code, ADC ties to the lower vec_id, rerank ties
+    * (cosine, vec_id) — bit-stable across runs and partitionings. */
+  private def ivfPqKnn(s: SparkSession, d: String, nprobe: Int, pool: Int,
+      op: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.embDim(s)
+    val m = s.conf.getOption("graft.pq.m").map(_.toInt).getOrElse(8)
+    val k = s.conf.getOption("graft.pq.k").map(_.toInt).getOrElse(16)
+    require(dim % m == 0, s"$op: dim $dim does not split into $m sub-spaces")
+    val sub = dim / m
+    val e = normed(s, d)
+    val sample = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .orderBy(col("vec_id")).limit(SAMPLE).collect().map(_._2)
+    require(sample.nonEmpty, s"$op: empty embedding corpus")
+    val coarse = Similarity.trainCentroids(sample, NLIST)
+    // PQ books train on the RESIDUAL sample — the distribution the codes
+    // will actually quantize (training on raw vectors would center every
+    // sub-space book on the cell means instead of around zero).
+    val resSample = sample.map { v =>
+      val c = coarse(Similarity.nearestCells(v, coarse, 1)(0))
+      Array.tabulate(v.length)(i => (v(i) - c(i)).toFloat)
+    }
+    val books = Array.tabulate(m) { mm =>
+      Similarity.trainCentroids(resSample.map(_.slice(mm * sub, (mm + 1) * sub)), k)
+    }
+    val kEff = books(0).length // min(k, |sample|) — the LUT/ADC stride
+    val bcC = s.sparkContext.broadcast(coarse)
+    val bcB = s.sparkContext.broadcast(books)
+    val coded = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value; val bs = bcB.value
+        it.map { case (id, emb) =>
+          val cell = Similarity.nearestCells(emb, cs, 1)(0)
+          val c = cs(cell)
+          val res = Array.tabulate(emb.length)(i =>
+            (emb(i) - (if (i < c.length) c(i) else 0.0)).toFloat)
+          val codes = Array.tabulate(bs.length)(mm =>
+            Similarity.nearestCells(res.slice(mm * sub, (mm + 1) * sub), bs(mm), 1)(0))
+          (id, cell, codes)
+        }
+      }.toDF("vec_id", "cell", "codes")
+    val q = guardedBounded(s,
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("sq").as("q_sq")), op)
+    // Per query: ONE sub-space LUT (q_m·book_m[k], cell-independent under
+    // the inner-product decomposition) + one q·c_cell scalar per probed
+    // cell. |Q| × nprobe rows, broadcast onto the codes table.
+    val qProbe = q.select(col("q_id"), col("q_emb")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value; val bs = bcB.value
+        it.flatMap { case (id, emb) =>
+          val lut = new Array[Double](bs.length * kEff)
+          var mm = 0
+          while (mm < bs.length) {
+            var kk = 0
+            while (kk < bs(mm).length) {
+              var dot = 0.0; var j = 0
+              while (j < sub) { dot += emb(mm * sub + j) * bs(mm)(kk)(j); j += 1 }
+              lut(mm * kEff + kk) = dot
+              kk += 1
+            }
+            mm += 1
+          }
+          Similarity.nearestCells(emb, cs, nprobe).map { cell =>
+            var qc = 0.0; var j = 0
+            val c = cs(cell); val lim = math.min(emb.length, c.length)
+            while (j < lim) { qc += emb(j) * c(j); j += 1 }
+            (id, cell, qc, lut)
+          }
+        }
+      }.toDF("q_id", "cell", "qdotc", "lut")
+    val byQ = Window.partitionBy(col("q_id"))
+    // One cell per corpus vector + distinct probed cells per query ⇒ each
+    // (q, vec) pair joins at most once (s4's no-dedup argument).
+    val poolDf = coded.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", col("qdotc") + expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), " +
+          s"(acc, i) -> acc + element_at(lut, i * $kEff + element_at(codes, i + 1) + 1))"))
+      .withColumn("prk",
+        row_number().over(byQ.orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("prk") <= pool)
+      .select(col("q_id"), col("vec_id"), col("adc"))
+    val reranked = e.select(col("vec_id"), col("embedding"), col("sq"))
+      .join(broadcast(poolDf), "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_sq"))), "q_id")
+      .withColumn("cosine",
+        dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+    reranked
+      .withColumn("rank",
+        row_number().over(byQ.orderBy(col("cosine").desc, col("vec_id"))).cast("int"))
+      .filter(col("rank") <= TOPK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def oracle: Map[String, String] = Map(
     "s10_vec_validity" ->
       """SELECT count(*) AS n_total,
@@ -1173,6 +1304,11 @@ object Similarity {
     // ordering cancels out and the answer is s1's brute force — s1's SQL
     // verbatim oracles the codebook/encode/LUT plumbing.
     "s18_exhaustive" -> BRUTE_KNN_SQL,
+    // IVFADC probing every cell with the pool open: each (q, vec) pair is
+    // scored once and exactly reranked, so the coarse routing AND the
+    // residual-PQ ordering cancel — the fifth quantization family with a
+    // hash-oracled exhaustive anchor under s1's verbatim SQL.
+    "s19_exhaustive" -> BRUTE_KNN_SQL,
     // s2 at 1 table × 0 bits: one shared bucket ⇒ the bucket join IS
     // brute force — the same verbatim oracle certifies the sign-LSH
     // code/bucket/rank plumbing.

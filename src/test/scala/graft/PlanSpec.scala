@@ -1192,7 +1192,10 @@ class PlanSpec extends SparkTestBase {
     // s18_pq_adc shares the contract: the ADC stage carries CODES (m
     // bytes/vector), the rerank joins embeddings via broadcast id joins —
     // an embedding column in any hashpartitioning is the scale bug.
-    for (name <- Seq("s17_hamming_rerank", "s17_scale", "s18_pq_adc")) {
+    // s19_ivfpq extends it: the IVFADC candidate stage carries (cell,
+    // codes) with the per-query LUT broadcast — same no-vector-exchange
+    // contract through the coarse routing.
+    for (name <- Seq("s17_hamming_rerank", "s17_scale", "s18_pq_adc", "s19_ivfpq")) {
       val plan = planOf(name)
       // Shuffle exchanges may carry ids/sigs/hamming/cosine — never an
       // embedding column (broadcasts of the bounded query set are exempt:

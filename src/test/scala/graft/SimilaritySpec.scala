@@ -33,6 +33,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.4, s"s18 PQ recall@5 $recall below 0.4")
   }
 
+  test("s19_ivfpq recall@5 vs exact brute force is usable") {
+    val exact = topk("s1_knn_brute")
+    val approx = graft.queries.Similarity.queries("s19_ivfpq")(spark, sf)
+      .select(col("q_id"), col("vec_id"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(exact.nonEmpty)
+    val recall = exact.map { case (q, nbrs) =>
+      nbrs.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / nbrs.size
+    }.sum / exact.size
+    // The two cuts COMPOUND (4/16 cells probed × residual-PQ pool-20):
+    // measured mean 0.30 at sf0.001 / 0.40 at sf0.01 (r15) on the
+    // isotropic corpus — between s13's IVF+SQ8 floor (0.2) and s18's
+    // pure-PQ 0.56, as the composition predicts. Floor = measured −
+    // margin; correctness of everything but the two cuts is
+    // hash-certified by s19_exhaustive ≡ s1.
+    assert(recall >= 0.2, s"s19 IVFADC recall@5 $recall below 0.2")
+  }
+
   test("s18_recall row agrees with the independently-computed recall") {
     // The driver-visible acceptance row (s18_recall) and this spec's own
     // s18-vs-s1 intersection must be the same number — the row is the
