@@ -1429,8 +1429,65 @@ object Dedup {
           sum(col("n_bytes")).cast("bigint").as("n_bytes"))
         .filter(col("n_docs") > 0)
         .orderBy(col("shard"))
-    }
+    },
+    // EXACT-SUBSTRING dedup (Lee et al. ACL'22, "Deduplicating Training
+    // Data Makes Language Models Better" §4.1 EXACTSUBSTR): any K-token
+    // window whose text occurs ≥ 2 times ANYWHERE in the corpus (across
+    // docs or repeated within one) is a duplicated substring; overlapping
+    // duplicated windows merge into maximal spans (the units a training
+    // pipeline would cut), and each affected doc reports its span count,
+    // covered-token total, and integer-ppm duplicated fraction. The paper
+    // builds a suffix array; the distributed equivalent is the window
+    // fingerprint join: tokenize once, slide a K-window (explode over a
+    // sequence — linear, never quadratic), count window keys, join the
+    // ≥2 keys back, then gaps-and-islands on window START positions per
+    // doc (break when pos−prev > K ⇒ coverage [s, e+K−1] is contiguous).
+    // d20 keys windows by their exact TEXT — heavier on the exchange but
+    // SQL-reproducible, so the whole pipeline is hash-oracled. d20_scale
+    // keys by xxhash64 of the token-array slice — the window string is
+    // never materialized and the count exchange carries 8-byte keys
+    // instead of K-token strings (the suffix-array-free production cut);
+    // identical output absent 64-bit collisions, so it shares d20's
+    // oracle verbatim and DedupSpec pins d20_scale == d20 row-for-row.
+    "d20_substring_spans" -> ((s, d) => substringSpans(s, d, hashed = false)),
+    "d20_scale" -> ((s, d) => substringSpans(s, d, hashed = true))
   )
+
+  /** Shared d20 pipeline — see the map entry. `hashed` selects the window
+    * key: exact text (oracle-able) vs xxhash64 of the token slice (scale).
+    * K via `graft.dedup.substrK` (default 10 tokens). */
+  private def substringSpans(s: SparkSession, d: String, hashed: Boolean): DataFrame = {
+    val K = s.conf.getOption("graft.dedup.substrK").map(_.toInt).getOrElse(10)
+    val toks = Tables.parallelized(Tables.validDocuments(s, d))
+      .select(col("doc_id"), TextOps.wsTokens(col("text")).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("bigint"))
+      .filter(size(col("w")) >= K)
+    val key =
+      if (hashed) xxhash64(expr(s"slice(w, pos + 1, $K)"))
+      else array_join(expr(s"slice(w, pos + 1, $K)"), " ")
+    val wins = toks
+      .select(col("doc_id"), col("n_tokens"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - K)).as("pos"))
+      .select(col("doc_id"), col("n_tokens"), col("pos"), key.as("wkey"))
+    // Window keys occurring ≥ 2 times anywhere; the join back is key-only
+    // (doc/pos never enter the count exchange).
+    val dup = wins.groupBy(col("wkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("wkey"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins.join(dup, "wkey")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) > K, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(min(col("pos")).as("sp"), max(col("pos")).as("ep"))
+      .withColumn("span_tokens", col("ep") - col("sp") + K)
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).cast("bigint").as("n_spans"),
+        sum(col("span_tokens")).cast("bigint").as("dup_tokens"))
+      .withColumn("dup_ppm", expr("dup_tokens * 1000000 DIV n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   /** d9's presentation layer over the converged (doc_id, cluster_id)
     * fixpoint — cluster size window + representative flag. Shared by
@@ -1897,8 +1954,50 @@ object Dedup {
     // WHOLE pipeline from the full corpus (p2's SQL verbatim) and never
     // sees the vintage split, the delta adds, or the retroactive
     // retraction — hash equality certifies the maintenance identity.
-    "p4_incremental_pretrain" -> P2_SQL
+    "p4_incremental_pretrain" -> P2_SQL,
+    // d20: the whole pipeline (tokenize → K-window → global count ≥ 2 →
+    // join back → islands merge → per-doc rollup) reproduced relationally;
+    // the window key is the exact K-token text, so no hash enters the
+    // contract. d20_scale keys by xxhash64 instead (engine-internal) and
+    // yields identical rows absent 64-bit collisions — same oracle.
+    "d20_substring_spans" -> D20_SQL,
+    "d20_scale" -> D20_SQL
   )
+
+  private val D20_SQL: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN []
+      |         ELSE string_split_regex(trim(text), '\\s+') END AS w
+      |  FROM ${graft.Tables.validDocsSql} documents),
+      |big AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w
+      |        FROM t WHERE len(w) >= 10),
+      |wins AS (
+      |  SELECT doc_id, n_tokens,
+      |    unnest(list_transform(range(len(w) - 10 + 1),
+      |      i -> struct_pack(pos := i,
+      |             wt := array_to_string(list_slice(w, CAST(i + 1 AS BIGINT),
+      |                                              CAST(i + 10 AS BIGINT)), ' ')))) AS s
+      |  FROM big),
+      |w2 AS (SELECT doc_id, n_tokens, s.pos AS pos, s.wt AS wt FROM wins),
+      |dup AS (SELECT wt FROM w2 GROUP BY wt HAVING count(*) >= 2),
+      |m AS (SELECT doc_id, n_tokens, pos FROM w2 JOIN dup USING (wt)),
+      |isl AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM m),
+      |isl2 AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl),
+      |sp AS (SELECT doc_id, n_tokens, island, min(pos) AS sp, max(pos) AS ep
+      |       FROM isl2 GROUP BY 1, 2, 3)
+      |SELECT doc_id, n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(ep - sp + 10) AS BIGINT) AS dup_tokens,
+      |  CAST((CAST(sum(ep - sp + 10) AS BIGINT) * 1000000) // n_tokens AS BIGINT) AS dup_ppm
+      |FROM sp GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
   private val P2_SQL: String =
       s"""WITH $SH_CTE,

@@ -233,6 +233,41 @@ class DedupSpec extends SparkTestBase {
     assert(graft.queries.Dedup.queries("d13_containment")(spark, dir).count() > 0)
   }
 
+  test("d20_scale (hashed window keys) equals exact d20 row-for-row") {
+    // The twin contract: xxhash64 of the token slice vs the exact window
+    // text are the same partition of windows absent 64-bit collisions, so
+    // the outputs must be identical — a collision (or a drift in the
+    // slice/tokenize path between the two keys) breaks this first.
+    val a = graft.queries.Dedup.queries("d20_substring_spans")(spark, sf).collect()
+    val b = graft.queries.Dedup.queries("d20_scale")(spark, sf).collect()
+    assert(a.nonEmpty, "the gate corpus must contain duplicated substrings")
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("d20 spans: planted duplicate substring is found and merged maximally") {
+    val dir = java.nio.file.Files.createTempDirectory("d20").toString
+    val spark0 = spark
+    import spark0.implicits._
+    // doc 0 and doc 1 share one 15-token run (> K=10, so multiple
+    // overlapping dup windows must MERGE into ONE span of 15 tokens);
+    // doc 2 is clean and must not appear.
+    val shared = (0 until 15).map(i => s"dup$i").mkString(" ")
+    Seq(
+      (0L, s"alpha beta $shared gamma delta one two three four five", "en", "s", 1L),
+      (1L, s"$shared six seven eight nine ten eleven twelve thirteen fourteen", "en", "s", 1L),
+      (2L, (0 until 30).map(i => s"clean${i}x").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Dedup.queries("d20_substring_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"))).toMap
+    assert(out.keySet == Set(0L, 1L), s"only the two sharing docs report spans: $out")
+    // 15 shared tokens ⇒ 6 overlapping dup windows per doc ⇒ ONE merged
+    // span covering exactly the 15 shared tokens.
+    assert(out(0L) == ((1L, 15L)), s"doc 0 must merge to one 15-token span: $out")
+    assert(out(1L) == ((1L, 15L)), s"doc 1 must merge to one 15-token span: $out")
+  }
+
   test("d5_scale banded path equals exact d5 where the cap doesn't bite; d9 composes with it") {
     // On the test corpus the DF cap never bites, so capped d5 == uncapped
     // exact == d5_scale must hold row-for-row (banding recall 1.0 — the
