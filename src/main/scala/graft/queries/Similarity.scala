@@ -984,6 +984,26 @@ object Similarity {
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           col("rank").as("rk"), col("cosine"))
         .orderBy(col("q_id"), col("rk"))),
+    // INCREMENTAL ANN INDEX MAINTENANCE — the q69/p4 IVM theme applied to
+    // the vector store (s15 tells you WHEN to retrain; this is how you
+    // serve BETWEEN retrains). Yesterday's IVF-Flat index — coarse cells
+    // trained on the VINTAGE sample, every vintage vector assigned — is
+    // PERSISTED as a parquet table PARTITIONED BY CELL (provision-on-
+    // first-use, content-fingerprint freshness), so the physical layout
+    // IS the index: a query's probe set prunes partitions at the scan
+    // (PlanSpec pins PartitionFilters), the IVF cut paid by the file
+    // system, not a join. Today's delta vectors (past the key-span
+    // cutoff, t30's idiom — the cutoff literal pushes into the embedding
+    // scan) assign against the FROZEN codebook: maintenance is an
+    // append-only encode of the delta, never a vintage re-scan, never a
+    // retrain. Search spans base ∪ delta with exact cosine (IVF-Flat).
+    // s20_exhaustive probes every cell ⇒ the probe filter vanishes, every
+    // (q, vec) pair scores exactly once, and the result collapses to
+    // s1's brute force under s1's VERBATIM oracle — hash equality
+    // certifies the base∪delta partition is exact: a vector dropped or
+    // double-indexed by the persisted layout changes the hash.
+    "s20_ivf_delta" -> ((s, d) => ivfDeltaKnn(s, d, NPROBE, "s20_ivf_delta")),
+    "s20_exhaustive" -> ((s, d) => ivfDeltaKnn(s, d, NLIST, "s20_exhaustive")),
     // (s18_recall's contract comment sits above the s19 block — the row
     // reports |s18 top-5 ∩ exact top-5| per guarded query, see there.)
     "s18_recall" -> { (s, d) =>
@@ -1275,6 +1295,87 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Shared incremental-index pipeline — see the s20 map entries. The
+    * vintage index persists (vec_id, embedding, sq) partitioned by cell;
+    * the probe union across the guarded query set becomes a literal
+    * partition filter (queries are broadcast-bounded by contract, so
+    * collecting them to derive the probe set is the same driver cost the
+    * broadcast already pays). Determinism: fixed-seed training on the
+    * vintage sample, assignment ties to the lower cell, rank ties
+    * (cosine, vec_id). */
+  private def ivfDeltaKnn(s: SparkSession, d: String, nprobe: Int,
+      op: String): DataFrame = {
+    import s.implicits._
+    val e = normed(s, d).select(col("vec_id"), col("embedding"), col("sq"))
+    val Array(lo, hi) = e.agg(min(col("vec_id")), max(col("vec_id")))
+      .collect()(0).toSeq.map(v => v.asInstanceOf[Long]).toArray
+    // Vintage = first 15/16 of the key span (t30's cutoff idiom); the
+    // literal folds into the delta scan's pushed filter.
+    val cut = lo + ((hi - lo) / 16L) * 15L
+    val sample = e.filter(col("vec_id") <= cut)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .orderBy(col("vec_id")).limit(SAMPLE).collect().map(_._2)
+    require(sample.nonEmpty, s"$op: empty vintage")
+    val cents = Similarity.trainCentroids(sample, NLIST)
+    val bcC = s.sparkContext.broadcast(cents)
+    def assign(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"), col("sq"))
+        .as[(Long, Array[Float], Double)]
+        .mapPartitions { it =>
+          val cs = bcC.value
+          it.map { case (id, emb, sq) =>
+            (id, emb, sq, Similarity.nearestCells(emb, cs, 1)(0))
+          }
+        }.toDF("vec_id", "embedding", "sq", "cell")
+    val vBase = s.conf.getOption("graft.ann.vintageDir").filter(_.nonEmpty)
+      .getOrElse(s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val vPath = new java.io.File(vBase,
+      s"graft_ann_vintage_${Tables.corpusTag(d)}").getAbsolutePath
+    val fp = Tables.sourceFingerprint(s, d, "embeddings") + ":ann1"
+    val loc = new org.apache.hadoop.fs.Path(vPath)
+    if (!new java.io.File(vPath, "_SUCCESS").exists()
+        || !Tables.layoutFresh(s, loc, fp)) {
+      assign(e.filter(col("vec_id") <= cut))
+        .write.mode("overwrite").partitionBy("cell").parquet(vPath)
+      Tables.writeFingerprint(s, loc, fp)
+    }
+    val qRows = guardedBounded(s,
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("sq").as("q_sq")), op)
+      .as[(Long, Array[Float], Double)].collect()
+    val probed: Array[(Long, Array[Float], Double, Int)] = qRows.flatMap {
+      case (id, emb, sq) =>
+        Similarity.nearestCells(emb, cents, nprobe).map(c => (id, emb, sq, c))
+    }
+    val probeCells = probed.map(_._4).distinct.sorted
+    val qProbe = s.createDataFrame(
+      s.sparkContext.parallelize(probed.toIndexedSeq, 1)
+        .map { case (id, emb, sq, c) => org.apache.spark.sql.Row(id, emb, sq, c) },
+      new org.apache.spark.sql.types.StructType()
+        .add("q_id", "long").add("q_emb", "array<float>")
+        .add("q_sq", "double").add("cell", "int"))
+    // Base: the persisted index, probe set as a LITERAL partition filter
+    // (pruned at the scan). Delta: frozen-codebook assignment of the
+    // post-cutoff rows only, the cutoff pushed to the embedding scan.
+    val base = s.read.parquet(vPath)
+      .filter(col("cell").isin(probeCells.map(Int.box): _*))
+      .select(col("vec_id"), col("embedding"), col("sq"), col("cell"))
+    val delta = assign(e.filter(col("vec_id") > cut))
+      .filter(col("cell").isin(probeCells.map(Int.box): _*))
+    val cands = base.unionByName(delta)
+      .join(broadcast(qProbe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOPK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   def oracle: Map[String, String] = Map(
     "s10_vec_validity" ->
       """SELECT count(*) AS n_total,
@@ -1309,6 +1410,11 @@ object Similarity {
     // residual-PQ ordering cancel — the fifth quantization family with a
     // hash-oracled exhaustive anchor under s1's verbatim SQL.
     "s19_exhaustive" -> BRUTE_KNN_SQL,
+    // The incremental index probing every cell: the probe filter admits
+    // everything, scoring is exact IVF-Flat cosine, so the result is
+    // brute force — hash equality additionally certifies the persisted
+    // base ∪ frozen-codebook delta covers every vector exactly once.
+    "s20_exhaustive" -> BRUTE_KNN_SQL,
     // s2 at 1 table × 0 bits: one shared bucket ⇒ the bucket join IS
     // brute force — the same verbatim oracle certifies the sign-LSH
     // code/bucket/rank plumbing.

@@ -1127,6 +1127,31 @@ class PlanSpec extends SparkTestBase {
     assert(tree.contains("Union"), "vintage ⊕ signed deltas merge as a union")
   }
 
+  test("s20: the probe set prunes the persisted index at the SCAN; the delta cutoff pushes") {
+    val plan = planOf("s20_ivf_delta")
+    // The cell-partitioned vintage layout is the index: the query's probe
+    // union must appear as a PartitionFilters `cell IN (...)` on the
+    // vintage scan — the IVF cut paid by partition pruning, not a join or
+    // a post-scan filter.
+    val vintageScan = plan.linesIterator
+      .dropWhile(!_.contains("graft_ann_vintage")).take(12).mkString("\n")
+    assert(plan.contains("graft_ann_vintage"), "base must read the persisted index")
+    // Catalyst renders the literal probe set as `cell INSET ...` (or
+    // `cell IN (...)` for small sets) inside PartitionFilters.
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") &&
+          (l.contains("cell#") && (l.contains("INSET") || l.contains(" IN ")))),
+      "probe set must prune index partitions at the scan:\n" + vintageScan)
+    // The delta branch re-encodes ONLY the post-cutoff rows: the vec_id
+    // cutoff literal must reach its embedding scan as a pushed filter.
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("GreaterThan(vec_id")),
+      "delta cutoff must push into the embeddings scan:\n" +
+        plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "search joins the broadcast probe table only — vectors never shuffle")
+  }
+
   test("q69_scale retraction: phantom-status groups net to zero and vanish") {
     // Yesterday's vintage carries the corrupt sentinel-status shard; the
     // maintained result must contain NO trace of it (the oracle certifies
