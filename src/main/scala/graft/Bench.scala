@@ -46,12 +46,7 @@ object Bench {
       // shuffle footprint at a CPU cost you'd never pay on a real cluster
       // with per-node disks, so it stays an env knob, not a default.
       .config("spark.ui.enabled", "false")
-    val spark = sys.env.get("SPARK_GRAFT_CORE_CONF").toSeq
-      .flatMap(_.split(',')).filter(_.contains('='))
-      .foldLeft(builder0) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2); b.config(k, v)
-      }
-      .getOrCreate()
+    val spark = graft.core.EnvConf.coreConf(builder0).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def force(name: String): Unit =

@@ -32,17 +32,11 @@ object BenchOne {
       // shuffle footprint at a CPU cost you'd never pay on a real cluster
       // with per-node disks, so it stays an env knob, not a default.
       .config("spark.ui.enabled", "false")
-    val spark = sys.env.get("SPARK_GRAFT_CORE_CONF").toSeq
-      .flatMap(_.split(',')).filter(_.contains('='))
-      .foldLeft(builder0) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2); b.config(k, v)
-      }
-      .getOrCreate()
+    val spark = graft.core.EnvConf.coreConf(builder0).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Experiment plumbing: SPARK_GRAFT_CONF="k1=v1,k2=v2" sets runtime confs
     // (e.g. spark.graft.q55.band for the frame-vs-join band experiment).
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.contains('='))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+    graft.core.EnvConf.runtimeConf(spark)
     def force(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
     // Warm-up on the small sibling SF when present, else on the bench dir.

@@ -33,18 +33,12 @@ object Verify {
       // shuffle footprint at a CPU cost you'd never pay on a real cluster
       // with per-node disks, so it stays an env knob, not a default.
       .config("spark.ui.enabled", "false")
-    val spark = sys.env.get("SPARK_GRAFT_CORE_CONF").toSeq
-      .flatMap(_.split(',')).filter(_.contains('='))
-      .foldLeft(builder0) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2); b.config(k, v)
-      }
-      .getOrCreate()
+    val spark = graft.core.EnvConf.coreConf(builder0).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF="k1=v1,k2=v2" (BenchOne's plumbing): the sf1 second
     // gate raises the sketch capacities so the lossless-below-capacity
     // oracle contract holds at the bigger value domain (tools/ci.sh).
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.contains('='))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+    graft.core.EnvConf.runtimeConf(spark)
     new java.io.File(outDir).mkdirs()
     // Failures are collected and re-printed as ONE summary line at the end:
     // in r8 a testdata vintage flip failed 28 queries whose individual

@@ -1453,11 +1453,18 @@ object Dedup {
     "d20_scale" -> ((s, d) => substringSpans(s, d, hashed = true))
   )
 
+  /** d20's window length in tokens. A COMPILE-TIME constant shared by the
+    * Spark pipeline and the DuckDB oracle (`D20_SQL` interpolates it), not
+    * a conf knob: r15's `graft.dedup.substrK` let a user set K while the
+    * oracle stayed at 10, guaranteeing a hash mismatch at verify time
+    * (ADVICE r15). One source of truth for both sides closes that. */
+  private[graft] val SubstrK = 10
+
   /** Shared d20 pipeline — see the map entry. `hashed` selects the window
     * key: exact text (oracle-able) vs xxhash64 of the token slice (scale).
-    * K via `graft.dedup.substrK` (default 10 tokens). */
+    * K = [[SubstrK]] on both the Spark and oracle sides. */
   private def substringSpans(s: SparkSession, d: String, hashed: Boolean): DataFrame = {
-    val K = s.conf.getOption("graft.dedup.substrK").map(_.toInt).getOrElse(10)
+    val K = SubstrK
     val toks = Tables.parallelized(Tables.validDocuments(s, d))
       .select(col("doc_id"), TextOps.wsTokens(col("text")).as("w"))
       .withColumn("n_tokens", size(col("w")).cast("bigint"))
@@ -1971,20 +1978,20 @@ object Dedup {
       |         ELSE string_split_regex(trim(text), '\\s+') END AS w
       |  FROM ${graft.Tables.validDocsSql} documents),
       |big AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w
-      |        FROM t WHERE len(w) >= 10),
+      |        FROM t WHERE len(w) >= $SubstrK),
       |wins AS (
       |  SELECT doc_id, n_tokens,
-      |    unnest(list_transform(range(len(w) - 10 + 1),
+      |    unnest(list_transform(range(len(w) - $SubstrK + 1),
       |      i -> struct_pack(pos := i,
       |             wt := array_to_string(list_slice(w, CAST(i + 1 AS BIGINT),
-      |                                              CAST(i + 10 AS BIGINT)), ' ')))) AS s
+      |                                              CAST(i + $SubstrK AS BIGINT)), ' ')))) AS s
       |  FROM big),
       |w2 AS (SELECT doc_id, n_tokens, s.pos AS pos, s.wt AS wt FROM wins),
       |dup AS (SELECT wt FROM w2 GROUP BY wt HAVING count(*) >= 2),
       |m AS (SELECT doc_id, n_tokens, pos FROM w2 JOIN dup USING (wt)),
       |isl AS (
       |  SELECT doc_id, n_tokens, pos,
-      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $SubstrK
       |         THEN 1 ELSE 0 END AS brk
       |  FROM m),
       |isl2 AS (
@@ -1995,8 +2002,8 @@ object Dedup {
       |       FROM isl2 GROUP BY 1, 2, 3)
       |SELECT doc_id, n_tokens,
       |  CAST(count(*) AS BIGINT) AS n_spans,
-      |  CAST(sum(ep - sp + 10) AS BIGINT) AS dup_tokens,
-      |  CAST((CAST(sum(ep - sp + 10) AS BIGINT) * 1000000) // n_tokens AS BIGINT) AS dup_ppm
+      |  CAST(sum(ep - sp + $SubstrK) AS BIGINT) AS dup_tokens,
+      |  CAST((CAST(sum(ep - sp + $SubstrK) AS BIGINT) * 1000000) // n_tokens AS BIGINT) AS dup_ppm
       |FROM sp GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
   private val P2_SQL: String =
