@@ -1004,31 +1004,119 @@ object Similarity {
     // double-indexed by the persisted layout changes the hash.
     "s20_ivf_delta" -> ((s, d) => ivfDeltaKnn(s, d, NPROBE, "s20_ivf_delta")),
     "s20_exhaustive" -> ((s, d) => ivfDeltaKnn(s, d, NLIST, "s20_exhaustive")),
-    // (s18_recall's contract comment sits above the s19 block — the row
-    // reports |s18 top-5 ∩ exact top-5| per guarded query, see there.)
-    "s18_recall" -> { (s, d) =>
-      val pq = pqRerank(s, d, 20, "s18_recall")
-        .select(col("q_id"), col("vec_id"))
-      val e = normed(s, d)
-      val q = guardedBounded(s,
-        e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("sq").as("q_sq")), "s18_recall")
-      val byQ = Window.partitionBy(col("q_id"))
-      val exact5 = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("cos",
-          dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
-        .withColumn("rk",
-          row_number().over(byQ.orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rk") <= TOPK)
-        .select(col("q_id"), col("vec_id"))
-      exact5.join(pq.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
-        .groupBy(col("q_id"))
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
-        .withColumn("recall_at_5", col("n_common").cast("double") / lit(TOPK.toDouble))
-        .orderBy(col("q_id"))
-    }
+    // Recall-acceptance rows, HASH-PINNED (r15 verdict item 3): each
+    // reports |approx top-5 ∩ exact top-5| over the guarded query set,
+    // collapsed to ONE deterministic row — (n_queries, sum_common,
+    // recall_ppm, content_md5 over the sorted per-query counts) plus the
+    // corpus key — and oracled by a pinned literal per certified corpus
+    // (m4_geom_hash's pattern). The pipelines are bit-deterministic by
+    // construction (seed-fixed codebooks, sequential LUT folds,
+    // (score, vec_id) tiebreaks), so a codebook/encode/rank regression
+    // now flips a CORRECTNESS hash, not just a spec floor.
+    "s18_recall" -> ((s, d) =>
+      recallHashRow(s, d, "s18_recall",
+        pqRerank(s, d, 20, "s18_recall").select(col("q_id"), col("vec_id")))),
+    "s19_recall" -> ((s, d) =>
+      recallHashRow(s, d, "s19_recall",
+        ivfPqKnn(s, d, NPROBE, 20, "s19_recall")
+          .select(col("q_id"), col("vec_id")))),
+    "s20_recall" -> ((s, d) =>
+      recallHashRow(s, d, "s20_recall",
+        ivfDeltaKnn(s, d, NPROBE, "s20_recall")
+          .select(col("q_id"), col("neighbor_id").as("vec_id"))))
   )
+
+  /** Per-query recall counts for an approximate top-[[TOPK]] result:
+    * (q_id, n_common) = |approx ∩ exact top-5| per guarded query. The
+    * exact side is s1's brute force verbatim; shared by the three driver
+    * recall rows and SimilaritySpec's independent recompute pin. */
+  private[graft] def recallPerQuery(s: SparkSession, d: String, op: String,
+      approx: DataFrame): DataFrame = {
+    val e = normed(s, d)
+    val q = guardedBounded(s,
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("sq").as("q_sq")), op)
+    val byQ = Window.partitionBy(col("q_id"))
+    val exact5 = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dotCol("q_emb", "embedding") / (sqrt(col("q_sq")) * sqrt(col("sq"))))
+      .withColumn("rk",
+        row_number().over(byQ.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= TOPK)
+      .select(col("q_id"), col("vec_id"))
+    exact5.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+  }
+
+  /** Integer corpus key (count + checksum) identifying which pinned
+    * literal applies: the checksum folds each row's vec_id and the
+    * first embedding component scaled to an exact integer — the SAME
+    * float32 bits widen to the SAME double in Spark and DuckDB, so the
+    * two engines agree bit-for-bit without ever rendering a float.
+    * Non-finite/absent components fold as 0 (the adversarial corpora
+    * carry hostile embeddings by design). */
+  private def corpusKey(s: SparkSession, d: String): DataFrame = {
+    val x = expr("try_element_at(embedding, 1)").cast("double")
+    Tables.embeddings(s, d).agg(
+      count(lit(1)).as("n_corpus"),
+      sum(coalesce(col("vec_id"), lit(0L)) +
+        coalesce(when(!isnan(x) && abs(x) < lit(1e9), floor(x * lit(1000000.0))
+          .cast("bigint")), lit(0L))).as("corpus_chk"))
+  }
+
+  /** The DuckDB side of [[corpusKey]] — kept textually adjacent so the
+    * two can only drift on purpose. */
+  private val CorpusKeySql: String =
+    """SELECT count(*) AS k_n,
+      |  CAST(sum(coalesce(vec_id, 0) + coalesce(CASE
+      |    WHEN isfinite(CAST(embedding[1] AS DOUBLE))
+      |         AND abs(CAST(embedding[1] AS DOUBLE)) < 1e9
+      |    THEN CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)
+      |    END, 0)) AS BIGINT) AS k_chk
+      |FROM embeddings""".stripMargin
+
+  /** Collapse [[recallPerQuery]] to the single pinned-oracle row. */
+  private def recallHashRow(s: SparkSession, d: String, op: String,
+      approx: DataFrame): DataFrame = {
+    val perQ = recallPerQuery(s, d, op, approx)
+    val rowStr = concat_ws("", col("q_id").cast("string"),
+      col("n_common").cast("string"))
+    perQ.select(rowStr.as("r"), col("n_common"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_common")).as("sum_common"),
+        md5(array_join(array_sort(collect_list(col("r"))), "\n").cast("binary"))
+          .as("content_md5"))
+      .withColumn("recall_ppm",
+        (col("sum_common") * lit(1000000L)).cast("bigint") /
+          (col("n_queries") * lit(TOPK.toLong)))
+      .withColumn("recall_ppm", floor(col("recall_ppm")).cast("bigint"))
+      .crossJoin(corpusKey(s, d))
+      .select(lit(op).as("op"), col("n_corpus"), col("corpus_chk"),
+        col("n_queries"), col("sum_common"), col("recall_ppm"),
+        col("content_md5"))
+  }
+
+  /** Pinned-literal oracle for a recall row: the certified corpora's
+    * (corpus key → expected row) table, filtered to the corpus actually
+    * under test. An UNKNOWN corpus (e.g. a fresh testdata vintage)
+    * yields ZERO oracle rows — a loud, legible row-count failure whose
+    * Spark side prints the new key, so refreshing the pin is one edit. */
+  private def recallPinSql(op: String,
+      pins: Seq[(Long, Long, Long, Long, Long, String)]): String = {
+    val rows = pins.map { case (n, chk, nq, sc, ppm, md5) =>
+      s"  (CAST($n AS BIGINT), CAST($chk AS BIGINT), CAST($nq AS BIGINT), " +
+        s"CAST($sc AS BIGINT), CAST($ppm AS BIGINT), '$md5')"
+    }.mkString(",\n")
+    s"""SELECT '$op' AS op, t.n_corpus, t.corpus_chk, t.n_queries,
+       |  t.sum_common, t.recall_ppm, t.content_md5
+       |FROM (VALUES
+       |$rows
+       |) AS t(n_corpus, corpus_chk, n_queries, sum_common, recall_ppm, content_md5),
+       |  ($CorpusKeySql) k
+       |WHERE t.n_corpus = k.k_n AND t.corpus_chk = k.k_chk""".stripMargin
+  }
 
   /** Shared sign-signature Hamming-pool + exact-cosine-rerank pipeline —
     * s17 (1 table × 0 bits = one shared bucket = exhaustive, the
@@ -1376,7 +1464,39 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  def oracle: Map[String, String] = Map(
+  /** The certified-corpus pin table for the three recall rows:
+    * corpus key (n_corpus, corpus_chk) → (n_queries, sum_common,
+    * recall_ppm, content_md5). Computed by running the row itself on
+    * each gate corpus (driver testdata sf0.001/sf0.01/sf0.1, GenData
+    * sf1, and the two gen_adversarial.py corpora); a NEW corpus fails
+    * the row legibly (zero oracle rows) and the Spark output carries
+    * the fresh key + hash, so re-pinning is one edit here. */
+  private val RecallPins: Map[String, Seq[(Long, Long, Long, Long, Long, String)]] = Map(
+    "s18_recall" -> Seq( // (n_corpus, corpus_chk, n_queries, sum_common, recall_ppm, md5)
+      (500L, -1339442L, 10L, 28L, 560000L, "75216c805fbdba84219a20c57e5cbace"),
+      (500L, 1206862L, 10L, 30L, 600000L, "e3eed29e2ddbbae649cbe78a6649ab84"),
+      (2000L, 3528806L, 40L, 67L, 335000L, "28677693014e39678d72e67b9e20e49d"),
+      (8000L, 25148987L, 160L, 136L, 170000L, "2a757fccfcdce20aba5679bfacc53658"),
+      (515L, 3018715L, 10L, 35L, 700000L, "8ecd1dd1f9cdec59154c73a91389586d"),
+      (8015L, 26985664L, 160L, 137L, 171250L, "7c650ab63cccec759754fc05fa2948bf")),
+    "s19_recall" -> Seq(
+      (500L, -1339442L, 10L, 15L, 300000L, "4b235213fe27d237b4a8cce7671fa213"),
+      (500L, 1206862L, 10L, 20L, 400000L, "f8058994835520f0041749586fa57ea8"),
+      (2000L, 3528806L, 40L, 64L, 320000L, "0245177db99080cf149988c8ed0e11c3"),
+      (8000L, 25148987L, 160L, 170L, 212500L, "15dbaf566b7756dd499eb993347806c2"),
+      (515L, 3018715L, 10L, 27L, 540000L, "0556a1d76a9a32b9efc19466c48a4eac"),
+      (8015L, 26985664L, 160L, 171L, 213750L, "24ad2164a07cc5c49961fdcb78de3cb9")),
+    "s20_recall" -> Seq(
+      (500L, -1339442L, 10L, 30L, 600000L, "2cff1258952ba3e8cfdaea9ca1c63cb9"),
+      (500L, 1206862L, 10L, 26L, 520000L, "668420bdd529687837dfba75c051a106"),
+      (2000L, 3528806L, 40L, 110L, 550000L, "08d84f4dedbdda3b65fb206518fe96d4"),
+      (8000L, 25148987L, 160L, 438L, 547500L, "6a2e449f61abdb74b9efe7fe57adff35"),
+      (515L, 3018715L, 10L, 26L, 520000L, "b42db8f21049469f710f8441837d06ab"),
+      (8015L, 26985664L, 160L, 439L, 548750L, "48e3884b1ac736bbd8bfd1aeedde6486"))
+  )
+
+  def oracle: Map[String, String] =
+    RecallPins.map { case (op, pins) => op -> recallPinSql(op, pins) } ++ Map(
     "s10_vec_validity" ->
       """SELECT count(*) AS n_total,
         |  CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec_id,

@@ -69,22 +69,31 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("s18_recall row agrees with the independently-computed recall") {
-    // The driver-visible acceptance row (s18_recall) and this spec's own
-    // s18-vs-s1 intersection must be the same number — the row is the
-    // gate, the spec certifies the row measures what it claims.
+    // The driver-visible acceptance row (s18_recall, now the collapsed
+    // pinned-hash form) and this spec's own s18-vs-s1 intersection must
+    // agree — the row is the gate, the spec certifies the row measures
+    // what it claims. The per-query layer is checked via recallPerQuery
+    // (the same helper the row collapses), the collapsed row via its
+    // n_queries/sum_common aggregates.
     val exact = topk("s1_knn_brute")
     val approx = graft.queries.Similarity.queries("s18_pq_adc")(spark, sf)
       .select(col("q_id"), col("vec_id"))
       .collect().groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val row = graft.queries.Similarity.queries("s18_recall")(spark, sf)
+    val perQ = graft.queries.Similarity.recallPerQuery(spark, sf, "s18_recall",
+        graft.queries.Similarity.queries("s18_pq_adc")(spark, sf)
+          .select(col("q_id"), col("vec_id")))
       .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_common")).toMap
-    assert(row.keySet == exact.keySet, "one recall row per guarded query")
+    assert(perQ.keySet == exact.keySet, "one recall row per guarded query")
     exact.foreach { case (q, nbrs) =>
       val expected = nbrs.intersect(approx.getOrElse(q, Set.empty)).size.toLong
-      assert(row(q) == expected,
-        s"s18_recall n_common for q=$q: row ${row(q)} != recomputed $expected")
+      assert(perQ(q) == expected,
+        s"s18_recall n_common for q=$q: perQ ${perQ(q)} != recomputed $expected")
     }
+    val row = graft.queries.Similarity.queries("s18_recall")(spark, sf).collect()
+    assert(row.length == 1, "collapsed recall row is a single row")
+    assert(row(0).getAs[Long]("n_queries") == perQ.size.toLong)
+    assert(row(0).getAs[Long]("sum_common") == perQ.values.sum)
   }
 
   test("s2_knn_lsh recall@5 vs exact brute force is usable") {
