@@ -1100,21 +1100,33 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_count"), "branch aggregates must map-side combine")
   }
 
-  test("q69_scale: base branch is a |groups|-row vintage scan, never a fact join") {
+  test("q69_scale: base is a vintage scan; delta branches scan only delta partitions") {
     val plan = planOf("q69_scale")
     val tree = plan.split("\n\n").head
-    // The production read path: the ONLY parquet scan in the final plan
-    // is the persisted vintage (provisioned on first use) — the base term
-    // is a bare |groups|-row read, with no join and no fact table under
-    // it; facts ride the materialized split (ExistingRDD) in the delta
-    // branches only.
-    val scans = tree.linesIterator.filter(_.contains("Scan parquet")).toSeq
-    assert(scans.size == 1,
-      s"exactly one parquet scan (the vintage), got:\n${scans.mkString("\n")}")
+    // The production read path (r16 — the warm pass IS the pinned shape,
+    // no localCheckpoint): the base term is a bare |groups|-row read of
+    // the persisted vintage aggregate with no join and no fact under it;
+    // the fact appears ONLY through the vday-partitioned orders layout,
+    // where every branch's time predicate is paid as PARTITION PRUNING
+    // at the scan, and ΔC's key cutoff pushes into the customer scan.
     assert(plan.contains("graft_ivm_vintage"),
-      "the one scan must be the persisted vintage table")
-    assert(plan.contains("Scan ExistingRDD"),
-      "delta branches consume the checkpointed split")
+      "base must read the persisted vintage table")
+    assert(!plan.contains("Scan ExistingRDD") && !plan.contains("Checkpoint"),
+      "the warm pass materializes nothing — pruned parquet scans only")
+    // ΔO: the today-partition scan (vday = 15) — partition filter, so the
+    // 15 snapshot days are never opened; O₁: the snapshot scan (vday < 15).
+    assert(plan.linesIterator.exists(l => l.contains("PartitionFilters")
+        && l.contains("vday") && l.replace(" ", "").contains("=15")),
+      "ΔO must prune to the delta partition at the scan:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(plan.linesIterator.exists(l => l.contains("PartitionFilters")
+        && l.contains("vday") && l.replace(" ", "").contains("<15")),
+      "O₁ must scan only the snapshot partitions:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // ΔC = customers past the cutoff literal — a pushed footer predicate.
+    assert(plan.contains("GreaterThan(c_custkey"),
+      "ΔC's cutoff must push into the customer scan:\n" +
+        plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
     // Three signed maintenance joins — ΔO⁺⋈(C₁∪ΔC), (−1)·P⋈(C₁∪ΔC),
     // O₁⋈ΔC — every one broadcasting its bounded increment side; the
     // base branch contributes NO join at all (q69's base join is gone:
@@ -1165,7 +1177,7 @@ class PlanSpec extends SparkTestBase {
     assert(out.forall(_.getAs[Long]("n_orders") > 0), "no zero rows survive")
     val vdir = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val vintage = spark.read.parquet(
-      new java.io.File(vdir, s"graft_ivm_vintage_${graft.Tables.corpusTag(sf)}")
+      new java.io.File(vdir, s"graft_ivm_vintage_${graft.Tables.corpusTag(sf)}/base")
         .getAbsolutePath).collect()
     assert(vintage.exists(r => r.getAs[String]("o_orderstatus") == "X"),
       "the persisted vintage must actually contain the phantom groups")
