@@ -1450,7 +1450,67 @@ object Dedup {
     // identical output absent 64-bit collisions, so it shares d20's
     // oracle verbatim and DedupSpec pins d20_scale == d20 row-for-row.
     "d20_substring_spans" -> ((s, d) => substringSpans(s, d, hashed = false)),
-    "d20_scale" -> ((s, d) => substringSpans(s, d, hashed = true))
+    "d20_scale" -> ((s, d) => substringSpans(s, d, hashed = true)),
+    // d20 COMPOSED INTO THE TRAINING WRITE (r15 verdict item 5) — Lee et
+    // al.'s EXACTSUBSTR deduplication actually CUTTING the corpus that
+    // feeds the shard manifests, not just reporting spans: p2's gate →
+    // exact-dedup → decontamination chain, then every maximal duplicated
+    // island [sp, ep+K−1] (recounted over the SURVIVING population — a
+    // span is a duplicate iff its window repeats among the docs that will
+    // actually train) is removed token-wise, and t28's manifest geometry
+    // aggregates the CUT text: kept tokens, cut tokens, surviving bytes,
+    // plus a per-shard md5 over the doc_id-ordered surviving texts
+    // (t25's pin-the-BYTES contract lifted to the shard level) — a
+    // regression anywhere in gate/dedup/decontam/island/cut arithmetic
+    // flips a shard hash. Fully DuckDB-oracled including the cut
+    // (complement-of-covered-positions reconstruction in SQL). Scale
+    // shape: the cut is a per-doc array op (no shuffle beyond d20's
+    // window-count exchange and the islands' doc_id window); the
+    // manifest is a 16-group aggregate; nothing is corpus-quadratic.
+    "p6_substr_pretrain" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val K = SubstrK
+      val trainPred = col("source").isNotNull && col("source") =!= "src0"
+      val gated = Tables.validDocuments(s, d)
+        .filter(trainPred && size(TextOps.wsTokens(col("text"))) >= 5)
+      val deduped = gated
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val evalSh = splitShingles(s, d, col("source") === "src0")
+        .select(col("sh")).distinct()
+      val contaminated = splitShingles(s, d, trainPred)
+        .join(evalSh, "sh").select(col("doc_id")).distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), TextOps.wsTokens(col("text")).as("w"))
+      val spans = islandSpans(clean, hashed = false, carry = Seq.empty)
+        .withColumn("ce", col("ep") + lit(K - 1))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("sp"), col("ce"))).as("spans"))
+      val cut = clean.join(spans, Seq("doc_id"), "left")
+        .withColumn("ctoks",
+          when(col("spans").isNull, col("w")).otherwise(
+            filter(col("w"), (_, i) =>
+              !exists(col("spans"), sp =>
+                sp.getField("sp") <= i && i <= sp.getField("ce")))))
+        .select(col("doc_id"),
+          size(col("w")).cast("bigint").as("n_tokens"),
+          size(col("ctoks")).cast("bigint").as("kept"),
+          array_join(col("ctoks"), " ").as("ctext"))
+      cut
+        .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("shard",
+          expr("CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT)"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).cast("bigint").as("n_tokens"),
+          sum(col("n_tokens") - col("kept")).cast("bigint").as("cut_tokens"),
+          sum(length(col("ctext"))).cast("bigint").as("n_bytes"),
+          md5(array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("ctext").as("t")))),
+              x => x.getField("t")), "\u0001").cast("binary")).as("clean_md5"))
+        .orderBy(col("shard"))
+    }
   )
 
   /** d20's window length in tokens. A COMPILE-TIME constant shared by the
@@ -1460,22 +1520,25 @@ object Dedup {
     * (ADVICE r15). One source of truth for both sides closes that. */
   private[graft] val SubstrK = 10
 
-  /** Shared d20 pipeline — see the map entry. `hashed` selects the window
-    * key: exact text (oracle-able) vs xxhash64 of the token slice (scale).
-    * K = [[SubstrK]] on both the Spark and oracle sides. */
-  private def substringSpans(s: SparkSession, d: String, hashed: Boolean): DataFrame = {
+  /** The d20 island kernel over an arbitrary tokenized population:
+    * K-window keys → global count ≥ 2 → join back → gaps-and-islands on
+    * window starts. Input `toks` must carry (doc_id, w) plus any `carry`
+    * columns to thread through (they ride the window pipeline, never a
+    * join). Returns one row per maximal island: (doc_id, carry…, sp, ep)
+    * where [sp, ep+K−1] is the covered TOKEN range. Shared by
+    * d20/d20_scale (corpus-wide rollup) and p6 (the actual cut). */
+  private def islandSpans(toks0: DataFrame, hashed: Boolean,
+      carry: Seq[String]): DataFrame = {
     val K = SubstrK
-    val toks = Tables.parallelized(Tables.validDocuments(s, d))
-      .select(col("doc_id"), TextOps.wsTokens(col("text")).as("w"))
-      .withColumn("n_tokens", size(col("w")).cast("bigint"))
-      .filter(size(col("w")) >= K)
+    val toks = toks0.filter(size(col("w")) >= K)
     val key =
       if (hashed) xxhash64(expr(s"slice(w, pos + 1, $K)"))
       else array_join(expr(s"slice(w, pos + 1, $K)"), " ")
+    val cc = carry.map(col)
     val wins = toks
-      .select(col("doc_id"), col("n_tokens"), col("w"),
-        explode(sequence(lit(0), size(col("w")) - K)).as("pos"))
-      .select(col("doc_id"), col("n_tokens"), col("pos"), key.as("wkey"))
+      .select(col("doc_id") +: cc :+ col("w") :+
+        explode(sequence(lit(0), size(col("w")) - K)).as("pos"): _*)
+      .select(col("doc_id") +: cc :+ col("pos") :+ key.as("wkey"): _*)
     // Window keys occurring ≥ 2 times anywhere; the join back is key-only
     // (doc/pos never enter the count exchange).
     val dup = wins.groupBy(col("wkey")).agg(count(lit(1)).as("cnt"))
@@ -1486,8 +1549,20 @@ object Dedup {
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(wDoc) > K, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(wDoc))
-      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .groupBy(col("doc_id") +: cc :+ col("island"): _*)
       .agg(min(col("pos")).as("sp"), max(col("pos")).as("ep"))
+      .select(col("doc_id") +: cc :+ col("sp") :+ col("ep"): _*)
+  }
+
+  /** Shared d20 pipeline — see the map entry. `hashed` selects the window
+    * key: exact text (oracle-able) vs xxhash64 of the token slice (scale).
+    * K = [[SubstrK]] on both the Spark and oracle sides. */
+  private def substringSpans(s: SparkSession, d: String, hashed: Boolean): DataFrame = {
+    val K = SubstrK
+    val toks = Tables.parallelized(Tables.validDocuments(s, d))
+      .select(col("doc_id"), TextOps.wsTokens(col("text")).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("bigint"))
+    islandSpans(toks, hashed, Seq("n_tokens"))
       .withColumn("span_tokens", col("ep") - col("sp") + K)
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(count(lit(1)).cast("bigint").as("n_spans"),
@@ -1968,7 +2043,13 @@ object Dedup {
     // contract. d20_scale keys by xxhash64 instead (engine-internal) and
     // yields identical rows absent 64-bit collisions — same oracle.
     "d20_substring_spans" -> D20_SQL,
-    "d20_scale" -> D20_SQL
+    "d20_scale" -> D20_SQL,
+    // p6: the WHOLE composed write reproduced relationally — p2's
+    // gate/dedup/decontam CTEs, d20's island CTEs over the surviving
+    // population, the token-complement cut (covered positions expanded
+    // per island, anti-joined against the token index), and the shard
+    // rollup with the doc_id-ordered md5 over surviving texts.
+    "p6_substr_pretrain" -> P6_SQL
   )
 
   private val D20_SQL: String =
@@ -2005,6 +2086,83 @@ object Dedup {
       |  CAST(sum(ep - sp + $SubstrK) AS BIGINT) AS dup_tokens,
       |  CAST((CAST(sum(ep - sp + $SubstrK) AS BIGINT) * 1000000) // n_tokens AS BIGINT) AS dup_ppm
       |FROM sp GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  private val P6_SQL: String =
+    s"""WITH $SH_CTE,
+       |gated AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN trim(text) = '' THEN []
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS w
+       |  FROM ${graft.Tables.validDocsSql} documents
+       |  WHERE source IS NOT NULL AND source <> 'src0'
+       |    AND len((CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END)) >= 5),
+       |dedup AS (
+       |  SELECT doc_id, w,
+       |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM gated),
+       |evalsh AS (
+       |  SELECT DISTINCT x.sh
+       |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh_docs) x
+       |  JOIN ${graft.Tables.validDocsSql} dd ON dd.doc_id = x.doc_id AND dd.source = 'src0'),
+       |contam AS (
+       |  SELECT DISTINCT x.doc_id
+       |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh_docs) x
+       |  JOIN ${graft.Tables.validDocsSql} dd
+       |    ON dd.doc_id = x.doc_id AND dd.source IS NOT NULL AND dd.source <> 'src0'
+       |  JOIN evalsh e ON e.sh = x.sh),
+       |clean AS (
+       |  SELECT doc_id, w FROM dedup t
+       |  WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = t.doc_id)),
+       |wins AS (
+       |  SELECT doc_id, s.pos AS pos, s.wt AS wt
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(len(w) - $SubstrK + 1),
+       |            i -> struct_pack(pos := i,
+       |                   wt := array_to_string(list_slice(w, CAST(i + 1 AS BIGINT),
+       |                                                    CAST(i + $SubstrK AS BIGINT)), ' ')))) AS s
+       |        FROM clean WHERE len(w) >= $SubstrK)),
+       |dup AS (SELECT wt FROM wins GROUP BY wt HAVING count(*) >= 2),
+       |m AS (SELECT doc_id, pos FROM wins JOIN dup USING (wt)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $SubstrK
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM m),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |spn AS (SELECT doc_id, island, min(pos) AS sp, max(pos) + $SubstrK - 1 AS ce
+       |        FROM isl2 GROUP BY 1, 2),
+       |cov AS (SELECT doc_id, unnest(list_transform(range(ce - sp + 1), j -> sp + j)) AS pos
+       |        FROM spn),
+       |toks AS (
+       |  SELECT doc_id, s.pos AS pos, s.tok AS tok
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(len(w)),
+       |            i -> struct_pack(pos := i, tok := w[CAST(i + 1 AS BIGINT)]))) AS s
+       |        FROM clean)),
+       |surv AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+       |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+       |ctexts AS (
+       |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS ctext,
+       |    count(*) AS kept
+       |  FROM surv GROUP BY 1),
+       |alln AS (
+       |  SELECT c.doc_id, CAST(len(c.w) AS BIGINT) AS n_tokens,
+       |    coalesce(x.ctext, '') AS ctext,
+       |    CAST(coalesce(x.kept, 0) AS BIGINT) AS kept
+       |  FROM clean c LEFT JOIN ctexts x USING (doc_id))
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(kept) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_tokens - kept) AS BIGINT) AS cut_tokens,
+       |  CAST(sum(len(ctext)) AS BIGINT) AS n_bytes,
+       |  md5(string_agg(ctext, chr(1) ORDER BY doc_id)) AS clean_md5
+       |FROM (SELECT *, CAST(strpos('0123456789abcdef',
+       |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard
+       |      FROM alln)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val P2_SQL: String =
       s"""WITH $SH_CTE,

@@ -268,6 +268,43 @@ class DedupSpec extends SparkTestBase {
     assert(out(1L) == ((1L, 15L)), s"doc 1 must merge to one 15-token span: $out")
   }
 
+  test("p6: the composed write gates, dedups, decontaminates, CUTS the spans, and pins the bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("p6").toString
+    val spark0 = spark
+    import spark0.implicits._
+    val shared = (0 until 15).map(i => s"dup$i").mkString(" ")
+    // doc 0/1 share a 15-token run (must merge to ONE cut span each);
+    // doc 2 is clean; doc 3 duplicates doc 2's text exactly (dedup drop);
+    // doc 5 shares the 3-gram "evil one evil" with the eval doc 4
+    // (decontamination drop); doc 4 is the eval split itself (never
+    // written). Survivors: 0 (cut to 9 tokens), 1 (cut to 9), 2 (uncut).
+    val cleanTxt = (0 until 30).map(i => s"clean${i}x").mkString(" ")
+    Seq(
+      (0L, s"alpha beta $shared gamma delta one two three four five", "en", "s", 1L),
+      (1L, s"$shared six seven eight nine ten eleven twelve thirteen fourteen", "en", "s", 1L),
+      (2L, cleanTxt, "en", "s", 1L),
+      (3L, cleanTxt, "en", "s", 1L),
+      (4L, "evil one evil something here five six", "en", "src0", 1L),
+      (5L, "xx evil one evil yy zz ww vv", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Dedup.queries("p6_substr_pretrain")(spark, dir).collect()
+    // md5("0")/md5("1")/md5("2") all start with 'c' ⇒ one shard row (12).
+    assert(out.length == 1 && out(0).getAs[Int]("shard") == 12, out.mkString(";"))
+    val r = out(0)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_tokens") == 48L, s"kept tokens: $r")   // 9 + 9 + 30
+    assert(r.getAs[Long]("cut_tokens") == 30L, s"cut tokens: $r")  // 15 + 15
+    val t0 = "alpha beta gamma delta one two three four five"
+    val t1 = "six seven eight nine ten eleven twelve thirteen fourteen"
+    assert(r.getAs[Long]("n_bytes") == (t0.length + t1.length + cleanTxt.length).toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectMd5 = md.digest(s"$t0\u0001$t1\u0001$cleanTxt".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getAs[String]("clean_md5") == expectMd5,
+      "surviving bytes must be exactly the span-cut texts in doc_id order")
+  }
+
   test("d5_scale banded path equals exact d5 where the cap doesn't bite; d9 composes with it") {
     // On the test corpus the DF cap never bites, so capped d5 == uncapped
     // exact == d5_scale must hold row-for-row (banding recall 1.0 — the
