@@ -382,6 +382,81 @@ object MappingQueries {
         runSet("json", JsonDecoder, json),
         runSet("msgpack", MsgpackDecoder, msgpack))
       rows.toDF("decoder", "n_ok", "n_dead").orderBy(col("decoder"))
+    },
+    // q71's STREAMING twin (r15 verdict item 6): the same log-and-skip
+    // boundary exercised through the REAL pipeline — MemoryStream →
+    // Pipeline.run (decode → GenericFloat mapping → upsert sink,
+    // checkpointed) — with the counts read back from the per-batch
+    // DeadLetterMetrics surface that run() now records and the
+    // StreamingQueryListener reports (the reference's operational skip
+    // log, `listen.py:138-143`, at micro-batch cadence). Valid messages
+    // are mappable GenericFloat rows (rejects never reach the mapping, so
+    // the mapping path stays clean); the truth table is its own pinned
+    // literal. Metrics rows are filtered by this run's checkpoint tags,
+    // so the row is stable no matter what other pipelines ran first in
+    // the session.
+    "q71_stream_dead_letters" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.sources.{JsonDecoder, MsgpackDecoder, AvroDecoder,
+        InMemoryRegistry, MessageDecoder}
+      import graft.streaming.Pipeline
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val valid = Seq(
+        """{"uid":"m1","time":"2020-01-01T00:00:00Z","lat":10.0,"lon":20.0,"values":{"speed":1.5}}""",
+        """{"uid":"m2","time":"2020-01-01T00:01:00Z","lat":11.0,"lon":21.0,"values":{"speed":2.5}}""")
+      def runSet(decoder: MessageDecoder, msgs: Seq[Array[Byte]]): (String, Long, Long) = {
+        val ck = java.nio.file.Files.createTempDirectory("q71s").toString
+        val stream = MemoryStream[Array[Byte]]
+        stream.addData(msgs: _*)
+        val sink = new graft.sinks.InMemorySink
+        val q = Pipeline.run(stream.toDF(),
+          new graft.tables.GenericFloat(s"q71.stream.${decoder.name}"),
+          sink, ck, decoder = decoder)
+        assert(q.awaitTermination(120000), s"q71 ${decoder.name} stream did not drain")
+        val rows = Pipeline.DeadLetterMetrics.snapshot().filter(_.tag == ck)
+        assert(rows.nonEmpty, s"run() must record batch metrics for ${decoder.name}")
+        (decoder.name, rows.map(_.nOk).sum, rows.map(_.nDead).sum)
+      }
+      val jsonMsgs = valid.map(_.getBytes("UTF-8")) ++
+        Seq("not json", """{"a":""", "}").map(_.getBytes("UTF-8"))
+      val mpMsgs = valid.map(m =>
+          MsgpackDecoder.encode(graft.functions.PyJson.parse(m))) ++
+        Seq(Array[Byte](0x81.toByte), Array[Byte](0xc1.toByte))
+      val schemaJson =
+        """{"type":"record","name":"M","fields":[
+          |{"name":"uid","type":"string"},{"name":"time","type":"string"},
+          |{"name":"lat","type":"double"},{"name":"lon","type":"double"},
+          |{"name":"values","type":{"type":"map","values":"double"}}]}""".stripMargin
+      val avroMsgs: Seq[Array[Byte]] = {
+        import org.apache.avro.Schema
+        import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+        import org.apache.avro.io.EncoderFactory
+        val schema = new Schema.Parser().parse(schemaJson)
+        def enc(uid: String, time: String, lat: Double, lon: Double,
+            speed: Double): Array[Byte] = {
+          val rec = new GenericData.Record(schema)
+          rec.put("uid", uid); rec.put("time", time)
+          rec.put("lat", lat); rec.put("lon", lon)
+          val m = new java.util.HashMap[String, java.lang.Double]()
+          m.put("speed", speed); rec.put("values", m)
+          val bos = new java.io.ByteArrayOutputStream()
+          bos.write(0)
+          bos.write(java.nio.ByteBuffer.allocate(4).putInt(7).array())
+          val e = EncoderFactory.get().binaryEncoder(bos, null)
+          new GenericDatumWriter[Any](schema).write(rec, e)
+          e.flush(); bos.toByteArray
+        }
+        Seq(enc("m1", "2020-01-01T00:00:00Z", 10.0, 20.0, 1.5),
+          enc("m2", "2020-01-01T00:01:00Z", 11.0, 21.0, 2.5),
+          Array[Byte](1, 2, 3), Array[Byte](0, 0),
+          Array[Byte](0, 0, 0, 0, 9, 1))
+      }
+      val rows = Seq(
+        runSet(new AvroDecoder(new InMemoryRegistry(Map(7 -> schemaJson))), avroMsgs),
+        runSet(JsonDecoder, jsonMsgs),
+        runSet(MsgpackDecoder, mpMsgs))
+      rows.toDF("decoder", "n_ok", "n_dead").orderBy(col("decoder"))
     }
   )
 
@@ -695,6 +770,17 @@ object MappingQueries {
       """SELECT decoder, CAST(n_ok AS BIGINT) AS n_ok,
         |  CAST(n_dead AS BIGINT) AS n_dead
         |FROM (VALUES ('avro', 1, 3), ('json', 3, 3), ('msgpack', 2, 2))
+        |  AS t(decoder, n_ok, n_dead)
+        |ORDER BY decoder""".stripMargin,
+    // The same boundary through the live pipeline (decode → mapping →
+    // sink, per-batch metrics): two mappable valid messages per decoder,
+    // rejects as in q71 minus the decodable-but-unmappable cases (a bare
+    // scalar decodes fine but is not a mapping row — that path belongs to
+    // the mapping contract, not the decode skip).
+    "q71_stream_dead_letters" ->
+      """SELECT decoder, CAST(n_ok AS BIGINT) AS n_ok,
+        |  CAST(n_dead AS BIGINT) AS n_dead
+        |FROM (VALUES ('avro', 2, 3), ('json', 2, 3), ('msgpack', 2, 2))
         |  AS t(decoder, n_ok, n_dead)
         |ORDER BY decoder""".stripMargin
   )

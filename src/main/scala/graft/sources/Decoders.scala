@@ -13,10 +13,14 @@ import graft.functions.PyJson
   */
 trait MessageDecoder extends Serializable {
   def decode(bytes: Array[Byte]): Option[String]
+  /** The reference's `--packing` name for this decoder (`utils.py:17-51`) —
+    * the label operational metrics report per batch. */
+  def name: String
 }
 
 /** S3 — JSON passthrough (bytes are UTF-8 JSON text). */
 object JsonDecoder extends MessageDecoder {
+  val name = "json"
   def decode(bytes: Array[Byte]): Option[String] =
     try {
       val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
@@ -29,6 +33,7 @@ object JsonDecoder extends MessageDecoder {
   * (`utils.py:42-45`); no msgpack jar ships offline, so this is a minimal
   * decoder written to the public MessagePack spec (msgpack.org). */
 object MsgpackDecoder extends MessageDecoder {
+  val name = "msgpack"
   import java.nio.ByteBuffer
 
   def decode(bytes: Array[Byte]): Option[String] =
@@ -172,6 +177,7 @@ class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry {
   *   removed fields dropped). */
 class AvroDecoder(registry: SchemaRegistry,
     readerSubject: Option[String] = None) extends MessageDecoder {
+  val name = "avro"
   import org.apache.avro.Schema
   import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
   import org.apache.avro.io.DecoderFactory

@@ -87,6 +87,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got.getLong(2) == want.getLong(2), "n_tokens")
   }
 
+  test("dead-letter metrics: one (decoder, n_ok, n_dead) row per micro-batch, listener-reported") {
+    // The operational contract behind q71_stream_dead_letters: a file
+    // replay at one message per trigger produces one metrics row PER
+    // BATCH (not one cumulative row), each classifying its single message
+    // — the per-batch stream the reference's skip log is at message
+    // granularity. The hostile line dead-letters in ITS batch only.
+    val spark0 = spark
+    import spark0.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("dlm")
+    val msgs = Seq(
+      """{"uid":"a","time":"2020-01-01T00:00:00Z","lat":1.0,"lon":2.0,"values":{"v":1}}""",
+      "not json at all",
+      """{"uid":"b","time":"2020-01-01T00:01:00Z","lat":3.0,"lon":4.0,"values":{"v":2}}""")
+    msgs.zipWithIndex.foreach { case (m, i) =>
+      java.nio.file.Files.write(landing.resolve(f"m$i%02d.txt"), m.getBytes("UTF-8"))
+    }
+    val ck = tmpDir()
+    val stream = spark.readStream.option("maxFilesPerTrigger", 1).text(landing.toString)
+    val sink = new InMemorySink
+    val q = Pipeline.run(stream, new graft.tables.GenericFloat("dlm.t"), sink, ck)
+    assert(q.awaitTermination(60000), "replay did not drain")
+    val rows = Pipeline.DeadLetterMetrics.snapshot().filter(_.tag == ck)
+    assert(rows.length == 3, s"one metrics row per micro-batch: $rows")
+    assert(rows.forall(_.decoder == "json"))
+    assert(rows.map(m => (m.nOk, m.nDead)).sorted == Seq((0L, 1L), (1L, 0L), (1L, 0L)),
+      s"each batch classifies exactly its own message: $rows")
+    assert(sink.size == 2, "both valid messages upserted")
+  }
+
   test("end-to-end: memory stream → JsonMap → upsert sink") {
     val spark0 = spark
     import spark0.implicits._
