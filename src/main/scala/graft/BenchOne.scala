@@ -48,13 +48,38 @@ object BenchOne {
     // long single-query runs (e.g. the q55 frame at sf10) — the pass
     // count is printed, so a 1-pass number is self-describing.
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // SPARK_GRAFT_SPILL=1 — per-query executor spill accounting (r16):
+    // a task-end listener sums memory/disk spill and shuffle write, so a
+    // one-box wall can be ATTRIBUTED (spill-bound vs compute-bound)
+    // instead of guessed. Printed per timed pass alongside the timing.
+    val spill = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    val mem = new java.util.concurrent.atomic.AtomicLong
+    val disk = new java.util.concurrent.atomic.AtomicLong
+    val shw = new java.util.concurrent.atomic.AtomicLong
+    if (spill) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            mem.addAndGet(m.memoryBytesSpilled)
+            disk.addAndGet(m.diskBytesSpilled)
+            shw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
     // A failing query is NAMED and the sweep continues (Bench/Verify's r9
     // rule): a long multi-query scale sweep must not lose its tail to one
     // failure, and a failure must never be recorded as a timing.
     args.foreach { n =>
       try {
         val times = (1 to nPasses).map { _ =>
-          val t0 = System.nanoTime(); force(n, sfDir); (System.nanoTime() - t0) / 1e9
+          if (spill) { mem.set(0); disk.set(0); shw.set(0) }
+          val t0 = System.nanoTime(); force(n, sfDir)
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (spill) println(f"[benchone] $n spill: dt=$dt%.2f s " +
+            f"memSpill=${mem.get / 1e9}%.2f GB diskSpill=${disk.get / 1e9}%.2f GB " +
+            f"shufWrite=${shw.get / 1e9}%.2f GB")
+          dt
         }
         println(f"[benchone] $n: ${times.min}%.2f s (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
       } catch {

@@ -16,11 +16,17 @@ object ExplainNew {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- args.drop(1)) {
+    // --exec: RUN the query first (noop write) and print the AQE-final
+    // executed plan — reuse decisions (ReusedExchange/ReusedSubquery) and
+    // runtime join selections only exist there, not in the initial plan.
+    val exec = args.contains("--exec")
+    for (n <- args.drop(1).filterNot(_ == "--exec")) {
       SparkEntry.queries.get(n) match {
         case None => println(s"=== $n === (unknown query)")
         case Some(q) =>
-          val p = q(spark, sfDir).queryExecution
+          val df = q(spark, sfDir)
+          if (exec) df.write.format("noop").mode("overwrite").save()
+          val p = df.queryExecution
             .explainString(ExplainMode.fromString("simple"))
           println(s"=== $n ===")
           println(p.linesIterator

@@ -513,14 +513,39 @@ object Events {
           .otherwise(floor(col("value") / lit(vwidth))))
         .withColumn("gt",
           expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $tw)) div $tw"))
+      // BOTH prefix tables from ONE fact pass (r16 — e22_scale made 4 full
+      // fact passes; this removes one): GROUPING SETS ((ty, gv), (ty, gt))
+      // computes the per-(type, value-bucket) AND per-(type, time-bucket)
+      // counts in a single scan+aggregate — Expand doubles rows entering
+      // the partial aggregate, but map-side combine collapses them to
+      // bucket counts before the (tiny) exchange, and the two downstream
+      // prefix branches read that ONE exchange back (ReusedExchange —
+      // PlanSpec pins both the single events scan under the prefixes and
+      // the reuse). `grouping(gv)` tags which set a row belongs to;
+      // genuine NULL buckets (null value/ts/event_type rows) keep their
+      // key and stay distinguishable from the aggregated-away column.
+      // Materialized eagerly (d9's union idiom): the two prefix branches
+      // filter this ONE table by grouping bit, and Catalyst does not
+      // recognize the two filtered reads as a reusable exchange (the
+      // grouping-id predicate de-canonicalizes the subtrees — measured:
+      // 3 events scans without the checkpoint, 2 with). The table is
+      // aggregate-bounded (≤ |v-buckets| + |t-buckets| rows), not
+      // fact-sized.
+      val pre = ev
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("gv")), Seq(col("event_type"), col("gt"))),
+          col("event_type"), col("gv"), col("gt"))
+        .agg(count(lit(1)).as("c"), grouping(col("gv")).as("is_t"))
+        .localCheckpoint(true)
       def prefix(bucket: String, tag: String): DataFrame = {
         val w = Window.partitionBy(col(s"${tag}_ty")).orderBy(col(s"${tag}_g"))
         // Whole-partition bucket count per type (same tiny aggregate, same
         // shuffle key as the running sum) — the guard predicate.
         val nb = Window.partitionBy(col(s"${tag}_ty"))
         val knob = if (tag == "v") "vwidth" else "thours"
-        ev.groupBy(col("event_type").as(s"${tag}_ty"), col(bucket).as(s"${tag}_g"))
-          .agg(count(lit(1)).as("c"))
+        pre.filter(col("is_t") === (if (tag == "t") 1 else 0))
+          .select(col("event_type").as(s"${tag}_ty"), col(bucket).as(s"${tag}_g"),
+            col("c"))
           .withColumn("nb", count(lit(1)).over(nb))
           .filter(when(col("nb") > maxPrefix,
             raise_error(format_string(

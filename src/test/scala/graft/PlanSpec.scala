@@ -799,6 +799,12 @@ class PlanSpec extends SparkTestBase {
       plan.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
     // Both coarse prefix tables ride broadcasts back onto the fact.
     assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 2, plan.take(3000))
+    // r16: the two prefix aggregations are FUSED into one grouping-sets
+    // pass materialized before the main query, so the final plan scans
+    // the events fact exactly ONCE (sf100 A/B: 4 passes → 2; 66.8 s →
+    // 38.8 s ≈ the q1 scan control, zero spill — BENCHNOTES r16).
+    assert(plan.split("\n\n").head.linesIterator.count(_.contains("Scan parquet")) == 1,
+      plan.linesIterator.filter(_.contains("Scan")).mkString("\n"))
   }
 
   test("q56 tpch5: dims broadcast, date filter pushed into the orders scan") {
