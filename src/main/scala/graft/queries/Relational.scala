@@ -85,9 +85,37 @@ object Relational {
         // catalog forgets the table between sessions, so mode-overwrite
         // alone can't reclaim it).
         if (fs.exists(loc)) fs.delete(loc, true)
-        src.repartition(buckets, col(key))
-          .write.bucketBy(buckets, key).sortBy(key)
-          .mode("overwrite").saveAsTable(table)
+        // Provisioning in BUCKET-RANGE chunks (r16 — the sf100 one-box
+        // scratch wall): one monolithic write shuffles the whole fact at
+        // once, and its row-format spill (40+ GB for 600M lineitem rows)
+        // can transiently exceed a single box's scratch disk. With
+        // graft.bucketedJoin.provisionChunks = N > 1, pass c writes only
+        // the rows whose BUCKET ID falls in [c·B/N, (c+1)·B/N) — the
+        // filter uses pmod(hash(key), B), exactly Spark's bucket-id
+        // expression (HashPartitioning.partitionIdExpression, Murmur3
+        // seed 42 = SQL hash()), so each bucket's rows arrive ENTIRELY in
+        // one pass and the single-file-per-bucket invariant (what lets
+        // the scan claim per-bucket sort order) survives appending. Each
+        // pass re-scans the source but shuffles/spills only 1/N of it —
+        // bounded scratch, the same final layout. On a real cluster N=1
+        // is right (per-node disks absorb the shuffle); the knob exists
+        // for one-box provisioning.
+        val chunks = s.conf.getOption("graft.bucketedJoin.provisionChunks")
+          .map(_.toInt).getOrElse(1)
+        require(chunks >= 1 && chunks <= buckets,
+          s"graft.bucketedJoin.provisionChunks=$chunks must be in [1, $buckets]")
+        for (c <- 0 until chunks) {
+          val lo = c * buckets / chunks
+          val hi = (c + 1) * buckets / chunks
+          val slice =
+            if (chunks == 1) src
+            else src.filter(pmod(hash(col(key)), lit(buckets))
+              .between(lit(lo), lit(hi - 1)))
+          val w = slice.repartition(buckets, col(key))
+            .write.bucketBy(buckets, key).sortBy(key)
+          if (c == 0) w.mode("overwrite").saveAsTable(table)
+          else w.mode("append").saveAsTable(table)
+        }
         Tables.writeFingerprint(s, loc, fp)
       }
     }

@@ -35,6 +35,14 @@ object Similarity {
   // trained on a deterministic SAMPLE (first vec_ids).
   private val NLIST = 16
   private val NPROBE = 4
+  // s19's own probe/pool budget (r16 sweep, BENCHNOTES): the rerank pool
+  // is the cheap lever (|Q|·pool exact cosines) and 8/16 cells keeps half
+  // the routing cut while lifting recall@5 to 0.66/0.56/0.51 at
+  // sf0.001/0.01/0.1 (vs 0.30/0.40/0.32 at the old 4-cell, 20-pool
+  // default). The pool-40 exhaustive-routing ceiling is 0.74/0.53 — past
+  // nprobe 8 the POOL binds, so probing more cells buys little.
+  private val S19_NPROBE = 8
+  private val S19_POOL = 40
   private val SAMPLE = 2000
   private val DRIFT_BITS = 6 // s15 cell = sign bits of the first 6 dims (64 cells)
 
@@ -978,7 +986,7 @@ object Similarity {
     // s1's brute force under s1's verbatim oracle (the exhaustive-twin
     // convention, fifth instance), proving the route/encode/LUT/rank
     // plumbing introduces no error beyond the documented cuts.
-    "s19_ivfpq" -> ((s, d) => ivfPqKnn(s, d, NPROBE, 20, "s19_ivfpq")),
+    "s19_ivfpq" -> ((s, d) => ivfPqKnn(s, d, S19_NPROBE, S19_POOL, "s19_ivfpq")),
     "s19_exhaustive" -> ((s, d) =>
       ivfPqKnn(s, d, NLIST, Int.MaxValue, "s19_exhaustive")
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -1018,7 +1026,7 @@ object Similarity {
         pqRerank(s, d, 20, "s18_recall").select(col("q_id"), col("vec_id")))),
     "s19_recall" -> ((s, d) =>
       recallHashRow(s, d, "s19_recall",
-        ivfPqKnn(s, d, NPROBE, 20, "s19_recall")
+        ivfPqKnn(s, d, S19_NPROBE, S19_POOL, "s19_recall")
           .select(col("q_id"), col("vec_id")))),
     "s20_recall" -> ((s, d) =>
       recallHashRow(s, d, "s20_recall",
@@ -1280,7 +1288,7 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Shared IVFADC pipeline — s19_ivfpq (NPROBE cells, pool 20) and
+  /** Shared IVFADC pipeline — s19_ivfpq (S19_NPROBE cells, S19_POOL) and
     * s19_exhaustive (all cells, pool open ⇒ collapses to s1) differ only
     * in the two cut parameters, so the twins can never drift. Residual
     * PQ: codes quantize x − c_cell, trained on the residuals of the same
@@ -1288,7 +1296,7 @@ object Similarity {
     * fixed-seed coarse + book training, sequential LUT fold, encode ties
     * break to the lower code, ADC ties to the lower vec_id, rerank ties
     * (cosine, vec_id) — bit-stable across runs and partitionings. */
-  private def ivfPqKnn(s: SparkSession, d: String, nprobe: Int, pool: Int,
+  private[graft] def ivfPqKnn(s: SparkSession, d: String, nprobe: Int, pool: Int,
       op: String): DataFrame = {
     import s.implicits._
     val dim = Tables.embDim(s)
@@ -1479,13 +1487,13 @@ object Similarity {
       (8000L, 25148987L, 160L, 136L, 170000L, "2a757fccfcdce20aba5679bfacc53658"),
       (515L, 3018715L, 10L, 35L, 700000L, "8ecd1dd1f9cdec59154c73a91389586d"),
       (8015L, 26985664L, 160L, 137L, 171250L, "7c650ab63cccec759754fc05fa2948bf")),
-    "s19_recall" -> Seq(
-      (500L, -1339442L, 10L, 15L, 300000L, "4b235213fe27d237b4a8cce7671fa213"),
-      (500L, 1206862L, 10L, 20L, 400000L, "f8058994835520f0041749586fa57ea8"),
-      (2000L, 3528806L, 40L, 64L, 320000L, "0245177db99080cf149988c8ed0e11c3"),
-      (8000L, 25148987L, 160L, 170L, 212500L, "15dbaf566b7756dd499eb993347806c2"),
-      (515L, 3018715L, 10L, 27L, 540000L, "0556a1d76a9a32b9efc19466c48a4eac"),
-      (8015L, 26985664L, 160L, 171L, 213750L, "24ad2164a07cc5c49961fdcb78de3cb9")),
+    "s19_recall" -> Seq( // r16 pins at the (nprobe 8, pool 40) operating point
+      (500L, -1339442L, 10L, 33L, 660000L, "13ccf33071842a633e67f73ee8699a63"),
+      (500L, 1206862L, 10L, 28L, 560000L, "8eadf9f7dfc618784314906945d0a65c"),
+      (2000L, 3528806L, 40L, 102L, 510000L, "9e51afdd0a62813fe7f3f44ab9ea33ff"),
+      (8000L, 25148987L, 160L, 260L, 325000L, "306443f28667acf3e150dc3f92dbb810"),
+      (515L, 3018715L, 10L, 39L, 780000L, "0afed1b8b1a27686dac4f684ca89617a"),
+      (8015L, 26985664L, 160L, 261L, 326250L, "03c7ee7d70425497e66a1d076a5390a3")),
     "s20_recall" -> Seq(
       (500L, -1339442L, 10L, 30L, 600000L, "2cff1258952ba3e8cfdaea9ca1c63cb9"),
       (500L, 1206862L, 10L, 26L, 520000L, "668420bdd529687837dfba75c051a106"),
