@@ -1451,6 +1451,23 @@ object Dedup {
     // oracle verbatim and DedupSpec pins d20_scale == d20 row-for-row.
     "d20_substring_spans" -> ((s, d) => substringSpans(s, d, hashed = false)),
     "d20_scale" -> ((s, d) => substringSpans(s, d, hashed = true)),
+    // EXACT-SUBSTRING DECONTAMINATION (r16) — the strict sibling of d8's
+    // shingle-overlap drop, and the Lee et al./GPT-3-style n-gram
+    // decontamination at window granularity: a train doc is contaminated
+    // wherever it carries a VERBATIM K-token window that also appears in
+    // the eval split. Where d8 answers "which train docs overlap eval AT
+    // ALL" (3-gram set intersection ⇒ whole-doc drop), d21 LOCALIZES the
+    // contamination — maximal merged spans per train doc with exact token
+    // counts — so a pipeline can cut the spans (p6's machinery) instead
+    // of discarding the document. Shares windowKeys/mergeIslands with
+    // d20/p6: the matcher is a semi-join against the DISTINCT eval window
+    // set (eval splits are small by construction — d8's argument — so at
+    // 100 TB the set broadcasts, the fact never shuffles for matching);
+    // everything downstream is the proven island merge. d21_scale keys
+    // windows by xxhash64 (8-byte exchange, window text never
+    // materialized) — identical rows absent collisions, same oracle.
+    "d21_substr_decontam" -> ((s, d) => substrDecontam(s, d, hashed = false)),
+    "d21_scale" -> ((s, d) => substrDecontam(s, d, hashed = true)),
     // d20 COMPOSED INTO THE TRAINING WRITE (r15 verdict item 5) — Lee et
     // al.'s EXACTSUBSTR deduplication actually CUTTING the corpus that
     // feeds the shard manifests, not just reporting spans: p2's gate →
@@ -1527,7 +1544,11 @@ object Dedup {
     * join). Returns one row per maximal island: (doc_id, carry…, sp, ep)
     * where [sp, ep+K−1] is the covered TOKEN range. Shared by
     * d20/d20_scale (corpus-wide rollup) and p6 (the actual cut). */
-  private def islandSpans(toks0: DataFrame, hashed: Boolean,
+  /** The K-window key stream over a tokenized population: one row per
+    * (doc_id, carry…, pos, wkey). `hashed` picks the key form (exact
+    * window text = oracle-able, xxhash64 of the token slice = the
+    * 8-byte-exchange scale cut). */
+  private def windowKeys(toks0: DataFrame, hashed: Boolean,
       carry: Seq[String]): DataFrame = {
     val K = SubstrK
     val toks = toks0.filter(size(col("w")) >= K)
@@ -1535,23 +1556,59 @@ object Dedup {
       if (hashed) xxhash64(expr(s"slice(w, pos + 1, $K)"))
       else array_join(expr(s"slice(w, pos + 1, $K)"), " ")
     val cc = carry.map(col)
-    val wins = toks
+    toks
       .select(col("doc_id") +: cc :+ col("w") :+
         explode(sequence(lit(0), size(col("w")) - K)).as("pos"): _*)
       .select(col("doc_id") +: cc :+ col("pos") :+ key.as("wkey"): _*)
-    // Window keys occurring ≥ 2 times anywhere; the join back is key-only
-    // (doc/pos never enter the count exchange).
-    val dup = wins.groupBy(col("wkey")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2).select(col("wkey"))
+  }
+
+  /** Gaps-and-islands merge of matched window START positions → one row
+    * per maximal island (doc_id, carry…, sp, ep); the covered token
+    * range is [sp, ep+K−1]. Shared by d20/p6 (duplicate windows) and d21
+    * (eval-set windows) — the matcher differs, the merge cannot drift. */
+  private def mergeIslands(hits: DataFrame, carry: Seq[String]): DataFrame = {
+    val cc = carry.map(col)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    wins.join(dup, "wkey")
+    hits
       .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(wDoc) > K, 1).otherwise(0))
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) > SubstrK, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(wDoc))
       .groupBy(col("doc_id") +: cc :+ col("island"): _*)
       .agg(min(col("pos")).as("sp"), max(col("pos")).as("ep"))
       .select(col("doc_id") +: cc :+ col("sp") :+ col("ep"): _*)
+  }
+
+  private def islandSpans(toks0: DataFrame, hashed: Boolean,
+      carry: Seq[String]): DataFrame = {
+    val wins = windowKeys(toks0, hashed, carry)
+    // Window keys occurring ≥ 2 times anywhere; the join back is key-only
+    // (doc/pos never enter the count exchange).
+    val dup = wins.groupBy(col("wkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("wkey"))
+    mergeIslands(wins.join(dup, "wkey"), carry)
+  }
+
+  /** Shared d21 pipeline — see the map entry. Output: one row per
+    * CONTAMINATED train doc (doc_id, n_tokens, n_spans,
+    * contaminated_tokens, contam_ppm), doc_id-ordered. */
+  private def substrDecontam(s: SparkSession, d: String, hashed: Boolean): DataFrame = {
+    val K = SubstrK
+    val docs = Tables.parallelized(Tables.validDocuments(s, d))
+      .select(col("doc_id"), col("source"), TextOps.wsTokens(col("text")).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("bigint"))
+    val evalW = windowKeys(docs.filter(col("source") === "src0"), hashed, Seq.empty)
+      .select(col("wkey")).distinct()
+    val trainW = windowKeys(
+      docs.filter(col("source").isNotNull && col("source") =!= "src0"),
+      hashed, Seq("n_tokens"))
+    mergeIslands(trainW.join(evalW, "wkey"), Seq("n_tokens"))
+      .withColumn("span_tokens", col("ep") - col("sp") + K)
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).cast("bigint").as("n_spans"),
+        sum(col("span_tokens")).cast("bigint").as("contaminated_tokens"))
+      .withColumn("contam_ppm", expr("contaminated_tokens * 1000000 DIV n_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** Shared d20 pipeline — see the map entry. `hashed` selects the window
@@ -2044,6 +2101,11 @@ object Dedup {
     // yields identical rows absent 64-bit collisions — same oracle.
     "d20_substring_spans" -> D20_SQL,
     "d20_scale" -> D20_SQL,
+    // d21: the decontamination twin — eval windows as a distinct set,
+    // train windows semi-joined against it, then d20's islands merge and
+    // rollup verbatim. d21_scale (xxhash64 keys) shares it.
+    "d21_substr_decontam" -> D21_SQL,
+    "d21_scale" -> D21_SQL,
     // p6: the WHOLE composed write reproduced relationally — p2's
     // gate/dedup/decontam CTEs, d20's island CTEs over the surviving
     // population, the token-complement cut (covered positions expanded
@@ -2086,6 +2148,42 @@ object Dedup {
       |  CAST(sum(ep - sp + $SubstrK) AS BIGINT) AS dup_tokens,
       |  CAST((CAST(sum(ep - sp + $SubstrK) AS BIGINT) * 1000000) // n_tokens AS BIGINT) AS dup_ppm
       |FROM sp GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  private val D21_SQL: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN trim(text) = '' THEN []
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS w
+       |  FROM ${graft.Tables.validDocsSql} documents),
+       |wins AS (
+       |  SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
+       |    s.pos AS pos, s.wt AS wt
+       |  FROM (SELECT doc_id, source, w,
+       |          unnest(list_transform(range(len(w) - $SubstrK + 1),
+       |            i -> struct_pack(pos := i,
+       |                   wt := array_to_string(list_slice(w, CAST(i + 1 AS BIGINT),
+       |                                                    CAST(i + $SubstrK AS BIGINT)), ' ')))) AS s
+       |        FROM t WHERE len(w) >= $SubstrK)),
+       |ev AS (SELECT DISTINCT wt FROM wins WHERE source = 'src0'),
+       |m AS (
+       |  SELECT doc_id, n_tokens, pos FROM wins JOIN ev USING (wt)
+       |  WHERE source IS NOT NULL AND source <> 'src0'),
+       |isl AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $SubstrK
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM m),
+       |isl2 AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |sp AS (SELECT doc_id, n_tokens, island, min(pos) AS sp, max(pos) AS ep
+       |       FROM isl2 GROUP BY 1, 2, 3)
+       |SELECT doc_id, n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(ep - sp + $SubstrK) AS BIGINT) AS contaminated_tokens,
+       |  CAST((CAST(sum(ep - sp + $SubstrK) AS BIGINT) * 1000000) // n_tokens AS BIGINT) AS contam_ppm
+       |FROM sp GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
   private val P6_SQL: String =
     s"""WITH $SH_CTE,

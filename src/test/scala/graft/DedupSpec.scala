@@ -268,6 +268,28 @@ class DedupSpec extends SparkTestBase {
     assert(out(1L) == ((1L, 15L)), s"doc 1 must merge to one 15-token span: $out")
   }
 
+  test("d21: planted eval window is localized in the train doc, merged maximally") {
+    val dir = java.nio.file.Files.createTempDirectory("d21").toString
+    val spark0 = spark
+    import spark0.implicits._
+    // The eval doc carries a 14-token secret; train doc 0 embeds it
+    // verbatim (5 overlapping eval windows ⇒ ONE merged 14-token span);
+    // train doc 1 is clean; the eval doc itself must never be reported.
+    val secret = (0 until 14).map(i => s"sec$i").mkString(" ")
+    Seq(
+      (0L, s"intro words here $secret tail one two three four five", "en", "s", 1L),
+      (1L, (0 until 25).map(i => s"ok${i}z").mkString(" "), "en", "s", 1L),
+      (2L, s"$secret closing remark", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (q <- Seq("d21_substr_decontam", "d21_scale")) {
+      val out = graft.queries.Dedup.queries(q)(spark, dir).collect()
+      assert(out.length == 1 && out(0).getLong(0) == 0L, s"$q: ${out.mkString(";")}")
+      assert(out(0).getAs[Long]("n_spans") == 1L, s"$q merges overlapping hits")
+      assert(out(0).getAs[Long]("contaminated_tokens") == 14L, s"$q span covers the secret")
+    }
+  }
+
   test("p6: the composed write gates, dedups, decontaminates, CUTS the spans, and pins the bytes") {
     val dir = java.nio.file.Files.createTempDirectory("p6").toString
     val spark0 = spark
