@@ -430,10 +430,19 @@ object Dedup {
       .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    // Round 1 fused into the init (r16): with identity starting labels,
+    // the first neighbor-min is just min(dst) per src — one aggregate over
+    // the checkpointed edge set instead of the former init-distinct
+    // checkpoint + join + aggregate + join round (every vertex appears as
+    // a src because the edge set is symmetric, so the distinct vertex set
+    // falls out of the same groupBy). Labels after this ARE round 1's
+    // fixpoint step; the loop below continues from round 2. Same unique
+    // min-label fixpoint, two fewer jobs per query.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("label"))
+      .localCheckpoint(true)
     var changed = 1L
-    var rounds = 0
+    var rounds = 1
     val maxRounds = 32
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
@@ -1397,20 +1406,34 @@ object Dedup {
           Window.partitionBy(col("text")).orderBy(col("doc_id"))))
         .localCheckpoint(true)
       val kept = g.filter(col("rn") === 1)
-      val evalShPre = splitShingles(s, d, col("source") === "src0" && pre)
-        .select(col("sh")).distinct()
-      val evalShNew = splitShingles(s, d, col("source") === "src0" && !pre)
-        .select(col("sh")).distinct()
-      def contaminatedIds(trainSide: Column, evalSh: DataFrame): DataFrame =
-        splitShingles(s, d, trainPred && trainSide)
-          .join(evalSh, "sh").select(col("doc_id")).distinct()
+      // r16 (optimization guide §1.2 — don't recompute): the eval split is
+      // shingled ONCE with per-shingle vintage flags instead of two
+      // pred-filtered scans consumed four times lazily; and the train-
+      // vintage side is shingled+matched ONCE with per-doc (hitPre,
+      // hitNew) flags instead of separate scans for the decontamination
+      // and retraction id sets. Same sets by algebra — a shingle is in
+      // evalShPre iff hasPre, a vintage doc is retro-contaminated iff it
+      // shares a shingle with hasNew — so the manifest identity (and the
+      // verbatim p2-recompute oracle) is untouched; the corpus pays 3
+      // shingle passes instead of 5. The eval flag table is
+      // localCheckpointed: it is eval-split-sized (small by construction,
+      // d8's argument) and feeds both membership joins.
+      val evalSh = splitShingles(s, d, col("source") === "src0")
+        .groupBy(col("sh"))
+        .agg(max(pre).as("hasPre"), max(!pre).as("hasNew"))
+        .localCheckpoint(true)
+      val tpDoc = splitShingles(s, d, trainPred && pre)
+        .join(evalSh, "sh")
+        .groupBy(col("doc_id"))
+        .agg(max(col("hasPre")).as("hitPre"), max(col("hasNew")).as("hitNew"))
+      val dContam = splitShingles(s, d, trainPred && !pre)
+        .join(evalSh.select(col("sh")), "sh").select(col("doc_id")).distinct()
       val vClean = kept.filter(col("pre"))
-        .join(contaminatedIds(pre, evalShPre), Seq("doc_id"), "left_anti")
+        .join(tpDoc.filter(col("hitPre")).select(col("doc_id")), Seq("doc_id"), "left_anti")
       val dClean = kept.filter(!col("pre"))
-        .join(contaminatedIds(!pre, evalShPre.unionAll(evalShNew).distinct()),
-          Seq("doc_id"), "left_anti")
+        .join(dContam, Seq("doc_id"), "left_anti")
       val retro = vClean
-        .join(contaminatedIds(pre, evalShNew), Seq("doc_id"), "left_semi")
+        .join(tpDoc.filter(col("hitNew")).select(col("doc_id")), Seq("doc_id"), "left_semi")
       def manifest(df: DataFrame, sgn: Long): DataFrame =
         df.select(col("doc_id"), col("n_chars"),
           size(TextOps.wsTokens(col("text"))).cast("bigint").as("n_tokens"),
