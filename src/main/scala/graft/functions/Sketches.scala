@@ -33,9 +33,9 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** 2^64 as a double — the sketch-space hash domain width. */
-  private val Two64 = 1.8446744073709552e19
+  private[functions] val Two64 = 1.8446744073709552e19
   /** 2^63 as a double — offset from sketch-space (signed) to unsigned. */
-  private val Two63 = 9.223372036854775808e18
+  private[functions] val Two63 = 9.223372036854775808e18
 
   // ---------------------------------------------------------------------
   // KMV (bottom-k / theta) distinct sketch
@@ -182,6 +182,25 @@ object Sketches {
   /** Union-cardinality estimate (exact below saturation). */
   def kmvUnionNdv(a: Column, b: Column, k: Int): Column =
     kmvNdv(kmvUnion(a, b, k), k)
+
+  /** All four pair statistics — ndv(a), ndv(b), union ndv, intersection
+    * ndv — in ONE two-pointer merge pass over the primitive long arrays
+    * (r16, optimization guide "per-task work"): the column-expression
+    * composition above re-evaluates `kmvUnion` (an O(k log k)
+    * array_union + array_sort + slice over boxed elements) up to four
+    * times per pair row, and a global orderBy's range-partitioning
+    * SAMPLING pass evaluates the whole project a second time — measured
+    * 2.9 s of the 190-pair d16_scale at sf0.1 in exactly these two
+    * single-task jobs. Inputs MUST be finished [[KmvSketch]] arrays
+    * (sorted ascending, unique — compact() guarantees both); arithmetic
+    * is [[ndvFromSketch]] verbatim on the same merged prefix the
+    * expression chain builds, so every output double is bit-identical
+    * (SketchSpec pins fused == composed on UDAF-built sketches). */
+  def kmvPairStats(a: Column, b: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      KmvPairStatsExpr(ColumnShim.expression(a), ColumnShim.expression(b), k))
+  }
 
   // ---------------------------------------------------------------------
   // Misra–Gries / Space-Saving heavy hitters
@@ -703,4 +722,74 @@ object Sketches {
     def bufferEncoder: Encoder[TopKBuf[String]] = Encoders.kryo[TopKBuf[String]]
     def outputEncoder: Encoder[Array[HeavyHitterStr]] = ExpressionEncoder[Array[HeavyHitterStr]]()
   }
+}
+
+/** Fused KMV pair statistics (see [[Sketches.kmvPairStats]]): one ordered
+  * merge over two finished (sorted ascending, unique) sketch arrays
+  * yields struct(n_a_est, n_b_est, union_ndv, inter_ndv) with arithmetic
+  * bit-identical to the kmvNdv/kmvUnionNdv/kmvIntersectNdv column
+  * composition. CodegenFallback on purpose: pair frames are
+  * |groups|²-sized (hundreds of rows), the win is O(k) primitive access
+  * vs repeated boxed array_union/array_sort/array_intersect, not codegen.
+  */
+case class KmvPairStatsExpr(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def dataType: DataType = new StructType()
+    .add("n_a_est", DoubleType).add("n_b_est", DoubleType)
+    .add("union_ndv", DoubleType).add("inter_ndv", DoubleType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_pair_stats expects array<bigint> sketches, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData].toLongArray()
+    val b = bv.asInstanceOf[ArrayData].toLongArray()
+    // Ordered merge of two sorted-unique arrays: walk both, count merged
+    // union elements (capped at k — the slice the expression chain takes)
+    // and, among those, the ones present in BOTH inputs. Values are in
+    // KMV sketch space (hash XOR Long.MinValue), where SIGNED order is
+    // unsigned hash order and the chain's array_sort agrees — signed (<)
+    // reproduces the exact same merged prefix.
+    var i = 0; var j = 0; var m = 0; var common = 0
+    var kth = 0L
+    while (m < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && a(i) < b(j))
+      val both = i < a.length && j < b.length && a(i) == b(j)
+      if (both) { kth = a(i); i += 1; j += 1; common += 1 }
+      else if (takeA) { kth = a(i); i += 1 }
+      else { kth = b(j); j += 1 }
+      m += 1
+    }
+    val unionNdv =
+      if (m < k) m.toDouble
+      else (k - 1).toDouble / ((kth.toDouble + Sketches.Two63 + 1.0) / Sketches.Two64)
+    val interNdv =
+      if (m == 0) 0.0
+      else if (m < k) common.toDouble
+      else common.toDouble / k.toDouble * unionNdv
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      Sketches.ndvFromSketch(a, k), Sketches.ndvFromSketch(b, k),
+      unionNdv, interNdv))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): KmvPairStatsExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "kmv_pair_stats"
 }

@@ -1214,13 +1214,18 @@ object Dedup {
         .localCheckpoint(true)
       val pairs = sketches.toDF("src_a", "sk_a")
         .join(sketches.toDF("src_b", "sk_b"), col("src_a") < col("src_b"))
+      // r16: one fused two-pointer merge per pair (kmvPairStats) instead
+      // of the four-expression composition that rebuilt the union sketch
+      // (boxed array_union+sort+slice over 16384 longs) up to four times
+      // per row — and twice over, because the global orderBy's range
+      // sampling re-evaluates the project. Measured 2.9 s → ~0.1 s of
+      // pair-stat evaluation on the 190 source pairs at sf0.1; doubles
+      // bit-identical (SketchSpec pins fused == composed).
       pairs.select(col("src_a"), col("src_b"),
-          graft.functions.Sketches.kmvNdv(col("sk_a"), k).as("n_a_est"),
-          graft.functions.Sketches.kmvNdv(col("sk_b"), k).as("n_b_est"),
-          graft.functions.Sketches.kmvUnionNdv(col("sk_a"), col("sk_b"), k)
-            .as("union_ndv"),
-          graft.functions.Sketches.kmvIntersectNdv(col("sk_a"), col("sk_b"), k)
-            .as("inter_ndv"))
+          graft.functions.Sketches.kmvPairStats(col("sk_a"), col("sk_b"), k).as("st"))
+        .select(col("src_a"), col("src_b"),
+          col("st.n_a_est").as("n_a_est"), col("st.n_b_est").as("n_b_est"),
+          col("st.union_ndv").as("union_ndv"), col("st.inter_ndv").as("inter_ndv"))
         .withColumn("jaccard", col("inter_ndv") / col("union_ndv"))
         .orderBy(col("src_a"), col("src_b"))
     },

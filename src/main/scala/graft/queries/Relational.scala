@@ -1433,10 +1433,14 @@ object Relational {
         .localCheckpoint(true)
       val pairs = sketches.toDF("type_a", "sk_a")
         .join(sketches.toDF("type_b", "sk_b"), col("type_a") < col("type_b"))
-      val unionNdv = graft.functions.Sketches.kmvUnionNdv(col("sk_a"), col("sk_b"), k)
-      val interNdv = graft.functions.Sketches.kmvIntersectNdv(col("sk_a"), col("sk_b"), k)
+      // r16: fused pair-stats kernel (d16_scale's rationale — one merge
+      // pass per pair instead of rebuilding the union sketch per output
+      // column, twice under the orderBy's range sampling). Bit-identical
+      // doubles; SketchSpec pins fused == composed.
       pairs.select(col("type_a"), col("type_b"),
-          unionNdv.as("union_ndv"), interNdv.as("inter_ndv"))
+          graft.functions.Sketches.kmvPairStats(col("sk_a"), col("sk_b"), k).as("st"))
+        .select(col("type_a"), col("type_b"),
+          col("st.union_ndv").as("union_ndv"), col("st.inter_ndv").as("inter_ndv"))
         .withColumn("jaccard", col("inter_ndv") / col("union_ndv"))
         .orderBy(col("type_a"), col("type_b"))
     },

@@ -80,6 +80,45 @@ class SketchSpec extends SparkTestBase {
     assert(math.abs(i - 60000) / 60000.0 < 0.25, s"intersection est $i")
   }
 
+  test("kmv: fused kmvPairStats == the composed column expressions, bit-for-bit") {
+    // The r16 fused pair kernel (one two-pointer merge) must reproduce the
+    // kmvNdv/kmvUnionNdv/kmvIntersectNdv composition EXACTLY — d16_scale
+    // and q58 are hash-oracled, so a single ulp of drift flips a gate.
+    // Cover saturated (both > k), unsaturated, disjoint, identical, and
+    // empty sketches.
+    val corp = Seq(
+      ("sat_a", 0L, 120000L), ("sat_b", 60000L, 180000L),
+      ("small_a", 0L, 500L), ("small_b", 200L, 900L),
+      ("disj", 1000000L, 1000100L), ("dup_a", 0L, 120000L),
+      ("empty", 0L, 0L))
+    val sk = corp.map { case (n, lo, hi) =>
+      spark.range(lo, hi).select(xxhash64(col("id")).as("h"))
+        .agg(kmvAgg(col("h")).as("sk")).select(lit(n).as("src"), col("sk"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    val pairs = sk.toDF("src_a", "sk_a")
+      .join(sk.toDF("src_b", "sk_b"), col("src_a") < col("src_b"))
+    val composed = pairs.select(col("src_a"), col("src_b"),
+      Sketches.kmvNdv(col("sk_a"), k).as("na"),
+      Sketches.kmvNdv(col("sk_b"), k).as("nb"),
+      Sketches.kmvUnionNdv(col("sk_a"), col("sk_b"), k).as("u"),
+      Sketches.kmvIntersectNdv(col("sk_a"), col("sk_b"), k).as("i"))
+      .orderBy(col("src_a"), col("src_b")).collect()
+    val fused = pairs.select(col("src_a"), col("src_b"),
+      Sketches.kmvPairStats(col("sk_a"), col("sk_b"), k).as("st"))
+      .select(col("src_a"), col("src_b"), col("st.n_a_est"), col("st.n_b_est"),
+        col("st.union_ndv"), col("st.inter_ndv"))
+      .orderBy(col("src_a"), col("src_b")).collect()
+    assert(composed.length == fused.length && composed.length == 21)
+    composed.zip(fused).foreach { case (c, f) =>
+      assert(c.getString(0) == f.getString(0) && c.getString(1) == f.getString(1))
+      (2 to 5).foreach { ix =>
+        assert(java.lang.Double.doubleToRawLongBits(c.getDouble(ix)) ==
+          java.lang.Double.doubleToRawLongBits(f.getDouble(ix)),
+          s"${c.getString(0)}x${c.getString(1)} col $ix: ${c.getDouble(ix)} != ${f.getDouble(ix)}")
+      }
+    }
+  }
+
   test("kmv: q57/q58 run in the lossless regime at test SF") {
     // The oracle contract: at verify/test SF the sketches must be below
     // saturation so the exact SQL is a valid oracle. Pin the headroom.
