@@ -432,7 +432,9 @@ object TextOps {
       val lenOk = nWords.between(20, 80)
       val ttrOk = ttr >= 0.7
       val stopOk = stopRatio > 0.0
-      Tables.validDocuments(s, d)
+      // r16: parallelized — the tokenize/regex map over a single small
+      // parquet file otherwise runs in ONE task (scale-adaptive fan-out).
+      Tables.parallelized(Tables.validDocuments(s, d))
         .select(col("doc_id"), nWords.as("n_words"), ttr.as("ttr"),
           stopRatio.as("stop_ratio"), lenOk.as("len_ok"), ttrOk.as("ttr_ok"),
           stopOk.as("stop_ok"), (lenOk && ttrOk && stopOk).as("keep"))
@@ -481,7 +483,10 @@ object TextOps {
     // exactly when the statistic is meaningful, and a df-cap (d5) bounds
     // the narrow flatMap's per-doc fan-out for degenerate vocabularies.
     "t18_pmi_cooccur" -> { (s, d) =>
-      val withWords = Tables.validDocuments(s, d)
+      // r16: parallelized — the per-doc pair explode is quadratic in the
+      // distinct-word count (~20k pairs/doc); over a single small parquet
+      // file it ran as ONE 1.5 s task at sf0.1 (scale-adaptive fan-out).
+      val withWords = Tables.parallelized(Tables.validDocuments(s, d))
         .select(col("doc_id"),
           array_sort(array_distinct(wsTokens(lower(col("text"))))).as("ws"))
       val pairs = withWords.select(explode(expr(
@@ -520,7 +525,7 @@ object TextOps {
     // tf rows by doc_id. Ties (equal scores) break by word asc, so top-3
     // is a total order — deterministic on both engines.
     "t19_tfidf_terms" -> { (s, d) =>
-      val tf = Tables.validDocuments(s, d)
+      val tf = Tables.parallelized(Tables.validDocuments(s, d))
         .select(col("doc_id"),
           explode(wsTokens(lower(col("text")))).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -653,8 +658,11 @@ object TextOps {
         lpad((((id % 10000) * 3) % 10000).cast("string"), 4, "0"),
         lit(" card 4111-1111-1111-"),
         lpad((((id % 10000) * 7) % 10000).cast("string"), 4, "0"))
+      // r16: parallelized — 12 chained regex passes per row over a
+      // single-file scan otherwise run in ONE task (scale-adaptive fan-out).
       val scrubbed = PII_ORDER.zipWithIndex.foldLeft(
-        Tables.validDocuments(s, d).withColumn("t0", concat(col("text"), suffix))) {
+        Tables.parallelized(Tables.validDocuments(s, d))
+          .withColumn("t0", concat(col("text"), suffix))) {
         case (df, ((cat, re, tok), i)) =>
           df.withColumn(s"n_$cat", regexp_count(col(s"t$i"), lit(re)).cast("bigint"))
             .withColumn(s"t${i + 1}", regexp_replace(col(s"t$i"), re, tok))
@@ -691,7 +699,7 @@ object TextOps {
       // per-doc scoring) — left lazy, Catalyst inlines the scan+tokenize
       // into each one and the corpus is tokenized three times (d9's union
       // lesson; the pre-fix plan showed 3 parquet scans + 3 Generates).
-      val tf = docs
+      val tf = Tables.parallelized(docs)
         .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
