@@ -171,6 +171,11 @@ object Relational {
     * construction: counts add, ranges least/greatest, sketches union
     * (q64 exercises exactly that). */
   private def profileRow(df: DataFrame, k: Int): DataFrame = {
+    // r16: the 10-column sketch pass is the profiler's whole cost and a
+    // single parquet file splits only at row-group boundaries (3 scan
+    // tasks at sf0.1 — 1.3 s serial-ish); scale-adaptive parallelized
+    // spreads the partial aggregation, and is a no-op on real layouts.
+    val dfp = Tables.parallelized(df)
     val sk = udaf(graft.functions.Sketches.KmvSketchOpt(k))
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_rows")) ++
@@ -192,7 +197,7 @@ object Relational {
              max(v).cast("double").as(s"${c}__mx"))
          })
       }
-    df.agg(aggs.head, aggs.tail: _*)
+    dfp.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Unpivot the 1-row summary into one (col_name, n_rows, n_null, ndv,
@@ -293,7 +298,9 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     "q2_distinct_agg" -> { (s, d) =>
-      Tables.lineitem(s, d)
+      // r16: the 3x Expand + partial distinct-agg otherwise runs at the
+      // single file's row-group parallelism (3 tasks at sf0.1).
+      Tables.parallelized(Tables.lineitem(s, d))
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
