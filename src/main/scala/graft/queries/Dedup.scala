@@ -378,6 +378,16 @@ object Dedup {
       .map(_.toLong).getOrElse(180L)
     val timeCand = (pairsPerSec * budgetSec).toLong
     val effCap = math.min(maxCand, timeCand)
+    // r16: checkpointed — the guard's candidate estimate and the pair
+    // expansion BOTH consume postings, and Catalyst cannot de-duplicate
+    // the two subtrees (the typed shingle mapPartitions closure defeats
+    // canonical-plan equality, so no ReusedExchange fires): the executed
+    // d13 plan showed TWO full corpus shingle + collect_list passes
+    // (~0.7 s each at sf0.1) plus two df-cap count scans. One eager
+    // checkpoint makes the corpus pay the shingle pass once (q58's
+    // don't-re-shingle rule); the checkpointed table is the DF-capped
+    // postings only — ≤ cap doc entries per kept shingle, far below the
+    // corpus — and it is exactly what both consumers need.
     val postings = withShingles(s, d)
       .select(struct(col("doc_id"),
           size(col("shingles")).cast("bigint").as("n_sh")).as("doc"),
@@ -386,6 +396,7 @@ object Dedup {
       .agg(collect_list(col("doc")).as("ds"))
       .crossJoin(broadcast(dfCapFrame(s, d, "graft.dedup.d5DfCap")))
       .filter(size(col("ds")).between(2, col("df_cap")))
+      .localCheckpoint(true)
     val est = postings.agg(sum(expr(
       "CAST(size(ds) AS DECIMAL(38,0)) * CAST(size(ds) - 1 AS DECIMAL(38,0)) / 2"))
       .as("__cand"))

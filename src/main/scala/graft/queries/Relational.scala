@@ -1112,7 +1112,10 @@ object Relational {
       // division in exact integer ops for any sign — prices are positive
       // in this corpus, but the operator must not silently assume it.
       def floorDiv(a: String, b: Long) = s"($a - pmod($a, $b)) div $b"
-      val base = Tables.orders(s, d)
+      // r16: a single small orders file scans as 1-2 row-group tasks, which
+      // serialized the histogram and marker passes at sf0.1; scale-adaptive
+      // parallelized spreads them (no-op on real layouts).
+      val base = Tables.parallelized(Tables.orders(s, d))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         // integer cents, not Column./ — DOUBLE division rounding could
         // misplace a value on a bucket edge.
