@@ -27,7 +27,13 @@ object StreamProfile {
           m.getBytes("UTF-8"))
       }
     val sink = new graft.sinks.InMemorySink
-    val ckpt = java.nio.file.Files.createTempDirectory("sp-ckpt").toString
+    // GRAFT_SCRATCH overrides the checkpoint base (experiment: WAL on
+    // tmpfs vs disk).
+    val ckpt = sys.env.get("GRAFT_SCRATCH") match {
+      case Some(base) => java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(base), "sp-ckpt").toString
+      case None => java.nio.file.Files.createTempDirectory("sp-ckpt").toString
+    }
     val stream = spark.readStream.option("maxFilesPerTrigger", 1)
       .text(landing.toString)
     val t0 = System.nanoTime()

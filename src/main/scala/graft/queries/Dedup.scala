@@ -378,17 +378,24 @@ object Dedup {
       .map(_.toLong).getOrElse(180L)
     val timeCand = (pairsPerSec * budgetSec).toLong
     val effCap = math.min(maxCand, timeCand)
-    // r16: checkpointed — the guard's candidate estimate and the pair
-    // expansion BOTH consume postings, and Catalyst cannot de-duplicate
-    // the two subtrees (the typed shingle mapPartitions closure defeats
-    // canonical-plan equality, so no ReusedExchange fires): the executed
-    // d13 plan showed TWO full corpus shingle + collect_list passes
-    // (~0.7 s each at sf0.1) plus two df-cap count scans. One eager
-    // checkpoint makes the corpus pay the shingle pass once (q58's
-    // don't-re-shingle rule); the checkpointed table is the DF-capped
-    // postings only — ≤ cap doc entries per kept shingle, far below the
-    // corpus — and it is exactly what both consumers need.
-    val postings = withShingles(s, d)
+    // r16: the guard's candidate estimate and the pair expansion BOTH
+    // consume postings, and Catalyst cannot de-duplicate the two subtrees
+    // (the typed shingle mapPartitions closure defeats canonical-plan
+    // equality, so no ReusedExchange fires): the executed d13 plan showed
+    // TWO full corpus shingle + collect_list passes (~0.7 s each at
+    // sf0.1) plus two df-cap count scans. An eager checkpoint of the
+    // DF-capped postings makes the corpus pay the shingle pass once —
+    // but only below a SIZE threshold: the same-corpus sf1 A/B measured
+    // the checkpoint 8% SLOWER there (d13 52.0 → 56.5 s min-of-3:
+    // materializing ~14M posting entries costs more than the duplicate
+    // pass once the data outweighs the per-job overhead), while sf0.1 is
+    // 34% faster (2.40 → 1.59 s). Past the threshold the production
+    // answer to re-shingling is the provisioned `graft.dedup.shingleDir`
+    // table, not an in-memory checkpoint. Threshold on the compressed
+    // documents bytes (the parallelized() probe), conf
+    // `graft.dedup.postingsCheckpointMaxBytes`, default 4 MB (sf0.1's
+    // 0.6 MB ✓, sf1's 6 MB ✗ — both measured above).
+    val postings0 = withShingles(s, d)
       .select(struct(col("doc_id"),
           size(col("shingles")).cast("bigint").as("n_sh")).as("doc"),
         explode(col("shingles")).as("sh"))
@@ -396,7 +403,18 @@ object Dedup {
       .agg(collect_list(col("doc")).as("ds"))
       .crossJoin(broadcast(dfCapFrame(s, d, "graft.dedup.d5DfCap")))
       .filter(size(col("ds")).between(2, col("df_cap")))
-      .localCheckpoint(true)
+    val ckptMax = s.conf.getOption("graft.dedup.postingsCheckpointMaxBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+    val docBytes = {
+      val files = Tables.validDocuments(s, d).inputFiles
+      val hconf = s.sparkContext.hadoopConfiguration
+      files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      }.sum
+    }
+    val postings =
+      if (docBytes < ckptMax) postings0.localCheckpoint(true) else postings0
     val est = postings.agg(sum(expr(
       "CAST(size(ds) AS DECIMAL(38,0)) * CAST(size(ds) - 1 AS DECIMAL(38,0)) / 2"))
       .as("__cand"))
@@ -1537,7 +1555,12 @@ object Dedup {
         .select(col("sh")).distinct()
       val contaminated = splitShingles(s, d, trainPred)
         .join(evalSh, "sh").select(col("doc_id")).distinct()
-      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      // r16: AQE coalesces the anti-join output to one partition (a few
+      // MB of text), which would serialize the K-window explode below —
+      // bytes-based coalescing is blind to downstream per-row compute.
+      // The scale-adaptive spread is a no-op on real layouts.
+      val clean = Tables.parallelized(
+        deduped.join(contaminated, Seq("doc_id"), "left_anti"))
         .select(col("doc_id"), TextOps.wsTokens(col("text")).as("w"))
       val spans = islandSpans(clean, hashed = false, carry = Seq.empty)
         .withColumn("ce", col("ep") + lit(K - 1))
