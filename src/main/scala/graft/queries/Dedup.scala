@@ -494,6 +494,7 @@ object Dedup {
       s"convergedLabels (d9/d17): label propagation not converged after $maxRounds rounds " +
         s"($changed labels still moving) — component diameter exceeds the dedup-cluster " +
         "assumption; raise the round cap or use a star-contraction variant")
+    graft.core.Log.info(s"convergedLabels: fixpoint after $rounds rounds (pair source $src)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -588,7 +588,14 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("t18 pmi: pair generation is a narrow flatMap; df and N broadcast onto pair counts") {
-    val plan = planOf("t18_pmi_cooccur")
+    // The scale-adaptive parallelized() coalesces this fixture-sized corpus
+    // to ONE partition, which legitimately satisfies the groupBy's
+    // ClusteredDistribution and elides the pinned exchange. Force the
+    // multi-partition geometry so the pin keeps testing the at-scale shape
+    // (one shared w1 exchange), not the single-partition degenerate.
+    spark.conf.set("graft.parallelize.bytesPerTask", "1024")
+    val plan = try planOf("t18_pmi_cooccur")
+               finally spark.conf.unset("graft.parallelize.bytesPerTask")
     // Only the scalar N rides a BNLJ (t9's IdentityBroadcastMode pattern);
     // the pair counts and doc frequencies meet in broadcast hash joins.
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
@@ -951,7 +958,11 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("s16 prefix recall: guarded query broadcast; all three rank windows share ONE q_id exchange") {
-    val plan = planOf("s16_prefix_recall")
+    // Same single-partition degenerate as t18's pin: force multi-partition
+    // geometry so the shared-q_id-exchange property is what's tested.
+    spark.conf.set("graft.parallelize.bytesPerTask", "1024")
+    val plan = try planOf("s16_prefix_recall")
+               finally spark.conf.unset("graft.parallelize.bytesPerTask")
     assert(plan.contains("BroadcastNestedLoopJoin"),
       "the guarded query set must broadcast against the corpus scan (s1's shape)")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
