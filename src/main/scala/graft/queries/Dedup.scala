@@ -1705,19 +1705,30 @@ object Dedup {
   }
 
   /** d17's survivorship layer (longest-doc-wins pick + drop accounting)
-    * over the converged fixpoint; shared by d17_survivorship/d17_scale. */
+    * over the converged fixpoint; shared by d17_survivorship/d17_scale.
+    *
+    * r16: the pick is an ARGMAX, not a ranking — one partial-aggregatable
+    * `max(struct(n_chars, -doc_id, doc_id))` per cluster replaces the
+    * count window + row_number window + filter (guide §2: map-side
+    * partial aggregation over window buffering). Struct ordering is
+    * lexicographic, so max == the row_number()=1 row under
+    * (n_chars DESC, doc_id ASC) exactly — doc_id is a non-negative
+    * BIGINT, so -doc_id cannot overflow and max(-doc_id) is min(doc_id).
+    * Two Sorts + two Windows over every member row collapse to one
+    * hash aggregate whose exchange carries one row per (input partition,
+    * cluster) instead of every member. The oracle keeps the
+    * row_number() formulation (SURVIVOR_CTES), so the hash gate itself
+    * proves the argmax ≡ the rank pick. */
   private def d17Presentation(s: SparkSession, d: String, clusters: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val meta = Tables.validDocuments(s, d).select(col("doc_id"), col("n_chars"))
-    val pick = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
     clusters.join(meta, "doc_id")
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("bigint"))
-      .withColumn("rn", row_number().over(pick))
-      .filter(col("rn") === 1)
-      .select(col("cluster_id"), col("doc_id").as("kept_doc"),
-        col("n_chars").as("kept_chars"), col("n_members"),
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("n_chars"), (-col("doc_id")).as("nd"), col("doc_id")))
+          .as("top"),
+        count(lit(1)).cast("bigint").as("n_members"))
+      .select(col("cluster_id"), col("top.doc_id").as("kept_doc"),
+        col("top.n_chars").as("kept_chars"), col("n_members"),
         (col("n_members") - 1).as("n_dropped"))
       .orderBy(col("cluster_id"))
   }

@@ -668,11 +668,17 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("__salt"), plan.take(3000))
   }
 
-  test("d17 survivorship: metadata join stays doc_id-keyed, argmax window over cluster rows") {
+  test("d17 survivorship: metadata join stays doc_id-keyed, argmax aggregate over cluster rows") {
     val plan = planOf("d17_survivorship")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "the n_chars metadata join must stay keyed on doc_id")
-    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"), plan.take(2000))
+    // r16: the survivor pick is a partial-aggregatable argmax
+    // (max(struct(n_chars, -doc_id, doc_id)) + count) — member rows
+    // combine map-side before the cluster_id exchange; no window
+    // buffering of every member row.
+    assert(plan.contains("partial_max"), plan.take(2000))
+    assert(!plan.contains(") Window"),
+      "the survivor pick must aggregate, not rank over a window")
   }
 
   test("e25 seasonality: one agg shuffle to domain-sized cells, window over the tiny table") {
